@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs graft.Verify's parquet dumps (must already exist in OUTDIR)
+against DuckDB executing oracle_sql.json on the same testdata, and
+compares row-for-row after sorting columns by name. Usage:
+
+    python3 scripts/check.py SFDIR OUTDIR [query ...]
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+def load_spark_result(path):
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    import pyarrow as pa
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    return tbl
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_tbl = load_spark_result(os.path.join(outdir, name))
+        if spark_tbl is None:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            duck = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        scols = sorted(spark_tbl.column_names)
+        dcols = sorted(duck.column_names)
+        if scols != dcols:
+            print(f"FAIL {name}: columns {scols} vs {dcols}"); n_fail += 1; continue
+        srows = list(zip(*[spark_tbl.column(c).to_pylist() for c in scols]))
+        drows = list(zip(*[duck.column(c).to_pylist() for c in dcols]))
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: {len(srows)} vs {len(drows)} rows"); n_fail += 1; continue
+        bad = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+        if bad:
+            i = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first at {i}:")
+            print(f"  cols : {scols}")
+            print(f"  spark: {srows[i]}")
+            print(f"  duck : {drows[i]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,476 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Relational query surface over the TPC-H-ish testdata.
+  *
+  * The reference has no aggregations/joins/windows at all (SURVEY.md
+  * §2.7) — this module is the driver-mandated relational capability,
+  * built entirely on Catalyst built-ins so pushdown, pruning, AQE and
+  * whole-stage codegen apply untouched. Every query is paired with a
+  * DuckDB oracle in [[oracle]]; numeric results follow the
+  * [[graft.functions.Exact]] parity rules and every query ends in a
+  * total ORDER BY so the row stream is deterministic.
+  *
+  * Scale notes (the 100 TB design point):
+  *  - region/nation are O(10..100) rows at ANY scale factor → always
+  *    `broadcast()`-hinted at the join site.
+  *  - supplier/part/customer grow with SF → no hard-coded hint; AQE
+  *    picks broadcast vs shuffled-hash vs sort-merge from runtime
+  *    stats.
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key only
+  *    after filters are pushed below the join by Catalyst.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  /** Scan + selective filter + projection; raw columns pass through
+    * untouched (bit-identical doubles). Exercises parquet predicate
+    * pushdown — `.explain` shows PushedFilters on l_shipdate. */
+  val q0Scan: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp") &&
+        col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q1-style pricing summary. */
+  val q1PricingSummary: Q = (s, d) =>
+    li(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asD(sum(qty(col("l_quantity")))).as("sum_qty"),
+        asD(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+        asD(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+          .as("sum_disc_price"),
+        asD(sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))))
+          .as("sum_charge"),
+        meanOf(sum(qty(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+        meanOf(sum(money(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
+        meanOf(sum(rate(col("l_discount"))), count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q5-style revenue by nation: 6-table join, tiny dims
+    * broadcast, customer/supplier co-nation equi-condition. */
+  val q2RevenueByNation: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        asD(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q3-style top-10 orders by revenue for one market segment. */
+  val q3TopRevenueOrders: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    li(s, d)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(asD(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-style: order counts by priority where at least one line
+    * shipped after the order date (left-semi join with a non-equi
+    * predicate). */
+  val q4OrderPriority: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    o.join(li(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-style forecast revenue: selective scan, scalar result. */
+  val q6ForecastRevenue: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(
+        asD(sum(money(col("l_extendedprice")) * rate(col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Window function: top-3 orders per customer by total price. */
+  val q7TopOrdersPerCustomer: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running revenue per supplier (cumulative window sum in exact
+    * decimal; frame order made total with orderkey/linenumber). */
+  val q8RunningRevenue: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li(s, d)
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        asD(sum(discPrice(col("l_extendedprice"), col("l_discount"))).over(w))
+          .as("running_revenue"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** ROLLUP with grouping id (multi-level aggregate). */
+  val q9Rollup: Q = (s, d) =>
+    li(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        asD(sum(qty(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** GROUP BY + HAVING: customers with many orders. */
+  val q10BigCustomers: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        asD(sum(price6(col("o_totalprice")))).as("total_spent"))
+      .filter(col("n_orders") >= 12)
+      .orderBy("c_custkey")
+
+  /** Set operations: nation keys present among customers vs suppliers
+    * (INTERSECT / EXCEPT both directions, tagged and unioned). */
+  val q11SetOps: Q = (s, d) => {
+    val cn = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+    val sn = Tables.supplier(s, d)
+      .select(col("s_nationkey").cast("long").as("nationkey")).distinct()
+    cn.intersect(sn).withColumn("tag", lit("both"))
+      .union(cn.except(sn).withColumn("tag", lit("cust_only")))
+      .union(sn.except(cn).withColumn("tag", lit("supp_only")))
+      .orderBy("tag", "nationkey")
+  }
+
+  /** Semi/anti-join rollup: customers with vs without orders, per
+    * market segment (expressed as one left join + conditional agg so
+    * both halves share a single shuffle). */
+  val q12SemiAnti: Q = (s, d) => {
+    val haveOrders = Tables.orders(s, d)
+      .select(col("o_custkey")).distinct().withColumn("has_o", lit(1L))
+    Tables.customer(s, d)
+      .join(haveOrders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("has_o").isNotNull, 1L).otherwise(0L)).as("n_with_orders"),
+        sum(when(col("has_o").isNull, 1L).otherwise(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** TPC-H Q14-style promo revenue share per month (conditional
+    * aggregation + one final IEEE division). */
+  val q14PromoShare: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val promoRev = sum(when(col("p_type") === "PROMO",
+      discPrice(col("l_extendedprice"), col("l_discount")))
+      .otherwise(lit(0).cast("decimal(18,4)")))
+    val totalRev = sum(discPrice(col("l_extendedprice"), col("l_discount")))
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        asD(promoRev).as("promo_revenue"),
+        asD(totalRev).as("total_revenue"),
+        (asD(promoRev) / asD(totalRev)).as("promo_share"))
+      .orderBy("month")
+  }
+
+  /** TPC-H Q15-style: supplier(s) with the max quarterly revenue —
+    * exact-decimal max so the equality predicate is unambiguous. */
+  val q15TopSupplier: Q = (s, d) => {
+    val rev = li(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("r"))
+    val top = rev.withColumn("maxr", max(col("r")).over(Window.partitionBy()))
+      .filter(col("r") === col("maxr"))
+    top.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), asD(col("r")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17-style: revenue from small-quantity lineitems, with the
+    * per-part average via a self-aggregate join. */
+  val q17SmallQuantity: Q = (s, d) => {
+    val pa = li(s, d).groupBy(col("l_partkey").as("pk"))
+      .agg(meanOf(sum(qty(col("l_quantity"))), count(lit(1))).as("avg_qty"))
+    li(s, d)
+      .join(pa, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(asD(sum(money(col("l_extendedprice")))).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18-style large orders: HAVING over a fact-fact join. */
+  val q18LargeOrders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(asD(sum(qty(col("l_quantity")))).as("total_qty"))
+      .filter(col("total_qty") > 140)
+      .orderBy("o_orderkey")
+
+  /** TPC-H Q19-style: LIKE + range predicates over a part join. */
+  val q19BrandRevenue: Q = (s, d) =>
+    li(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").like("Brand#1%") &&
+        col("p_size").between(1, 25) && col("l_quantity") >= 5)
+      .agg(asD(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Distinct aggregates per brand. */
+  val q16DistinctCounts: Q = (s, d) =>
+    li(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  val defs: Map[String, Q] = Map(
+    "q0_scan" -> q0Scan,
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_revenue_by_nation" -> q2RevenueByNation,
+    "q3_top_revenue_orders" -> q3TopRevenueOrders,
+    "q4_order_priority" -> q4OrderPriority,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q7_top_orders_per_customer" -> q7TopOrdersPerCustomer,
+    "q8_running_revenue" -> q8RunningRevenue,
+    "q9_rollup" -> q9Rollup,
+    "q10_big_customers" -> q10BigCustomers,
+    "q11_set_ops" -> q11SetOps,
+    "q12_semi_anti" -> q12SemiAnti,
+    "q14_promo_share" -> q14PromoShare,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_distinct_counts" -> q16DistinctCounts,
+    "q17_small_quantity" -> q17SmallQuantity,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_brand_revenue" -> q19BrandRevenue)
+
+  // ---------------------------------------------------------------- //
+  // DuckDB oracle SQL — same arithmetic, same ordering, same names.  //
+  // ---------------------------------------------------------------- //
+
+  private val discP = sqlDiscPrice("l_extendedprice", "l_discount")
+  private val chargeP = sqlCharge("l_extendedprice", "l_discount", "l_tax")
+
+  val oracle: Map[String, String] = Map(
+    "q0_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2001-06-01' AND l_partkey % 10 = 0
+         ORDER BY l_orderkey, l_linenumber""",
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) AS sum_qty,
+          CAST(SUM(${sqlMoney("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+          CAST(SUM($discP) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM($chargeP) AS DOUBLE) AS sum_charge,
+          CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+          CAST(SUM(${sqlMoney("l_extendedprice")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+          CAST(SUM(${sqlRate("l_discount")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+          COUNT(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "q2_revenue_by_nation" ->
+      s"""SELECT n_name, CAST(SUM($discP) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q3_top_revenue_orders" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+          o_orderpriority, CAST(SUM($discP) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+            AND l_shipdate > TIMESTAMP '1997-01-01'
+          GROUP BY l_orderkey, orderdate, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(SUM(${sqlMoney("l_extendedprice")} * ${sqlRate("l_discount")}) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""",
+    "q7_top_orders_per_customer" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q8_running_revenue" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM($discP) OVER (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS running_revenue
+          FROM lineitem WHERE l_suppkey <= 5
+          ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q9_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+          COALESCE(l_linestatus, 'ALL') AS linestatus,
+          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+          CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n
+          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          ORDER BY gid, returnflag, linestatus""",
+    "q10_big_customers" ->
+      s"""SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+          CAST(SUM(${sqlPrice6("o_totalprice")}) AS DOUBLE) AS total_spent
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey, c_name HAVING COUNT(*) >= 12
+          ORDER BY c_custkey""",
+    "q11_set_ops" ->
+      """SELECT nationkey, 'both' AS tag FROM
+           (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier) a
+         UNION ALL
+         SELECT nationkey, 'cust_only' AS tag FROM
+           (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier) b
+         UNION ALL
+         SELECT nationkey, 'supp_only' AS tag FROM
+           (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+            EXCEPT
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) FROM customer) c
+         ORDER BY tag, nationkey""",
+    "q12_semi_anti" ->
+      """SELECT c_mktsegment,
+           SUM(CASE WHEN has_o THEN 1 ELSE 0 END) AS n_with_orders,
+           SUM(CASE WHEN has_o THEN 0 ELSE 1 END) AS n_without_orders
+         FROM (SELECT c_custkey, c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+               FROM customer) t
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q14_promo_share" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+          CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $discP ELSE 0 END) AS DOUBLE) AS promo_revenue,
+          CAST(SUM($discP) AS DOUBLE) AS total_revenue,
+          CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $discP ELSE 0 END) AS DOUBLE)
+            / CAST(SUM($discP) AS DOUBLE) AS promo_share
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY month ORDER BY month""",
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+            SELECT l_suppkey, SUM($discP) AS r FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          WHERE r = (SELECT MAX(r) FROM rev)
+          ORDER BY s_suppkey""",
+    "q16_distinct_counts" ->
+      """SELECT p_brand,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q17_small_quantity" ->
+      s"""WITH pa AS (
+            SELECT l_partkey AS pk,
+              CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+            FROM lineitem GROUP BY l_partkey)
+          SELECT CAST(SUM(${sqlMoney("l_extendedprice")}) AS DOUBLE) AS total_price,
+            COUNT(*) AS n_items
+          FROM lineitem JOIN pa ON l_partkey = pk
+          WHERE l_quantity < 0.5 * avg_qty""",
+    "q18_large_orders" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+          CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) AS total_qty
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY o_orderkey, orderdate
+          HAVING CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) > 140
+          ORDER BY o_orderkey""",
+    "q19_brand_revenue" ->
+      s"""SELECT CAST(SUM($discP) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand LIKE 'Brand#1%' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 5""")
+}
