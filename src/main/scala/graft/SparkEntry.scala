@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{EnrichOps, EventOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,8 @@ object SparkEntry {
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs
+    Relational.defs ++ EventOps.defs ++ EnrichOps.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ EventOps.oracle ++ EnrichOps.oracle
 }

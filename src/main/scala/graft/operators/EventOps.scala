@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Query surface over the `events` table: JSON prop extraction,
+  * event-time bucketing, sessionization, exact dedup, top-k.
+  *
+  * Time arithmetic is done on integer epoch seconds
+  * (`unix_timestamp` / floored `epoch`) so the parquet file's
+  * nanosecond timestamps — which Spark truncates to microseconds but
+  * DuckDB keeps — can never flip a comparison between the engines.
+  * Time-bucket outputs are formatted strings for the same reason.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** JSON extraction from the `props` string column (SURVEY §2.8). */
+  val evJson: Q = (s, d) =>
+    ev(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Tumbling 1-hour event-time buckets per event type. */
+  val evHourly: Q = (s, d) =>
+    ev(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        asD(sum(money(col("value")))).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-minute inactivity), the batch
+    * equivalent of a streaming session window: lag → boundary flag →
+    * running sum = session id → per-session aggregate. One shuffle on
+    * user_id serves both window and aggregation. */
+  val evSessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("prev", lag(col("tsec"), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev").isNull || col("tsec") - col("prev") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("boundary")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsec")).as("start_sec"),
+        max(col("tsec")).as("end_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact dedup: earliest event per (user, type), with duplicate
+    * count — aggregate form (map-side combinable) rather than a
+    * row_number window, so it scales without a per-partition sort. */
+  val evDedupFirst: Q = (s, d) =>
+    ev(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("user_id", "event_type")
+
+  /** Top-10 users by purchase value (filter → agg → top-k). */
+  val evTopUsers: Q = (s, d) =>
+    ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(asD(sum(money(col("value")))).as("total_purchase"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy(col("total_purchase").desc, col("user_id"))
+      .limit(10)
+
+  /** Per-type value stats; min/max of untouched doubles are exact. */
+  val evTypeStats: Q = (s, d) =>
+    ev(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        asD(sum(money(col("value")))).as("total_value"),
+        meanOf(sum(money(col("value"))), count(lit(1))).as("avg_value"))
+      .orderBy("event_type")
+
+  val defs: Map[String, Q] = Map(
+    "ev_json_extract" -> evJson,
+    "ev_hourly" -> evHourly,
+    "ev_sessionize" -> evSessionize,
+    "ev_dedup_first" -> evDedupFirst,
+    "ev_top_users" -> evTopUsers,
+    "ev_type_stats" -> evTypeStats)
+
+  val oracle: Map[String, String] = Map(
+    "ev_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "ev_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+          event_type, COUNT(*) AS n,
+          CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_value
+          FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
+    "ev_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, tsec,
+             CASE WHEN lag(tsec) OVER w IS NULL
+                    OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS boundary
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+         sess AS (
+           SELECT user_id, event_id, tsec,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(tsec) AS start_sec, MAX(tsec) AS end_sec
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "ev_dedup_first" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_dups
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
+    "ev_top_users" ->
+      s"""SELECT user_id,
+          CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_purchase,
+          COUNT(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id ORDER BY total_purchase DESC, user_id LIMIT 10""",
+    "ev_type_stats" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+          MIN(value) AS min_value, MAX(value) AS max_value,
+          CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_value,
+          CAST(SUM(${sqlMoney("value")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
+          FROM events GROUP BY event_type ORDER BY event_type""")
+}

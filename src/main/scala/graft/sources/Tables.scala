@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet testdata (TESTDATA.md).
   *
@@ -27,7 +28,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) in-file, which Spark's parquet
+    * reader rejects outright. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    * [[graft.GraftSession]]); the raw nanos are then converted to a
+    * proper microsecond timestamp with *integer* division — `/` on
+    * Columns is double division and int64 nanos (~1.7e18) exceed
+    * double's 2^53 exact range. */
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
