@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EnrichOps, EventOps, Relational}
+import graft.operators.{DedupOps, EnrichOps, EventOps, MultimodalOps,
+  Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +19,11 @@ object SparkEntry {
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ EventOps.defs ++ EnrichOps.defs
+    Relational.defs ++ EventOps.defs ++ EnrichOps.defs ++ TextOps.defs ++
+      DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ EventOps.oracle ++ EnrichOps.oracle
+    Relational.oracle ++ EventOps.oracle ++ EnrichOps.oracle ++
+      TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
+      MultimodalOps.oracle
 }

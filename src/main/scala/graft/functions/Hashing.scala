@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing primitives for the dedup /
+  * fingerprint / LSH operators (SURVEY.md §2.8).
+  *
+  * Spark's built-in `hash`/`xxhash64` and DuckDB's `hash` use
+  * different algorithms, so oracle-checked operators need hashes both
+  * engines can compute *identically*. Everything here is plain 64-bit
+  * integer arithmetic over higher-order functions (Catalyst
+  * `transform`/`aggregate` — native expressions, no UDF serialization)
+  * with a DuckDB `list_transform`/`list_reduce` mirror generated from
+  * the SAME Scala constants, so the two sides cannot drift.
+  *
+  * The polynomial char hash is the classic `h = h*31 + code (mod
+  * 2^31-1)` rolling hash; min-hash uses k=[[K]] independent affine
+  * permutations `(a_i*h + b_i) mod P` over 3-word shingles, banded
+  * [[Bands]]×[[RowsPerBand]] for LSH bucketing.
+  *
+  * Scale note: every column here is a pure per-row projection —
+  * no shuffle, fully parallel, and the band/bucket construction gives
+  * the O(n) LSH candidate generation that replaces the O(n²) all-pairs
+  * comparison at 100 TB.
+  */
+object Hashing {
+  /** Modulus: 2^31-1 (Mersenne prime). Products a_i*h stay < 2^62. */
+  val P = 2147483647L
+
+  /** MinHash signature length and banding layout (4 bands × 4 rows). */
+  val K = 16
+  val Bands = 4
+  val RowsPerBand: Int = K / Bands
+
+  /** Affine permutation constants — odd multipliers, fixed forever
+    * (changing them silently changes every signature). */
+  val A: Seq[Long] = Seq(
+    1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L,
+    141650939L, 160481183L, 179424673L, 198491317L,
+    217645177L, 236887691L, 256203161L, 275604541L)
+  val B: Seq[Long] = Seq(
+    7L, 104729L, 1299709L, 15485867L,
+    32452867L, 49979693L, 67867979L, 86028157L,
+    104395303L, 122949829L, 141650963L, 160481219L,
+    179424691L, 198491329L, 217645199L, 236887711L)
+
+  // ------------------------------------------------------------------
+  // Spark side
+  // ------------------------------------------------------------------
+
+  /** Polynomial rolling hash of a string's characters (init 0). */
+  def charHash(c: Column): Column =
+    aggregate(
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (h, code) => (h * 31 + code) % P)
+
+  /** Whitespace tokens with empties dropped (trailing-space safe). */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** 3-word shingles over a token array (needs >= 3 tokens). */
+  def shingles(toks: Column): Column =
+    transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+
+  /** Hash every element of a string array. */
+  def hashAll(arr: Column): Column = transform(arr, charHash(_))
+
+  /** i-th min-hash over an array of element hashes. */
+  def minhash(hashes: Column, i: Int): Column =
+    array_min(transform(hashes, h => (h * A(i) + B(i)) % P))
+
+  /** LSH bucket id for band `b` over signature columns named
+    * `mh0..mh{K-1}`: rolling-hash the band's rows with the band index
+    * seeding the fold so buckets never collide across bands. */
+  def bandBucket(b: Int): Column =
+    (0 until RowsPerBand).foldLeft(lit((b + 1).toLong): Column) {
+      (acc, r) => (acc * 31 + col(s"mh${b * RowsPerBand + r}")) % P
+    }
+
+  /** 32-bit SimHash over an array of element hashes: per-bit ±1 votes
+    * summed across elements; bit set iff the vote is positive. Built
+    * via expression text because the shift amount is itself a lambda
+    * variable, which the Scala `shiftleft` function (literal-only
+    * shift) can't express. `hashesCol` names an ARRAY<BIGINT> column. */
+  def simhash32Expr(hashesCol: String): Column = expr(
+    s"""aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
+        if(aggregate($hashesCol, 0L,
+             (v, h) -> v + if((h div shiftleft(1L, j)) % 2 = 1, 1L, -1L)) > 0,
+           shiftleft(1L, j), 0L))""")
+
+  // ------------------------------------------------------------------
+  // DuckDB side (generated from the same constants)
+  // ------------------------------------------------------------------
+
+  def sqlCharHash(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % $P)"""
+
+  def sqlTokens(e: String): String =
+    s"list_filter(string_split($e, ' '), t -> length(t) > 0)"
+
+  def sqlShingles(toksExpr: String): String =
+    s"""list_transform(range(1, length($toksExpr) - 1),
+        i -> $toksExpr[i] || ' ' || $toksExpr[i+1] || ' ' || $toksExpr[i+2])"""
+
+  def sqlHashAll(arrExpr: String): String =
+    s"list_transform($arrExpr, s -> ${sqlCharHash("s")})"
+
+  def sqlMinhash(hashesExpr: String, i: Int): String =
+    s"list_min(list_transform($hashesExpr, h -> (h * ${A(i)} + ${B(i)}) % $P))"
+
+  def sqlBandBucket(b: Int, sigPrefix: String = "mh"): String =
+    (0 until RowsPerBand).foldLeft(s"CAST(${b + 1} AS BIGINT)") {
+      (acc, r) => s"(($acc) * 31 + $sigPrefix${b * RowsPerBand + r}) % $P"
+    }
+
+  def sqlSimhash32(hashesExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(0, 32), j ->
+          CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform($hashesExpr,
+              h -> CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
+                   THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+            (a, b) -> a + b) > 0
+          THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+        (a, b) -> a + b)"""
+}

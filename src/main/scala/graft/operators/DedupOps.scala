@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing._
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` (SURVEY.md §2.8 [EXT]):
+  * exact, normalized-exact, MinHash+LSH near-dup candidates with
+  * Jaccard verification, and SimHash clustering.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is one hash-partitioned groupBy on the text (or its
+  *    fingerprint) — the canonical map-side-combinable shuffle;
+  *  - near-dup avoids O(n²) pairs entirely: signatures are per-row
+  *    projections, LSH bands turn "similar" into "equal bucket", the
+  *    self-join runs per-bucket, and only LSH candidates get the
+  *    (explode-join) Jaccard verification. With b bands of r rows the
+  *    collision probability is 1-(1-s^r)^b — the 4×4 layout has its
+  *    S-curve threshold near s≈0.55;
+  *  - at real scale you'd salt a pathological bucket; bucket sizes are
+  *    observable via `dedup_simhash_clusters`-style queries.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Exact dedup: canonical (min) doc per identical text. */
+  val dedupExact: Q = (s, d) =>
+    docs(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy("canonical_id")
+
+  /** Exact dedup after normalization (lower, trim, collapse spaces) —
+    * groups differently-formatted copies of the same content. */
+  val dedupNormalized: Q = (s, d) =>
+    docs(s, d)
+      .groupBy(regexp_replace(trim(lower(col("text"))), " +", " ").as("norm"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy("canonical_id")
+
+  /** doc_id + MinHash signature columns mh0..mh{K-1} over 3-word
+    * shingles (docs with <3 tokens get no signature and are dropped —
+    * nothing to near-dup match on). */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingle_hashes", hashAll(shingles(col("toks"))))
+    val sigCols = (0 until K).map(i =>
+      minhash(col("shingle_hashes"), i).as(s"mh$i"))
+    base.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** SQL CTE mirroring [[signatures]]. */
+  private def sqlSignatures: String = {
+    val sh = sqlHashAll(sqlShingles("toks"))
+    val sigs = (0 until K)
+      .map(i => s"${sqlMinhash("shingle_hashes", i)} AS mh$i").mkString(", ")
+    s"""sig AS (
+         SELECT doc_id, $sigs FROM (
+           SELECT doc_id, $sh AS shingle_hashes FROM (
+             SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+           WHERE length(toks) >= 3))"""
+  }
+
+  /** The MinHash signature surface itself (oracle-pins the hashing). */
+  val dedupMinhashSig: Q = (s, d) =>
+    signatures(s, d).orderBy("doc_id")
+
+  /** (band, bucket, doc_id) rows — K/RowsPerBand buckets per doc. */
+  private def buckets(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    (0 until Bands).map(b =>
+      sig.select(col("doc_id"), lit(b).cast("long").as("band"),
+        bandBucket(b).as("bucket")))
+      .reduce(_.union(_))
+  }
+
+  private def sqlBuckets: String =
+    (0 until Bands).map(b =>
+      s"""SELECT doc_id, CAST($b AS BIGINT) AS band,
+          ${sqlBandBucket(b)} AS bucket FROM sig""")
+      .mkString("buckets AS (", " UNION ALL ", ")")
+
+  /** LSH candidate pairs: same band bucket, a < b, distinct. */
+  val dedupLshPairs: Q = (s, d) => {
+    val bk = buckets(s, d)
+    bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** LSH candidates verified with exact shingle-set Jaccard, computed
+    * by explode-join (set-intersection as a token equi-join, never
+    * materializing per-pair set products). */
+  val dedupJaccard: Q = (s, d) => {
+    val bk = buckets(s, d)
+    val pairs = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks")))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("za.n") + col("zb.n") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash fingerprint clusters: groups sharing an identical 32-bit
+    * simhash (near-identical token multisets), with sizes. */
+  val dedupSimhashClusters: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("thashes", hashAll(tokens(col("text"))))
+      .select(col("doc_id"), simhash32Expr("thashes").as("simhash"))
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("cluster_size"))
+      .orderBy("simhash")
+
+  val defs: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_normalized" -> dedupNormalized,
+    "dedup_minhash_sig" -> dedupMinhashSig,
+    "dedup_lsh_pairs" -> dedupLshPairs,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_simhash_clusters" -> dedupSimhashClusters)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY canonical_id""",
+    "dedup_normalized" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+         FROM documents
+         GROUP BY regexp_replace(trim(lower(text)), ' +', ' ', 'g')
+         ORDER BY canonical_id""",
+    "dedup_minhash_sig" ->
+      s"""WITH $sqlSignatures SELECT * FROM sig ORDER BY doc_id""",
+    "dedup_lsh_pairs" ->
+      s"""WITH $sqlSignatures, $sqlBuckets
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM buckets x JOIN buckets y
+            ON x.band = y.band AND x.bucket = y.bucket
+               AND x.doc_id < y.doc_id
+          ORDER BY doc_a, doc_b""",
+    "dedup_jaccard" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id),
+          sh AS (
+            SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+            WHERE length(toks) >= 3),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT doc_a, doc_b, COUNT(*) AS n_inter
+            FROM pairs
+            JOIN sh sa ON doc_a = sa.doc_id
+            JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+            GROUP BY doc_a, doc_b)
+          SELECT p.doc_a, p.doc_b,
+            COALESCE(i.n_inter, 0) AS n_inter,
+            za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union,
+            CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+          FROM pairs p
+          LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+          JOIN sizes za ON p.doc_a = za.doc_id
+          JOIN sizes zb ON p.doc_b = zb.doc_id
+          ORDER BY 1, 2""",
+    "dedup_simhash_clusters" ->
+      s"""SELECT simhash, MIN(doc_id) AS canonical_id,
+          COUNT(*) AS cluster_size
+          FROM (SELECT doc_id,
+                  ${sqlSimhash32(sqlHashAll(sqlTokens("text")))} AS simhash
+                FROM documents)
+          GROUP BY simhash ORDER BY simhash""")
+}

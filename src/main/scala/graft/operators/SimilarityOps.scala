@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over `embeddings.embedding`
+  * (ARRAY<FLOAT>, 64 dims) — SURVEY.md §2.8 [EXT].
+  *
+  * Three tiers:
+  *  - [[knnBrute]]: exact brute-force cosine top-k — the correctness
+  *    baseline. The query side is tiny and broadcast; the data side
+  *    streams through one codegen'd projection, so this is
+  *    O(|queries|·n) with zero shuffle of the big side (the top-k is
+  *    a per-query window over |queries|·n rows, shuffled on query_id).
+  *  - [[annLshBuckets]] / [[annLshProbe]]: random-hyperplane LSH — an
+  *    8-bit signed-projection bucket turns candidate generation into
+  *    an equi-join, the 100 TB path (probe cost ∝ bucket size, not n).
+  *  - [[annIvf]]: IVF-style partition-pruned search using the label
+  *    column as the coarse quantizer cell (a k-means assignment would
+  *    drop in the same place; labels keep it oracle-deterministic).
+  *
+  * All float math is element-order-sequential folds of doubles so the
+  * DuckDB oracle (same fold order) produces bit-identical results —
+  * see [[graft.functions.Exact]].
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dims = 64
+  /** Number of random hyperplanes (=> 2^Planes buckets). */
+  val Planes = 8
+  /** Queries = this many lowest vec_ids. */
+  val NQueries = 8
+  val TopK = 5
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** Sequential-fold dot product of two ARRAY<FLOAT> columns, in
+    * double (element order fixed → bit-identical across engines). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** SQL mirror of [[dot]]: same element order, same fold. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, $Dims + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+        (acc, v) -> acc + v)"""
+
+  private def sqlCosine(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** Exact brute-force cosine top-k for the query vectors. */
+  val knnBrute: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * an LCG step mapped into [-0.5, 0.5). The division is by a power
+    * of two, so the double is exact and both engines agree bit-wise.
+    * The LCG runs in BIGINT explicitly — int32 would overflow (Spark
+    * wraps silently, DuckDB errors). */
+  private def planeW(p: String, i: String): String =
+    s"(CAST((CAST(1103515245 AS BIGINT) * ($p * $Dims + $i) + 12345)" +
+      s" % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+
+  /** Signed-projection LSH bucket (Planes-bit integer) — Spark side
+    * via SQL expr because the shift amount is a lambda variable. */
+  private def bucketExpr(embCol: String): Column = expr(
+    s"""aggregate(sequence(0, ${Planes - 1}), 0L, (acc, p) -> acc +
+        if(aggregate(sequence(1, $Dims), CAST(0.0 AS DOUBLE),
+             (acc2, i) -> acc2 + CAST(element_at($embCol, i) AS DOUBLE)
+               * ${planeW("p", "i")}) > 0,
+           shiftleft(1L, p), 0L))""")
+
+  private def sqlBucket(embExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(0, $Planes), p ->
+          CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, $Dims + 1),
+              i -> CAST($embExpr[i] AS DOUBLE) * ${planeW("p", "i")})),
+            (a, b) -> a + b) > 0
+          THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+        (a, b) -> a + b)"""
+
+  /** Bucket histogram: occupancy of each LSH bucket. */
+  val annLshBuckets: Q = (s, d) =>
+    emb(s, d)
+      .select(col("vec_id"), bucketExpr("embedding").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+      .orderBy("bucket")
+
+  /** LSH probe: query vectors matched only against same-bucket
+    * candidates (the linear-scale path), cosine-ranked. */
+  val annLshProbe: Q = (s, d) => {
+    val withBucket = emb(s, d)
+      .select(col("vec_id"), col("embedding"),
+        bucketExpr("embedding").as("bucket"))
+    val q = withBucket.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"))
+    val c = withBucket.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style search: candidates restricted to the query's coarse
+    * cell (label column as the quantizer assignment). */
+  val annIvf: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label"))
+    val c = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), Seq("label"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-label stats; norms decimal-quantized before the group sum so
+    * the aggregation order can't leak into the result. */
+  val embLabelStats: Q = (s, d) =>
+    emb(s, d)
+      .select(col("label"),
+        sqrt(dot(col("embedding"), col("embedding")))
+          .cast("decimal(18,12)").as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("norm")).cast("double").as("total_norm"))
+      .select(col("label").cast("long").as("label"), col("n"),
+        col("total_norm"),
+        (col("total_norm") / col("n").cast("double")).as("avg_norm"))
+      .orderBy("label")
+
+  val defs: Map[String, Q] = Map(
+    "knn_brute" -> knnBrute,
+    "ann_lsh_buckets" -> annLshBuckets,
+    "ann_lsh_probe" -> annLshProbe,
+    "ann_ivf" -> annIvf,
+    "emb_label_stats" -> embLabelStats)
+
+  private def sqlTopK(candJoin: String, k: Int): String =
+    s"""SELECT query_id, rank, cand_id, cos FROM (
+          SELECT query_id, cand_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, cand_id) AS rank
+          FROM ($candJoin) pairs) ranked
+        WHERE rank <= $k ORDER BY query_id, rank"""
+
+  val oracle: Map[String, String] = Map(
+    "knn_brute" -> sqlTopK(
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlCosine("q.embedding", "c.embedding")} AS cos
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK),
+    "ann_lsh_buckets" ->
+      s"""SELECT ${sqlBucket("embedding")} AS bucket, COUNT(*) AS n,
+          MIN(vec_id) AS min_vec
+          FROM embeddings GROUP BY bucket ORDER BY bucket""",
+    "ann_lsh_probe" -> sqlTopK(
+      s"""WITH wb AS (SELECT vec_id, embedding,
+            ${sqlBucket("embedding")} AS bucket FROM embeddings)
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            ${sqlCosine("q.embedding", "c.embedding")} AS cos
+          FROM wb q JOIN wb c ON q.bucket = c.bucket
+          WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK),
+    "ann_ivf" -> sqlTopK(
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlCosine("q.embedding", "c.embedding")} AS cos
+          FROM embeddings q JOIN embeddings c ON q.label = c.label
+          WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", 3),
+    "emb_label_stats" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+          CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})
+            AS DECIMAL(18,12))) AS DOUBLE) AS total_norm,
+          CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})
+            AS DECIMAL(18,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS avg_norm
+          FROM embeddings GROUP BY label ORDER BY label""")
+}

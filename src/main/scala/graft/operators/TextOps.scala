@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.8 [EXT]):
+  * token statistics, quality scoring, heuristic language ID, document
+  * fingerprinting, term/bigram frequency.
+  *
+  * Everything is a per-row projection or a single explode+groupBy —
+  * no UDFs, all Catalyst higher-order functions, so the hot path
+  * stays in native expressions and scales linearly. Ratio outputs are
+  * single IEEE divisions of exact integer counts (engine-parity rules
+  * in [[graft.functions.Exact]]).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Stopword list for quality/langid heuristics — fixed forever. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  private val toks = Hashing.tokens(col("text"))
+
+  private def ratio(n: Column, d: Column): Column =
+    n.cast("double") / d.cast("double")
+
+  /** Per-document token statistics. */
+  val textStats: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        ratio(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
+          size(toks)).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio, alpha-char ratio, lexical
+    * diversity, composed into one deterministic score. */
+  val textQuality: Q = (s, d) => {
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
+      .cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val stopRatio = ratio(nStop, nTokens)
+    val alphaRatio = ratio(nAlpha, length(col("text")).cast("long"))
+    val diversity = ratio(nDistinct, nTokens)
+    docs(s, d)
+      .select(col("doc_id"),
+        stopRatio.as("stop_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        diversity.as("diversity"),
+        (stopRatio * lit(0.2) + alphaRatio * lit(0.4) + diversity * lit(0.4))
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: CJK chars → zh; accented latin → non-en
+    * romance bucket; english stopwords present → en; else unknown.
+    * (The testdata's `lang` column is a synthetic label over English
+    * word soup — the heuristic classifies the *text*, and the oracle
+    * applies the same rules, so parity is what's checked.) */
+  val textLangid: Q = (s, d) => {
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
+    docs(s, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+          .when(col("text").rlike("[àâçéèêëîïôùûüáíóúñ]"), "romance")
+          .when(nStop > 0, "en")
+          .otherwise("unknown").as("heur_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: rolling char hash + 32-bit SimHash. */
+  val textFingerprint: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("thashes", Hashing.hashAll(toks))
+      .select(col("doc_id"),
+        Hashing.charHash(col("text")).as("fingerprint"),
+        Hashing.simhash32Expr("thashes").as("simhash"))
+      .orderBy("doc_id")
+
+  /** Global top-20 tokens by frequency (explode → count → top-k). */
+  val tfTopTokens: Q = (s, d) =>
+    docs(s, d)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** Top-20 word bigrams. */
+  val tfTopBigrams: Q = (s, d) =>
+    docs(s, d)
+      .select(explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val defs: Map[String, Q] = Map(
+    "text_stats" -> textStats,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "tf_top_tokens" -> tfTopTokens,
+    "tf_top_bigrams" -> tfTopBigrams)
+
+  // ------------------------------------------------------------------
+
+  private val sqlToks = Hashing.sqlTokens("text")
+  private val sqlStopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val sqlNStop =
+    s"length(list_filter($sqlToks, t -> list_contains($sqlStopList, t)))"
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars_actual,
+          CAST(length($sqlToks) AS BIGINT) AS n_tokens,
+          CAST(length(list_distinct($sqlToks)) AS BIGINT) AS n_distinct_tokens,
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform($sqlToks, t -> CAST(length(t) AS BIGINT))),
+              (a, b) -> a + b) AS DOUBLE)
+            / CAST(length($sqlToks) AS DOUBLE) AS avg_token_len
+          FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      s"""SELECT doc_id,
+          CAST($sqlNStop AS DOUBLE) / CAST(length($sqlToks) AS DOUBLE)
+            AS stop_ratio,
+          CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+          CAST(length(list_distinct($sqlToks)) AS DOUBLE)
+            / CAST(length($sqlToks) AS DOUBLE) AS diversity,
+          (CAST($sqlNStop AS DOUBLE) / CAST(length($sqlToks) AS DOUBLE)) * 0.2
+            + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE)) * 0.4
+            + (CAST(length(list_distinct($sqlToks)) AS DOUBLE)
+               / CAST(length($sqlToks) AS DOUBLE)) * 0.4 AS quality
+          FROM documents ORDER BY doc_id""",
+    "text_langid" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN regexp_matches(text, '[àâçéèêëîïôùûüáíóúñ]') THEN 'romance'
+               WHEN $sqlNStop > 0 THEN 'en'
+               ELSE 'unknown' END AS heur_lang
+          FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+          ${Hashing.sqlCharHash("text")} AS fingerprint,
+          ${Hashing.sqlSimhash32(Hashing.sqlHashAll(sqlToks))} AS simhash
+          FROM documents ORDER BY doc_id""",
+    "tf_top_tokens" ->
+      s"""SELECT token, COUNT(*) AS n
+          FROM (SELECT unnest($sqlToks) AS token FROM documents) t
+          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "tf_top_bigrams" ->
+      s"""SELECT bigram, COUNT(*) AS n
+          FROM (SELECT unnest(list_transform(range(1, length($sqlToks)),
+                  i -> $sqlToks[i] || ' ' || $sqlToks[i+1])) AS bigram
+                FROM documents) t
+          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
+}
