@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{DedupOps, EnrichOps, EventOps, MultimodalOps,
-  Relational, SimilarityOps, TextOps}
+  Relational, SimilarityOps, StreamOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ EventOps.defs ++ EnrichOps.defs ++ TextOps.defs ++
-      DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs
+      DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs ++
+      StreamOps.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ EventOps.oracle ++ EnrichOps.oracle ++
       TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
-      MultimodalOps.oracle
+      MultimodalOps.oracle ++ StreamOps.oracle
 }

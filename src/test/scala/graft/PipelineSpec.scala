@@ -1,0 +1,96 @@
+package graft
+
+import java.io.IOException
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EnrichmentPipeline
+
+/** End-to-end reliable pipeline (SURVEY.md §7 minimum slice, with the
+  * error routing the Rx variant famously lacked): file source →
+  * enrichment → fallible transform → dual sink (ok + DLQ) →
+  * checkpoint ack. Asserts the README.md:13-17 contract: no message
+  * lost, invalid messages dead-lettered AND acked, restart from
+  * checkpoint reprocesses nothing already committed. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic unrecoverable failure on ids ending in 7 —
+    * Services.scala:100-111's `sometimes`, made seeded/scripted. */
+  private val svc: String => String = { s =>
+    val id = s.split(": ").last.toLong
+    if (id % 10 == 7) throw new IllegalArgumentException(s"invalid $id")
+    s"stored $id"
+  }
+
+  test("pipeline routes ok rows to sink, invalid rows to DLQ, acks all") {
+    val in = tmpDir("pipe-in"); val ok = tmpDir("pipe-ok")
+    val dlq = tmpDir("pipe-dlq"); val cp = tmpDir("pipe-cp")
+    (0L until 20L).map(i => (i, s"Input Data: $i")).toDF("id", "value")
+      .write.mode("overwrite").parquet(in)
+
+    val source = spark.readStream
+      .schema("id LONG, value STRING").parquet(in)
+    val q = EnrichmentPipeline.start(source, ok, dlq, cp, svc)
+    q.awaitTermination()
+
+    val okRows = spark.read.parquet(ok)
+    val dlqRows = spark.read.parquet(dlq)
+    assert(okRows.count() == 18)
+    assert(dlqRows.count() == 2)
+    assert(dlqRows.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(7L, 17L))
+    assert(dlqRows.select("error_class").distinct().as[String].head() ==
+      "java.lang.IllegalArgumentException")
+    // enrichment content correct on the ok path
+    val r = okRows.filter(col("id") === 4L)
+      .select("data.extra1", "data.extra2", "additional")
+      .as[(String, String, String)].head()
+    assert(r == (("4 :ataD tupnI", "INPUT DATA: 4", "stored 4")))
+    // ok + dlq account for every input: nothing lost (README.md:13)
+    assert(okRows.count() + dlqRows.count() == 20)
+
+    // ack semantics: restarting on the same checkpoint must process
+    // nothing new (offsets committed = acked)
+    val q2 = EnrichmentPipeline.start(
+      spark.readStream.schema("id LONG, value STRING").parquet(in),
+      ok, dlq, cp, svc)
+    q2.awaitTermination()
+    assert(spark.read.parquet(ok).count() == 18, "no duplicate outputs")
+
+    // new data after restart IS processed (stream continues); ids
+    // 20..26 include 27? no — 20..26, with 27 absent; only id 27
+    // would DLQ, so add 25..27 to cover both paths
+    (20L until 28L).map(i => (i, s"Input Data: $i")).toDF("id", "value")
+      .write.mode("append").parquet(in)
+    val q3 = EnrichmentPipeline.start(
+      spark.readStream.schema("id LONG, value STRING").parquet(in),
+      ok, dlq, cp, svc)
+    q3.awaitTermination()
+    assert(spark.read.parquet(ok).count() == 25) // 18 + 7 (27 -> dlq)
+    assert(spark.read.parquet(dlq).count() == 3) // 7, 17, 27
+  }
+
+  test("temporary sink failures are retried within the batch (E3)") {
+    val in = tmpDir("r-in"); val ok = tmpDir("r-ok")
+    val dlq = tmpDir("r-dlq"); val cp = tmpDir("r-cp")
+    (0L until 5L).map(i => (i, s"Input Data: $i")).toDF("id", "value")
+      .write.mode("overwrite").parquet(in)
+    // flaky *service* with temporary failures that succeed on retry
+    // happens at row level via fallibleWithRetry — here we assert the
+    // sink-level retry combinator drives a flaky write to success
+    var failures = 2
+    val flakyWrite: String => String = { s =>
+      if (failures > 0) { failures -= 1; throw new IOException("sink down") }
+      s
+    }
+    graft.streaming.Reliability.retry(3)(flakyWrite("x"))
+    assert(failures == 0)
+    val q = EnrichmentPipeline.start(
+      spark.readStream.schema("id LONG, value STRING").parquet(in),
+      ok, dlq, cp)
+    q.awaitTermination()
+    assert(spark.read.parquet(ok).count() == 5)
+    assert(spark.read.parquet(dlq).count() == 0)
+  }
+}
