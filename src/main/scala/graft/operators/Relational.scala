@@ -287,8 +287,67 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
+  /** TPC-H Q13-style: distribution of customers by order count
+    * (left outer join so zero-order customers keep a row, then a
+    * second aggregation over the counts). */
+  val q13OrderCountDist: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_orders"))
+
+  /** Full outer join: per-day order activity vs ship activity — days
+    * with only one side present survive with a zero on the other. */
+  val q20FullOuterDays: Q = (s, d) => {
+    val od = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val sd = li(s, d)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_ship"))
+    od.join(sd, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ship"), lit(0L)).as("n_ship"))
+      .orderBy("day")
+  }
+
+  /** PIVOT: quantity matrix linestatus × returnflag (fixed pivot
+    * values so the plan is a single pass, no distinct-values job). */
+  val q21Pivot: Q = (s, d) =>
+    li(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(asD(sum(qty(col("l_quantity")))))
+      .orderBy("l_linestatus")
+
+  /** TPC-H Q22-style: above-average-balance customers who never
+    * placed a high-value (>450k) order — scalar aggregate broadcast-
+    * cross-joined for the threshold, anti join for the NOT EXISTS. */
+  val q22IdleCustomers: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(meanOf(sum(money(col("c_acctbal"))), count(lit(1))).as("avg_bal"))
+    c.join(Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        asD(sum(money(col("c_acctbal")))).as("total_bal"))
+      .orderBy("nationkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "q0_scan" -> q0Scan,
+    "q13_order_count_dist" -> q13OrderCountDist,
+    "q20_full_outer_days" -> q20FullOuterDays,
+    "q21_pivot" -> q21Pivot,
+    "q22_idle_customers" -> q22IdleCustomers,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_revenue_orders" -> q3TopRevenueOrders,
@@ -315,6 +374,41 @@ object Relational {
   private val chargeP = sqlCharge("l_extendedprice", "l_discount", "l_tax")
 
   val oracle: Map[String, String] = Map(
+    "q13_order_count_dist" ->
+      """SELECT n_orders, COUNT(*) AS n_custs FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) t
+         GROUP BY n_orders ORDER BY n_orders""",
+    "q20_full_outer_days" ->
+      """SELECT COALESCE(od.day, sd.day) AS day,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_ship, 0) AS n_ship
+         FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                 COUNT(*) AS n_orders FROM orders GROUP BY day) od
+         FULL OUTER JOIN
+              (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+                 COUNT(*) AS n_ship FROM lineitem GROUP BY day) sd
+           ON od.day = sd.day
+         ORDER BY day""",
+    "q21_pivot" ->
+      s"""SELECT l_linestatus,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN ${sqlQty("l_quantity")} END) AS DOUBLE) AS "A",
+          CAST(SUM(CASE WHEN l_returnflag = 'N' THEN ${sqlQty("l_quantity")} END) AS DOUBLE) AS "N",
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN ${sqlQty("l_quantity")} END) AS DOUBLE) AS "R"
+          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q22_idle_customers" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+          COUNT(*) AS n_custs,
+          CAST(SUM(${sqlMoney("c_acctbal")}) AS DOUBLE) AS total_bal
+          FROM customer
+          WHERE c_acctbal > (
+              SELECT CAST(SUM(${sqlMoney("c_acctbal")}) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)
+              FROM customer WHERE c_acctbal > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                            AND o_totalprice > 450000)
+          GROUP BY nationkey ORDER BY nationkey""",
     "q0_scan" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
          strftime(l_shipdate, '%Y-%m-%d') AS shipdate

@@ -156,6 +156,24 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space analogue
+    * of MinHash dedup. Candidates come from the LSH bucket equi-join
+    * (never the O(n²) cross product), then the exact cosine filters at
+    * the threshold. At 100 TB this is the standard near-dup sweep:
+    * per-bucket self-join cost ∝ Σ bucket², tunable via [[Planes]]. */
+  val embNearDup: Q = (s, d) => {
+    val wb = emb(s, d)
+      .select(col("vec_id"), col("embedding"),
+        bucketExpr("embedding").as("bucket"))
+    wb.as("x").join(wb.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Per-label stats; norms decimal-quantized before the group sum so
     * the aggregation order can't leak into the result. */
   val embLabelStats: Q = (s, d) =>
@@ -176,6 +194,7 @@ object SimilarityOps {
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_probe" -> annLshProbe,
     "ann_ivf" -> annIvf,
+    "emb_near_dup" -> embNearDup,
     "emb_label_stats" -> embLabelStats)
 
   private def sqlTopK(candJoin: String, k: Int): String =
@@ -208,6 +227,15 @@ object SimilarityOps {
           ${sqlCosine("q.embedding", "c.embedding")} AS cos
           FROM embeddings q JOIN embeddings c ON q.label = c.label
           WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", 3),
+    "emb_near_dup" ->
+      s"""WITH wb AS (SELECT vec_id, embedding,
+            ${sqlBucket("embedding")} AS bucket FROM embeddings)
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+            ${sqlCosine("x.embedding", "y.embedding")} AS cos
+          FROM wb x JOIN wb y
+            ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.35
+          ORDER BY vec_a, vec_b""",
     "emb_label_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
           CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})

@@ -89,6 +89,28 @@ object TextOps {
         Hashing.simhash32Expr("thashes").as("simhash"))
       .orderBy("doc_id")
 
+  /** BPE-ish subword pattern: letter runs, single digits, single
+    * punctuation marks — the shape of GPT-2-style pre-tokenization,
+    * restricted to constructs whose semantics are identical in Java
+    * regex (Spark) and RE2 (DuckDB). */
+  val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  /** Token counting: whitespace tokens vs BPE-ish regex tokens per
+    * document, plus the subword expansion ratio — the standard
+    * "how many LLM tokens is this corpus" estimator, as one codegen'd
+    * projection (no UDF, no shuffle). */
+  val textTokenCount: Q = (s, d) => {
+    val nWs = size(toks).cast("long")
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .cast("long")
+    docs(s, d)
+      .select(col("doc_id"),
+        nWs.as("n_ws_tokens"),
+        nBpe.as("n_bpe_tokens"),
+        ratio(nBpe, nWs).as("bpe_per_ws"))
+      .orderBy("doc_id")
+  }
+
   /** Global top-20 tokens by frequency (explode → count → top-k). */
   val tfTopTokens: Q = (s, d) =>
     docs(s, d)
@@ -115,6 +137,7 @@ object TextOps {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_token_count" -> textTokenCount,
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams)
 
@@ -161,6 +184,15 @@ object TextOps {
       s"""SELECT doc_id,
           ${Hashing.sqlCharHash("text")} AS fingerprint,
           ${Hashing.sqlSimhash32(Hashing.sqlHashAll(sqlToks))} AS simhash
+          FROM documents ORDER BY doc_id""",
+    "text_token_count" ->
+      s"""SELECT doc_id,
+          CAST(length($sqlToks) AS BIGINT) AS n_ws_tokens,
+          CAST(length(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+          CAST(length(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS DOUBLE)
+            / CAST(length($sqlToks) AS DOUBLE) AS bpe_per_ws
           FROM documents ORDER BY doc_id""",
     "tf_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n
