@@ -120,8 +120,8 @@ object EventOps {
            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
          sess AS (
            SELECT user_id, event_id, tsec,
-             SUM(boundary) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(tsec) AS start_sec, MAX(tsec) AS end_sec

@@ -513,8 +513,8 @@ object Relational {
          ORDER BY tag, nationkey""",
     "q12_semi_anti" ->
       """SELECT c_mktsegment,
-           SUM(CASE WHEN has_o THEN 1 ELSE 0 END) AS n_with_orders,
-           SUM(CASE WHEN has_o THEN 0 ELSE 1 END) AS n_without_orders
+           CAST(SUM(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+           CAST(SUM(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS n_without_orders
          FROM (SELECT c_custkey, c_mktsegment,
                  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
                FROM customer) t
