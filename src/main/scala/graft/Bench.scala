@@ -5,8 +5,15 @@ package graft
   *
   * Each query is forced end-to-end with a `noop`-format write — a
   * plain `count()` would let Catalyst prune the whole projection and
-  * time only the scan. One untimed warm-up query absorbs JVM/codegen
-  * startup so per-query numbers measure the plan, not class loading.
+  * time only the scan. One cheap untimed warm-up per source table
+  * absorbs JVM/codegen startup and first-scan costs, so per-query
+  * numbers measure the plan rather than whichever query happened to
+  * touch a table first.
+  *
+  * The JSON result line is printed to stdout AND written to
+  * `bench_result.json` in the working directory — under sbt the
+  * logger prefixes stdout lines, which round 1 showed breaks the
+  * driver's parse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,14 +33,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // warm-up: one cheap scan per table family, untimed
+    Seq("ann_ivf", "text_stats", "ev_type_stats", "q0_scan", "mm_meta")
+      .foreach(run)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    run(names.head) // warm-up, untimed
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()
   }
 }

@@ -1,0 +1,430 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd Catalyst expressions for the hashing / vector hot paths.
+  *
+  * Round-1 benchmarking showed the higher-order-function folds
+  * (`transform`/`aggregate`) these replace are interpreted per-element
+  * expression trees — milliseconds per short document once nested
+  * (16 minhash lanes × per-char hash). Each expression here emits the
+  * tight Java loop instead and keeps the SAME arithmetic as the DuckDB
+  * oracle mirrors in [[Hashing]] / the similarity SQL, so engine
+  * parity is unchanged: plain 64-bit integer arithmetic mod 2^31-1,
+  * and sequential double folds for the float vector ops.
+  *
+  * Scale note: all of these are per-row projections — no shuffle, no
+  * state; they widen the whole-stage-codegen span that round 1's
+  * interpreted folds were breaking.
+  */
+object HashExprs {
+  /** Shared Java snippet: polynomial rolling hash over code points,
+    * identical to `ascii()`-based fold (`h = h*31 + codepoint mod P`)
+    * and DuckDB's `string_split('')`+`ascii` mirror. */
+  private[functions] def charHashJava(strVar: String, outVar: String): String =
+    s"""|String $strVar$$s = $strVar.toString();
+        |long $outVar = 0L;
+        |int $strVar$$i = 0;
+        |while ($strVar$$i < $strVar$$s.length()) {
+        |  int $strVar$$cp = $strVar$$s.codePointAt($strVar$$i);
+        |  $outVar = ($outVar * 31L + (long) $strVar$$cp) % ${Hashing.P}L;
+        |  $strVar$$i += Character.charCount($strVar$$cp);
+        |}""".stripMargin
+
+  private[functions] def charHashEval(u: UTF8String): Long = {
+    val s = u.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Hashing.P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** `charHash(string) -> long`: polynomial rolling hash (mod 2^31-1)
+  * over the string's code points. Mirrors [[Hashing.sqlCharHash]]. */
+case class PolyCharHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_char_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashExprs.charHashEval(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("h")
+      s"""|${HashExprs.charHashJava(c, h)}
+          |${ev.value} = $h;""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `charHashAll(array<string>) -> array<long>`: [[PolyCharHash]] of
+  * every element in one pass (null elements stay null). Replaces the
+  * interpreted `transform(arr, charHash)` from round 1. */
+case class PolyCharHashArray(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_char_hash_all"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = HashExprs.charHashEval(arr.getUTF8String(i))
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i))
+          out(i) = HashExprs.charHashEval(arr.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val u = ctx.freshName("u")
+      val h = ctx.freshName("h")
+      val hasNull = ctx.freshName("hasNull")
+      // testdata arrays never carry null elements; the boxed fallback
+      // keeps exact `transform` null semantics anyway
+      s"""|int $n = $c.numElements();
+          |boolean $hasNull = false;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  if ($c.isNullAt($i)) { $hasNull = true; break; }
+          |}
+          |if (!$hasNull) {
+          |  long[] $out = new long[$n];
+          |  for (int $i = 0; $i < $n; $i++) {
+          |    UTF8String $u = $c.getUTF8String($i);
+          |    ${HashExprs.charHashJava(u, h)}
+          |    $out[$i] = $h;
+          |  }
+          |  ${ev.value} =
+          |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+          |} else {
+          |  Object[] $out = new Object[$n];
+          |  for (int $i = 0; $i < $n; $i++) {
+          |    if (!$c.isNullAt($i)) {
+          |      UTF8String $u = $c.getUTF8String($i);
+          |      ${HashExprs.charHashJava(u, h)}
+          |      $out[$i] = (Long) $h;
+          |    }
+          |  }
+          |  ${ev.value} =
+          |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+          |}""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhashSig(array<long>) -> array<long>`: all [[Hashing.K]] min-hash
+  * lanes `min((h*A_k + B_k) mod P)` computed in ONE pass over the
+  * element hashes — round 1 traversed the array K times through
+  * interpreted `array_min(transform(...))`. An empty input yields all
+  * K lanes null (`array_min` of an empty array), null elements are
+  * ignored (as `array_min` ignores nulls). */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var seen = false
+    val mins = Array.fill(Hashing.K)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < Hashing.K) {
+          val v = (h * Hashing.A(k) + Hashing.B(k)) % Hashing.P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (seen) UnsafeArrayData.fromPrimitiveArray(mins)
+    else new GenericArrayData(new Array[Any](Hashing.K))
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val aArr = ctx.addMutableState("long[]", "graftMinhashA",
+        v => s"$v = new long[]{${Hashing.A.mkString("L,")}L};")
+      val bArr = ctx.addMutableState("long[]", "graftMinhashB",
+        v => s"$v = new long[]{${Hashing.B.mkString("L,")}L};")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
+      s"""|int $n = $c.numElements();
+          |boolean $seen = false;
+          |long[] $mins = new long[${Hashing.K}];
+          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+          |for (int $i = 0; $i < $n; $i++) {
+          |  if ($c.isNullAt($i)) continue;
+          |  $seen = true;
+          |  long $h = $c.getLong($i);
+          |  for (int $k = 0; $k < ${Hashing.K}; $k++) {
+          |    long $v = ($h * $aArr[$k] + $bArr[$k]) % ${Hashing.P}L;
+          |    if ($v < $mins[$k]) $mins[$k] = $v;
+          |  }
+          |}
+          |${ev.value} = $seen
+          |  ? (org.apache.spark.sql.catalyst.util.ArrayData)
+          |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins)
+          |  : (org.apache.spark.sql.catalyst.util.ArrayData)
+          |    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          |      new Object[${Hashing.K}]);""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash32(array<long>) -> long`: 32-bit SimHash — per-bit ±1 votes
+  * over the element hashes, bit set iff the vote is positive. Null
+  * elements vote -1 on every bit (exactly the `if(null,...)` else
+  * branch of the round-1 fold); an empty array yields 0. Mirrors
+  * [[Hashing.sqlSimhash32]]. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 32) {
+          votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < 32) { votes(j) -= 1; j += 1 }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) out += (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val out = ctx.freshName("out")
+      s"""|int $n = $c.numElements();
+          |int[] $votes = new int[32];
+          |for (int $i = 0; $i < $n; $i++) {
+          |  if (!$c.isNullAt($i)) {
+          |    long $h = $c.getLong($i);
+          |    for (int $j = 0; $j < 32; $j++) {
+          |      $votes[$j] += ((($h >> $j) & 1L) == 1L) ? 1 : -1;
+          |    }
+          |  } else {
+          |    for (int $j = 0; $j < 32; $j++) $votes[$j] -= 1;
+          |  }
+          |}
+          |long $out = 0L;
+          |for (int $j = 0; $j < 32; $j++) {
+          |  if ($votes[$j] > 0) $out += (1L << $j);
+          |}
+          |${ev.value} = $out;""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `lshBucket(array<float>) -> long`: signed-random-hyperplane LSH
+  * bucket (`planes` bits over `dims` dimensions). The hyperplane
+  * weights come from the same integer LCG as the DuckDB mirror
+  * (`((1103515245*(p*dims+i) + 12345) mod 2^31) / 2^31 - 0.5`, i
+  * 1-based), divided by a power of two so the doubles are exact on
+  * both engines; the per-plane dot product folds sequentially in
+  * element order. Inputs shorter than `dims` or containing nulls
+  * produce bucket 0 — the null-propagated else-branch both engines
+  * take. */
+case class LshBucket(child: Expression, planes: Int, dims: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  @transient private lazy val weights: Array[Double] = LshBucket.weightTable(planes, dims)
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < dims) return 0L
+    var i = 0
+    while (i < dims) {
+      if (arr.isNullAt(i)) return 0L
+      i += 1
+    }
+    var acc = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      i = 0
+      while (i < dims) {
+        s += arr.getFloat(i).toDouble * weights(p * dims + i)
+        i += 1
+      }
+      if (s > 0) acc += (1L << p)
+      p += 1
+    }
+    acc
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val w = ctx.addMutableState("double[]", "graftLshW",
+        v => s"$v = graft.functions.LshBucket.weightTable($planes, $dims);")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""|int $n = $c.numElements();
+          |boolean $bad = $n < $dims;
+          |if (!$bad) {
+          |  for (int $i = 0; $i < $dims; $i++) {
+          |    if ($c.isNullAt($i)) { $bad = true; break; }
+          |  }
+          |}
+          |long $acc = 0L;
+          |if (!$bad) {
+          |  for (int $p = 0; $p < $planes; $p++) {
+          |    double $s = 0.0;
+          |    for (int $i = 0; $i < $dims; $i++) {
+          |      $s += (double) $c.getFloat($i) * $w[$p * $dims + $i];
+          |    }
+          |    if ($s > 0) $acc += (1L << $p);
+          |  }
+          |}
+          |${ev.value} = $acc;""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  /** Weight for (plane p, 1-based dim i) — exact-double LCG output,
+    * shared by codegen and interpreted eval. Public because generated
+    * code calls it from the codegen'd class. */
+  def weightTable(planes: Int, dims: Int): Array[Double] = {
+    val w = new Array[Double](planes * dims)
+    var p = 0
+    while (p < planes) {
+      var i = 1
+      while (i <= dims) {
+        w(p * dims + i - 1) =
+          ((1103515245L * (p * dims + i) + 12345L) % 2147483648L).toDouble /
+            2147483648.0 - 0.5
+        i += 1
+      }
+      p += 1
+    }
+    w
+  }
+}
+
+/** `floatDot(array<float>, array<float>) -> double`: sequential-order
+  * dot product in double — the same fold the DuckDB `list_reduce`
+  * mirror performs, so results are bit-identical. Null when lengths
+  * differ or any paired element is null (zip_with semantics). */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_float_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""|int $n = $a.numElements();
+          |if ($b.numElements() != $n) {
+          |  ${ev.isNull} = true;
+          |} else {
+          |  double $s = 0.0;
+          |  for (int $i = 0; $i < $n; $i++) {
+          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          |  }
+          |  if (!${ev.isNull}) ${ev.value} = $s;
+          |}""".stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable hashing primitives for the dedup /
@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * Spark's built-in `hash`/`xxhash64` and DuckDB's `hash` use
   * different algorithms, so oracle-checked operators need hashes both
-  * engines can compute *identically*. Everything here is plain 64-bit
-  * integer arithmetic over higher-order functions (Catalyst
-  * `transform`/`aggregate` — native expressions, no UDF serialization)
-  * with a DuckDB `list_transform`/`list_reduce` mirror generated from
-  * the SAME Scala constants, so the two sides cannot drift.
+  * engines can compute *identically*. The Spark side runs the
+  * codegen'd expressions in [[HashExprs]] (tight Java loops inside
+  * whole-stage codegen — round 1's interpreted `transform`/`aggregate`
+  * folds were the top bench cost); the DuckDB mirror is
+  * `list_transform`/`list_reduce` SQL generated from the SAME Scala
+  * constants, so the two sides cannot drift.
   *
   * The polynomial char hash is the classic `h = h*31 + code (mod
   * 2^31-1)` rolling hash; min-hash uses k=[[K]] independent affine
@@ -50,12 +51,10 @@ object Hashing {
   // Spark side
   // ------------------------------------------------------------------
 
-  /** Polynomial rolling hash of a string's characters (init 0). */
+  /** Polynomial rolling hash of a string's characters (init 0).
+    * Codegen'd — see [[PolyCharHash]]. */
   def charHash(c: Column): Column =
-    aggregate(
-      transform(split(c, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (h, code) => (h * 31 + code) % P)
+    GraftColumn(PolyCharHash(GraftColumn.expr(c)))
 
   /** Whitespace tokens with empties dropped (trailing-space safe). */
   def tokens(c: Column): Column =
@@ -68,12 +67,16 @@ object Hashing {
       i => concat_ws(" ",
         element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
 
-  /** Hash every element of a string array. */
-  def hashAll(arr: Column): Column = transform(arr, charHash(_))
+  /** Hash every element of a string array in one codegen'd pass —
+    * see [[PolyCharHashArray]]. */
+  def hashAll(arr: Column): Column =
+    GraftColumn(PolyCharHashArray(GraftColumn.expr(arr)))
 
-  /** i-th min-hash over an array of element hashes. */
-  def minhash(hashes: Column, i: Int): Column =
-    array_min(transform(hashes, h => (h * A(i) + B(i)) % P))
+  /** All K min-hash lanes over an array of element hashes, as one
+    * ARRAY<BIGINT> column computed in a single pass ([[MinHashSig]] —
+    * round 1 traversed the hashes K times). */
+  def minhashSig(hashes: Column): Column =
+    GraftColumn(MinHashSig(GraftColumn.expr(hashes)))
 
   /** LSH bucket id for band `b` over signature columns named
     * `mh0..mh{K-1}`: rolling-hash the band's rows with the band index
@@ -83,16 +86,11 @@ object Hashing {
       (acc, r) => (acc * 31 + col(s"mh${b * RowsPerBand + r}")) % P
     }
 
-  /** 32-bit SimHash over an array of element hashes: per-bit ±1 votes
-    * summed across elements; bit set iff the vote is positive. Built
-    * via expression text because the shift amount is itself a lambda
-    * variable, which the Scala `shiftleft` function (literal-only
-    * shift) can't express. `hashesCol` names an ARRAY<BIGINT> column. */
-  def simhash32Expr(hashesCol: String): Column = expr(
-    s"""aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
-        if(aggregate($hashesCol, 0L,
-             (v, h) -> v + if((h div shiftleft(1L, j)) % 2 = 1, 1L, -1L)) > 0,
-           shiftleft(1L, j), 0L))""")
+  /** 32-bit SimHash over an ARRAY<BIGINT> of element hashes: per-bit
+    * ±1 votes summed across elements; bit set iff the vote is
+    * positive. Codegen'd — see [[SimHash32]]. */
+  def simhash32(hashes: Column): Column =
+    GraftColumn(SimHash32(GraftColumn.expr(hashes)))
 
   // ------------------------------------------------------------------
   // DuckDB side (generated from the same constants)

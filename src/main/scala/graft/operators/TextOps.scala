@@ -86,7 +86,7 @@ object TextOps {
       .withColumn("thashes", Hashing.hashAll(toks))
       .select(col("doc_id"),
         Hashing.charHash(col("text")).as("fingerprint"),
-        Hashing.simhash32Expr("thashes").as("simhash"))
+        Hashing.simhash32(col("thashes")).as("simhash"))
       .orderBy("doc_id")
 
   /** BPE-ish subword pattern: letter runs, single digits, single
