@@ -16,16 +16,25 @@ import graft.sources.Tables
   * proving the streaming path computes exactly what the equivalent
   * batch SQL computes.
   *
-  * Complete-mode aggregation is used where the batch oracle must see
-  * every group (append mode would withhold the final watermark
-  * window); watermark/append/late-data semantics are covered by
-  * ScalaTest specs instead, where a controlled source can drive the
-  * watermark (SURVEY.md §5 "timing-sensitive tests" note).
+  * Two aggregation modes are exercised:
+  *  - complete mode where the batch oracle must see every group
+  *    ([[streamHourly]]);
+  *  - watermarked APPEND mode ([[streamHourlyWm]],
+  *    [[streamDedupWm]]) — the unbounded-stream path: state is
+  *    bounded by the watermark, finalized windows are emitted exactly
+  *    once, and late data beyond the watermark is dropped
+  *    ([[graft.StreamingWatermarkSpec]] drives that with a controlled
+  *    MemoryStream source).
   */
 object StreamOps {
   type Q = (SparkSession, String) => DataFrame
 
   private val nameCounter = new AtomicLong(0)
+
+  /** One symlink dir per dataset dir (round 1 leaked a fresh temp dir
+    * per call). */
+  private val srcDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** readStream over the events parquet with the same nanos→micros
     * timestamp rebuild as the batch loader. The file stream source
@@ -33,11 +42,16 @@ object StreamOps {
     * symlink in a temp dir (zero-copy). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-stream-src")
-    Files.createSymbolicLink(
-      dir.resolve("events.parquet"), Paths.get(s"$d/events.parquet"))
+    val dir = srcDirCache.getOrElseUpdate(d, {
+      val t = Files.createTempDirectory("graft-stream-src")
+      t.toFile.deleteOnExit()
+      val link = t.resolve("events.parquet")
+      Files.createSymbolicLink(link, Paths.get(s"$d/events.parquet"))
+      link.toFile.deleteOnExit()
+      t.toString
+    })
     val schema = Tables.load(s, d, "events").schema
-    s.readStream.schema(schema).parquet(dir.toString)
+    s.readStream.schema(schema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -73,9 +87,45 @@ object StreamOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Watermarked APPEND-mode hourly aggregate — the unbounded-stream
+    * plan: state per open window only, finalized windows emitted once
+    * when the watermark (max event time - 1h) passes their end. The
+    * oracle is the batch aggregate restricted to watermark-closed
+    * windows (Spark tracks the watermark in milliseconds — the oracle
+    * reproduces that exactly with epoch_ms). */
+  val streamHourlyWm: Q = (s, d) => {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("tv"))
+    runToTable(s, agg, "append")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n"), asD(col("tv")).as("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Watermark-bounded streaming dedup: state for a key lives only
+    * `delay` past its event time (vs [[streamDedupKeys]]'s unbounded
+    * state). With a delay covering the dataset's disorder the emitted
+    * key set equals batch DISTINCT — which is what the oracle pins;
+    * the state-expiry semantics are unit-tested with a controlled
+    * source in StreamingWatermarkSpec. */
+  val streamDedupWm: Q = (s, d) => {
+    val dedup = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToTable(s, dedup, "append")
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_hourly" -> streamHourly,
-    "stream_dedup_keys" -> streamDedupKeys)
+    "stream_dedup_keys" -> streamDedupKeys,
+    "stream_hourly_wm" -> streamHourlyWm,
+    "stream_dedup_wm" -> streamDedupWm)
 
   val oracle: Map[String, String] = Map(
     "stream_hourly" ->
@@ -84,6 +134,20 @@ object StreamOps {
           CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_value
           FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
     "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "stream_hourly_wm" ->
+      s"""WITH wm AS (
+            SELECT CAST(epoch_ms(max(ts)) AS BIGINT) - 3600000 AS w
+            FROM events)
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+            event_type, COUNT(*) AS n,
+            CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_value
+          FROM events, wm
+          WHERE CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) + 3600000
+                  <= wm.w
+          GROUP BY hour, event_type ORDER BY hour, event_type""",
+    "stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""")
 }
