@@ -14,6 +14,8 @@ run / fork := true
 // forward the forked JVM's stdout verbatim (no [info] prefix) so the
 // driver can parse Bench's one-line JSON result
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// bare `sbt run` = the live streaming-pipeline demo
+Compile / run / mainClass := Some("graft.Demo")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

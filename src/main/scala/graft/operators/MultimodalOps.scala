@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (SURVEY.md §2.8 [EXT]): opaque binary
   * payloads + typed metadata, with the decode step STUBBED (the
@@ -48,31 +47,33 @@ object MultimodalOps {
     }
   }
 
-  private val metaSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("byte_len", LongType),
-    StructField("width", LongType),
-    StructField("height", LongType),
-    StructField("n_frames", LongType),
-    StructField("format", StringType)))
+  /** Typed input/output rows for the decode step — the Encoders keep
+    * the whole path in Tungsten binary rows (no `Row` boxing, no
+    * `.rdd` detour). */
+  final case class MediaIn(doc_id: Long, payload: Array[Byte])
+  final case class DecodedMeta(
+      doc_id: Long, byte_len: Long, width: Long, height: Long,
+      n_frames: Long, format: String)
 
   /** Binary payload column derived from text (the testdata has no
     * real media; the bytes are opaque to everything downstream). */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
-  /** The real decode shape: per-partition iteration over rows,
-    * batching point for a real codec. Narrow — no shuffle. */
+  /** The real decode shape: typed per-partition iteration, the
+    * batching point where a real codec (JNI, or an Arrow batch in
+    * PySpark) would init once per partition. Narrow — no shuffle,
+    * stays in Tungsten via the product Encoders. */
   def decodeBatched(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val rdd = withPayload(docs).rdd.mapPartitions { it =>
+    import spark.implicits._
+    withPayload(docs).as[MediaIn].mapPartitions { it =>
       // a real codec would init once here (per partition, per core)
       it.map { r =>
-        val id = r.getLong(0)
-        val m = FakeCodec.decode(id, r.getAs[Array[Byte]](1))
-        Row(id, m.byte_len, m.width, m.height, m.n_frames, m.format)
+        val m = FakeCodec.decode(r.doc_id, r.payload)
+        DecodedMeta(r.doc_id, m.byte_len, m.width, m.height, m.n_frames,
+          m.format)
       }
-    }
-    spark.createDataFrame(rdd, metaSchema)
+    }.toDF()
   }
 
   /** Oracle-facing projection of the same metadata, expressed in pure

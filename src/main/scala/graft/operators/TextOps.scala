@@ -111,6 +111,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Buffer/result for [[LongestDoc]]: best (longest, then lowest
+    * doc_id) document seen so far. */
+  final case class ArgMax(len: Long, doc_id: Long)
+
+  /** SURVEY §2.7's custom typed aggregate: `Aggregator[IN, BUF, OUT]`
+    * computing an argmax with a deterministic tie-break. The buffer is
+    * partial-merge-able, so the shuffle carries one 16-byte buffer per
+    * (map partition, key) instead of the rows — the right typed-agg
+    * shape at 100 TB. */
+  object LongestDoc
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long), ArgMax, ArgMax] {
+    private def better(a: ArgMax, b: ArgMax): ArgMax =
+      if (a.len > b.len || (a.len == b.len && a.doc_id < b.doc_id)) a else b
+    def zero: ArgMax = ArgMax(-1L, Long.MaxValue)
+    def reduce(b: ArgMax, in: (String, Long, Long)): ArgMax =
+      better(b, ArgMax(in._3, in._2))
+    def merge(x: ArgMax, y: ArgMax): ArgMax = better(x, y)
+    def finish(b: ArgMax): ArgMax = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[ArgMax] =
+      org.apache.spark.sql.Encoders.product[ArgMax]
+    def outputEncoder: org.apache.spark.sql.Encoder[ArgMax] =
+      org.apache.spark.sql.Encoders.product[ArgMax]
+  }
+
+  /** Longest document per language (ties → lowest doc_id) via the
+    * typed [[LongestDoc]] Aggregator over a groupByKey. */
+  val textLongestDoc: Q = (s, d) => {
+    import s.implicits._
+    docs(s, d)
+      .select(col("lang"), col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(LongestDoc.toColumn.name("r"))
+      .toDF("lang", "r")
+      .select(col("lang"), col("r.doc_id").as("doc_id"),
+        col("r.len").as("len"))
+      .orderBy("lang")
+  }
+
   /** Global top-20 tokens by frequency (explode → count → top-k). */
   val tfTopTokens: Q = (s, d) =>
     docs(s, d)
@@ -138,6 +179,7 @@ object TextOps {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_token_count" -> textTokenCount,
+    "text_longest_doc" -> textLongestDoc,
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams)
 
@@ -194,6 +236,13 @@ object TextOps {
             '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS DOUBLE)
             / CAST(length($sqlToks) AS DOUBLE) AS bpe_per_ws
           FROM documents ORDER BY doc_id""",
+    "text_longest_doc" ->
+      """SELECT lang, doc_id, len FROM (
+           SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS len,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY length(text) DESC, doc_id) AS rn
+           FROM documents) t
+         WHERE rn = 1 ORDER BY lang""",
     "tf_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n
           FROM (SELECT unnest($sqlToks) AS token FROM documents) t

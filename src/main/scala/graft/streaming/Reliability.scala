@@ -99,6 +99,46 @@ object Reliability {
     (c: Column) => u(c)
   }
 
+  /** Daemon pool for [[withTimeout]] — one per JVM (driver or
+    * executor), sized on demand, never blocks JVM exit. */
+  private lazy val timeoutPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-timeout")
+      t.setDaemon(true)
+      t
+    })
+
+  /** E9: per-attempt timeout. Runs `f` on a daemon thread and throws
+    * [[TimeoutException]] — classified temporary by [[isTemporary]],
+    * so the retry/DLQ policy applies — once `timeoutMs` elapses; the
+    * hung attempt is interrupted and abandoned instead of hanging the
+    * task forever. Mirrors the reference's per-request
+    * `requestTimeout` (AkkaPipelineActors.scala:68); the overall
+    * budget (AkkaEnrichmentPipeline.scala:172) is the same wrapper
+    * around a whole retry loop, e.g.
+    * `withTimeout(60000)(retry(3)(withTimeout(5000)(call)))`. */
+  def withTimeout[T](timeoutMs: Long)(f: => T): T = {
+    val fut = timeoutPool.submit(new java.util.concurrent.Callable[T] {
+      def call(): T = f
+    })
+    try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        fut.cancel(true)
+        throw new TimeoutException(s"attempt exceeded ${timeoutMs} ms")
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause
+    }
+  }
+
+  /** E9+E8+E4 composed: a fallible external call with a per-attempt
+    * timeout, bounded retry on temporary failures (timeouts included),
+    * error-as-value result. The full reference reliability stack for
+    * one stage. */
+  def fallibleWithTimeout(f: String => String, timeoutMs: Long,
+      attempts: Int = 1): Column => Column =
+    fallibleWithRetry(s => withTimeout(timeoutMs)(f(s)), attempts)
+
   /** E6: split a DataFrame carrying an error column into (ok, dlq). */
   def split(df: DataFrame, errorCol: String = ErrorCol)
       : (DataFrame, DataFrame) =

@@ -71,6 +71,31 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(dlq).count() == 3) // 7, 17, 27
   }
 
+  test("S1 rate source feeds the pipeline: live micro-batches produce rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = EnrichmentPipeline.rateSource(spark, rowsPerSecond = 100)
+    assert(src.isStreaming)
+    assert(src.columns.toSeq == Seq("id", "value"))
+    val q = EnrichmentPipeline.enrich(src)
+      .writeStream.format("memory").queryName("rate_demo")
+      .outputMode("append").trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("rate_demo").isEmpty &&
+          System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val rows = spark.table("rate_demo")
+        .select("id", "value", "out.data.extra1")
+        .as[(Long, String, String)].collect()
+      assert(rows.nonEmpty, "rate source produced no rows in 30s")
+      val (id, v, rev) = rows.minBy(_._1)
+      assert(v == s"Input Data: $id")
+      assert(rev == v.reverse)
+    } finally q.stop()
+  }
+
   test("temporary sink failures are retried within the batch (E3)") {
     val in = tmpDir("r-in"); val ok = tmpDir("r-ok")
     val dlq = tmpDir("r-dlq"); val cp = tmpDir("r-cp")

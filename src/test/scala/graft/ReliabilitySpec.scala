@@ -52,6 +52,47 @@ class ReliabilitySpec extends SparkSpec {
     assert(calls.get() == 3)
   }
 
+  test("E9 withTimeout: hanging call classified temporary after N ms") {
+    val t0 = System.nanoTime()
+    val e = intercept[TimeoutException] {
+      Reliability.withTimeout(200) { Thread.sleep(60000); "never" }
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(Reliability.isTemporary(e), "timeout must be retryable")
+    assert(elapsedMs < 5000, s"returned in ${elapsedMs}ms, not hung")
+  }
+
+  test("E9 withTimeout: fast calls pass through, errors unwrapped") {
+    assert(Reliability.withTimeout(5000)("ok") == "ok")
+    intercept[IllegalArgumentException] {
+      Reliability.withTimeout[String](5000) {
+        throw new IllegalArgumentException("bad")
+      }
+    }
+  }
+
+  test("E9 stack: hung service rows land in DLQ, stream survives") {
+    // per-attempt timeout + 2 attempts + error-as-value: the hanging
+    // row exhausts its retries and carries a temporary TimeoutException
+    // error; healthy rows are unaffected (the batch completes)
+    val lifted = Reliability.fallibleWithTimeout(
+      { case "hang" => Thread.sleep(60000); "never"; case s => s.toUpperCase },
+      timeoutMs = 150, attempts = 2)
+    val df = Seq("a", "hang", "b").toDF("value")
+      .select(col("value"), lifted(col("value")).as("res"))
+      .select(col("value"), col("res.value").as("out"),
+        col("res.error").as(Reliability.ErrorCol))
+    val (ok, dlq) = Reliability.split(df)
+    assert(ok.select("out").as[String].collect().sorted.toSeq == Seq("A", "B"))
+    val err = dlq.select(col("value"),
+      col(s"${Reliability.ErrorCol}.clazz"),
+      col(s"${Reliability.ErrorCol}.temporary")).collect()
+    assert(err.length == 1)
+    assert(err(0).getString(0) == "hang")
+    assert(err(0).getString(1) == classOf[TimeoutException].getName)
+    assert(err(0).getBoolean(2), "timeout must be classified temporary")
+  }
+
   test("E8 fallible: value XOR error, classification preserved") {
     val f = Reliability.fallible {
       case "boom" => throw new IllegalArgumentException("bad")
