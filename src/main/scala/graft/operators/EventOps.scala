@@ -61,6 +61,28 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Built-in `session_window` sessionization (the declarative twin of
+    * [[evSessionize]]'s lag/cumsum plan): Spark merges overlapping
+    * [ts, ts+gap) windows per user in one pass. Event times are
+    * truncated to whole seconds BEFORE windowing so the oracle's
+    * arithmetic is identical. Note the boundary difference vs
+    * [[evSessionize]]: `session_window` starts a new session at gap
+    * >= 30 min (window [t, t+gap) doesn't reach an event at exactly
+    * t+gap), while the lag plan's `> 1800` keeps it — the oracle
+    * mirrors the windowed semantics. */
+  val evSessionWindow: Q = (s, d) =>
+    ev(s, d)
+      .select(col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tss"),
+        col("event_id"))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("start_sec"),
+        unix_timestamp(col("w.end")).as("end_sec_excl"),
+        col("n_events"))
+      .orderBy("user_id", "start_sec")
+
   /** Exact dedup: earliest event per (user, type), with duplicate
     * count — aggregate form (map-side combinable) rather than a
     * row_number window, so it scales without a per-partition sort. */
@@ -96,6 +118,7 @@ object EventOps {
     "ev_json_extract" -> evJson,
     "ev_hourly" -> evHourly,
     "ev_sessionize" -> evSessionize,
+    "ev_session_window" -> evSessionWindow,
     "ev_dedup_first" -> evDedupFirst,
     "ev_top_users" -> evTopUsers,
     "ev_type_stats" -> evTypeStats)
@@ -127,6 +150,24 @@ object EventOps {
            MIN(tsec) AS start_sec, MAX(tsec) AS end_sec
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "ev_session_window" ->
+      """WITH t AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, tsec,
+             CASE WHEN lag(tsec) OVER w IS NULL
+                    OR tsec - lag(tsec) OVER w >= 1800 THEN 1 ELSE 0 END AS boundary
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+         sess AS (
+           SELECT user_id, tsec,
+             CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM flagged)
+         SELECT user_id, MIN(tsec) AS start_sec,
+           MAX(tsec) + 1800 AS end_sec_excl, COUNT(*) AS n_events
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, start_sec""",
     "ev_dedup_first" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_event_id,
            COUNT(*) AS n_dups

@@ -121,11 +121,66 @@ object StreamOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Typed state/event/result rows for the custom-state sessionizer. */
+  final case class SessEvent(user_id: Long, event_id: Long, tsec: Long)
+  final case class OpenSession(
+      session_id: Long, start_sec: Long, end_sec: Long, n: Long)
+  final case class ClosedSession(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_sec: Long, end_sec: Long)
+
+  /** Custom-state streaming sessionization via
+    * `flatMapGroupsWithState`: per-user state holds the one open
+    * session; a 30-minute event-time gap closes it and emits it
+    * downstream (append mode — each closed session exactly once). The
+    * open session stays in state, so the oracle is the batch
+    * lag/cumsum sessionization restricted to sessions that HAVE a
+    * successor (the only proof a gap closed them).
+    *
+    * Scale: state per key is one 32-byte session struct — bounded by
+    * |active users|, the canonical mapGroupsWithState footprint; at
+    * 100 TB you'd add `GroupStateTimeout.EventTimeTimeout` to flush
+    * idle users' sessions and bound state by *active* keys only. */
+  val streamSessionize: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val events = eventsStream(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .as[SessEvent]
+    val closed = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val evs = it.toArray.sortBy(e => (e.tsec, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        var st = state.getOption
+        evs.foreach { e =>
+          st match {
+            case None =>
+              st = Some(OpenSession(1L, e.tsec, e.tsec, 1L))
+            case Some(x) if e.tsec - x.end_sec > 1800 =>
+              out += ClosedSession(uid, x.session_id, x.n, x.start_sec,
+                x.end_sec)
+              st = Some(OpenSession(x.session_id + 1, e.tsec, e.tsec, 1L))
+            case Some(x) =>
+              st = Some(x.copy(end_sec = e.tsec, n = x.n + 1L))
+          }
+        }
+        st.foreach(state.update)
+        out.iterator
+      }
+    runToTable(s, closed.toDF(), "append")
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_sec"), col("end_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_hourly" -> streamHourly,
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_hourly_wm" -> streamHourlyWm,
-    "stream_dedup_wm" -> streamDedupWm)
+    "stream_dedup_wm" -> streamDedupWm,
+    "stream_sessionize" -> streamSessionize)
 
   val oracle: Map[String, String] = Map(
     "stream_hourly" ->
@@ -149,5 +204,27 @@ object StreamOps {
           GROUP BY hour, event_type ORDER BY hour, event_type""",
     "stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
-         ORDER BY user_id, event_type""")
+         ORDER BY user_id, event_type""",
+    "stream_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, tsec,
+             CASE WHEN lag(tsec) OVER w IS NULL
+                    OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS boundary
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+         sess AS (
+           SELECT user_id, tsec,
+             CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM flagged),
+         agg AS (
+           SELECT user_id, sid AS session_id, COUNT(*) AS n_events,
+             MIN(tsec) AS start_sec, MAX(tsec) AS end_sec,
+             MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+           FROM sess GROUP BY user_id, sid)
+         SELECT user_id, session_id, n_events, start_sec, end_sec
+         FROM agg WHERE session_id < max_sid
+         ORDER BY user_id, session_id""")
 }
