@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan audit: the properties that make these plans survive a
+  * 100× scale-up, pinned as assertions so a regression (a lost
+  * pushdown, a surprise cartesian, a broadcast that silently became a
+  * shuffle join) fails CI instead of melting a cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, Sf).queryExecution
+    qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("predicate pushdown: date filter reaches the lineitem scan") {
+    val p = physical("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("l_shipdate"), "shipdate filter must be pushed")
+  }
+
+  test("column pruning: token-count scan reads only doc_id and text") {
+    val p = physical("text_token_count")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("n_tokens"),
+      s"unused columns must be pruned from the scan: $read")
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    val p = physical("q2_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("ANN probe joins on the LSH bucket — no cartesian anywhere") {
+    val p = physical("ann_lsh_probe")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "probe must be an equi-join on bucket, not an all-pairs join")
+  }
+
+  test("brute-force kNN broadcasts the tiny query side") {
+    val p = physical("knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the deliberate cross product must broadcast the 8-row query side")
+  }
+
+  test("sessionization shares one user_id shuffle between window and agg") {
+    val p = physical("ev_sessionize")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly 1 hash shuffle, saw $shuffles:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("custom hash expressions run inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    // a projection of ONLY custom expressions (no higher-order
+    // functions, which are CodegenFallback and would exclude the whole
+    // operator from whole-stage codegen)
+    val df = graft.sources.Tables.documents(spark, Sf)
+      .select(col("text"),
+        graft.functions.Hashing.charHash(col("text")).as("h"))
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" is the whole-stage-codegen stage marker in plan strings
+    assert(p.contains("*(1) Project"), p.take(2000))
+    assert(p.contains("graft_char_hash"), p.take(2000))
+    // the codegen'd Java loop must agree with an independent fold
+    df.collect().foreach { r =>
+      var expected = 0L
+      r.getString(0).codePoints().forEach(cp =>
+        expected = (expected * 31L + cp) % 2147483647L)
+      assert(r.getLong(1) === expected)
+    }
+  }
+
+  test("codegen'd vector expressions agree with interpreted eval") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("embedding"),
+        org.apache.spark.sql.GraftColumn(graft.functions.FloatDot(
+          org.apache.spark.sql.GraftColumn.expr(col("embedding")),
+          org.apache.spark.sql.GraftColumn.expr(col("embedding")))).as("d"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project") && p.contains("graft_float_dot"),
+      p.take(2000))
+    df.collect().foreach { r =>
+      val e = r.getSeq[Float](0)
+      var s = 0.0
+      e.foreach(x => s += x.toDouble * x.toDouble)
+      assert(r.getDouble(1) === s, "sequential-fold dot must match exactly")
+    }
+  }
+
+  test("hash expressions are present in the fingerprint projection") {
+    val p = physical("text_fingerprint")
+    assert(p.contains("graft_char_hash") && p.contains("graft_simhash32"),
+      p.take(2000))
+  }
+
+  test("exact dedup aggregates partially before the shuffle") {
+    val p = physical("dedup_exact")
+    // two HashAggregates (partial + final) around one exchange =
+    // map-side combine is in effect
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(2000))
+  }
+}
