@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** `SparkSessionExtensions` installer: exposes the engine's codegen
+  * expressions ([[graft.functions.HashExprs]]) to the SQL surface, so
+  * `spark.sql("SELECT graft_char_hash(text) ...")` works exactly like
+  * the Column API. Activate via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` on a cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, usage: String,
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    register("graft_char_hash",
+      "graft_char_hash(str) - polynomial rolling hash mod 2^31-1",
+      es => PolyCharHash(es.head))
+    register("graft_char_hash_all",
+      "graft_char_hash_all(arr) - char hash of every string element",
+      es => PolyCharHashArray(es.head))
+    register("graft_minhash_sig",
+      "graft_minhash_sig(hashes) - all 16 minhash lanes in one pass",
+      es => MinHashSig(es.head))
+    register("graft_simhash32",
+      "graft_simhash32(hashes) - 32-bit simhash of element hashes",
+      es => SimHash32(es.head))
+    register("graft_lsh_bucket",
+      "graft_lsh_bucket(emb) - 8-plane signed-projection LSH bucket",
+      es => LshBucket(es.head, graft.operators.SimilarityOps.Planes,
+        graft.operators.SimilarityOps.Dims))
+    register("graft_float_dot",
+      "graft_float_dot(a, b) - sequential-fold dot product in double",
+      es => FloatDot(es(0), es(1)))
+  }
+}

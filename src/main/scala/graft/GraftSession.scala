@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def configure(b: SparkSession.Builder, cpus: Int): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cpus.toString)
+    b.withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -103,6 +103,24 @@ object EventOps {
       .orderBy(col("total_purchase").desc, col("user_id"))
       .limit(10)
 
+  /** [[evTopUsers]] computed skew-resistantly: phase 1 pre-aggregates
+    * on (user_id, salt) so one hot user spreads across 16 reducers,
+    * phase 2 combines the partials. Decimal partial sums re-associate
+    * exactly, so the result — and the oracle — are identical to the
+    * unsalted plan. The salt is a deterministic hash of event_id
+    * (same spread as a random salt, but replayable/testable). */
+  val evTopUsersSalted: Q = (s, d) =>
+    ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(sum(money(col("value"))).as("pv"), count(lit(1)).as("pn"))
+      .groupBy(col("user_id"))
+      .agg(asD(sum(col("pv"))).as("total_purchase"),
+        sum(col("pn")).as("n_purchases"))
+      .orderBy(col("total_purchase").desc, col("user_id"))
+      .limit(10)
+
   /** Per-type value stats; min/max of untouched doubles are exact. */
   val evTypeStats: Q = (s, d) =>
     ev(s, d)
@@ -121,6 +139,7 @@ object EventOps {
     "ev_session_window" -> evSessionWindow,
     "ev_dedup_first" -> evDedupFirst,
     "ev_top_users" -> evTopUsers,
+    "ev_top_users_salted" -> evTopUsersSalted,
     "ev_type_stats" -> evTypeStats)
 
   val oracle: Map[String, String] = Map(
@@ -174,6 +193,12 @@ object EventOps {
          FROM events GROUP BY user_id, event_type
          ORDER BY user_id, event_type""",
     "ev_top_users" ->
+      s"""SELECT user_id,
+          CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_purchase,
+          COUNT(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id ORDER BY total_purchase DESC, user_id LIMIT 10""",
+    "ev_top_users_salted" ->
       s"""SELECT user_id,
           CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_purchase,
           COUNT(*) AS n_purchases

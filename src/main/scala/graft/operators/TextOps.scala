@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -152,6 +153,38 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** TF-IDF-style keyterm extraction: top-3 tokens per document by
+    * `tf × (N - df + 0.5)/(df + 0.5)` — BM25's idf odds-ratio WITHOUT
+    * the log. Deliberate: `ln` is not required to be correctly rounded
+    * by IEEE, so Spark's and DuckDB's libm could disagree in the last
+    * ulp and break the bit-exact oracle; the rational odds preserve
+    * the exact same ranking for fixed N. All inputs are integers below
+    * 2^53, so every +,-,×,÷ here is exactly rounded and
+    * engine-identical.
+    *
+    * Scale shape: explode → two key-partitioned aggregates (tf by
+    * (doc,token), df by token) → broadcast of the 1-row corpus count →
+    * token-keyed join → per-doc top-k window. No all-pairs anything. */
+  val textKeyterms: Q = (s, d) => {
+    val tok = docs(s, d).select(col("doc_id"), explode(toks).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val total = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Global top-20 tokens by frequency (explode → count → top-k). */
   val tfTopTokens: Q = (s, d) =>
     docs(s, d)
@@ -180,6 +213,7 @@ object TextOps {
     "text_fingerprint" -> textFingerprint,
     "text_token_count" -> textTokenCount,
     "text_longest_doc" -> textLongestDoc,
+    "text_keyterms" -> textKeyterms,
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams)
 
@@ -243,6 +277,28 @@ object TextOps {
                ORDER BY length(text) DESC, doc_id) AS rn
            FROM documents) t
          WHERE rn = 1 ORDER BY lang""",
+    "text_keyterms" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($sqlToks) AS token FROM documents),
+          tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok
+            GROUP BY doc_id, token),
+          dfreq AS (
+            SELECT token, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, token FROM tok) u
+            GROUP BY token),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+              CAST(tf.tf AS DOUBLE) *
+                ((CAST(n.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS score
+            FROM tf JOIN dfreq ON tf.token = dfreq.token, n)
+          SELECT doc_id, rank, token, tf, df, score FROM (
+            SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token) AS rank
+            FROM scored) z
+          WHERE rank <= 3 ORDER BY doc_id, rank""",
     "tf_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n
           FROM (SELECT unnest($sqlToks) AS token FROM documents) t
