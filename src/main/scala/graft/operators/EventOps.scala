@@ -132,7 +132,24 @@ object EventOps {
         meanOf(sum(money(col("value"))), count(lit(1))).as("avg_value"))
       .orderBy("event_type")
 
+  /** Sketch-based profile: approximate distinct users and approximate
+    * value quantiles per event type. Sketches (HLL++ /
+    * KLL-style percentile_approx) are mergeable partial aggregates —
+    * the only way COUNT(DISTINCT)-like questions scale to 100 TB
+    * without a full shuffle of the key set. Approximate answers are
+    * engine-specific, so there is deliberately NO DuckDB oracle entry:
+    * the driver applies its weaker rows-only gate, and the exactness
+    * contract is documented here instead. */
+  val evApproxStats: Q = (s, d) =>
+    ev(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000))
+          .as("approx_median_value"))
+      .orderBy("event_type")
+
   val defs: Map[String, Q] = Map(
+    "ev_approx_stats" -> evApproxStats,
     "ev_json_extract" -> evJson,
     "ev_hourly" -> evHourly,
     "ev_sessionize" -> evSessionize,

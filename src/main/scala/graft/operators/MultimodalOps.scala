@@ -92,9 +92,47 @@ object MultimodalOps {
           .otherwise("gray").as("format"))
       .orderBy("doc_id")
 
-  val defs: Map[String, Q] = Map("mm_meta" -> mmMeta)
+  /** Resize planning over decoded metadata: fit width to 224 px,
+    * preserve aspect ratio with integer arithmetic (deterministic —
+    * a real resize kernel would consume this plan per batch in
+    * [[decodeBatched]]'s mapPartitions slot). */
+  val mmResize: Q = (s, d) =>
+    mmMeta(s, d)
+      .select(col("doc_id"), col("width"), col("height"),
+        lit(224L).as("out_w"),
+        expr("height * 224 div width").as("out_h"))
+      .orderBy("doc_id")
+
+  /** Frame sampling: every 2nd frame index per media row — the
+    * explode-shaped plumbing a video pipeline uses to turn one row
+    * per clip into one row per sampled frame (narrow until the
+    * explode, then ∝ sampled frames, never ∝ raw frames). */
+  val mmFrameSample: Q = (s, d) =>
+    mmMeta(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(2L)))
+          .as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  val defs: Map[String, Q] = Map(
+    "mm_meta" -> mmMeta,
+    "mm_resize" -> mmResize,
+    "mm_frame_sample" -> mmFrameSample)
+
+  private val sqlByteLen = "CAST(octet_length(encode(text)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "mm_resize" ->
+      s"""SELECT doc_id,
+           16 + $sqlByteLen % 64 AS width,
+           16 + ($sqlByteLen * 31) % 64 AS height,
+           CAST(224 AS BIGINT) AS out_w,
+           ((16 + ($sqlByteLen * 31) % 64) * 224)
+             // (16 + $sqlByteLen % 64) AS out_h
+         FROM documents ORDER BY doc_id""",
+    "mm_frame_sample" ->
+      """SELECT doc_id, unnest(range(0, 1 + doc_id % 8, 2)) AS frame_idx
+         FROM documents ORDER BY doc_id, frame_idx""",
     "mm_meta" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
