@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Source-format coverage: the engine reads the same relation from
+  * parquet, JSON-lines and CSV identically (explicit schema +
+  * microsecond timestamp format for the text formats — schema
+  * inference on text is banned at scale: one pass to infer is one
+  * full extra read of 100 TB). */
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+  test("events round-trip through JSON lines with explicit schema") {
+    val dir = tmpDir("fmt-json")
+    val events = Tables.events(spark, Sf)
+    events.write.mode("overwrite")
+      .option("timestampFormat", TsFmt).json(dir)
+    val back = spark.read
+      .schema(events.schema)
+      .option("timestampFormat", TsFmt).json(dir)
+    assert(back.count() === events.count())
+    val a = events.orderBy("event_id").collect()
+    val b = back.orderBy("event_id").collect()
+    assert(a.sameElements(b), "JSON round-trip must be lossless")
+  }
+
+  test("events round-trip through CSV with explicit schema") {
+    val dir = tmpDir("fmt-csv")
+    // props holds JSON (quotes + commas) — exactly what CSV quoting
+    // must survive
+    val events = Tables.events(spark, Sf)
+    events.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", TsFmt).csv(dir)
+    val back = spark.read
+      .schema(events.schema)
+      .option("header", "true").option("timestampFormat", TsFmt).csv(dir)
+    val a = events.orderBy("event_id").collect()
+    val b = back.orderBy("event_id").collect()
+    assert(a.sameElements(b), "CSV round-trip must be lossless")
+  }
+
+  test("csv/json relations run the same query as parquet") {
+    val dir = tmpDir("fmt-q")
+    val events = Tables.events(spark, Sf)
+    events.write.mode("overwrite")
+      .option("timestampFormat", TsFmt).json(dir)
+    val viaJson = spark.read.schema(events.schema)
+      .option("timestampFormat", TsFmt).json(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+    val viaParquet = events
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+    assert(viaJson === viaParquet)
+  }
+}
