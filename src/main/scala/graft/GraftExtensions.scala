@@ -41,5 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_float_dot",
       "graft_float_dot(a, b) - sequential-fold dot product in double",
       es => FloatDot(es(0), es(1)))
+    register("graft_shingles",
+      "graft_shingles(tokens) - space-joined 3-word shingles",
+      es => WordNgrams(es.head, 3))
   }
 }

@@ -145,6 +145,71 @@ case class PolyCharHashArray(child: Expression)
     copy(child = newChild)
 }
 
+/** `wordNgrams(array<string>, n) -> array<string>`: space-joined
+  * n-grams of adjacent tokens in one pass — replaces the interpreted
+  * `transform(sequence(...), i -> concat_ws(" ", element_at...))`
+  * construction (3 array probes per gram, per lambda-eval). Null
+  * elements are skipped within a gram, matching `concat_ws`. Fewer
+  * than `n` tokens yields an empty array. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      var first = true
+      while (j < n) {
+        if (!arr.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val len = ctx.freshName("len")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val sb = ctx.freshName("sb")
+      val first = ctx.freshName("first")
+      val out = ctx.freshName("out")
+      s"""|int $len = $c.numElements();
+          |Object[] $out = new Object[$len < $n ? 0 : $len - ${n - 1}];
+          |for (int $i = 0; $i <= $len - $n; $i++) {
+          |  StringBuilder $sb = new StringBuilder();
+          |  boolean $first = true;
+          |  for (int $j = 0; $j < $n; $j++) {
+          |    if (!$c.isNullAt($i + $j)) {
+          |      if (!$first) $sb.append(' ');
+          |      $sb.append($c.getUTF8String($i + $j).toString());
+          |      $first = false;
+          |    }
+          |  }
+          |  $out[$i] = UTF8String.fromString($sb.toString());
+          |}
+          |${ev.value} =
+          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhashSig(array<long>) -> array<long>`: all [[Hashing.K]] min-hash
   * lanes `min((h*A_k + B_k) mod P)` computed in ONE pass over the
   * element hashes — round 1 traversed the array K times through

@@ -60,12 +60,14 @@ object Hashing {
   def tokens(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
-  /** 3-word shingles over a token array (needs >= 3 tokens). */
+  /** 3-word shingles over a token array (needs >= 3 tokens).
+    * Codegen'd single pass — see [[WordNgrams]]. */
   def shingles(toks: Column): Column =
-    transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    GraftColumn(WordNgrams(GraftColumn.expr(toks), 3))
+
+  /** Space-joined n-grams of adjacent tokens ([[WordNgrams]]). */
+  def ngrams(toks: Column, n: Int): Column =
+    GraftColumn(WordNgrams(GraftColumn.expr(toks), n))
 
   /** Hash every element of a string array in one codegen'd pass —
     * see [[PolyCharHashArray]]. */

@@ -58,9 +58,19 @@ object StreamOps {
   private def runToTable(s: SparkSession, df: DataFrame, mode: String)
       : DataFrame = {
     val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(qn)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // stateful operators allocate one state store per shuffle
+    // partition at query start; the finite oracle replay doesn't need
+    // the engine's full parallelism, so scope it down for the run
+    // (result partitioning never affects values). On a real unbounded
+    // deployment this stays at the session default — state partition
+    // count is a capacity knob, not a semantics knob.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(qn)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(qn)
   }
 

@@ -194,13 +194,10 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
-  /** Top-20 word bigrams. */
+  /** Top-20 word bigrams (codegen'd one-pass n-gram construction). */
   val tfTopBigrams: Q = (s, d) =>
     docs(s, d)
-      .select(explode(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .as("bigram"))
+      .select(explode(Hashing.ngrams(toks, 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))

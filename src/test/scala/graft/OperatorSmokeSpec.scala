@@ -8,10 +8,20 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Queries with no SQL oracle by design (driver applies its weaker
+    * rows-only gate). Each entry must say why. */
+  private val RowsOnly = Set(
+    // sketch outputs (HLL++, percentile_approx) are engine-specific
+    // approximations — no exact cross-engine mirror exists
+    "ev_approx_stats")
+
   test("every query has an oracle or is explicitly rows-only") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- RowsOnly
     assert(noOracle.isEmpty,
       s"queries without oracle (add SQL or document why): $noOracle")
+    val stale = RowsOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only allowlist entries without query: $stale")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
