@@ -1,0 +1,134 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Seeded fuzz of the hand-written codegen expressions against plain
+  * Scala reference folds, driven through a real DataFrame so the
+  * generated Java (not just the interpreted eval) computes the
+  * values. Inputs include empty strings, runs of spaces, unicode
+  * (including astral code points), and long documents. */
+class HashExprsFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 2147483647L
+
+  private def refCharHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  private def genStrings: Seq[String] = {
+    val r = new Random(0xBADC0DE)
+    val alphabets = Seq(
+      "abcdefghij ",                 // ascii words
+      "αβγδε ёжз 你好 ",             // BMP unicode
+      "a b  c   d    ",              // space runs
+      new String(Character.toChars(0x1F600)) + " x ")  // astral plane
+    val fixed = Seq("", " ", "   ", "a", "one two three four five")
+    fixed ++ (1 to 400).map { _ =>
+      val alpha = alphabets(r.nextInt(alphabets.length))
+      val len = r.nextInt(120)
+      (0 until len).map(_ => alpha(r.nextInt(alpha.length))).mkString
+    } ++ Seq(("word " * 3000).trim)   // long doc
+  }
+
+  test("charHash: codegen path equals the reference fold on fuzz input") {
+    val rows = genStrings.toDF("s")
+      .select(col("s"), Hashing.charHash(col("s")).as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === refCharHash(r.getString(0)),
+      s"mismatch on ${r.getString(0).take(50)}"))
+  }
+
+  test("tokens + ngrams: codegen path equals a reference sliding window") {
+    val rows = genStrings.toDF("s")
+      .select(col("s"), Hashing.ngrams(Hashing.tokens(col("s")), 2).as("g"),
+        Hashing.shingles(Hashing.tokens(col("s"))).as("sh"))
+      .collect()
+    rows.foreach { r =>
+      val toks = r.getString(0).split(" ", -1).filter(_.nonEmpty).toSeq
+      val ref2 = if (toks.length < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val ref3 = if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      assert(r.getSeq[String](1) === ref2, s"bigrams of '${r.getString(0).take(40)}'")
+      assert(r.getSeq[String](2) === ref3, s"shingles of '${r.getString(0).take(40)}'")
+    }
+  }
+
+  test("minhashSig + simhash32: codegen path equals per-lane reference") {
+    val r = new Random(0x5EED)
+    val arrays = Seq(Seq.empty[Long]) ++
+      (1 to 200).map(_ => Seq.fill(1 + r.nextInt(50))(r.nextLong().abs % P))
+    val rows = arrays.toDF("hs")
+      .select(col("hs"), Hashing.minhashSig(col("hs")).as("sig"),
+        Hashing.simhash32(col("hs")).as("sh"))
+      .collect()
+    rows.foreach { row =>
+      val hs = row.getSeq[Long](0)
+      if (hs.isEmpty) {
+        assert(row.getSeq[Any](1).forall(_ == null), "empty -> all-null lanes")
+        assert(row.getLong(2) === 0L)
+      } else {
+        val refSig = (0 until Hashing.K).map(k =>
+          hs.map(h => (h * Hashing.A(k) + Hashing.B(k)) % P).min)
+        assert(row.getSeq[Long](1) === refSig)
+        val refSim = (0 until 32).map { j =>
+          val vote = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+          if (vote > 0) 1L << j else 0L
+        }.sum
+        assert(row.getLong(2) === refSim)
+      }
+    }
+  }
+
+  test("lshBucket: codegen path equals the weight-table reference; short arrays -> 0") {
+    import graft.functions.LshBucket
+    val r = new Random(0xB0C4e7)
+    val w = LshBucket.weightTable(8, 64)
+    val arrays = Seq(Seq.empty[Float], Seq.fill(63)(1.0f)) ++   // short -> 0
+      (1 to 100).map(_ => Seq.fill(64)(r.nextFloat() * 2 - 1))
+    val rows = arrays.toDF("e")
+      .select(col("e"), org.apache.spark.sql.GraftColumn(LshBucket(
+        org.apache.spark.sql.GraftColumn.expr(col("e")), 8, 64)).as("b"))
+      .collect()
+    rows.foreach { row =>
+      val e = row.getSeq[Float](0)
+      val expected = if (e.length < 64) 0L
+        else (0 until 8).map { p =>
+          var s = 0.0
+          (0 until 64).foreach(i => s += e(i).toDouble * w(p * 64 + i))
+          if (s > 0) 1L << p else 0L
+        }.sum
+      assert(row.getLong(1) === expected)
+    }
+  }
+
+  test("floatDot: codegen path equals a sequential reference fold") {
+    val r = new Random(0xD07)
+    val arrays = (1 to 100).map(_ =>
+      (Seq.fill(64)(r.nextFloat() - 0.5f), Seq.fill(64)(r.nextFloat() - 0.5f)))
+    val rows = arrays.toDF("a", "b")
+      .select(col("a"), col("b"),
+        org.apache.spark.sql.GraftColumn(graft.functions.FloatDot(
+          org.apache.spark.sql.GraftColumn.expr(col("a")),
+          org.apache.spark.sql.GraftColumn.expr(col("b")))).as("d"))
+      .collect()
+    rows.foreach { row =>
+      val a = row.getSeq[Float](0); val b = row.getSeq[Float](1)
+      var s = 0.0
+      a.indices.foreach(i => s += a(i).toDouble * b(i).toDouble)
+      assert(row.getDouble(2) === s)
+    }
+  }
+}
