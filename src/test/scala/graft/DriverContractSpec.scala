@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Guards the driver's interface: Verify must dump a parquet dir per
+  * requested query plus an `oracle_sql.json` that parses as JSON and
+  * carries EVERY oracle entry (a single broken escape here would zero
+  * the round's correctness gate). Jackson is already on the Spark
+  * classpath — the same parser family the driver's json.load uses. */
+class DriverContractSpec extends SparkSpec {
+
+  test("Verify dumps parquet + a parseable, complete oracle_sql.json") {
+    val out = tmpDir("verify-contract")
+    Verify.main(Array(Sf, out, "q0_scan", "mm_meta"))
+
+    assert(Files.list(Paths.get(s"$out/q0_scan")).count() > 0)
+    assert(Files.list(Paths.get(s"$out/mm_meta")).count() > 0)
+
+    val json = Files.readString(Paths.get(s"$out/oracle_sql.json"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val tree = mapper.readTree(json)   // throws on malformed JSON
+    val keys = {
+      val it = tree.fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    assert(keys === SparkEntry.oracleSql.keySet,
+      "every oracle entry must round-trip through the JSON dump")
+    // spot-check a query whose SQL contains newlines and quotes
+    assert(tree.get("dedup_jaccard").asText === SparkEntry.oracleSql("dedup_jaccard"))
+  }
+
+  test("bench JSON line parses and covers every query") {
+    // reproduce Bench's serialization (not its timing loop) and parse it
+    val qs = SparkEntry.queries.keys.toSeq.sorted
+      .map(k => s""""$k":0.1""").mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":1.0,"unit":"sec","queries":$qs,"sf":"x"}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val tree = mapper.readTree(line)
+    assert(tree.get("queries").size() === SparkEntry.queries.size)
+  }
+}
