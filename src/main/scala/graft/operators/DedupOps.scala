@@ -35,6 +35,14 @@ object DedupOps {
   private val bucketCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop the persisted LSH index relations (call when the underlying
+    * documents table changes, or to release executor storage). The
+    * next candidate-pair query rebuilds the index from scratch. */
+  def invalidateIndexes(): Unit = {
+    bucketCache.values.foreach(_.unpersist())
+    bucketCache.clear()
+  }
+
   /** Exact dedup: canonical (min) doc per identical text. */
   val dedupExact: Q = (s, d) =>
     docs(s, d)

@@ -68,6 +68,13 @@ object SimilarityOps {
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop the persisted ANN index relations (call when the underlying
+    * embeddings table changes, or to release executor storage). */
+  def invalidateIndexes(): Unit = {
+    indexCache.values.foreach(_.unpersist())
+    indexCache.clear()
+  }
+
   private def bucketed(s: SparkSession, d: String): DataFrame =
     indexCache.getOrElseUpdate((s, d), {
       val wb = emb(s, d)

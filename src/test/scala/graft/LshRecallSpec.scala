@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** The deterministic half of LSH recall: documents with IDENTICAL
+  * 3-shingle sets have identical minhash signatures, hence collide in
+  * every band — the candidate generator MUST return them. (For
+  * near-identical sets recall is probabilistic by design — the 4×4
+  * banding S-curve — so only the s=1.0 guarantee is assertable.) */
+class LshRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical-shingle-set pairs are always LSH candidates, with jaccard 1.0") {
+    // sf0.001 has no exact dupes — synthesize them: 20 docs re-keyed
+    // at +100000 so every (id, id+100000) is an identical pair
+    val dir = tmpDir("lsh-recall")
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val dupes = docs.orderBy("doc_id").limit(20)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    docs.unionByName(dupes).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    // ground truth by brute force: group docs by their full shingle SET
+    val sets = graft.sources.Tables.documents(spark, dir)
+      .withColumn("toks", Hashing.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_sort(array_distinct(Hashing.shingles(col("toks")))).as("sh"))
+      .as[(Long, Seq[String])].collect()
+    val truePairs = sets.groupBy(_._2).values.filter(_.length > 1).flatMap { g =>
+      val ids = g.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+    assert(truePairs.size >= 20, s"expected the synthesized dupes: $truePairs")
+
+    val candidates = SparkEntry.queries("dedup_lsh_pairs")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val missed = truePairs -- candidates
+    assert(missed.isEmpty, s"guaranteed pairs missed by LSH: $missed")
+
+    val jac = SparkEntry.queries("dedup_jaccard")(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    truePairs.foreach { p =>
+      assert(jac.get(p).contains(1.0),
+        s"identical sets must verify at jaccard 1.0: $p -> ${jac.get(p)}")
+    }
+  }
+
+  test("index invalidation rebuilds to identical results") {
+    val before = SparkEntry.queries("dedup_lsh_pairs")(spark, Sf)
+      .as[(Long, Long)].collect().toSeq
+    graft.operators.DedupOps.invalidateIndexes()
+    graft.operators.SimilarityOps.invalidateIndexes()
+    val after = SparkEntry.queries("dedup_lsh_pairs")(spark, Sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(after === before)
+    val ann = SparkEntry.queries("ann_lsh_probe")(spark, Sf).count()
+    assert(ann > 0)
+  }
+}
