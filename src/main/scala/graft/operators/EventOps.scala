@@ -103,6 +103,47 @@ object EventOps {
       .orderBy(col("total_purchase").desc, col("user_id"))
       .limit(10)
 
+  /** As-of (attribution) join — the time-series operator Spark has no
+    * built-in for: each purchase matched to the SAME user's most
+    * recent click at-or-before it. Composed from existing operators
+    * (SURVEY §2.8 preference (a)): tag clicks/purchases, union, one
+    * window partitioned by user ordered by (tsec, tag, …) where a
+    * running `max(struct(click_tsec, click_id))` carries the latest
+    * click seen so far — struct comparison is lexicographic, so ties
+    * on tsec resolve to the highest click event_id, and clicks sort
+    * before same-tsec purchases (tag 0 < 1) to honor the `<=` as-of
+    * boundary.
+    *
+    * Scale shape: ONE shuffle on user_id + a per-partition sort —
+    * the merge-scan as-of, never a range cross-join. The oracle is
+    * DuckDB's native ASOF LEFT JOIN over clicks deduped to one per
+    * (user, tsec). */
+  val evAttribution: Q = (s, d) => {
+    val base = ev(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("event_type"))
+    val clicks = base.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("tsec"))
+      .agg(max(col("event_id")).as("event_id"))
+      .select(col("user_id"), col("tsec"), col("event_id"),
+        lit(0).as("tag"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsec"), col("event_id"), lit(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click",
+        max(when(col("tag") === 0, struct(col("tsec").as("cts"),
+          col("event_id").as("cid")))).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tsec").as("purchase_tsec"),
+        col("last_click.cid").as("click_id"),
+        col("last_click.cts").as("click_tsec"))
+      .orderBy("purchase_id")
+  }
+
   /** [[evTopUsers]] computed skew-resistantly: phase 1 pre-aggregates
     * on (user_id, salt) so one hot user spreads across 16 reducers,
     * phase 2 combines the partials. Decimal partial sums re-associate
@@ -150,6 +191,7 @@ object EventOps {
 
   val defs: Map[String, Q] = Map(
     "ev_approx_stats" -> evApproxStats,
+    "ev_attribution" -> evAttribution,
     "ev_json_extract" -> evJson,
     "ev_hourly" -> evHourly,
     "ev_sessionize" -> evSessionize,
@@ -186,6 +228,24 @@ object EventOps {
            MIN(tsec) AS start_sec, MAX(tsec) AS end_sec
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "ev_attribution" ->
+      """WITH base AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                  event_type
+           FROM events),
+         clicks AS (
+           SELECT user_id, tsec, MAX(event_id) AS event_id
+           FROM base WHERE event_type = 'click' GROUP BY user_id, tsec),
+         purchases AS (
+           SELECT user_id, event_id, tsec FROM base
+           WHERE event_type = 'purchase')
+         SELECT p.event_id AS purchase_id, p.user_id,
+           p.tsec AS purchase_tsec,
+           c.event_id AS click_id, c.tsec AS click_tsec
+         FROM purchases p
+         ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.tsec >= c.tsec
+         ORDER BY purchase_id""",
     "ev_session_window" ->
       """WITH t AS (
            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
