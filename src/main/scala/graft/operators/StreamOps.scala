@@ -185,12 +185,43 @@ object StreamOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Stream-stream interval join: purchases matched to same-user
+    * clicks within the preceding hour. Both sides carry watermarks and
+    * the join condition ranges over the watermarked event-time
+    * columns, so Spark can evict click state older than
+    * (watermark - 1 hour) — bounded state on unbounded streams, the
+    * canonical streaming-join pattern. Event times are truncated to
+    * whole seconds BEFORE the watermark so the interval arithmetic is
+    * integer-exact on both engines. Inner-join matches are emitted
+    * regardless of watermark progress, so the finite replay equals the
+    * batch range join the oracle runs. */
+  val streamIntervalJoin: Q = (s, d) => {
+    def side(tpe: String, prefix: String) =
+      eventsStream(s, d)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("purchase", "p").join(side("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    runToTable(s, joined, "append")
+      .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+        col("p_user").as("user_id"),
+        unix_timestamp(col("p_ts")).as("purchase_tsec"),
+        unix_timestamp(col("c_ts")).as("click_tsec"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_hourly" -> streamHourly,
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_hourly_wm" -> streamHourlyWm,
     "stream_dedup_wm" -> streamDedupWm,
-    "stream_sessionize" -> streamSessionize)
+    "stream_sessionize" -> streamSessionize,
+    "stream_interval_join" -> streamIntervalJoin)
 
   val oracle: Map[String, String] = Map(
     "stream_hourly" ->
@@ -215,6 +246,19 @@ object StreamOps {
     "stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "stream_interval_join" ->
+      """WITH p AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.tsec AS purchase_tsec, c.tsec AS click_tsec
+         FROM p JOIN c
+           ON p.user_id = c.user_id
+          AND c.tsec >= p.tsec - 3600 AND c.tsec <= p.tsec
+         ORDER BY purchase_id, click_id""",
     "stream_sessionize" ->
       """WITH t AS (
            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
