@@ -44,5 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_shingles",
       "graft_shingles(tokens) - space-joined 3-word shingles",
       es => WordNgrams(es.head, 3))
+    register("graft_tokens",
+      "graft_tokens(str) - single-space tokens, empties dropped",
+      es => WhitespaceTokens(es.head))
   }
 }

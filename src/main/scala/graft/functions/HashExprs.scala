@@ -145,6 +145,56 @@ case class PolyCharHashArray(child: Expression)
     copy(child = newChild)
 }
 
+/** `whitespaceTokens(string) -> array<string>`: split on single
+  * spaces with empty segments dropped, in one pass — replaces the
+  * interpreted `filter(split(c, " "), length > 0)` pair (the `filter`
+  * higher-order function is CodegenFallback and was the last
+  * interpreted stage in the tokenize hot path). */
+case class WhitespaceTokens(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) out += UTF8String.fromString(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val start = ctx.freshName("start")
+      val parts = ctx.freshName("parts")
+      s"""|String $s = $c.toString();
+          |java.util.ArrayList $parts = new java.util.ArrayList();
+          |int $start = 0;
+          |for (int $i = 0; $i <= $s.length(); $i++) {
+          |  if ($i == $s.length() || $s.charAt($i) == ' ') {
+          |    if ($i > $start) {
+          |      $parts.add(UTF8String.fromString($s.substring($start, $i)));
+          |    }
+          |    $start = $i + 1;
+          |  }
+          |}
+          |${ev.value} =
+          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($parts.toArray());""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `wordNgrams(array<string>, n) -> array<string>`: space-joined
   * n-grams of adjacent tokens in one pass — replaces the interpreted
   * `transform(sequence(...), i -> concat_ws(" ", element_at...))`

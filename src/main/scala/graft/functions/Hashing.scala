@@ -56,9 +56,10 @@ object Hashing {
   def charHash(c: Column): Column =
     GraftColumn(PolyCharHash(GraftColumn.expr(c)))
 
-  /** Whitespace tokens with empties dropped (trailing-space safe). */
+  /** Whitespace tokens with empties dropped (trailing-space safe).
+    * Codegen'd single pass — see [[WhitespaceTokens]]. */
   def tokens(c: Column): Column =
-    filter(split(c, " "), t => length(t) > 0)
+    GraftColumn(WhitespaceTokens(GraftColumn.expr(c)))
 
   /** 3-word shingles over a token array (needs >= 3 tokens).
     * Codegen'd single pass — see [[WordNgrams]]. */

@@ -101,6 +101,22 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("partition pruning: a filter on the partition column skips files") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dir = tmpDir("plan-partitioned")
+    val events = graft.sources.Tables.events(spark, Sf)
+    events.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val filtered = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    val plan = filtered.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("event_type"),
+      s"partition filter must prune directories, not scan-then-filter: $pf")
+    assert(filtered.count() ===
+      events.filter(col("event_type") === "click").count())
+  }
+
   test("exact dedup aggregates partially before the shuffle") {
     val p = physical("dedup_exact")
     // two HashAggregates (partial + final) around one exchange =
