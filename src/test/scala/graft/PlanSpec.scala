@@ -101,6 +101,18 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("top-k windows run as bounded-heap WindowGroupLimit, not full sorts") {
+    // rank <= k over a window must plan as WindowGroupLimit (per-key
+    // bounded heap) — otherwise the kNN ranking materializes and sorts
+    // every candidate pair per partition
+    Seq("knn_brute", "q7_top_orders_per_customer", "text_keyterms")
+      .foreach { q =>
+        val p = physical(q)
+        assert(p.contains("WindowGroupLimit"),
+          s"$q lost the group-limit pushdown:\n${p.take(1500)}")
+      }
+  }
+
   test("partition pruning: a filter on the partition column skips files") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val dir = tmpDir("plan-partitioned")
