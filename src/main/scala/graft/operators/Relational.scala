@@ -181,6 +181,34 @@ object Relational {
       .filter(col("n_orders") >= 12)
       .orderBy("c_custkey")
 
+  /** Exact interpolated percentiles of the (2-decimal-clean) price per
+    * return flag — Spark `percentile` and DuckDB `quantile_cont` both
+    * implement the classical (n-1)·p interpolation; the lerp is one
+    * multiply-add over exactly-representable inputs, so results are
+    * bit-identical. (The SKETCH form for 100 TB is `ev_approx_stats`;
+    * this is the exact small-group form.) */
+  val q23Percentiles: Q = (s, d) =>
+    li(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** CUBE over (returnflag, linestatus) with the standard grouping-id
+    * bitmask — all four aggregation levels in one pass (Expand +
+    * partial agg, not four scans). */
+  val q24Cube: Q = (s, d) =>
+    li(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        asD(sum(qty(col("l_quantity")))).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** Set operations: nation keys present among customers vs suppliers
     * (INTERSECT / EXCEPT both directions, tagged and unioned). */
   val q11SetOps: Q = (s, d) => {
@@ -348,6 +376,8 @@ object Relational {
     "q20_full_outer_days" -> q20FullOuterDays,
     "q21_pivot" -> q21Pivot,
     "q22_idle_customers" -> q22IdleCustomers,
+    "q23_percentiles" -> q23Percentiles,
+    "q24_cube" -> q24Cube,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_revenue_orders" -> q3TopRevenueOrders,
@@ -391,6 +421,21 @@ object Relational {
                  COUNT(*) AS n_ship FROM lineitem GROUP BY day) sd
            ON od.day = sd.day
          ORDER BY day""",
+    "q23_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q24_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n,
+          CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) AS sum_qty
+          FROM lineitem
+          GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY gid, l_returnflag, l_linestatus""",
     "q21_pivot" ->
       s"""SELECT l_linestatus,
           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN ${sqlQty("l_quantity")} END) AS DOUBLE) AS "A",
