@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -181,21 +181,37 @@ object Relational {
       .filter(col("n_orders") >= 12)
       .orderBy("c_custkey")
 
-  /** Exact interpolated percentiles of the (2-decimal-clean) price per
-    * return flag — Spark `percentile` and DuckDB `quantile_cont` both
-    * implement the classical (n-1)·p interpolation; the lerp is one
-    * multiply-add over exactly-representable inputs, so results are
-    * bit-identical. (The SKETCH form for 100 TB is `ev_approx_stats`;
-    * this is the exact small-group form.) */
-  val q23Percentiles: Q = (s, d) =>
+  /** Exact interpolated percentiles per return flag, computed the
+    * DISTRIBUTED way: shuffle on the group key, external-sort window
+    * (`row_number`), then classical (n-1)·p rank interpolation of the
+    * two straddling rows. Spark's built-in `percentile` buffers every
+    * group value in an in-memory aggregation buffer — correct here,
+    * dead at 100 TB group sizes; the window form spills. The lerp is
+    * written as `lo·(1-frac) + hi·frac` — DuckDB's exact
+    * `quantile_cont` operation order (NOT the algebraically-equal
+    * `lo + (hi-lo)·frac`, which rounds differently in the last ulp) —
+    * so results are bit-identical. (The sketch form for unbounded
+    * scale is `ev_approx_stats`.) */
+  val q23Percentiles: Q = (s, d) => {
+    val price = col("l_extendedprice")
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val wSort = wAll.orderBy(price)
+    def pos(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
+    def pick(p: Double): Column = {
+      val lo = max(when(col("rn") === floor(pos(p)).cast("long") + 1, price))
+      val hi = max(when(col("rn") === ceil(pos(p)).cast("long") + 1, price))
+      val frac = max(pos(p) - floor(pos(p)))
+      lo * (lit(1.0) - frac) + hi * frac
+    }
     li(s, d)
+      .select(col("l_returnflag"), price)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wSort))
       .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.25)").as("p25"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+  }
 
   /** CUBE over (returnflag, linestatus) with the standard grouping-id
     * bitmask — all four aggregation levels in one pass (Expand +
