@@ -165,6 +165,35 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH candidates verified by EDIT DISTANCE instead of shingle
+    * Jaccard — the character-level near-dup verifier (catches small
+    * in-word edits that word shingles miss). Levenshtein is exact
+    * integer DP on both engines; the normalized similarity is one
+    * exact division. Cost is O(|pair| · len²) on LSH candidates only —
+    * never all pairs. */
+  val dedupEditDistance: Q = (s, d) => {
+    val bk = buckets(s, d)
+    val pairs = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val txt = docs(s, d).select(col("doc_id"), col("text"))
+    pairs
+      .join(txt.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(txt.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("da.text"), col("db.text")).cast("long")
+          .as("edit_dist"),
+        greatest(length(col("da.text")), length(col("db.text")))
+          .cast("long").as("max_len"))
+      .withColumn("sim",
+        lit(1.0) - col("edit_dist").cast("double")
+          / col("max_len").cast("double"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash fingerprint clusters: groups sharing an identical 32-bit
     * simhash (near-identical token multisets), with sizes. */
   val dedupSimhashClusters: Q = (s, d) =>
@@ -182,6 +211,7 @@ object DedupOps {
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_edit_distance" -> dedupEditDistance,
     "dedup_simhash_clusters" -> dedupSimhashClusters)
 
   val oracle: Map[String, String] = Map(
@@ -230,6 +260,24 @@ object DedupOps {
           JOIN sizes za ON p.doc_a = za.doc_id
           JOIN sizes zb ON p.doc_b = zb.doc_id
           ORDER BY 1, 2""",
+    "dedup_edit_distance" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id)
+          SELECT p.doc_a, p.doc_b,
+            CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+            CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+              AS max_len,
+            1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+              / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+              AS sim
+          FROM pairs p
+          JOIN documents da ON p.doc_a = da.doc_id
+          JOIN documents db ON p.doc_b = db.doc_id
+          ORDER BY doc_a, doc_b""",
     "dedup_simhash_clusters" ->
       s"""SELECT simhash, MIN(doc_id) AS canonical_id,
           COUNT(*) AS cluster_size
