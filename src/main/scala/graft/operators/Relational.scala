@@ -156,6 +156,25 @@ object Relational {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** RANGE-frame sliding window: per supplier, revenue in the 7 days
+    * UP TO each shipment — a value-based frame (peers included by the
+    * ordering VALUE, unlike q8's row-counted frame), computed over
+    * integer epoch seconds so the frame bounds are engine-exact. */
+  val q25RangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_sec"))
+      .rangeBetween(-7L * 86400, 0)
+    li(s, d)
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("ship_sec"),
+        discPrice(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .withColumn("rev_7d", asD(sum(col("rev")).over(w)))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_sec"), col("rev_7d"))
+      .orderBy("l_suppkey", "ship_sec", "l_orderkey", "l_linenumber")
+  }
+
   /** ROLLUP with grouping id (multi-level aggregate). */
   val q9Rollup: Q = (s, d) =>
     li(s, d)
@@ -394,6 +413,7 @@ object Relational {
     "q22_idle_customers" -> q22IdleCustomers,
     "q23_percentiles" -> q23Percentiles,
     "q24_cube" -> q24Cube,
+    "q25_range_frame" -> q25RangeFrame,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_revenue_orders" -> q3TopRevenueOrders,
@@ -444,6 +464,17 @@ object Relational {
            quantile_cont(l_extendedprice, 0.75) AS p75,
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q25_range_frame" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, ship_sec,
+          CAST(SUM(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_sec
+            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS rev_7d
+          FROM (
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+              CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_sec,
+              ${sqlDiscPrice("l_extendedprice", "l_discount")} AS rev
+            FROM lineitem WHERE l_suppkey <= 5) t
+          ORDER BY l_suppkey, ship_sec, l_orderkey, l_linenumber""",
     "q24_cube" ->
       s"""SELECT l_returnflag, l_linestatus,
           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
