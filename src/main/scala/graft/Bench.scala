@@ -36,8 +36,11 @@ object Bench {
     // warm-up: one cheap scan per table family plus one string-keyed
     // shuffle (first-shuffle JIT/codegen otherwise lands on whichever
     // timed query shuffles strings first), untimed
-    Seq("ann_ivf", "text_stats", "ev_type_stats", "q0_scan", "mm_meta",
-      "dedup_exact").foreach(run)
+    val warmup = Seq("ann_ivf", "text_stats", "ev_type_stats", "q0_scan",
+      "mm_meta", "dedup_exact")
+    require(warmup.forall(SparkEntry.queries.contains),
+      s"stale warm-up name: ${warmup.filterNot(SparkEntry.queries.contains)}")
+    warmup.foreach(run)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => s""""$k":$v""" }

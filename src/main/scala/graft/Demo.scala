@@ -37,6 +37,13 @@ object Demo {
       Thread.sleep(250)
     q.stop()
 
+    if (okCount() == 0) {
+      System.err.println(
+        "[demo] no micro-batch committed within 15s (machine overloaded?) — " +
+          "rerun, or raise the deadline")
+      spark.stop()
+      sys.exit(1)
+    }
     val ok = spark.read.parquet(s"$out/ok/batchId=*")
     val dlq = spark.read.parquet(s"$out/dlq/batchId=*")
     println(s"[demo] ok rows:  ${ok.count()}")

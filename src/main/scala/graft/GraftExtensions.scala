@@ -19,34 +19,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def register(name: String, usage: String,
+    def register(name: String, usage: String, arity: Int)(
         builder: Seq[Expression] => Expression): Unit =
-      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (es: Seq[Expression]) => {
+          // explicit arity check: a typo'd extra argument must fail
+          // analysis loudly, not be silently dropped
+          require(es.length == arity,
+            s"$name expects $arity argument(s), got ${es.length}; usage: $usage")
+          builder(es)
+        }))
 
     register("graft_char_hash",
-      "graft_char_hash(str) - polynomial rolling hash mod 2^31-1",
+      "graft_char_hash(str) - polynomial rolling hash mod 2^31-1", 1)(
       es => PolyCharHash(es.head))
     register("graft_char_hash_all",
-      "graft_char_hash_all(arr) - char hash of every string element",
+      "graft_char_hash_all(arr) - char hash of every string element", 1)(
       es => PolyCharHashArray(es.head))
     register("graft_minhash_sig",
-      "graft_minhash_sig(hashes) - all 16 minhash lanes in one pass",
+      "graft_minhash_sig(hashes) - all 16 minhash lanes in one pass", 1)(
       es => MinHashSig(es.head))
     register("graft_simhash32",
-      "graft_simhash32(hashes) - 32-bit simhash of element hashes",
+      "graft_simhash32(hashes) - 32-bit simhash of element hashes", 1)(
       es => SimHash32(es.head))
     register("graft_lsh_bucket",
-      "graft_lsh_bucket(emb) - 8-plane signed-projection LSH bucket",
+      "graft_lsh_bucket(emb) - 8-plane signed-projection LSH bucket", 1)(
       es => LshBucket(es.head, graft.operators.SimilarityOps.Planes,
         graft.operators.SimilarityOps.Dims))
     register("graft_float_dot",
-      "graft_float_dot(a, b) - sequential-fold dot product in double",
+      "graft_float_dot(a, b) - sequential-fold dot product in double", 2)(
       es => FloatDot(es(0), es(1)))
     register("graft_shingles",
-      "graft_shingles(tokens) - space-joined 3-word shingles",
+      "graft_shingles(tokens) - space-joined 3-word shingles", 1)(
       es => WordNgrams(es.head, 3))
     register("graft_tokens",
-      "graft_tokens(str) - single-space tokens, empties dropped",
+      "graft_tokens(str) - single-space tokens, empties dropped", 1)(
       es => WhitespaceTokens(es.head))
   }
 }

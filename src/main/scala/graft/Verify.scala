@@ -9,6 +9,10 @@ object Verify {
     // optional: extra args = only these query names (local iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // only stop the session on exit if this main created it — when a
+    // test suite invokes Verify.main in-process, getOrCreate returns
+    // the suite's shared session, which must survive
+    val ownsSession = SparkSession.getDefaultSession.isEmpty
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,6 +41,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    if (ownsSession) spark.stop()
   }
 }

@@ -27,19 +27,27 @@ object DedupOps {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** One materialized (band, bucket) relation per (session, dataset) —
-    * the LSH index. Round 1 rebuilt the whole signature pipeline on
-    * every reference (4-way band union × both self-join sides ≈ 8
-    * recomputes, 83% of the bench); now it's computed once, persisted,
-    * and shared by every query that consumes candidate pairs. */
-  private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** One materialized (band, bucket) relation per (session, dataset,
+    * file mtime) — the LSH index. Round 1 rebuilt the whole signature
+    * pipeline on every reference (4-way band union × both self-join
+    * sides ≈ 8 recomputes, 83% of the bench); now it's computed once,
+    * persisted, and shared by every query that consumes candidate
+    * pairs. The source file's modification time is part of the key, so
+    * an in-place overwrite of documents.parquet transparently rebuilds
+    * instead of mixing a stale index with fresh verification scans. */
+  private val bucketCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), DataFrame]
 
-  /** Drop the persisted LSH index relations (call when the underlying
-    * documents table changes, or to release executor storage). The
-    * next candidate-pair query rebuilds the index from scratch. */
+  private def docsMtime(d: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+    catch { case _: java.io.IOException => 0L }
+
+  /** Drop the persisted LSH index relations (e.g. to release executor
+    * storage). Exception-safe: a dead entry (stopped session) can't
+    * block the rest from clearing. */
   def invalidateIndexes(): Unit = {
-    bucketCache.values.foreach(_.unpersist())
+    bucketCache.values.foreach(df => scala.util.Try(df.unpersist()))
     bucketCache.clear()
   }
 
@@ -99,7 +107,7 @@ object DedupOps {
     * is persisted and eagerly materialized so the pair self-join scans
     * the cache on both sides rather than recomputing. */
   private def buckets(s: SparkSession, d: String): DataFrame =
-    bucketCache.getOrElseUpdate((s, d), {
+    bucketCache.getOrElseUpdate((s, d, docsMtime(d)), {
       val bk = signatures(s, d)
         .select(col("doc_id"),
           posexplode(array((0 until Bands).map(bandBucket): _*))

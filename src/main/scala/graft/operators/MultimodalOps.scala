@@ -119,27 +119,31 @@ object MultimodalOps {
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample)
 
+  // the fake-codec geometry exists ONCE as SQL fragments — mm_meta and
+  // mm_resize both compose these, so a codec change can't silently
+  // diverge the two oracles
   private val sqlByteLen = "CAST(octet_length(encode(text)) AS BIGINT)"
+  private val sqlWidth = s"16 + $sqlByteLen % 64"
+  private val sqlHeight = s"16 + ($sqlByteLen * 31) % 64"
 
   val oracle: Map[String, String] = Map(
     "mm_resize" ->
       s"""SELECT doc_id,
-           16 + $sqlByteLen % 64 AS width,
-           16 + ($sqlByteLen * 31) % 64 AS height,
+           $sqlWidth AS width,
+           $sqlHeight AS height,
            CAST(224 AS BIGINT) AS out_w,
-           ((16 + ($sqlByteLen * 31) % 64) * 224)
-             // (16 + $sqlByteLen % 64) AS out_h
+           (($sqlHeight) * 224) // ($sqlWidth) AS out_h
          FROM documents ORDER BY doc_id""",
     "mm_frame_sample" ->
       """SELECT doc_id, unnest(range(0, 1 + doc_id % 8, 2)) AS frame_idx
          FROM documents ORDER BY doc_id, frame_idx""",
     "mm_meta" ->
-      """SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           16 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width,
-           16 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 64 AS height,
+      s"""SELECT doc_id,
+           $sqlByteLen AS byte_len,
+           $sqlWidth AS width,
+           $sqlHeight AS height,
            1 + doc_id % 8 AS n_frames,
-           CASE CAST(octet_length(encode(text)) AS BIGINT) % 3
+           CASE $sqlByteLen % 3
              WHEN 0 THEN 'rgb' WHEN 1 THEN 'yuv' ELSE 'gray' END AS format
          FROM documents ORDER BY doc_id""")
 }

@@ -62,21 +62,27 @@ object SimilarityOps {
     GraftColumn(LshBucket(GraftColumn.expr(e), Planes, Dims))
 
   /** One materialized (vec_id, embedding, label, bucket, norm) relation
-    * per (session, dataset) — the ANN index, persisted and shared by
-    * every query that probes it (self-joins scan the cache on both
-    * sides instead of recomputing the projection). */
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * per (session, dataset, file mtime) — the ANN index, persisted and
+    * shared by every query that probes it (self-joins scan the cache on
+    * both sides instead of recomputing the projection); an in-place
+    * overwrite of embeddings.parquet changes the key and rebuilds. */
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), DataFrame]
 
-  /** Drop the persisted ANN index relations (call when the underlying
-    * embeddings table changes, or to release executor storage). */
+  private def embMtime(d: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
+    catch { case _: java.io.IOException => 0L }
+
+  /** Drop the persisted ANN index relations (e.g. to release executor
+    * storage). Exception-safe: a dead entry can't block the clear. */
   def invalidateIndexes(): Unit = {
-    indexCache.values.foreach(_.unpersist())
+    indexCache.values.foreach(df => scala.util.Try(df.unpersist()))
     indexCache.clear()
   }
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
-    indexCache.getOrElseUpdate((s, d), {
+    indexCache.getOrElseUpdate((s, d, embMtime(d)), {
       val wb = emb(s, d)
         .select(col("vec_id"), col("embedding"), col("label"),
           bucketCol(col("embedding")).as("bucket"),

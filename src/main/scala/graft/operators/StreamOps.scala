@@ -55,27 +55,31 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Isolated session for a finite oracle replay: `newSession()`
+    * clones the conf over the shared SparkContext, so lowering the
+    * shuffle-partition count (= state stores allocated per stateful
+    * operator) for the replay can never race with concurrent queries
+    * on the caller's session. On a real unbounded deployment the
+    * partition count stays at the engine default — it's a capacity
+    * knob, not a semantics knob. */
+  private def replaySession(s: SparkSession): SparkSession = {
+    val rs = s.newSession()
+    rs.conf.set("spark.sql.shuffle.partitions", "8")
+    rs
+  }
+
   private def runToTable(s: SparkSession, df: DataFrame, mode: String)
       : DataFrame = {
     val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
-    // stateful operators allocate one state store per shuffle
-    // partition at query start; the finite oracle replay doesn't need
-    // the engine's full parallelism, so scope it down for the run
-    // (result partitioning never affects values). On a real unbounded
-    // deployment this stays at the session default — state partition
-    // count is a capacity knob, not a semantics knob.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = df.writeStream.format("memory").queryName(qn)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     s.table(qn)
   }
 
   /** Streaming hourly aggregate — must equal the batch `ev_hourly`. */
-  val streamHourly: Q = (s, d) => {
+  val streamHourly: Q = (s0, d) => {
+    val s = replaySession(s0)
     val agg = eventsStream(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"),
         col("event_type"))
@@ -89,7 +93,8 @@ object StreamOps {
 
   /** Streaming exact dedup (state-store backed dropDuplicates) — the
     * emitted key set must equal batch DISTINCT. */
-  val streamDedupKeys: Q = (s, d) => {
+  val streamDedupKeys: Q = (s0, d) => {
+    val s = replaySession(s0)
     val dedup = eventsStream(s, d)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -103,7 +108,8 @@ object StreamOps {
     * oracle is the batch aggregate restricted to watermark-closed
     * windows (Spark tracks the watermark in milliseconds — the oracle
     * reproduces that exactly with epoch_ms). */
-  val streamHourlyWm: Q = (s, d) => {
+  val streamHourlyWm: Q = (s0, d) => {
+    val s = replaySession(s0)
     val agg = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -121,7 +127,8 @@ object StreamOps {
     * key set equals batch DISTINCT — which is what the oracle pins;
     * the state-expiry semantics are unit-tested with a controlled
     * source in StreamingWatermarkSpec. */
-  val streamDedupWm: Q = (s, d) => {
+  val streamDedupWm: Q = (s0, d) => {
+    val s = replaySession(s0)
     val dedup = eventsStream(s, d)
       .select(col("user_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "90 days")
@@ -151,7 +158,8 @@ object StreamOps {
     * |active users|, the canonical mapGroupsWithState footprint; at
     * 100 TB you'd add `GroupStateTimeout.EventTimeTimeout` to flush
     * idle users' sessions and bound state by *active* keys only. */
-  val streamSessionize: Q = (s, d) => {
+  val streamSessionize: Q = (s0, d) => {
+    val s = replaySession(s0)
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val events = eventsStream(s, d)
@@ -195,7 +203,8 @@ object StreamOps {
     * integer-exact on both engines. Inner-join matches are emitted
     * regardless of watermark progress, so the finite replay equals the
     * batch range join the oracle runs. */
-  val streamIntervalJoin: Q = (s, d) => {
+  val streamIntervalJoin: Q = (s0, d) => {
+    val s = replaySession(s0)
     def side(tpe: String, prefix: String) =
       eventsStream(s, d)
         .filter(col("event_type") === tpe)

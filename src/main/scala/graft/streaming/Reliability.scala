@@ -100,13 +100,22 @@ object Reliability {
   }
 
   /** Daemon pool for [[withTimeout]] — one per JVM (driver or
-    * executor), sized on demand, never blocks JVM exit. */
-  private lazy val timeoutPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newCachedThreadPool(r => {
-      val t = new Thread(r, "graft-timeout")
-      t.setDaemon(true)
-      t
-    })
+    * executor), never blocks JVM exit. BOUNDED at 256 threads: a
+    * non-interruptible hung call strands its thread for the duration
+    * of the hang, and an unbounded pool would let a sustained outage
+    * strand one thread per row. When saturated, submission fails fast
+    * and is surfaced as a (temporary) timeout, so the retry/DLQ policy
+    * applies instead of the executor drowning in threads. */
+  private lazy val timeoutPool: java.util.concurrent.ExecutorService = {
+    import java.util.concurrent._
+    new ThreadPoolExecutor(0, 256, 30L, TimeUnit.SECONDS,
+      new SynchronousQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-timeout")
+        t.setDaemon(true)
+        t
+      })
+  }
 
   /** E9: per-attempt timeout. Runs `f` on a daemon thread and throws
     * [[TimeoutException]] — classified temporary by [[isTemporary]],
@@ -118,9 +127,16 @@ object Reliability {
     * around a whole retry loop, e.g.
     * `withTimeout(60000)(retry(3)(withTimeout(5000)(call)))`. */
   def withTimeout[T](timeoutMs: Long)(f: => T): T = {
-    val fut = timeoutPool.submit(new java.util.concurrent.Callable[T] {
-      def call(): T = f
-    })
+    val fut =
+      try timeoutPool.submit(new java.util.concurrent.Callable[T] {
+        def call(): T = f
+      })
+      catch {
+        case _: java.util.concurrent.RejectedExecutionException =>
+          // pool saturated by stranded hung calls — same contract as a
+          // timed-out attempt: temporary, retryable, stream survives
+          throw new TimeoutException("timeout pool saturated (256 in flight)")
+      }
     try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     catch {
       case _: java.util.concurrent.TimeoutException =>
