@@ -22,6 +22,10 @@ class OperatorSmokeSpec extends SparkSpec {
       s"queries without oracle (add SQL or document why): $noOracle")
     val stale = RowsOnly -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"rows-only allowlist entries without query: $stale")
+    // the inverse direction: an oracle entry with no query would reach
+    // the driver's DuckDB compare with no spark output -> guaranteed FAIL
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle entries without a query: $orphaned")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
