@@ -162,6 +162,34 @@ object EventOps {
       .orderBy(col("total_purchase").desc, col("user_id"))
       .limit(10)
 
+  /** Ordered funnel (view → click → purchase): per user, the first
+    * view, the first click AT-OR-AFTER that view, and the first
+    * purchase at-or-after that click — the standard product-analytics
+    * sequencing query. Each stage is one key-partitioned aggregate +
+    * equi-join (no window over the full event stream, no cross
+    * products); users drop to null at the stage they abandoned. */
+  val evFunnel: Q = (s, d) => {
+    val base = ev(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+    val views = base.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tsec")).as("view_sec"))
+    val clicks = base.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("tsec") >= col("view_sec"))
+      .groupBy("user_id").agg(min(col("tsec")).as("click_sec"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("tsec") >= col("click_sec"))
+      .groupBy("user_id").agg(min(col("tsec")).as("purchase_sec"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_sec"), col("click_sec"),
+        col("purchase_sec"))
+      .orderBy("user_id")
+  }
+
   /** Per-type value stats; min/max of untouched doubles are exact. */
   val evTypeStats: Q = (s, d) =>
     ev(s, d)
@@ -199,6 +227,7 @@ object EventOps {
     "ev_dedup_first" -> evDedupFirst,
     "ev_top_users" -> evTopUsers,
     "ev_top_users_salted" -> evTopUsersSalted,
+    "ev_funnel" -> evFunnel,
     "ev_type_stats" -> evTypeStats)
 
   val oracle: Map[String, String] = Map(
@@ -281,6 +310,26 @@ object EventOps {
           COUNT(*) AS n_purchases
           FROM events WHERE event_type = 'purchase'
           GROUP BY user_id ORDER BY total_purchase DESC, user_id LIMIT 10""",
+    "ev_funnel" ->
+      """WITH base AS (
+           SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         v AS (SELECT user_id, MIN(tsec) AS view_sec FROM base
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT b.user_id, MIN(b.tsec) AS click_sec
+               FROM base b JOIN v ON b.user_id = v.user_id
+               WHERE b.event_type = 'click' AND b.tsec >= v.view_sec
+               GROUP BY b.user_id),
+         p AS (SELECT b.user_id, MIN(b.tsec) AS purchase_sec
+               FROM base b JOIN c ON b.user_id = c.user_id
+               WHERE b.event_type = 'purchase' AND b.tsec >= c.click_sec
+               GROUP BY b.user_id)
+         SELECT v.user_id, v.view_sec, c.click_sec, p.purchase_sec
+         FROM v
+         LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
     "ev_type_stats" ->
       s"""SELECT event_type, COUNT(*) AS n,
           MIN(value) AS min_value, MAX(value) AS max_value,

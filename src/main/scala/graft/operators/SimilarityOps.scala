@@ -191,6 +191,33 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-label centroid vectors — the coarse-quantizer training step
+    * an IVF index needs. Element-wise mean via posexplode →
+    * (label, dim) aggregation → ordered re-assembly. Exactness: each
+    * float element is converted THROUGH ITS SHORTEST STRING (identical
+    * on both engines by round-trip definition) into a DECIMAL(30,20),
+    * which holds the ≤9 significant digits exactly — decimal addition
+    * then re-associates exactly, so shuffle order can't leak into the
+    * result, and the mean is one exact division per dimension. (A
+    * direct float→decimal cast rounds differently across engines.)
+    * Scale shape: explode is narrow, the aggregate is map-side
+    * combinable on (label, dim), re-assembly groups |labels| rows. */
+  val embCentroids: Q = (s, d) => {
+    val byDim = emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (sum(col("v").cast("string").cast("decimal(30,20)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+    byDim
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+        .as("dims"))
+      .select(col("label").cast("long").as("label"),
+        transform(col("dims"), x => x.getField("mean")).as("centroid"))
+      .orderBy("label")
+  }
+
   /** Per-label stats; norms decimal-quantized before the group sum so
     * the aggregation order can't leak into the result. */
   val embLabelStats: Q = (s, d) =>
@@ -210,7 +237,8 @@ object SimilarityOps {
     "ann_lsh_probe" -> annLshProbe,
     "ann_ivf" -> annIvf,
     "emb_near_dup" -> embNearDup,
-    "emb_label_stats" -> embLabelStats)
+    "emb_label_stats" -> embLabelStats,
+    "emb_centroids" -> embCentroids)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -271,6 +299,22 @@ object SimilarityOps {
             ON x.bucket = y.bucket AND x.vec_id < y.vec_id
           WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.35
           ORDER BY vec_a, vec_b""",
+    "emb_centroids" ->
+      s"""WITH byd AS (
+            SELECT label, idx.i - 1 AS dim,
+              -- decimal->double via VARCHAR: DuckDB's direct cast
+              -- double-rounds (int/10^scale in float math); the string
+              -- parse is correctly rounded, matching Spark's
+              -- BigDecimal.doubleValue
+              CAST(CAST(SUM(CAST(CAST(embedding[idx.i] AS VARCHAR)
+                AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS mean
+            FROM embeddings,
+              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
+            GROUP BY label, idx.i)
+          SELECT CAST(label AS BIGINT) AS label,
+            list(mean ORDER BY dim) AS centroid
+          FROM byd GROUP BY label ORDER BY label""",
     "emb_label_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
           CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})
