@@ -62,14 +62,13 @@ object EventOps {
   }
 
   /** Built-in `session_window` sessionization (the declarative twin of
-    * [[evSessionize]]'s lag/cumsum plan): Spark merges overlapping
-    * [ts, ts+gap) windows per user in one pass. Event times are
-    * truncated to whole seconds BEFORE windowing so the oracle's
-    * arithmetic is identical. Note the boundary difference vs
-    * [[evSessionize]]: `session_window` starts a new session at gap
-    * >= 30 min (window [t, t+gap) doesn't reach an event at exactly
-    * t+gap), while the lag plan's `> 1800` keeps it — the oracle
-    * mirrors the windowed semantics. */
+    * [[evSessionize]]'s lag/cumsum plan): Spark merges session windows
+    * per user in one pass. Event times are truncated to whole seconds
+    * BEFORE windowing so the oracle's arithmetic is identical.
+    * Boundary semantics (pinned at sf0.1, where an exactly-30-minute
+    * gap exists): Spark merges when the next window's start <= the
+    * current session's end — a gap of EXACTLY the gap duration still
+    * merges, identical to the lag plan's `> 1800` split condition. */
   val evSessionWindow: Q = (s, d) =>
     ev(s, d)
       .select(col("user_id"),
@@ -282,7 +281,7 @@ object EventOps {
          flagged AS (
            SELECT user_id, event_id, tsec,
              CASE WHEN lag(tsec) OVER w IS NULL
-                    OR tsec - lag(tsec) OVER w >= 1800 THEN 1 ELSE 0 END AS boundary
+                    OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS boundary
            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
          sess AS (
            SELECT user_id, tsec,
