@@ -107,9 +107,12 @@ object Hashing {
   def sqlTokens(e: String): String =
     s"list_filter(string_split($e, ' '), t -> length(t) > 0)"
 
-  def sqlShingles(toksExpr: String): String =
-    s"""list_transform(range(1, length($toksExpr) - 1),
-        i -> $toksExpr[i] || ' ' || $toksExpr[i+1] || ' ' || $toksExpr[i+2])"""
+  def sqlNgrams(toksExpr: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"$toksExpr[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, length($toksExpr) - ${n - 2}), i -> $parts)"
+  }
+
+  def sqlShingles(toksExpr: String): String = sqlNgrams(toksExpr, 3)
 
   def sqlHashAll(arrExpr: String): String =
     s"list_transform($arrExpr, s -> ${sqlCharHash("s")})"

@@ -185,6 +185,34 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Benchmark decontamination: per-document fraction of its distinct
+    * 5-gram hashes that also appear in a "benchmark" set (here: the
+    * five lowest doc_ids stand in for a held-out eval set). The
+    * standard pre-training contamination check, shaped for scale: both
+    * sides reduce to DISTINCT (doc, gram-hash) pairs, the benchmark
+    * side is tiny and broadcast, and the overlap is one equi-join on
+    * the hash — never a document × benchmark text comparison. */
+  val textContamination: Q = (s, d) => {
+    val grams = docs(s, d)
+      .withColumn("toks", Hashing.tokens(col("text")))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Hashing.hashAll(Hashing.ngrams(col("toks"), 5)))).as("gh"))
+    val bench = grams.filter(col("doc_id") < 5)
+      .select(col("gh")).distinct()
+    val corpus = grams.filter(col("doc_id") >= 5)
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(bench), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** Global top-20 tokens by frequency (explode → count → top-k). */
   val tfTopTokens: Q = (s, d) =>
     docs(s, d)
@@ -211,6 +239,7 @@ object TextOps {
     "text_token_count" -> textTokenCount,
     "text_longest_doc" -> textLongestDoc,
     "text_keyterms" -> textKeyterms,
+    "text_contamination" -> textContamination,
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams)
 
@@ -296,6 +325,25 @@ object TextOps {
               ORDER BY score DESC, token) AS rank
             FROM scored) z
           WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "text_contamination" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              unnest(list_distinct(${Hashing.sqlHashAll(
+                Hashing.sqlNgrams("toks", 5))})) AS gh
+            FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t
+            WHERE length(toks) >= 5),
+          bench AS (SELECT DISTINCT gh FROM g WHERE doc_id < 5),
+          corpus AS (SELECT doc_id, gh FROM g WHERE doc_id >= 5),
+          totals AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+          hits AS (
+            SELECT c.doc_id, COUNT(*) AS n_hits
+            FROM corpus c JOIN bench b ON c.gh = b.gh GROUP BY c.doc_id)
+          SELECT t.doc_id, t.n_grams, COALESCE(h.n_hits, 0) AS n_hits,
+            CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+              / CAST(t.n_grams AS DOUBLE) AS contamination
+          FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+          ORDER BY t.doc_id""",
     "tf_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n
           FROM (SELECT unnest($sqlToks) AS token FROM documents) t
