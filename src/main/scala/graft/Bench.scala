@@ -43,14 +43,21 @@ object Bench {
     warmup.foreach(run)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
+    // 3-decimal (ms) resolution keeps the line ~1 KB — the full
+    // 9-decimal doubles overflowed the driver's stdout tail window
+    // two rounds running, leaving the bench unparsed
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), line + "\n")
+    // stop FIRST so no shutdown logging can land after the JSON: the
+    // driver reads the tail of stdout and must see this line last
     spark.stop()
+    println(line)
   }
 }

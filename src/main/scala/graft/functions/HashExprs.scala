@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -46,6 +47,37 @@ object HashExprs {
     }
     h
   }
+
+  /** Analysis-time input type gate. These expressions are reachable
+    * from arbitrary SQL via [[graft.GraftExtensions]], so a wrong-typed
+    * call (`graft_char_hash(42)`) must fail ANALYSIS with a readable
+    * message, not die inside codegen. (Spark 4 made
+    * `ExpectsInputTypes.inputTypes`' `AbstractDataType` private[sql],
+    * so the check is a hand-rolled `checkInputDataTypes`.) */
+  private[functions] def requireTypes(
+      fn: String, exprs: (Expression, DataType => Boolean, String)*)
+      : TypeCheckResult = {
+    exprs.zipWithIndex.collectFirst {
+      case ((e, ok, expected), i) if !ok(e.dataType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn requires $expected for argument ${i + 1}, " +
+            s"got ${e.dataType.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  private[functions] val isString: DataType => Boolean = _ == StringType
+  private[functions] val isStringArray: DataType => Boolean = {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  private[functions] val isLongArray: DataType => Boolean = {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  private[functions] val isFloatArray: DataType => Boolean = {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 }
 
 /** `charHash(string) -> long`: polynomial rolling hash (mod 2^31-1)
@@ -54,6 +86,9 @@ case class PolyCharHash(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_char_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName, (child, HashExprs.isString, "STRING"))
 
   protected override def nullSafeEval(input: Any): Any =
     HashExprs.charHashEval(input.asInstanceOf[UTF8String])
@@ -76,6 +111,10 @@ case class PolyCharHashArray(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_char_hash_all"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (child, HashExprs.isStringArray, "ARRAY<STRING>"))
 
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -155,6 +194,9 @@ case class WhitespaceTokens(child: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokens"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName, (child, HashExprs.isString, "STRING"))
+
   protected override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val out = new scala.collection.mutable.ArrayBuffer[Any]
@@ -205,6 +247,10 @@ case class WordNgrams(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (child, HashExprs.isStringArray, "ARRAY<STRING>"))
 
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -270,6 +316,10 @@ case class MinHashSig(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (child, HashExprs.isLongArray, "ARRAY<BIGINT>"))
 
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -341,6 +391,10 @@ case class SimHash32(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (child, HashExprs.isLongArray, "ARRAY<BIGINT>"))
 
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -414,6 +468,10 @@ case class LshBucket(child: Expression, planes: Int, dims: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (child, HashExprs.isFloatArray, "ARRAY<FLOAT>"))
 
   @transient private lazy val weights: Array[Double] = LshBucket.weightTable(planes, dims)
 
@@ -505,6 +563,11 @@ case class FloatDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_float_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (left, HashExprs.isFloatArray, "ARRAY<FLOAT>"),
+      (right, HashExprs.isFloatArray, "ARRAY<FLOAT>"))
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

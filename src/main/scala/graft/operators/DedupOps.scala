@@ -34,9 +34,12 @@ object DedupOps {
     * persisted, and shared by every query that consumes candidate
     * pairs. The source file's modification time is part of the key, so
     * an in-place overwrite of documents.parquet transparently rebuilds
-    * instead of mixing a stale index with fresh verification scans. */
-  private val bucketCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Long), DataFrame]
+    * instead of mixing a stale index with fresh verification scans —
+    * and the superseded relation is evicted on the same call
+    * ([[IndexCache.getOrBuild]]). */
+  private val bucketCache = new IndexCache
+
+  private[graft] def cacheKeys = bucketCache.keys
 
   private def docsMtime(d: String): Long =
     try java.nio.file.Files.getLastModifiedTime(
@@ -44,12 +47,8 @@ object DedupOps {
     catch { case _: java.io.IOException => 0L }
 
   /** Drop the persisted LSH index relations (e.g. to release executor
-    * storage). Exception-safe: a dead entry (stopped session) can't
-    * block the rest from clearing. */
-  def invalidateIndexes(): Unit = {
-    bucketCache.values.foreach(df => scala.util.Try(df.unpersist()))
-    bucketCache.clear()
-  }
+    * storage). */
+  def invalidateIndexes(): Unit = bucketCache.invalidate()
 
   /** Exact dedup: canonical (min) doc per identical text. */
   val dedupExact: Q = (s, d) =>
@@ -107,7 +106,7 @@ object DedupOps {
     * is persisted and eagerly materialized so the pair self-join scans
     * the cache on both sides rather than recomputing. */
   private def buckets(s: SparkSession, d: String): DataFrame =
-    bucketCache.getOrElseUpdate((s, d, docsMtime(d)), {
+    bucketCache.getOrBuild(s, d, docsMtime(d)) {
       val bk = signatures(s, d)
         .select(col("doc_id"),
           posexplode(array((0 until Bands).map(bandBucket): _*))
@@ -117,7 +116,7 @@ object DedupOps {
         .persist()
       bk.count() // materialize once, before any self-join runs
       bk
-    })
+    }
 
   private def sqlBuckets: String =
     (0 until Bands).map(b =>

@@ -65,9 +65,11 @@ object SimilarityOps {
     * per (session, dataset, file mtime) — the ANN index, persisted and
     * shared by every query that probes it (self-joins scan the cache on
     * both sides instead of recomputing the projection); an in-place
-    * overwrite of embeddings.parquet changes the key and rebuilds. */
-  private val indexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Long), DataFrame]
+    * overwrite of embeddings.parquet changes the key, rebuilds, and
+    * evicts the superseded relation ([[IndexCache.getOrBuild]]). */
+  private val indexCache = new IndexCache
+
+  private[graft] def cacheKeys = indexCache.keys
 
   private def embMtime(d: String): Long =
     try java.nio.file.Files.getLastModifiedTime(
@@ -75,14 +77,11 @@ object SimilarityOps {
     catch { case _: java.io.IOException => 0L }
 
   /** Drop the persisted ANN index relations (e.g. to release executor
-    * storage). Exception-safe: a dead entry can't block the clear. */
-  def invalidateIndexes(): Unit = {
-    indexCache.values.foreach(df => scala.util.Try(df.unpersist()))
-    indexCache.clear()
-  }
+    * storage). */
+  def invalidateIndexes(): Unit = indexCache.invalidate()
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
-    indexCache.getOrElseUpdate((s, d, embMtime(d)), {
+    indexCache.getOrBuild(s, d, embMtime(d)) {
       val wb = emb(s, d)
         .select(col("vec_id"), col("embedding"), col("label"),
           bucketCol(col("embedding")).as("bucket"),
@@ -90,7 +89,7 @@ object SimilarityOps {
         .persist()
       wb.count() // materialize once, before any self-join runs
       wb
-    })
+    }
 
   /** Cosine from a precomputed-norm pair: same expression tree as
     * `dot/(sqrt(dot)·sqrt(dot))` — bit-identical, 3× less work. */
@@ -193,30 +192,28 @@ object SimilarityOps {
 
   /** Per-label centroid vectors — the coarse-quantizer training step
     * an IVF index needs. Element-wise mean via posexplode →
-    * (label, dim) aggregation → ordered re-assembly. Exactness: each
-    * float element is converted THROUGH ITS SHORTEST STRING (identical
-    * on both engines by round-trip definition) into a DECIMAL(30,20),
-    * which holds the ≤9 significant digits exactly — decimal addition
-    * then re-associates exactly, so shuffle order can't leak into the
-    * result, and the mean is one exact division per dimension. (A
-    * direct float→decimal cast rounds differently across engines.)
-    * Scale shape: explode is narrow, the aggregate is map-side
-    * combinable on (label, dim), re-assembly groups |labels| rows. */
-  val embCentroids: Q = (s, d) => {
-    val byDim = emb(s, d)
+    * (label, dim) aggregation, emitted in LONG FORMAT — one scalar row
+    * per (label, dim) — so the result schema has no ARRAY column (the
+    * driver's oracle checker sorts result columns and cannot sort
+    * array cells; see DriverContractSpec's scalar-schema guard).
+    * Exactness: each float element is converted THROUGH ITS SHORTEST
+    * STRING (identical on both engines by round-trip definition) into
+    * a DECIMAL(30,20), which holds the ≤9 significant digits exactly —
+    * decimal addition then re-associates exactly, so shuffle order
+    * can't leak into the result, and the mean is one exact division
+    * per dimension. (A direct float→decimal cast rounds differently
+    * across engines.) Scale shape: explode is narrow and the aggregate
+    * is map-side combinable on (label, dim). */
+  val embCentroids: Q = (s, d) =>
+    emb(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(
         (sum(col("v").cast("string").cast("decimal(30,20)")).cast("double") /
           count(lit(1)).cast("double")).as("mean"))
-    byDim
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
-        .as("dims"))
       .select(col("label").cast("long").as("label"),
-        transform(col("dims"), x => x.getField("mean")).as("centroid"))
-      .orderBy("label")
-  }
+        col("dim").cast("long").as("dim"), col("mean"))
+      .orderBy("label", "dim")
 
   /** Per-label stats; norms decimal-quantized before the group sum so
     * the aggregation order can't leak into the result. */
@@ -300,21 +297,17 @@ object SimilarityOps {
           WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.35
           ORDER BY vec_a, vec_b""",
     "emb_centroids" ->
-      s"""WITH byd AS (
-            SELECT label, idx.i - 1 AS dim,
-              -- decimal->double via VARCHAR: DuckDB's direct cast
-              -- double-rounds (int/10^scale in float math); the string
-              -- parse is correctly rounded, matching Spark's
-              -- BigDecimal.doubleValue
-              CAST(CAST(SUM(CAST(CAST(embedding[idx.i] AS VARCHAR)
-                AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)
-                / CAST(COUNT(*) AS DOUBLE) AS mean
-            FROM embeddings,
-              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
-            GROUP BY label, idx.i)
-          SELECT CAST(label AS BIGINT) AS label,
-            list(mean ORDER BY dim) AS centroid
-          FROM byd GROUP BY label ORDER BY label""",
+      s"""SELECT CAST(label AS BIGINT) AS label, idx.i - 1 AS dim,
+            -- decimal->double via VARCHAR: DuckDB's direct cast
+            -- double-rounds (int/10^scale in float math); the string
+            -- parse is correctly rounded, matching Spark's
+            -- BigDecimal.doubleValue
+            CAST(CAST(SUM(CAST(CAST(embedding[idx.i] AS VARCHAR)
+              AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS mean
+          FROM embeddings,
+            (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
+          GROUP BY label, idx.i ORDER BY label, dim""",
     "emb_label_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
           CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})

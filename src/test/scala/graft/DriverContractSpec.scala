@@ -31,6 +31,29 @@ class DriverContractSpec extends SparkSpec {
     assert(tree.get("dedup_jaccard").asText === SparkEntry.oracleSql("dedup_jaccard"))
   }
 
+  /** The driver's oracle checker (pandas sort_values + row hash) only
+    * handles scalar cells — round 2's emb_centroids ARRAY<DOUBLE>
+    * column crashed it (`unhashable type: numpy.ndarray`), turning a
+    * correct answer into a red row. Complex output types are therefore
+    * banned from the query surface; reshape to long-format scalar rows
+    * instead (or allowlist here with a reason). */
+  test("no query output schema contains ARRAY/MAP/STRUCT columns") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val allowed = Set.empty[String] // name -> add a why-comment if ever used
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => allowed(n) }
+      .flatMap { case (name, fn) =>
+        fn(spark, Sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"complex-typed output columns break the driver's checker: $offenders")
+  }
+
   test("bench JSON line parses and covers every query") {
     // reproduce Bench's serialization (not its timing loop) and parse it
     val qs = SparkEntry.queries.keys.toSeq.sorted

@@ -34,6 +34,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.toSeq === viaCol.toSeq)
   }
 
+  test("wrong-typed SQL calls fail at analysis with a readable message") {
+    // before checkInputDataTypes these died inside codegen
+    // (ClassCastException / generated-code compile error)
+    val cases = Seq(
+      "SELECT graft_char_hash(42)" -> "STRING",
+      "SELECT graft_tokens(array(1))" -> "STRING",
+      "SELECT graft_char_hash_all('x')" -> "ARRAY<STRING>",
+      "SELECT graft_minhash_sig('x')" -> "ARRAY<BIGINT>",
+      "SELECT graft_simhash32(array('a'))" -> "ARRAY<BIGINT>",
+      "SELECT graft_lsh_bucket(array(1.0))" -> "ARRAY<FLOAT>",
+      "SELECT graft_float_dot(array(CAST(1.0 AS FLOAT)), 3)" -> "ARRAY<FLOAT>")
+    cases.foreach { case (sql, expected) =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(sql).collect())
+      assert(e.getMessage.contains(expected),
+        s"$sql should name the expected type; got: ${e.getMessage}")
+    }
+  }
+
   test("minhash lane 0 from SQL matches the lane formula") {
     val sig = spark.sql("SELECT graft_minhash_sig(array(10L, 20L)) AS s")
       .head().getSeq[Long](0)

@@ -51,6 +51,27 @@ class LshRecallSpec extends SparkSpec {
     }
   }
 
+  test("overwriting the dataset evicts the superseded index entry") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("idx-evict")
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    assert(SparkEntry.queries("dedup_lsh_pairs")(spark, dir).count() >= 0)
+    val k1 = graft.operators.DedupOps.cacheKeys.filter(_._2 == dir)
+    assert(k1.size === 1)
+
+    // in-place overwrite: same rows, strictly newer mtime
+    val p = Paths.get(s"$dir/documents.parquet")
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(p).toMillis + 5000))
+    assert(SparkEntry.queries("dedup_lsh_pairs")(spark, dir).count() >= 0)
+    val k2 = graft.operators.DedupOps.cacheKeys.filter(_._2 == dir)
+    assert(k2.size === 1, s"superseded entry not evicted: $k2")
+    assert(k2 !== k1, "new mtime must produce a new cache entry")
+  }
+
   test("index invalidation rebuilds to identical results") {
     val before = SparkEntry.queries("dedup_lsh_pairs")(spark, Sf)
       .as[(Long, Long)].collect().toSeq
