@@ -138,59 +138,111 @@ object StreamOps {
       .orderBy("user_id", "event_type")
   }
 
-  /** Typed state/event/result rows for the custom-state sessionizer. */
-  final case class SessEvent(user_id: Long, event_id: Long, tsec: Long)
-  final case class OpenSession(
-      session_id: Long, start_sec: Long, end_sec: Long, n: Long)
+  /** Typed state/event/result rows for the custom-state sessionizer.
+    * `ts` carries the watermarked event-time column through the typed
+    * projection — EventTimeTimeout requires it present in the grouped
+    * Dataset, not just upstream. */
+  final case class SessEvent(
+      user_id: Long, event_id: Long, tsec: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(start_sec: Long, end_sec: Long, n: Long)
   final case class ClosedSession(
-      user_id: Long, session_id: Long, n_events: Long,
-      start_sec: Long, end_sec: Long)
+      user_id: Long, n_events: Long, start_sec: Long, end_sec: Long)
+
+  /** The sessionizer's inactivity gap (seconds) and the stream's
+    * watermark delay (milliseconds). */
+  val SessionGapSec = 1800L
+  val SessionWmDelayMs = 3600000L
 
   /** Custom-state streaming sessionization via
-    * `flatMapGroupsWithState`: per-user state holds the one open
-    * session; a 30-minute event-time gap closes it and emits it
-    * downstream (append mode — each closed session exactly once). The
-    * open session stays in state, so the oracle is the batch
-    * lag/cumsum sessionization restricted to sessions that HAVE a
-    * successor (the only proof a gap closed them).
+    * `flatMapGroupsWithState` + `EventTimeTimeout`: per-user state
+    * holds the one open session; a 30-minute event-time gap closes it
+    * and emits it downstream, and — the 100 TB property — an idle
+    * user's open session is FLUSHED BY TIMEOUT once the watermark
+    * passes its end + gap, so state is bounded by *active* keys, not
+    * every key ever seen (round 2 used `NoTimeout`: one struct per
+    * user forever). Append mode — each closed session exactly once.
     *
-    * Scale: state per key is one 32-byte session struct — bounded by
-    * |active users|, the canonical mapGroupsWithState footprint; at
-    * 100 TB you'd add `GroupStateTimeout.EventTimeTimeout` to flush
-    * idle users' sessions and bound state by *active* keys only. */
+    * Sessions are identified by (user_id, start_sec), NOT an ordinal
+    * counter: a counter would reset when a timeout evicts the state,
+    * making output depend on how the replay is chunked into triggers
+    * — with the natural key the emitted rows are identical whether
+    * the history replays as one batch or file-by-file
+    * (StreamingWatermarkSpec pins that equivalence).
+    *
+    * The oracle is the batch lag/cumsum sessionization restricted to
+    * sessions that closed: those WITH a successor (a gap closed them)
+    * plus final sessions whose timeout fired before the replay ended
+    * (`(end_sec + gap) * 1000 < final watermark` — Spark evicts on a
+    * strict `<` against the ms watermark).
+    *
+    * Scale: state per key is one 24-byte session struct, and the
+    * timeout bounds the key count; timed-out state is physically
+    * removed ([[graft.StreamingWatermarkSpec]] pins emission AND
+    * eviction with a controlled MemoryStream clock). */
+  /** The per-group state step, shared by the oracle-gated query and
+    * [[graft.StreamingWatermarkSpec]]'s controlled-clock test. */
+  private[graft] def sessionStep(
+      uid: Long, it: Iterator[SessEvent],
+      state: org.apache.spark.sql.streaming.GroupState[OpenSession])
+      : Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      // watermark passed end + gap: no on-time event can extend this
+      // session any more — emit it and drop the state
+      val x = state.get
+      state.remove()
+      Iterator.single(ClosedSession(uid, x.n, x.start_sec, x.end_sec))
+    } else {
+      val evs = it.toArray.sortBy(e => (e.tsec, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var st = state.getOption
+      evs.foreach { e =>
+        st match {
+          case None =>
+            st = Some(OpenSession(e.tsec, e.tsec, 1L))
+          case Some(x) if e.tsec - x.end_sec > SessionGapSec =>
+            out += ClosedSession(uid, x.n, x.start_sec, x.end_sec)
+            st = Some(OpenSession(e.tsec, e.tsec, 1L))
+          case Some(x) =>
+            st = Some(x.copy(end_sec = e.tsec, n = x.n + 1L))
+        }
+      }
+      st.foreach { x =>
+        state.update(x)
+        // fire once the watermark passes the gap; the max() guard
+        // only matters on multi-batch replays where the watermark
+        // may already sit past a stale session's deadline (setting
+        // an earlier-than-watermark timeout throws)
+        state.setTimeoutTimestamp(
+          math.max((x.end_sec + SessionGapSec) * 1000L,
+            state.getCurrentWatermarkMs + 1L))
+      }
+      out.iterator
+    }
+  }
+
+  /** Sessionize a (watermarked) typed event stream. */
+  private[graft] def sessionize(
+      events: org.apache.spark.sql.Dataset[SessEvent])
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionStep)
+  }
+
   val streamSessionize: Q = (s0, d) => {
     val s = replaySession(s0)
     import s.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val events = eventsStream(s, d)
+      .withWatermark("ts", s"$SessionWmDelayMs milliseconds")
       .select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("tsec"))
+        unix_timestamp(col("ts")).as("tsec"), col("ts"))
       .as[SessEvent]
-    val closed = events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
-        val evs = it.toArray.sortBy(e => (e.tsec, e.event_id))
-        val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-        var st = state.getOption
-        evs.foreach { e =>
-          st match {
-            case None =>
-              st = Some(OpenSession(1L, e.tsec, e.tsec, 1L))
-            case Some(x) if e.tsec - x.end_sec > 1800 =>
-              out += ClosedSession(uid, x.session_id, x.n, x.start_sec,
-                x.end_sec)
-              st = Some(OpenSession(x.session_id + 1, e.tsec, e.tsec, 1L))
-            case Some(x) =>
-              st = Some(x.copy(end_sec = e.tsec, n = x.n + 1L))
-          }
-        }
-        st.foreach(state.update)
-        out.iterator
-      }
-    runToTable(s, closed.toDF(), "append")
-      .select(col("user_id"), col("session_id"), col("n_events"),
+    runToTable(s, sessionize(events).toDF(), "append")
+      .select(col("user_id"), col("n_events"),
         col("start_sec"), col("end_sec"))
-      .orderBy("user_id", "session_id")
+      .orderBy("user_id", "start_sec")
   }
 
   /** Stream-stream interval join: purchases matched to same-user
@@ -269,13 +321,19 @@ object StreamOps {
           AND c.tsec >= p.tsec - 3600 AND c.tsec <= p.tsec
          ORDER BY purchase_id, click_id""",
     "stream_sessionize" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         wm AS (
+           -- Spark's final event-time watermark in ms (see the
+           -- stream_hourly_wm mirror): max event time minus the delay
+           SELECT CAST(epoch_ms(max(ts)) AS BIGINT) - $SessionWmDelayMs AS w
            FROM events),
          flagged AS (
            SELECT user_id, event_id, tsec,
              CASE WHEN lag(tsec) OVER w IS NULL
-                    OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS boundary
+                    OR tsec - lag(tsec) OVER w > $SessionGapSec
+                  THEN 1 ELSE 0 END AS boundary
            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
          sess AS (
            SELECT user_id, tsec,
@@ -283,11 +341,16 @@ object StreamOps {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
            FROM flagged),
          agg AS (
-           SELECT user_id, sid AS session_id, COUNT(*) AS n_events,
+           SELECT user_id, sid, COUNT(*) AS n_events,
              MIN(tsec) AS start_sec, MAX(tsec) AS end_sec,
              MAX(sid) OVER (PARTITION BY user_id) AS max_sid
            FROM sess GROUP BY user_id, sid)
-         SELECT user_id, session_id, n_events, start_sec, end_sec
-         FROM agg WHERE session_id < max_sid
-         ORDER BY user_id, session_id""")
+         -- closed by a 30-min gap (a successor exists), or flushed by
+         -- the event-time timeout: eviction is a strict < against the
+         -- final watermark
+         SELECT user_id, n_events, start_sec, end_sec
+         FROM agg, wm
+         WHERE sid < max_sid
+            OR (end_sec + $SessionGapSec) * 1000 < wm.w
+         ORDER BY user_id, start_sec""")
 }

@@ -79,6 +79,111 @@ class StreamingWatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Poll until the memory sink reaches `n` rows — timeout processing
+    * runs in a no-data micro-batch that `processAllAvailable` does not
+    * always wait for. */
+  private def awaitCount(table: String, n: Long): Unit = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (spark.table(table).count() < n && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(spark.table(table).count() === n)
+  }
+
+  test("sessionizer: idle user's open session is flushed by event-time timeout " +
+      "and its state evicted") {
+    import graft.operators.StreamOps
+    val in = MemoryStream[(Timestamp, Long, Long)]
+    // 10-minute watermark delay; the operator's gap is 30 minutes
+    val events = in.toDF().toDF("ts", "user_id", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("ts"))
+      .as[StreamOps.SessEvent]
+    val q = startAppend(StreamOps.sessionize(events).toDF(), "wm_sess")
+    try {
+      // user 1: two events 5 minutes apart -> one open session, no output
+      in.addData((ts(0), 1L, 10L), (ts(5), 1L, 11L))
+      q.processAllAvailable()
+      assert(spark.table("wm_sess").count() === 0)
+
+      // user 2's event at t=60 pushes the watermark to 50 min — past
+      // user 1's timeout deadline (end 5 + gap 30 = 35 min): the idle
+      // session MUST be emitted without any further user-1 event
+      in.addData((ts(60), 2L, 20L))
+      q.processAllAvailable()
+      awaitCount("wm_sess", 1)
+      val flushed = spark.table("wm_sess")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(flushed === Set(
+        (1L, 2L, ts(0).getTime / 1000, ts(5).getTime / 1000)))
+
+      // state eviction proof: were the flushed session still in state,
+      // user 1's event at t=61 would close it by gap and RE-EMIT the
+      // (0,5) session — a duplicate row. Exactly 3 rows must exist.
+      in.addData((ts(61), 1L, 12L))
+      q.processAllAvailable()
+      in.addData((ts(200), 1L, 13L))
+      q.processAllAvailable()
+      // the t=200 batch also times out user 2 (deadline 90 < wm 190)
+      awaitCount("wm_sess", 3)
+      val all = spark.table("wm_sess")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(all.length === 3, s"duplicate emission: ${all.toSeq}")
+      assert(all.toSet === Set(
+        (1L, 2L, ts(0).getTime / 1000, ts(5).getTime / 1000),
+        (2L, 1L, ts(60).getTime / 1000, ts(60).getTime / 1000),
+        (1L, 1L, ts(61).getTime / 1000, ts(61).getTime / 1000)))
+    } finally q.stop()
+  }
+
+  test("sessionizer output is identical replayed as one batch or many triggers") {
+    import graft.operators.StreamOps
+    import java.nio.file.{Files, Paths}
+    // time-ordered file split (the realistic deep-replay layout:
+    // history arrives as time-partitioned files) — 4 files, replayed
+    // with maxFilesPerTrigger=1 -> 4 micro-batches with the watermark
+    // advancing between them, vs all 4 in one batch
+    val dir = tmpDir("sess-replay")
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("ts"))
+      .orderBy("tsec", "event_id").collect()
+    val slices = ev.grouped((ev.length + 3) / 4).toSeq
+    val schema = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("ts")).schema
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+        .coalesce(1).write.parquet(s"$dir/f$i")
+      // file-source ordering is by modification time: force it
+      val f = Files.list(Paths.get(s"$dir/f$i"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      Files.move(f, Paths.get(s"$dir/part$i.parquet"))
+      Files.setLastModifiedTime(Paths.get(s"$dir/part$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+
+    def replay(maxFiles: Option[Int], name: String): Seq[(Long, Long, Long, Long)] = {
+      val reader = spark.readStream.schema(schema)
+      val src = maxFiles.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n.toString))
+        .parquet(dir).filter(col("ts").isNotNull)
+        .withWatermark("ts", "1 hour")
+        .as[StreamOps.SessEvent]
+      val q = StreamOps.sessionize(src).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    }
+
+    val oneBatch = replay(None, "sess_one")
+    val manyTriggers = replay(Some(1), "sess_many")
+    assert(oneBatch.nonEmpty)
+    assert(manyTriggers === oneBatch)
+  }
+
   test("dropDuplicatesWithinWatermark: dedups in-window, expires state after") {
     val in = MemoryStream[(Timestamp, String)]
     val dedup = in.toDF().toDF("ts", "k")
