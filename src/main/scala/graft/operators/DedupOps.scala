@@ -46,9 +46,17 @@ object DedupOps {
       java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
     catch { case _: java.io.IOException => 0L }
 
+  /** One materialized (doc_id, comp) labeling per (session, dataset,
+    * mtime) — shared by `dedup_components` and `dedup_split_assign`
+    * so the label-propagation loop runs once per dataset. */
+  private val componentCache = new IndexCache
+
   /** Drop the persisted LSH index relations (e.g. to release executor
     * storage). */
-  def invalidateIndexes(): Unit = bucketCache.invalidate()
+  def invalidateIndexes(): Unit = {
+    bucketCache.invalidate()
+    componentCache.invalidate()
+  }
 
   /** Exact dedup: canonical (min) doc per identical text. */
   val dedupExact: Q = (s, d) =>
@@ -201,6 +209,81 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over the LSH candidate-pair graph — the
+    * step that turns pairwise near-dup candidates into DEDUP CLUSTERS
+    * (pick one canonical doc per component; everything else is a
+    * near-copy of something in the cluster). Iterative min-label
+    * propagation on DataFrames: each round, every node takes the min
+    * of its own label and its neighbors' labels, until a fixpoint —
+    * rounds = graph diameter, and every round is one equi-join + one
+    * map-side-combinable min-aggregate, so it scales like any other
+    * shuffle (this is the dataframe form of the classic
+    * large-star/small-star MapReduce CC algorithm; LSH dup clusters
+    * are small and dense, so the diameter — and round count — stays
+    * tiny). Intermediate labelings are unpersisted as soon as they're
+    * superseded; the final labeling is cached per dataset and shared
+    * with [[dedupSplitAssign]]. */
+  private def components(s: SparkSession, d: String): DataFrame =
+    componentCache.getOrBuild(s, d, docsMtime(d)) {
+      val bk = buckets(s, d)
+      val pairs = bk.as("x").join(bk.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      var labels = docs(s, d)
+        .select(col("doc_id"), col("doc_id").as("comp")).persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val viaNeighbors = edges
+          .join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+        val next = labels
+          .join(viaNeighbors, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp")))
+              .as("comp"))
+          .persist()
+        next.count() // materialize before dropping the previous round
+        changed = next
+          .join(labels.withColumnRenamed("comp", "old"), "doc_id")
+          .filter(col("comp") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      edges.unpersist()
+      labels
+    }
+
+  /** (doc_id, component_id) for every document; isolated docs are
+    * their own singleton component. */
+  val dedupComponents: Q = (s, d) =>
+    components(s, d)
+      .select(col("doc_id"), col("comp").as("component_id"))
+      .orderBy("doc_id")
+
+  /** Leakage-free train/val/test split: the WHOLE near-dup cluster
+    * goes to one split (splitting by raw doc_id would leak near-copies
+    * of training docs into eval — the classic contamination bug this
+    * operator exists to prevent). Deterministic: polynomial char hash
+    * of the component id's decimal string, mod 10 → 8/1/1. */
+  val dedupSplitAssign: Q = (s, d) =>
+    components(s, d)
+      .withColumn("bucket",
+        charHash(col("comp").cast("string")) % 10)
+      .select(col("doc_id"), col("comp").as("component_id"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   /** SimHash fingerprint clusters: groups sharing an identical 32-bit
     * simhash (near-identical token multisets), with sizes. */
   val dedupSimhashClusters: Q = (s, d) =>
@@ -219,7 +302,29 @@ object DedupOps {
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_edit_distance" -> dedupEditDistance,
-    "dedup_simhash_clusters" -> dedupSimhashClusters)
+    "dedup_simhash_clusters" -> dedupSimhashClusters,
+    "dedup_components" -> dedupComponents,
+    "dedup_split_assign" -> dedupSplitAssign)
+
+  /** Recursive CTE mirror of [[components]]: min reachable doc_id via
+    * transitive closure (fine at oracle scale; the Spark side is the
+    * scalable formulation). */
+  private def sqlComponents: String =
+    s"""pairs AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM buckets x JOIN buckets y
+            ON x.band = y.band AND x.bucket = y.bucket
+               AND x.doc_id < y.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS doc_id, MIN(dst) AS component_id
+          FROM reach GROUP BY src)"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -285,6 +390,19 @@ object DedupOps {
           JOIN documents da ON p.doc_a = da.doc_id
           JOIN documents db ON p.doc_b = db.doc_id
           ORDER BY doc_a, doc_b""",
+    "dedup_components" ->
+      s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
+          SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
+    "dedup_split_assign" ->
+      s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
+          SELECT doc_id, component_id,
+            CASE WHEN b < 8 THEN 'train'
+                 WHEN b = 8 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, component_id,
+                  ${sqlCharHash("CAST(component_id AS VARCHAR)")} % 10 AS b
+                FROM comp) z
+          ORDER BY doc_id""",
     "dedup_simhash_clusters" ->
       s"""SELECT simhash, MIN(doc_id) AS canonical_id,
           COUNT(*) AS cluster_size

@@ -245,6 +245,34 @@ object StreamOps {
       .orderBy("user_id", "start_sec")
   }
 
+  /** Built-in `session_window` under a watermark in APPEND mode — the
+    * declarative streaming twin of [[streamSessionize]]'s custom-state
+    * plan (and of the batch `ev_session_window`): Spark merges session
+    * windows per user in the state store and emits a session exactly
+    * once, when the watermark passes its end (last event + gap). State
+    * is bounded by open sessions — the 100 TB default you'd reach for
+    * before writing flatMapGroupsWithState. Event times are truncated
+    * to whole seconds BEFORE watermarking/windowing so the watermark
+    * and window arithmetic are integer-exact on both engines; the
+    * oracle is the batch sessionization filtered to watermark-closed
+    * sessions (`end_ms <= wm`, the tumbling-window emission rule). */
+  val streamSessionWindow: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val agg = eventsStream(s, d)
+      .select(col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("tss"))
+      .withWatermark("tss", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("tss"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, agg, "append")
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("start_sec"),
+        unix_timestamp(col("w.end")).as("end_sec_excl"),
+        col("n_events"))
+      .orderBy("user_id", "start_sec")
+  }
+
   /** Stream-stream interval join: purchases matched to same-user
     * clicks within the preceding hour. Both sides carry watermarks and
     * the join condition ranges over the watermarked event-time
@@ -282,6 +310,7 @@ object StreamOps {
     "stream_hourly_wm" -> streamHourlyWm,
     "stream_dedup_wm" -> streamDedupWm,
     "stream_sessionize" -> streamSessionize,
+    "stream_session_window" -> streamSessionWindow,
     "stream_interval_join" -> streamIntervalJoin)
 
   val oracle: Map[String, String] = Map(
@@ -307,6 +336,32 @@ object StreamOps {
     "stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "stream_session_window" ->
+      """WITH t AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         wm AS (
+           -- watermark over the SECOND-truncated event time, in ms
+           SELECT MAX(tsec) * 1000 - 3600000 AS w FROM t),
+         flagged AS (
+           SELECT user_id, tsec,
+             CASE WHEN lag(tsec) OVER w IS NULL
+                    OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END
+               AS boundary
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
+         sess AS (
+           SELECT user_id, tsec,
+             CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY tsec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+           FROM flagged),
+         agg AS (
+           SELECT user_id, MIN(tsec) AS start_sec,
+             MAX(tsec) + 1800 AS end_sec_excl, COUNT(*) AS n_events
+           FROM sess GROUP BY user_id, sid)
+         SELECT user_id, start_sec, end_sec_excl, n_events
+         FROM agg, wm WHERE end_sec_excl * 1000 <= wm.w
+         ORDER BY user_id, start_sec""",
     "stream_interval_join" ->
       """WITH p AS (
            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec

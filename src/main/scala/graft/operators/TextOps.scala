@@ -213,6 +213,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition scoring: fraction of a document's word 3-grams that
+    * are duplicates — the standard "excessive repetition" pre-training
+    * quality filter (high ratio ⇒ boilerplate/spam/generated loops).
+    * One codegen'd projection per row (n-gram construction + two array
+    * sizes), no shuffle; the ratio is one exact division of integer
+    * counts. Documents with <3 tokens have no 3-grams and are
+    * excluded. */
+  val textRepetition: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("toks", Hashing.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("grams", Hashing.ngrams(col("toks"), 3))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams").cast("double"))
+      .orderBy("doc_id")
+
   /** Global top-20 tokens by frequency (explode → count → top-k). */
   val tfTopTokens: Q = (s, d) =>
     docs(s, d)
@@ -240,6 +260,7 @@ object TextOps {
     "text_longest_doc" -> textLongestDoc,
     "text_keyterms" -> textKeyterms,
     "text_contamination" -> textContamination,
+    "text_repetition" -> textRepetition,
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams)
 
@@ -344,6 +365,16 @@ object TextOps {
               / CAST(t.n_grams AS DOUBLE) AS contamination
           FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
           ORDER BY t.doc_id""",
+    "text_repetition" ->
+      s"""SELECT doc_id,
+          CAST(length(g) AS BIGINT) AS n_grams,
+          CAST(length(list_distinct(g)) AS BIGINT) AS n_distinct,
+          CAST(length(g) - length(list_distinct(g)) AS DOUBLE)
+            / CAST(length(g) AS DOUBLE) AS dup_ratio
+          FROM (SELECT doc_id, ${Hashing.sqlNgrams("toks", 3)} AS g
+                FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t
+                WHERE length(toks) >= 3) z
+          ORDER BY doc_id""",
     "tf_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n
           FROM (SELECT unnest($sqlToks) AS token FROM documents) t

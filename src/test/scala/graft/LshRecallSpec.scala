@@ -51,6 +51,38 @@ class LshRecallSpec extends SparkSpec {
     }
   }
 
+  test("connected components: duplicate clusters share one canonical label " +
+      "and splits are cluster-atomic") {
+    // 10 docs × 3 copies (original, +100000, +200000): every copy
+    // trio must collapse to one component labeled by the original id
+    val dir = tmpDir("cc")
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val base = docs.orderBy("doc_id").limit(10)
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000L))
+      .unionByName(base.withColumn("doc_id", col("doc_id") + 200000L))
+      .unionByName(docs.orderBy("doc_id").limit(50))
+      .dropDuplicates("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val comp = SparkEntry.queries("dedup_components")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val baseIds = base.select("doc_id").as[Long].collect()
+    baseIds.foreach { id =>
+      assert(comp(id + 100000L) === comp(id) && comp(id + 200000L) === comp(id),
+        s"copies of $id not in its component")
+      assert(comp(id) <= id, "component label must be a min over the cluster")
+    }
+
+    // leakage-free split: every member of a component gets ITS split
+    val split = SparkEntry.queries("dedup_split_assign")(spark, dir)
+      .as[(Long, Long, String)].collect()
+    val byComp = split.groupBy(_._2).values
+    byComp.foreach { g =>
+      assert(g.map(_._3).toSet.size === 1,
+        s"component ${g.head._2} straddles splits: ${g.toSeq}")
+    }
+  }
+
   test("overwriting the dataset evicts the superseded index entry") {
     import java.nio.file.{Files, Paths}
     val dir = tmpDir("idx-evict")
