@@ -209,57 +209,64 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Connected components over the LSH candidate-pair graph — the
-    * step that turns pairwise near-dup candidates into DEDUP CLUSTERS
+  /** Connected components over the LSH candidate graph — the step
+    * that turns pairwise near-dup candidates into DEDUP CLUSTERS
     * (pick one canonical doc per component; everything else is a
-    * near-copy of something in the cluster). Iterative min-label
-    * propagation on DataFrames: each round, every node takes the min
-    * of its own label and its neighbors' labels, until a fixpoint —
-    * rounds = graph diameter, and every round is one equi-join + one
-    * map-side-combinable min-aggregate, so it scales like any other
-    * shuffle (this is the dataframe form of the classic
-    * large-star/small-star MapReduce CC algorithm; LSH dup clusters
-    * are small and dense, so the diameter — and round count — stays
-    * tiny). Intermediate labelings are unpersisted as soon as they're
-    * superseded; the final labeling is cached per dataset and shared
+    * near-copy of something in the cluster).
+    *
+    * Two docs are adjacent iff they share a (band, bucket), so
+    * connectivity is computed on the BIPARTITE doc↔bucket graph
+    * directly: one propagation step takes each bucket's min label,
+    * then each doc's min over its buckets — equivalent to a full
+    * neighbor-min (self included) on the pair graph, WITHOUT ever
+    * materializing the pair list (which is quadratic in bucket size —
+    * the thing that kills pair-based CC on a 100 TB hot bucket). Each
+    * step is two equi-joins + two map-side-combinable min-aggregates
+    * over the linear (doc, band, bucket) relation; steps to fixpoint =
+    * cluster diameter (LSH dup clusters are small and dense, so this
+    * is 1-2). Two steps run per convergence check to halve the
+    * sequential job count. The final labeling (isolated docs joined
+    * back as their own singletons) is cached per dataset and shared
     * with [[dedupSplitAssign]]. */
   private def components(s: SparkSession, d: String): DataFrame =
     componentCache.getOrBuild(s, d, docsMtime(d)) {
       val bk = buckets(s, d)
-      val pairs = bk.as("x").join(bk.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .persist()
-      var labels = docs(s, d)
-        .select(col("doc_id"), col("doc_id").as("comp")).persist()
+      // one propagation step: comp(doc) <- min over doc's buckets of
+      // min over bucket members of comp — monotone non-increasing
+      // (each doc is a member of its own buckets)
+      def step(l: DataFrame): DataFrame = {
+        val bucketMin = bk.join(l, "doc_id")
+          .groupBy(col("band"), col("bucket"))
+          .agg(min(col("comp")).as("bmin"))
+        bk.join(bucketMin, Seq("band", "bucket"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("bmin")).as("comp"))
+      }
+      var labels = bk.select(col("doc_id")).distinct()
+        .withColumn("comp", col("doc_id")).persist()
       var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 50) {
-        val viaNeighbors = edges
-          .join(labels, col("dst") === col("doc_id"))
-          .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-        val next = labels
-          .join(viaNeighbors, col("doc_id") === col("src"), "left")
-          .select(col("doc_id"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp")))
-              .as("comp"))
-          .persist()
-        next.count() // materialize before dropping the previous round
+      var checks = 0
+      while (changed > 0 && checks < 25) {
+        val next = step(step(labels)).persist()
+        // one action per double-step: the changed-count materializes
+        // `next` and decides termination
         changed = next
           .join(labels.withColumnRenamed("comp", "old"), "doc_id")
           .filter(col("comp") =!= col("old")).count()
         labels.unpersist()
         labels = next
-        rounds += 1
+        checks += 1
       }
-      require(changed == 0, s"label propagation did not converge in $rounds rounds")
-      edges.unpersist()
-      labels
+      require(changed == 0, s"label propagation did not converge ($checks checks)")
+      // isolated docs (no signature or lone bucket membership is fine
+      // either way: never a candidate) are their own components
+      val isolated = docs(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("comp"))
+      val all = labels.union(isolated).persist()
+      all.count()
+      labels.unpersist()
+      all
     }
 
   /** (doc_id, component_id) for every document; isolated docs are
