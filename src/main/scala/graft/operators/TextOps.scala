@@ -233,6 +233,45 @@ object TextOps {
           col("n_grams").cast("double"))
       .orderBy("doc_id")
 
+  /** Per-language sampling rates (percent) for [[docSampleHash]] —
+    * downweight the dominant language, keep the rest. */
+  val SampleRates: Map[String, Int] = Map("en" -> 10)
+  val DefaultSampleRate = 25
+
+  /** Deterministic stratified sampling: keep a doc iff the polynomial
+    * hash of its id's decimal string lands under its language's rate.
+    * Hash-gated sampling (vs `rand()`) is reproducible run-to-run and
+    * machine-to-machine — the only acceptable kind in a training-data
+    * pipeline, where the sample IS the dataset lineage. Pure per-row
+    * projection + filter: no shuffle, fully pushable. */
+  val docSampleHash: Q = (s, d) => {
+    val bucket = Hashing.charHash(col("doc_id").cast("string")) % 100
+    val rate = SampleRates.foldLeft(lit(DefaultSampleRate)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, r).otherwise(acc)
+    }
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Quota (balance) sampling: at most K docs per language, chosen by
+    * hash order — "cap the dominant language" corpus balancing. The
+    * rank window rewrites to WindowGroupLimit (bounded per-key heap,
+    * the same top-k plan PlanSpec pins for knn), so the cap never
+    * buffers a whole language's partition. */
+  val QuotaPerLang = 120
+  val docSampleQuota: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Hashing.charHash(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= QuotaPerLang)
+      .orderBy("lang", "rk")
+  }
+
   /** Global top-20 tokens by frequency (explode → count → top-k). */
   val tfTopTokens: Q = (s, d) =>
     docs(s, d)
@@ -261,6 +300,8 @@ object TextOps {
     "text_keyterms" -> textKeyterms,
     "text_contamination" -> textContamination,
     "text_repetition" -> textRepetition,
+    "doc_sample_hash" -> docSampleHash,
+    "doc_sample_quota" -> docSampleQuota,
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams)
 
@@ -375,6 +416,24 @@ object TextOps {
                 FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t
                 WHERE length(toks) >= 3) z
           ORDER BY doc_id""",
+    "doc_sample_hash" ->
+      s"""SELECT doc_id, lang,
+          ${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+          CASE WHEN lang = 'en' THEN ${SampleRates("en")}
+               ELSE $DefaultSampleRate END AS rate
+          FROM documents
+          WHERE ${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")} % 100
+            < CASE WHEN lang = 'en' THEN ${SampleRates("en")}
+                   ELSE $DefaultSampleRate END
+          ORDER BY doc_id""",
+    "doc_sample_quota" ->
+      s"""SELECT doc_id, lang, rk FROM (
+            SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY ${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")},
+                         doc_id) AS rk
+            FROM documents) t
+          WHERE rk <= $QuotaPerLang ORDER BY lang, rk""",
     "tf_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n
           FROM (SELECT unnest($sqlToks) AS token FROM documents) t

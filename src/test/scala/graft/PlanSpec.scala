@@ -113,6 +113,20 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("quota sampling caps per-key work via WindowGroupLimit") {
+    val p = physical("doc_sample_quota")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-language cap must be a bounded heap, not a full sort:\n${p.take(1500)}")
+  }
+
+  test("hash sampling is a pure scan+filter+project — zero shuffles") {
+    val p = physical("doc_sample_hash")
+    // the orderBy is a rangepartitioning exchange for output only;
+    // there must be no hashpartitioning (aggregate/join) shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash sampling must not shuffle:\n${p.take(1500)}")
+  }
+
   test("partition pruning: a filter on the partition column skips files") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val dir = tmpDir("plan-partitioned")
