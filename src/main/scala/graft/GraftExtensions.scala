@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_float_dot",
       "graft_float_dot(a, b) - sequential-fold dot product in double", 2)(
       es => FloatDot(es(0), es(1)))
+    register("graft_sq_dist",
+      "graft_sq_dist(emb, centroid) - sequential-fold squared distance", 2)(
+      es => ArraySqDist(es(0), es(1)))
     register("graft_shingles",
       "graft_shingles(tokens) - space-joined 3-word shingles", 1)(
       es => WordNgrams(es.head, 3))

@@ -78,6 +78,10 @@ object HashExprs {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  private[functions] val isDoubleArray: DataType => Boolean = {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 }
 
 /** `charHash(string) -> long`: polynomial rolling hash (mod 2^31-1)
@@ -597,6 +601,66 @@ case class FloatDot(left: Expression, right: Expression)
           |  for (int $i = 0; $i < $n; $i++) {
           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          |  }
+          |  if (!${ev.isNull}) ${ev.value} = $s;
+          |}""".stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sqDist(array<float>, array<double>) -> double`: sequential-order
+  * squared euclidean distance `Σ (a_i - b_i)²` in double — the
+  * vector-to-centroid distance of a k-means assignment step (the
+  * float side is the stored embedding, the double side the trained
+  * centroid). Same fold order as the DuckDB `list_reduce` mirror, and
+  * `-`, `*`, `+` are all exactly-rounded IEEE ops, so results are
+  * bit-identical. Null when lengths differ or any paired element is
+  * null (zip_with semantics). */
+case class ArraySqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sq_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (left, HashExprs.isFloatArray, "ARRAY<FLOAT>"),
+      (right, HashExprs.isDoubleArray, "ARRAY<DOUBLE>"))
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getFloat(i).toDouble - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val dd = ctx.freshName("dd")
+      s"""|int $n = $a.numElements();
+          |if ($b.numElements() != $n) {
+          |  ${ev.isNull} = true;
+          |} else {
+          |  double $s = 0.0;
+          |  for (int $i = 0; $i < $n; $i++) {
+          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          |    double $dd = (double) $a.getFloat($i) - $b.getDouble($i);
+          |    $s += $dd * $dd;
           |  }
           |  if (!${ev.isNull}) ${ev.value} = $s;
           |}""".stripMargin

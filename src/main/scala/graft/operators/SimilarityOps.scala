@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftColumn, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{FloatDot, LshBucket}
+import graft.functions.{ArraySqDist, FloatDot, LshBucket}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over `embeddings.embedding`
@@ -215,6 +215,44 @@ object SimilarityOps {
         col("dim").cast("long").as("dim"), col("mean"))
       .orderBy("label", "dim")
 
+  /** One k-means ASSIGNMENT step — the other half of IVF training
+    * ([[embCentroids]] is the update step): every vector moves to its
+    * nearest centroid by squared euclidean distance. The 10 centroid
+    * vectors are assembled from the same decimal-exact per-(label,dim)
+    * means and BROADCAST, so the big side streams through one
+    * codegen'd projection ([[graft.functions.ArraySqDist]], a
+    * sequential fold — bit-identical to the oracle's list_reduce) and
+    * the per-vector argmin is a WindowGroupLimit top-1. At 100 TB
+    * this is the canonical Lloyd's-iteration shape: centroids always
+    * broadcast, vectors never shuffle (the final sort is output
+    * presentation only). */
+  val kmeansAssign: Q = (s, d) => {
+    val cents = emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (sum(col("v").cast("string").cast("decimal(30,20)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+        .as("dm"))
+      .select(col("label").cast("long").as("clabel"),
+        transform(col("dm"), x => x.getField("mean")).as("c"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("clabel"))
+    emb(s, d)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label").cast("long").as("old_label"),
+        col("clabel"),
+        GraftColumn(ArraySqDist(GraftColumn.expr(col("embedding")),
+          GraftColumn.expr(col("c")))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("old_label"),
+        col("clabel").as("assigned"), col("dist"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label stats; norms decimal-quantized before the group sum so
     * the aggregation order can't leak into the result. */
   val embLabelStats: Q = (s, d) =>
@@ -235,7 +273,8 @@ object SimilarityOps {
     "ann_ivf" -> annIvf,
     "emb_near_dup" -> embNearDup,
     "emb_label_stats" -> embLabelStats,
-    "emb_centroids" -> embCentroids)
+    "emb_centroids" -> embCentroids,
+    "kmeans_assign" -> kmeansAssign)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -308,6 +347,33 @@ object SimilarityOps {
           FROM embeddings,
             (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
           GROUP BY label, idx.i ORDER BY label, dim""",
+    "kmeans_assign" ->
+      s"""WITH byd AS (
+            SELECT label, idx.i - 1 AS dim,
+              CAST(CAST(SUM(CAST(CAST(embedding[idx.i] AS VARCHAR)
+                AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS mean
+            FROM embeddings,
+              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
+            GROUP BY label, idx.i),
+          cent AS (
+            SELECT CAST(label AS BIGINT) AS clabel,
+              list(mean ORDER BY dim) AS c
+            FROM byd GROUP BY label),
+          scored AS (
+            SELECT e.vec_id, CAST(e.label AS BIGINT) AS old_label,
+              cent.clabel,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, ${Dims + 1}),
+                  i -> (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+                     * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i]))),
+                (a, b) -> a + b) AS dist
+            FROM embeddings e CROSS JOIN cent)
+          SELECT vec_id, old_label, clabel AS assigned, dist FROM (
+            SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY dist, clabel) AS rn
+            FROM scored) z
+          WHERE rn = 1 ORDER BY vec_id""",
     "emb_label_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
           CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})

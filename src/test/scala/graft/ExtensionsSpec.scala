@@ -44,7 +44,9 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_minhash_sig('x')" -> "ARRAY<BIGINT>",
       "SELECT graft_simhash32(array('a'))" -> "ARRAY<BIGINT>",
       "SELECT graft_lsh_bucket(array(1.0))" -> "ARRAY<FLOAT>",
-      "SELECT graft_float_dot(array(CAST(1.0 AS FLOAT)), 3)" -> "ARRAY<FLOAT>")
+      "SELECT graft_float_dot(array(CAST(1.0 AS FLOAT)), 3)" -> "ARRAY<FLOAT>",
+      "SELECT graft_sq_dist(array(CAST(1.0 AS FLOAT)), array('x'))" ->
+        "ARRAY<DOUBLE>")
     cases.foreach { case (sql, expected) =>
       val e = intercept[org.apache.spark.sql.AnalysisException](
         spark.sql(sql).collect())

@@ -114,6 +114,32 @@ class HashExprsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("sqDist: codegen path equals a sequential reference fold; " +
+      "length mismatch -> null") {
+    val r = new Random(0x5Dd157)
+    val arrays = (1 to 100).map(_ =>
+      (Seq.fill(64)(r.nextFloat() - 0.5f),
+        Seq.fill(64)(r.nextDouble() - 0.5))) :+
+      (Seq.fill(3)(1.0f), Seq.fill(4)(1.0))   // mismatch -> null
+    val rows = arrays.toDF("a", "c")
+      .select(col("a"), col("c"),
+        org.apache.spark.sql.GraftColumn(graft.functions.ArraySqDist(
+          org.apache.spark.sql.GraftColumn.expr(col("a")),
+          org.apache.spark.sql.GraftColumn.expr(col("c")))).as("d"))
+      .collect()
+    rows.foreach { row =>
+      val a = row.getSeq[Float](0); val c = row.getSeq[Double](1)
+      if (a.length != c.length) assert(row.isNullAt(2))
+      else {
+        var s = 0.0
+        a.indices.foreach { i =>
+          val d = a(i).toDouble - c(i); s += d * d
+        }
+        assert(row.getDouble(2) === s)
+      }
+    }
+  }
+
   test("floatDot: codegen path equals a sequential reference fold") {
     val r = new Random(0xD07)
     val arrays = (1 to 100).map(_ =>
