@@ -114,10 +114,39 @@ object MultimodalOps {
           .as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Fixed chunk size for [[mmChunk]] (bytes). */
+  val ChunkBytes = 256L
+
+  /** Byte-range chunking of the opaque payload — the shard step an
+    * audio/video pipeline uses to turn one row per media file into
+    * fixed-size processing units (one row per chunk with its offset
+    * and true sliced length). The slice is a REAL binary substring on
+    * the payload column (narrow, no shuffle; cost ∝ output chunks),
+    * so the plumbing a real codec consumes is exercised end-to-end —
+    * [[graft.MultimodalSpec]] additionally pins that concatenating a
+    * doc's chunks reproduces the payload byte-for-byte. The oracle
+    * mirrors the slice through VARCHAR substring + octet_length
+    * (DuckDB 1.0 has no BLOB substring; the corpus is ASCII, where
+    * byte and char offsets coincide — asserted in the spec). */
+  val mmChunk: Q = (s, d) =>
+    withPayload(graft.sources.Tables.documents(s, d))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .filter(col("byte_len") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L),
+          expr(s"(byte_len + ${ChunkBytes - 1}) div $ChunkBytes - 1"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkBytes).as("offset"),
+        length(expr(
+          s"substring(payload, CAST(chunk_idx * $ChunkBytes + 1 AS INT), $ChunkBytes)"))
+          .cast("long").as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+
   val defs: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_chunk" -> mmChunk)
 
   // the fake-codec geometry exists ONCE as SQL fragments — mm_meta and
   // mm_resize both compose these, so a codec change can't silently
@@ -137,6 +166,18 @@ object MultimodalOps {
     "mm_frame_sample" ->
       """SELECT doc_id, unnest(range(0, 1 + doc_id % 8, 2)) AS frame_idx
          FROM documents ORDER BY doc_id, frame_idx""",
+    "mm_chunk" ->
+      s"""SELECT doc_id, chunk_idx,
+           chunk_idx * $ChunkBytes AS offset,
+           CAST(octet_length(encode(substring(text,
+             CAST(chunk_idx * $ChunkBytes + 1 AS BIGINT), $ChunkBytes)))
+             AS BIGINT) AS chunk_len
+         FROM (
+           SELECT doc_id, text,
+             unnest(range(0,
+               ($sqlByteLen + ${ChunkBytes - 1}) // $ChunkBytes)) AS chunk_idx
+           FROM documents WHERE $sqlByteLen > 0) t
+         ORDER BY doc_id, chunk_idx""",
     "mm_meta" ->
       s"""SELECT doc_id,
            $sqlByteLen AS byte_len,

@@ -17,6 +17,36 @@ class MultimodalSpec extends SparkSpec {
     assert(viaPartitions.nonEmpty)
   }
 
+  test("chunking reassembles byte-for-byte; corpus is ASCII so the " +
+      "oracle's VARCHAR mirror is exact") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf)
+    // the oracle mirrors byte slicing through VARCHAR substring —
+    // sound only while byte length == char length (ASCII)
+    assert(docs.filter(length(col("text")) =!=
+      length(col("text").cast("binary"))).count() === 0,
+      "non-ASCII corpus: mm_chunk's oracle mirror is no longer byte-exact")
+
+    val payloads = MultimodalOps.withPayload(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val chunks = MultimodalOps.withPayload(docs)
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .filter(col("byte_len") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        expr(s"(byte_len + ${MultimodalOps.ChunkBytes - 1}) div ${MultimodalOps.ChunkBytes} - 1"))))
+      .select(col("doc_id"), col("chunk_idx"), expr(
+        s"substring(payload, CAST(chunk_idx * ${MultimodalOps.ChunkBytes} + 1 AS INT), ${MultimodalOps.ChunkBytes})")
+        .as("chunk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val reassembled = cs.sortBy(_._2).flatMap(_._3)
+      assert(java.util.Arrays.equals(reassembled, payloads(docId)),
+        s"chunks of doc $docId do not reassemble to the payload")
+    }
+    assert(chunks.nonEmpty)
+  }
+
   test("payload is opaque binary with byte-length metadata") {
     val docs = Tables.documents(spark, Sf)
     val row = MultimodalOps.withPayload(docs).head()
