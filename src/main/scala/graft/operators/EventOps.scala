@@ -189,6 +189,26 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Cohort retention: users grouped by their first-seen day, counted
+    * on each subsequent activity day as an offset from it — the
+    * standard product-analytics retention triangle. Scale shape: one
+    * distinct on (user, day) and two map-side-combinable aggregates
+    * keyed (user) then (cohort, offset); the per-(cohort, offset)
+    * count is a plain COUNT(*) because activity is already distinct
+    * per (user, day) — never a COUNT(DISTINCT) over raw events. Day
+    * arithmetic is integer epoch-day division on both engines. */
+  val evRetention: Q = (s, d) => {
+    val days = ev(s, d)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Per-type value stats; min/max of untouched doubles are exact. */
   val evTypeStats: Q = (s, d) =>
     ev(s, d)
@@ -227,9 +247,22 @@ object EventOps {
     "ev_top_users" -> evTopUsers,
     "ev_top_users_salted" -> evTopUsersSalted,
     "ev_funnel" -> evFunnel,
+    "ev_retention" -> evRetention,
     "ev_type_stats" -> evTypeStats)
 
   val oracle: Map[String, String] = Map(
+    "ev_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+           FROM events),
+         first AS (
+           SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+         SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+           COUNT(*) AS n_users
+         FROM days d JOIN first f ON d.user_id = f.user_id
+         GROUP BY f.cohort_day, day_offset
+         ORDER BY cohort_day, day_offset""",
     "ev_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events ORDER BY event_id""",
