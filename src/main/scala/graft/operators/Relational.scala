@@ -190,6 +190,29 @@ object Relational {
         col("gid"), col("sum_qty"), col("n"))
       .orderBy("gid", "returnflag", "linestatus")
 
+  /** Explicit GROUPING SETS via Spark 4's `Dataset.groupingSets` —
+    * the third grouping construct next to [[q9Rollup]] and `q24_cube`:
+    * two independent 1-column groupings plus the grand total in ONE
+    * Expand pass over the fact table (vs three scans UNIONed). Null
+    * group keys are coalesced to 'ALL' before the ORDER BY so
+    * null-ordering defaults (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    * can't flip row order. */
+  val q26GroupingSets: Q = (s, d) =>
+    li(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        asD(sum(money(col("l_extendedprice")))).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_price"), col("n"))
+      .orderBy("gid", "returnflag", "linestatus")
+
   /** GROUP BY + HAVING: customers with many orders. */
   val q10BigCustomers: Q = (s, d) =>
     Tables.customer(s, d)
@@ -430,7 +453,8 @@ object Relational {
     "q16_distinct_counts" -> q16DistinctCounts,
     "q17_small_quantity" -> q17SmallQuantity,
     "q18_large_orders" -> q18LargeOrders,
-    "q19_brand_revenue" -> q19BrandRevenue)
+    "q19_brand_revenue" -> q19BrandRevenue,
+    "q26_grouping_sets" -> q26GroupingSets)
 
   // ---------------------------------------------------------------- //
   // DuckDB oracle SQL — same arithmetic, same ordering, same names.  //
@@ -573,6 +597,16 @@ object Relational {
             AS running_revenue
           FROM lineitem WHERE l_suppkey <= 5
           ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q26_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+          COALESCE(l_linestatus, 'ALL') AS linestatus,
+          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+            AS gid,
+          CAST(SUM(${sqlMoney("l_extendedprice")}) AS DOUBLE) AS sum_price,
+          COUNT(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY gid, returnflag, linestatus""",
     "q9_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
           COALESCE(l_linestatus, 'ALL') AS linestatus,

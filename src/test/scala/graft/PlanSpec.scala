@@ -127,6 +127,20 @@ class PlanSpec extends SparkSpec {
       s"hash sampling must not shuffle:\n${p.take(1500)}")
   }
 
+  test("k-means assignment broadcasts the centroid side") {
+    val p = physical("kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 10-row centroid relation must broadcast, never shuffle the vectors:\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-vector argmin must be a bounded-heap top-1")
+  }
+
+  test("payload chunking is narrow — no hash shuffle before the explode") {
+    val p = physical("mm_chunk")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle payloads:\n${p.take(1500)}")
+  }
+
   test("partition pruning: a filter on the partition column skips files") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val dir = tmpDir("plan-partitioned")
