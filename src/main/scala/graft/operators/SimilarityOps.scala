@@ -215,6 +215,57 @@ object SimilarityOps {
         col("dim").cast("long").as("dim"), col("mean"))
       .orderBy("label", "dim")
 
+  /** Centroid relation shared by [[kmeansAssign]] and
+    * [[annIvfProbe2]]: (clabel, c ARRAY<DOUBLE>) from the
+    * decimal-exact per-(label, dim) means. Tiny (|labels| rows) —
+    * always broadcast at the use site. */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (sum(col("v").cast("string").cast("decimal(30,20)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+        .as("dm"))
+      .select(col("label").cast("long").as("clabel"),
+        transform(col("dm"), x => x.getField("mean")).as("c"))
+
+  private def sqDist(a: Column, b: Column): Column =
+    GraftColumn(ArraySqDist(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** Multi-probe IVF search (nprobe = 2): each query is routed to its
+    * TWO nearest coarse cells by centroid distance, then cosine-ranked
+    * against only those cells' vectors. nprobe is THE recall/cost
+    * knob of a real IVF index — cost ∝ nprobe/|cells| of the corpus,
+    * recall approaches brute force as nprobe grows. Shape at 100 TB:
+    * centroid routing is a broadcast of |cells| rows, the probe is an
+    * equi-join on the cell id (never a scan of other cells), and the
+    * top-k is a bounded-heap window. */
+  val annIvfProbe2: Q = (s, d) => {
+    val e = bucketed(s, d)
+    val cents = centroids(s, d)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("clabel"))
+    val qCells = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", sqDist(col("qe"), col("c")))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= 2)
+      .select(col("query_id"), col("qe"), col("qn"), col("clabel"))
+    val cands = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("label").cast("long").as("clabel"))
+    topK(
+      cands.join(broadcast(qCells), Seq("clabel"))
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos")),
+      TopK)
+  }
+
   /** One k-means ASSIGNMENT step — the other half of IVF training
     * ([[embCentroids]] is the update step): every vector moves to its
     * nearest centroid by squared euclidean distance. The 10 centroid
@@ -227,25 +278,12 @@ object SimilarityOps {
     * broadcast, vectors never shuffle (the final sort is output
     * presentation only). */
   val kmeansAssign: Q = (s, d) => {
-    val cents = emb(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg(
-        (sum(col("v").cast("string").cast("decimal(30,20)")).cast("double") /
-          count(lit(1)).cast("double")).as("mean"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
-        .as("dm"))
-      .select(col("label").cast("long").as("clabel"),
-        transform(col("dm"), x => x.getField("mean")).as("c"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("clabel"))
     emb(s, d)
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centroids(s, d)))
       .select(col("vec_id"), col("label").cast("long").as("old_label"),
-        col("clabel"),
-        GraftColumn(ArraySqDist(GraftColumn.expr(col("embedding")),
-          GraftColumn.expr(col("c")))).as("dist"))
+        col("clabel"), sqDist(col("embedding"), col("c")).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("old_label"),
@@ -274,7 +312,8 @@ object SimilarityOps {
     "emb_near_dup" -> embNearDup,
     "emb_label_stats" -> embLabelStats,
     "emb_centroids" -> embCentroids,
-    "kmeans_assign" -> kmeansAssign)
+    "kmeans_assign" -> kmeansAssign,
+    "ann_ivf_probe2" -> annIvfProbe2)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -295,6 +334,29 @@ object SimilarityOps {
   private def planeW(p: String, i: String): String =
     s"(CAST((CAST(1103515245 AS BIGINT) * ($p * $Dims + $i) + 12345)" +
       s" % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+
+  /** SQL mirror of [[centroids]] (byd + cent CTE bodies, WITH-ready). */
+  private def sqlCentCtes: String =
+    s"""byd AS (
+          SELECT label, idx.i - 1 AS dim,
+            CAST(CAST(SUM(CAST(CAST(embedding[idx.i] AS VARCHAR)
+              AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS mean
+          FROM embeddings,
+            (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
+          GROUP BY label, idx.i),
+        cent AS (
+          SELECT CAST(label AS BIGINT) AS clabel,
+            list(mean ORDER BY dim) AS c
+          FROM byd GROUP BY label)"""
+
+  /** SQL mirror of [[sqDist]]: same element order, same fold. */
+  private def sqlSqDist(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, ${Dims + 1}),
+          i -> (CAST($a[i] AS DOUBLE) - $b[i])
+             * (CAST($a[i] AS DOUBLE) - $b[i]))),
+        (x, y) -> x + y)"""
 
   private def sqlTopK(candJoin: String, k: Int): String =
     s"""SELECT query_id, rank, cand_id, cos FROM (
@@ -348,32 +410,33 @@ object SimilarityOps {
             (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
           GROUP BY label, idx.i ORDER BY label, dim""",
     "kmeans_assign" ->
-      s"""WITH byd AS (
-            SELECT label, idx.i - 1 AS dim,
-              CAST(CAST(SUM(CAST(CAST(embedding[idx.i] AS VARCHAR)
-                AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)
-                / CAST(COUNT(*) AS DOUBLE) AS mean
-            FROM embeddings,
-              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
-            GROUP BY label, idx.i),
-          cent AS (
-            SELECT CAST(label AS BIGINT) AS clabel,
-              list(mean ORDER BY dim) AS c
-            FROM byd GROUP BY label),
+      s"""WITH $sqlCentCtes,
           scored AS (
             SELECT e.vec_id, CAST(e.label AS BIGINT) AS old_label,
               cent.clabel,
-              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(range(1, ${Dims + 1}),
-                  i -> (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
-                     * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i]))),
-                (a, b) -> a + b) AS dist
+              ${sqlSqDist("e.embedding", "cent.c")} AS dist
             FROM embeddings e CROSS JOIN cent)
           SELECT vec_id, old_label, clabel AS assigned, dist FROM (
             SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY vec_id
               ORDER BY dist, clabel) AS rn
             FROM scored) z
           WHERE rn = 1 ORDER BY vec_id""",
+    "ann_ivf_probe2" -> sqlTopK(
+      s"""WITH $sqlCentCtes,
+          qc AS (
+            SELECT query_id, clabel, qe FROM (
+              SELECT q.vec_id AS query_id, q.embedding AS qe, cent.clabel,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${sqlSqDist("q.embedding", "cent.c")},
+                           cent.clabel) AS crk
+              FROM embeddings q CROSS JOIN cent
+              WHERE q.vec_id < $NQueries) z
+            WHERE crk <= 2)
+          SELECT qc.query_id, c.vec_id AS cand_id,
+            ${sqlCosine("qc.qe", "c.embedding")} AS cos
+          FROM qc JOIN embeddings c
+            ON CAST(c.label AS BIGINT) = qc.clabel
+               AND c.vec_id >= $NQueries""", TopK),
     "emb_label_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
           CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})
