@@ -213,6 +213,31 @@ object Relational {
         col("gid"), col("sum_price"), col("n"))
       .orderBy("gid", "returnflag", "linestatus")
 
+  /** Columns profiled by [[q27Profile]]. */
+  val ProfileCols: Seq[String] =
+    Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+  /** Data-quality profile of the fact table: per-column null count and
+    * exact distinct count, in ONE pass (Spark plans the multiple
+    * DISTINCT aggregates as one Expand — scan the table once, not once
+    * per column), then unpivoted to long format. At 100 TB you'd swap
+    * the exact distincts for `approx_count_distinct` sketches
+    * (`ev_approx_stats` pattern); exact is used here because the gate
+    * is a bit-exact oracle. */
+  val q27Profile: Q = (s, d) => {
+    val aggs = ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      count_distinct(col(c)).as(s"${c}__distinct")))
+    li(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ProfileCols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"))): _*)).as("m"))
+      .select(col("m.col_name"), col("m.n_nulls"), col("m.n_distinct"))
+      .orderBy("col_name")
+  }
+
   /** GROUP BY + HAVING: customers with many orders. */
   val q10BigCustomers: Q = (s, d) =>
     Tables.customer(s, d)
@@ -454,7 +479,8 @@ object Relational {
     "q17_small_quantity" -> q17SmallQuantity,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
-    "q26_grouping_sets" -> q26GroupingSets)
+    "q26_grouping_sets" -> q26GroupingSets,
+    "q27_profile" -> q27Profile)
 
   // ---------------------------------------------------------------- //
   // DuckDB oracle SQL — same arithmetic, same ordering, same names.  //
@@ -597,6 +623,12 @@ object Relational {
             AS running_revenue
           FROM lineitem WHERE l_suppkey <= 5
           ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q27_profile" -> ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name,
+          CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          COUNT(DISTINCT $c) AS n_distinct
+          FROM lineitem""").mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q26_grouping_sets" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
           COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -272,6 +272,28 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** Epoch (duplication) factors per language for [[docMixEpochs]] —
+    * upsample everything but the dominant language. */
+  val MixEpochs: Map[String, Int] = Map("en" -> 1)
+  val DefaultMixEpochs = 3
+
+  /** Data mixing by epoch duplication: each doc is emitted
+    * `epochs(lang)` times with a copy index — the standard way a
+    * training pipeline upsamples low-resource slices (a source seen
+    * for 3 epochs = 3 copies in the shuffled mix). Deterministic,
+    * explode-shaped (output ∝ Σ epochs), no shuffle before the
+    * presentation sort. */
+  val docMixEpochs: Q = (s, d) => {
+    val epochs = MixEpochs.foldLeft(lit(DefaultMixEpochs)) {
+      case (acc, (l, e)) => when(col("lang") === l, e).otherwise(acc)
+    }
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), epochs.as("epochs"))
+      .withColumn("copy", explode(sequence(lit(0), col("epochs") - 1)))
+      .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   /** Global top-20 tokens by frequency (explode → count → top-k). */
   val tfTopTokens: Q = (s, d) =>
     docs(s, d)
@@ -302,6 +324,7 @@ object TextOps {
     "text_repetition" -> textRepetition,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_quota" -> docSampleQuota,
+    "doc_mix_epochs" -> docMixEpochs,
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams)
 
@@ -416,6 +439,11 @@ object TextOps {
                 FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t
                 WHERE length(toks) >= 3) z
           ORDER BY doc_id""",
+    "doc_mix_epochs" ->
+      s"""SELECT doc_id, lang,
+          unnest(range(0, CASE WHEN lang = 'en' THEN ${MixEpochs("en")}
+                             ELSE $DefaultMixEpochs END)) AS copy_idx
+          FROM documents ORDER BY doc_id, copy_idx""",
     "doc_sample_hash" ->
       s"""SELECT doc_id, lang,
           ${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
