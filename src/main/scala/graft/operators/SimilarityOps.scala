@@ -215,6 +215,26 @@ object SimilarityOps {
         col("dim").cast("long").as("dim"), col("mean"))
       .orderBy("label", "dim")
 
+  /** Recall@k of the LSH probe against exact brute force — the
+    * evaluation loop every ANN index needs before it replaces an
+    * exact search in production: per query, how many of the true
+    * top-k did the probe return. Both sides are the engine's own
+    * top-k queries; the overlap is one small equi-join (k·|queries|
+    * rows per side). Tune [[Planes]] against this number. */
+  val annLshRecall: Q = (s, d) => {
+    val b = knnBrute(s, d).select(col("query_id"), col("cand_id"))
+    val p = annLshProbe(s, d)
+      .select(col("query_id").as("p_query"), col("cand_id").as("p_cand"))
+    b.join(p, col("query_id") === col("p_query") &&
+        col("cand_id") === col("p_cand"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("p_cand")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK).cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Centroid relation shared by [[kmeansAssign]] and
     * [[annIvfProbe2]]: (clabel, c ARRAY<DOUBLE>) from the
     * decimal-exact per-(label, dim) means. Tiny (|labels| rows) —
@@ -313,7 +333,8 @@ object SimilarityOps {
     "emb_label_stats" -> embLabelStats,
     "emb_centroids" -> embCentroids,
     "kmeans_assign" -> kmeansAssign,
-    "ann_ivf_probe2" -> annIvfProbe2)
+    "ann_ivf_probe2" -> annIvfProbe2,
+    "ann_lsh_recall" -> annLshRecall)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -366,23 +387,34 @@ object SimilarityOps {
           FROM ($candJoin) pairs) ranked
         WHERE rank <= $k ORDER BY query_id, rank"""
 
-  val oracle: Map[String, String] = Map(
-    "knn_brute" -> sqlTopK(
-      s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+  private val sqlKnnBrute: String = sqlTopK(
+    s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        ${sqlCosine("q.embedding", "c.embedding")} AS cos
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK)
+
+  private val sqlAnnLshProbe: String = sqlTopK(
+    s"""WITH wb AS (SELECT vec_id, embedding,
+          ${sqlBucket("embedding")} AS bucket FROM embeddings)
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
           ${sqlCosine("q.embedding", "c.embedding")} AS cos
-          FROM embeddings q, embeddings c
-          WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK),
+        FROM wb q JOIN wb c ON q.bucket = c.bucket
+        WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK)
+
+  val oracle: Map[String, String] = Map(
+    "knn_brute" -> sqlKnnBrute,
+    "ann_lsh_recall" ->
+      s"""SELECT b.query_id, COUNT(p.cand_id) AS n_hits,
+          CAST(COUNT(p.cand_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+          FROM ($sqlKnnBrute) b
+          LEFT JOIN ($sqlAnnLshProbe) p
+            ON b.query_id = p.query_id AND b.cand_id = p.cand_id
+          GROUP BY b.query_id ORDER BY b.query_id""",
     "ann_lsh_buckets" ->
       s"""SELECT ${sqlBucket("embedding")} AS bucket, COUNT(*) AS n,
           MIN(vec_id) AS min_vec
           FROM embeddings GROUP BY bucket ORDER BY bucket""",
-    "ann_lsh_probe" -> sqlTopK(
-      s"""WITH wb AS (SELECT vec_id, embedding,
-            ${sqlBucket("embedding")} AS bucket FROM embeddings)
-          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-            ${sqlCosine("q.embedding", "c.embedding")} AS cos
-          FROM wb q JOIN wb c ON q.bucket = c.bucket
-          WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK),
+    "ann_lsh_probe" -> sqlAnnLshProbe,
     "ann_ivf" -> sqlTopK(
       s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
           ${sqlCosine("q.embedding", "c.embedding")} AS cos
