@@ -15,6 +15,17 @@ class OperatorSmokeSpec extends SparkSpec {
     // approximations — no exact cross-engine mirror exists
     "ev_approx_stats")
 
+  test("query names are collision-free across operator modules") {
+    import graft.operators._
+    val maps = Seq(Relational.defs, EventOps.defs, EnrichOps.defs,
+      TextOps.defs, DedupOps.defs, SimilarityOps.defs, MultimodalOps.defs,
+      StreamOps.defs)
+    val total = maps.map(_.size).sum
+    assert(total === SparkEntry.queries.size,
+      "a duplicate query name across modules would silently shadow one " +
+        s"implementation: ${maps.flatMap(_.keys).groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }}")
+  }
+
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- RowsOnly
