@@ -215,6 +215,40 @@ object SimilarityOps {
         col("dim").cast("long").as("dim"), col("mean"))
       .orderBy("label", "dim")
 
+  /** Cross-modal dedup verification: every embedding-space near-dup
+    * pair ([[embNearDup]]) re-scored by TEXT similarity — distinct
+    * word-token Jaccard of the two documents (vec ids key into
+    * `documents`). This is the agreement check a semantic-dedup
+    * pipeline runs before trusting embedding distance as a dedup
+    * signal: pairs with high cosine but low token overlap flag
+    * paraphrases (keep) vs true near-copies (drop). Cost ∝ LSH
+    * candidate pairs only; the token intersection is an explode-join,
+    * never per-pair set products. */
+  val embDupTextVerify: Q = (s, d) => {
+    val p = embNearDup(s, d).select(col("vec_a"), col("vec_b"), col("cos"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.Hashing.tokens(col("text"))))
+          .as("tok"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = p
+      .join(tok.as("ta"), col("vec_a") === col("ta.doc_id"))
+      .join(tok.as("tb"),
+        col("vec_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    p.join(inter, Seq("vec_a", "vec_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.as("za"), col("vec_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("vec_b") === col("zb.doc_id"))
+      .select(col("vec_a"), col("vec_b"), col("cos"), col("n_inter"),
+        (col("za.n") + col("zb.n") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("n_inter")).cast("double"))
+          .as("token_jaccard"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Recall@k of the LSH probe against exact brute force — the
     * evaluation loop every ANN index needs before it replaces an
     * exact search in production: per query, how many of the true
@@ -334,7 +368,8 @@ object SimilarityOps {
     "emb_centroids" -> embCentroids,
     "kmeans_assign" -> kmeansAssign,
     "ann_ivf_probe2" -> annIvfProbe2,
-    "ann_lsh_recall" -> annLshRecall)
+    "ann_lsh_recall" -> annLshRecall,
+    "emb_dup_text_verify" -> embDupTextVerify)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -387,6 +422,16 @@ object SimilarityOps {
           FROM ($candJoin) pairs) ranked
         WHERE rank <= $k ORDER BY query_id, rank"""
 
+  private val sqlEmbNearDup: String =
+    s"""WITH wb AS (SELECT vec_id, embedding,
+          ${sqlBucket("embedding")} AS bucket FROM embeddings)
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+          ${sqlCosine("x.embedding", "y.embedding")} AS cos
+        FROM wb x JOIN wb y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.35
+        ORDER BY vec_a, vec_b"""
+
   private val sqlKnnBrute: String = sqlTopK(
     s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         ${sqlCosine("q.embedding", "c.embedding")} AS cos
@@ -420,15 +465,32 @@ object SimilarityOps {
           ${sqlCosine("q.embedding", "c.embedding")} AS cos
           FROM embeddings q JOIN embeddings c ON q.label = c.label
           WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", 3),
-    "emb_near_dup" ->
-      s"""WITH wb AS (SELECT vec_id, embedding,
-            ${sqlBucket("embedding")} AS bucket FROM embeddings)
-          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-            ${sqlCosine("x.embedding", "y.embedding")} AS cos
-          FROM wb x JOIN wb y
-            ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-          WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.35
-          ORDER BY vec_a, vec_b""",
+    "emb_near_dup" -> sqlEmbNearDup,
+    "emb_dup_text_verify" ->
+      s"""WITH p AS (SELECT * FROM ($sqlEmbNearDup) nd),
+          tok AS (
+            SELECT doc_id,
+              unnest(list_distinct(${graft.functions.Hashing.sqlTokens("text")}))
+                AS tok
+            FROM documents),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+          inter AS (
+            SELECT p.vec_a, p.vec_b, COUNT(*) AS n_inter
+            FROM p
+            JOIN tok ta ON p.vec_a = ta.doc_id
+            JOIN tok tb ON p.vec_b = tb.doc_id AND ta.tok = tb.tok
+            GROUP BY p.vec_a, p.vec_b)
+          SELECT p.vec_a, p.vec_b, p.cos,
+            COALESCE(i.n_inter, 0) AS n_inter,
+            za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union,
+            CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+              AS token_jaccard
+          FROM p
+          JOIN sizes za ON p.vec_a = za.doc_id
+          JOIN sizes zb ON p.vec_b = zb.doc_id
+          LEFT JOIN inter i ON p.vec_a = i.vec_a AND p.vec_b = i.vec_b
+          ORDER BY p.vec_a, p.vec_b""",
     "emb_centroids" ->
       s"""SELECT CAST(label AS BIGINT) AS label, idx.i - 1 AS dim,
             -- decimal->double via VARCHAR: DuckDB's direct cast
