@@ -1,0 +1,33 @@
+package graft
+
+/** The engine's exactness contract, tested empirically: results of
+  * oracle-gated aggregates must be BIT-IDENTICAL regardless of how
+  * the data is partitioned — i.e. regardless of aggregation order.
+  * This is the property the decimal-quantization routes
+  * ([[graft.functions.Exact]]) exist to provide (raw double sums
+  * re-associate differently per partitioning and would flicker
+  * against any fixed oracle). A partition-count change is exactly
+  * what a cluster resize does at 100 TB, so a query whose answer
+  * depends on it is broken even if it happens to match the oracle
+  * once.
+  */
+class ExactnessSpec extends SparkSpec {
+
+  private val Queries =
+    Seq("q1_pricing_summary", "emb_centroids", "emb_label_stats",
+      "ev_hourly", "text_keyterms")
+
+  Queries.foreach { name =>
+    test(s"$name is bit-identical under different shuffle partitionings") {
+      val a = spark.newSession()
+      a.conf.set("spark.sql.shuffle.partitions", "3")
+      val b = spark.newSession()
+      b.conf.set("spark.sql.shuffle.partitions", "17")
+      val ra = SparkEntry.queries(name)(a, Sf).collect().toSeq
+      val rb = SparkEntry.queries(name)(b, Sf).collect().toSeq
+      assert(ra === rb,
+        s"$name changed results when the partition count changed")
+      assert(ra.nonEmpty)
+    }
+  }
+}
