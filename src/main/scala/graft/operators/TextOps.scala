@@ -294,6 +294,25 @@ object TextOps {
       .orderBy("doc_id", "copy_idx")
   }
 
+  /** Per-source corpus triage: the numbers behind a "which sources are
+    * worth keeping" data-mixing decision — volume, size, language
+    * spread, and how much of the source is an exact duplicate of
+    * something in the corpus. All integer arithmetic; the dup flag is
+    * one hash-partitioned count over text (map-side combinable)
+    * joined back, never a self cross join. */
+  val docSourceStats: Q = (s, d) => {
+    val copies = docs(s, d).groupBy(col("text"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs(s, d)
+      .join(copies, "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        size(collect_set(col("lang"))).cast("long").as("n_langs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy("source")
+  }
+
   /** Global top-20 tokens by frequency (explode → count → top-k). */
   val tfTopTokens: Q = (s, d) =>
     docs(s, d)
@@ -325,6 +344,7 @@ object TextOps {
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_quota" -> docSampleQuota,
     "doc_mix_epochs" -> docMixEpochs,
+    "doc_source_stats" -> docSourceStats,
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams)
 
@@ -439,6 +459,16 @@ object TextOps {
                 FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t
                 WHERE length(toks) >= 3) z
           ORDER BY doc_id""",
+    "doc_source_stats" ->
+      """WITH copies AS (
+           SELECT text, COUNT(*) AS n_copies FROM documents GROUP BY text)
+         SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs
+         FROM documents d JOIN copies c ON d.text = c.text
+         GROUP BY d.source ORDER BY d.source""",
     "doc_mix_epochs" ->
       s"""SELECT doc_id, lang,
           unnest(range(0, CASE WHEN lang = 'en' THEN ${MixEpochs("en")}

@@ -14,6 +14,25 @@ class FormatsSpec extends SparkSpec {
 
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
+  test("schema evolution: mergeSchema unions old and new parquet layouts") {
+    // the 100 TB lake reality: yesterday's files lack today's column.
+    // mergeSchema must read both generations as one relation, with the
+    // missing column null for old files — no rewrite of history
+    val dir = tmpDir("fmt-evolve")
+    val docs = Tables.documents(spark, Sf)
+    docs.select(col("doc_id"), col("lang"))
+      .write.parquet(s"$dir/gen=1")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "lang", "n_chars", "gen"))
+    assert(merged.count() === docs.count() * 2)
+    assert(merged.filter(col("gen") === 1 && col("n_chars").isNull).count()
+      === docs.count(), "old-generation rows surface the new column as null")
+    assert(merged.filter(col("gen") === 2 && col("n_chars").isNotNull).count()
+      === docs.count())
+  }
+
   test("events round-trip through JSON lines with explicit schema") {
     val dir = tmpDir("fmt-json")
     val events = Tables.events(spark, Sf)
