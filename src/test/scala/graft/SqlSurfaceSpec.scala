@@ -25,6 +25,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.toSeq === viaCol.toSeq)
   }
 
+  test("a k-means assignment runs as one SQL string via graft_sq_dist") {
+    registerViews()
+    val viaSql = spark.sql(
+      s"""WITH cent AS (
+            SELECT CAST(e.label AS BIGINT) AS clabel,
+              array_sort(collect_list(struct(dim, mean))).mean AS c
+            FROM (
+              SELECT label, pos AS dim,
+                CAST(SUM(CAST(CAST(v AS STRING) AS DECIMAL(30,20)))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+              FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+              GROUP BY label, pos) e
+            GROUP BY e.label)
+          SELECT vec_id, assigned, dist FROM (
+            SELECT vec_id, clabel AS assigned,
+              graft_sq_dist(embedding, c) AS dist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY graft_sq_dist(embedding, c), clabel) AS rn
+            FROM embeddings CROSS JOIN cent) z
+          WHERE rn = 1 ORDER BY vec_id""").collect()
+    val viaCol = SparkEntry.queries("kmeans_assign")(spark, Sf)
+      .select("vec_id", "assigned", "dist").collect()
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+
   test("custom functions compose with joins and aggregation in SQL") {
     registerViews()
     val r = spark.sql(
