@@ -178,9 +178,10 @@ object StreamOps {
     * Scale: state per key is one 24-byte session struct, and the
     * timeout bounds the key count; timed-out state is physically
     * removed ([[graft.StreamingWatermarkSpec]] pins emission AND
-    * eviction with a controlled MemoryStream clock). */
-  /** The per-group state step, shared by the oracle-gated query and
-    * [[graft.StreamingWatermarkSpec]]'s controlled-clock test. */
+    * eviction with a controlled MemoryStream clock).
+    *
+    * The per-group state step below is shared by the oracle-gated
+    * query and the spec's controlled-clock tests. */
   private[graft] def sessionStep(
       uid: Long, it: Iterator[SessEvent],
       state: org.apache.spark.sql.streaming.GroupState[OpenSession])
