@@ -291,6 +291,23 @@ object DedupOps {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** The dedup savings report: one row per near-dup cluster with its
+    * canonical doc, member count, and the bytes a keep-one-per-cluster
+    * policy removes — the number that justifies (or kills) a dedup
+    * stage in a pipeline review. One combinable aggregate over the
+    * cached component labeling joined to doc sizes. */
+  val dedupCanonical: Q = (s, d) =>
+    components(s, d)
+      .join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("doc_id") =!= col("comp"), col("n_chars"))
+          .otherwise(0L)).as("chars_saved"))
+      .select(col("comp").as("canonical_id"), col("n_members"),
+        col("total_chars"), col("chars_saved"))
+      .orderBy("canonical_id")
+
   /** SimHash fingerprint clusters: groups sharing an identical 32-bit
     * simhash (near-identical token multisets), with sizes. */
   val dedupSimhashClusters: Q = (s, d) =>
@@ -311,7 +328,8 @@ object DedupOps {
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_components" -> dedupComponents,
-    "dedup_split_assign" -> dedupSplitAssign)
+    "dedup_split_assign" -> dedupSplitAssign,
+    "dedup_canonical" -> dedupCanonical)
 
   /** Recursive CTE mirror of [[components]]: min reachable doc_id via
     * transitive closure (fine at oracle scale; the Spark side is the
@@ -410,6 +428,15 @@ object DedupOps {
                   ${sqlCharHash("CAST(component_id AS VARCHAR)")} % 10 AS b
                 FROM comp) z
           ORDER BY doc_id""",
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
+          SELECT component_id AS canonical_id, COUNT(*) AS n_members,
+            CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+            CAST(SUM(CASE WHEN c.doc_id != component_id
+                          THEN d.n_chars ELSE 0 END) AS BIGINT)
+              AS chars_saved
+          FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+          GROUP BY component_id ORDER BY canonical_id""",
     "dedup_simhash_clusters" ->
       s"""SELECT simhash, MIN(doc_id) AS canonical_id,
           COUNT(*) AS cluster_size

@@ -83,6 +83,16 @@ class LshRecallSpec extends SparkSpec {
     }
   }
 
+  test("split assignment and canonical report reuse the cached labeling") {
+    assert(SparkEntry.queries("dedup_components")(spark, Sf).count() > 0)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(SparkEntry.queries("dedup_split_assign")(spark, Sf).count() > 0)
+    assert(SparkEntry.queries("dedup_canonical")(spark, Sf).count() > 0)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after === before,
+      "consumers of the labeling must not rebuild or re-persist it")
+  }
+
   test("overwriting the dataset evicts the superseded index entry") {
     import java.nio.file.{Files, Paths}
     val dir = tmpDir("idx-evict")
