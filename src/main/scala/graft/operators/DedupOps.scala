@@ -296,7 +296,7 @@ object DedupOps {
     * policy removes — the number that justifies (or kills) a dedup
     * stage in a pipeline review. One combinable aggregate over the
     * cached component labeling joined to doc sizes. */
-  val dedupCanonical: Q = (s, d) =>
+  val dedupSavings: Q = (s, d) =>
     components(s, d)
       .join(docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy(col("comp"))
@@ -329,7 +329,7 @@ object DedupOps {
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_components" -> dedupComponents,
     "dedup_split_assign" -> dedupSplitAssign,
-    "dedup_canonical" -> dedupCanonical)
+    "dedup_savings" -> dedupSavings)
 
   /** Recursive CTE mirror of [[components]]: min reachable doc_id via
     * transitive closure (fine at oracle scale; the Spark side is the
@@ -428,7 +428,7 @@ object DedupOps {
                   ${sqlCharHash("CAST(component_id AS VARCHAR)")} % 10 AS b
                 FROM comp) z
           ORDER BY doc_id""",
-    "dedup_canonical" ->
+    "dedup_savings" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
           SELECT component_id AS canonical_id, COUNT(*) AS n_members,
             CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,

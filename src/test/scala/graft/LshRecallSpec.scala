@@ -87,7 +87,7 @@ class LshRecallSpec extends SparkSpec {
     assert(SparkEntry.queries("dedup_components")(spark, Sf).count() > 0)
     val before = spark.sparkContext.getPersistentRDDs.size
     assert(SparkEntry.queries("dedup_split_assign")(spark, Sf).count() > 0)
-    assert(SparkEntry.queries("dedup_canonical")(spark, Sf).count() > 0)
+    assert(SparkEntry.queries("dedup_savings")(spark, Sf).count() > 0)
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after === before,
       "consumers of the labeling must not rebuild or re-persist it")
