@@ -160,6 +160,25 @@ object Reliability {
       : (DataFrame, DataFrame) =
     (df.filter(col(errorCol).isNull), df.filter(col(errorCol).isNotNull))
 
+  /** One-pass delivery accounting: tag the pre-split frame with an
+    * `Observation` so the ok/dead-lettered/total counts come back as a
+    * side effect of the SAME action that writes the batch — the
+    * reference's per-message ack/nack ledger
+    * (AkkaPipelineActors.scala:144-168) re-expressed without a second
+    * scan (at 100 TB, counting with `.count()` after the write doubles
+    * the read). Usage: split the returned frame, run the sink action,
+    * then read `obs.get` ("n_ok", "n_dlq", "n_total"). */
+  def observedSplit(df: DataFrame, errorCol: String = ErrorCol)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val tagged = df.observe(obs,
+      count(when(col(errorCol).isNull, 1)).as("n_ok"),
+      count(when(col(errorCol).isNotNull, 1)).as("n_dlq"),
+      count(lit(1)).as("n_total"))
+    val (ok, dlq) = split(tagged, errorCol)
+    (ok, dlq, obs)
+  }
+
   /** Merge per-stage error columns, first error wins — the reference's
     * `merge(res1, res2)` (ErrorHandlingRxEnrichmentPipeline.scala:31-36,
     * J4) as a single `coalesce`. */

@@ -93,6 +93,23 @@ class ReliabilitySpec extends SparkSpec {
     assert(err(0).getBoolean(2), "timeout must be classified temporary")
   }
 
+  test("observedSplit: ok/DLQ ledger rides the sink action in one pass") {
+    val df = Seq("a", "b", "c", "d").toDF("v")
+      .withColumn("err",
+        when(col("v").isin("b", "d"), concat(lit("fail-"), col("v"))))
+    val (ok, _, obs) = Reliability.observedSplit(df, "err")
+    // ONE sink action; the observe node sits above the split, so the
+    // full ledger comes back without any extra scan
+    ok.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_ok") === 2L && m("n_dlq") === 2L && m("n_total") === 4L,
+      s"ledger: $m")
+    // and the branches themselves route correctly (fresh, unobserved)
+    val (ok2, dlq2) = Reliability.split(df, "err")
+    assert(ok2.select("v").as[String].collect().toSet === Set("a", "c"))
+    assert(dlq2.select("v").as[String].collect().toSet === Set("b", "d"))
+  }
+
   test("E8 fallible: value XOR error, classification preserved") {
     val f = Reliability.fallible {
       case "boom" => throw new IllegalArgumentException("bad")
