@@ -14,6 +14,17 @@ class FormatsSpec extends SparkSpec {
 
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
+  test("events round-trip through ORC losslessly") {
+    val dir = tmpDir("fmt-orc")
+    val events = Tables.events(spark, Sf)
+    events.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === events.schema)
+    val a = events.orderBy("event_id").collect()
+    val b = back.orderBy("event_id").collect()
+    assert(a.sameElements(b), "ORC round-trip must be lossless")
+  }
+
   test("schema evolution: mergeSchema unions old and new parquet layouts") {
     // the 100 TB lake reality: yesterday's files lack today's column.
     // mergeSchema must read both generations as one relation, with the
