@@ -76,6 +76,12 @@ class StreamingWatermarkSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = spark.table("wm_late").as[(Timestamp, Long)].collect()
       assert(rows.toSeq === Seq((ts(0), 2L)))
+      // and the drop is OBSERVABLE, not silent: the progress feed the
+      // ops side monitors must account for the discarded row
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L,
+        "late-row drops must surface in numRowsDroppedByWatermark")
     } finally q.stop()
   }
 
