@@ -41,10 +41,13 @@ object DedupOps {
 
   private[graft] def cacheKeys = bucketCache.keys
 
-  private def docsMtime(d: String): Long =
-    try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
-    catch { case _: java.io.IOException => 0L }
+  /** None on a failed stat — [[IndexCache.getOrBuild]] then reuses the
+    * live entry instead of evicting a healthy index over a transient
+    * filesystem error. */
+  private def docsMtime(d: String): Option[Long] =
+    try Some(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis)
+    catch { case _: java.io.IOException => None }
 
   /** One materialized (doc_id, comp) labeling per (session, dataset,
     * mtime) — shared by `dedup_components` and `dedup_split_assign`
@@ -230,34 +233,7 @@ object DedupOps {
     * with [[dedupSplitAssign]]. */
   private def components(s: SparkSession, d: String): DataFrame =
     componentCache.getOrBuild(s, d, docsMtime(d)) {
-      val bk = buckets(s, d)
-      // one propagation step: comp(doc) <- min over doc's buckets of
-      // min over bucket members of comp — monotone non-increasing
-      // (each doc is a member of its own buckets)
-      def step(l: DataFrame): DataFrame = {
-        val bucketMin = bk.join(l, "doc_id")
-          .groupBy(col("band"), col("bucket"))
-          .agg(min(col("comp")).as("bmin"))
-        bk.join(bucketMin, Seq("band", "bucket"))
-          .groupBy(col("doc_id"))
-          .agg(min(col("bmin")).as("comp"))
-      }
-      var labels = bk.select(col("doc_id")).distinct()
-        .withColumn("comp", col("doc_id")).persist()
-      var changed = 1L
-      var checks = 0
-      while (changed > 0 && checks < 25) {
-        val next = step(step(labels)).persist()
-        // one action per double-step: the changed-count materializes
-        // `next` and decides termination
-        changed = next
-          .join(labels.withColumnRenamed("comp", "old"), "doc_id")
-          .filter(col("comp") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
-        checks += 1
-      }
-      require(changed == 0, s"label propagation did not converge ($checks checks)")
+      val labels = propagateMinLabels(buckets(s, d))
       // isolated docs (no signature or lone bucket membership is fine
       // either way: never a candidate) are their own components
       val isolated = docs(s, d).select(col("doc_id"))
@@ -268,6 +244,52 @@ object DedupOps {
       labels.unpersist()
       all
     }
+
+  /** Min-label propagation over a bipartite (doc_id, band, bucket)
+    * membership relation → one (doc_id, comp) row per member doc.
+    *
+    * Each double-step is `localCheckpoint()`ed (eager), so the logical
+    * plan stays O(1)-deep however many iterations a graph needs —
+    * plain `persist()` caches data but keeps stacking the plan, which
+    * at diameter-D graphs (e.g. an incremental paraphrase CHAIN of
+    * near-dups) grows O(D) and eventually chokes the analyzer.
+    * Iterations run to fixpoint: min-label propagation is monotone
+    * non-increasing and bounded below, so it converges within the
+    * graph diameter; a slow (high-diameter) graph gets a progress
+    * warning every 25 double-steps instead of round 3's hard abort. */
+  private[graft] def propagateMinLabels(bk: DataFrame): DataFrame = {
+    // one propagation step: comp(doc) <- min over doc's buckets of
+    // min over bucket members of comp — monotone non-increasing
+    // (each doc is a member of its own buckets)
+    def step(l: DataFrame): DataFrame = {
+      val bucketMin = bk.join(l, "doc_id")
+        .groupBy(col("band"), col("bucket"))
+        .agg(min(col("comp")).as("bmin"))
+      bk.join(bucketMin, Seq("band", "bucket"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("bmin")).as("comp"))
+    }
+    var labels = bk.select(col("doc_id")).distinct()
+      .withColumn("comp", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var checks = 0
+    while (changed > 0) {
+      // eager localCheckpoint: materializes `next` AND truncates its
+      // lineage to a LogicalRDD leaf before the next iteration builds
+      // on it
+      val next = step(step(labels)).localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("comp", "old"), "doc_id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      checks += 1
+      if (changed > 0 && checks % 25 == 0)
+        System.err.println(s"[graft] components: still propagating after " +
+          s"$checks double-steps (graph diameter > ${2 * checks}); continuing")
+    }
+    labels
+  }
 
   /** (doc_id, component_id) for every document; isolated docs are
     * their own singleton component. */

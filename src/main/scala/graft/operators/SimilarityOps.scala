@@ -71,10 +71,13 @@ object SimilarityOps {
 
   private[graft] def cacheKeys = indexCache.keys
 
-  private def embMtime(d: String): Long =
-    try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis
-    catch { case _: java.io.IOException => 0L }
+  /** None on a failed stat — [[IndexCache.getOrBuild]] then reuses the
+    * live entry instead of evicting a healthy index over a transient
+    * filesystem error. */
+  private def embMtime(d: String): Option[Long] =
+    try Some(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/embeddings.parquet")).toMillis)
+    catch { case _: java.io.IOException => None }
 
   /** Drop the persisted ANN index relations (e.g. to release executor
     * storage). */

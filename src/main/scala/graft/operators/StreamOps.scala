@@ -208,14 +208,27 @@ object StreamOps {
         }
       }
       st.foreach { x =>
-        state.update(x)
-        // fire once the watermark passes the gap; the max() guard
-        // only matters on multi-batch replays where the watermark
-        // may already sit past a stale session's deadline (setting
-        // an earlier-than-watermark timeout throws)
-        state.setTimeoutTimestamp(
-          math.max((x.end_sec + SessionGapSec) * 1000L,
-            state.getCurrentWatermarkMs + 1L))
+        val deadline = (x.end_sec + SessionGapSec) * 1000L
+        if (deadline < state.getCurrentWatermarkMs) {
+          // the watermark already sits past this session's deadline (a
+          // large cross-batch event-time jump): emit NOW. Round 3
+          // deferred via a wm+1 timeout, which never fires if the
+          // watermark stalls here (e.g. the jump lands in the final
+          // batch) — diverging from the `deadline < wm` rule the
+          // eviction path applies. No on-time event can extend the
+          // session either: an extender has tsec*1000 <= deadline < wm
+          // and would be dropped as late.
+          out += ClosedSession(uid, x.n, x.start_sec, x.end_sec)
+          state.remove()
+        } else {
+          state.update(x)
+          // fire once the watermark strictly passes the deadline; the
+          // +1 guard covers deadline == wm (setting a not-later-than-
+          // watermark timeout throws, and eviction is strict `<` so
+          // wm must advance anyway before the session counts closed)
+          state.setTimeoutTimestamp(
+            math.max(deadline, state.getCurrentWatermarkMs + 1L))
+        }
       }
       out.iterator
     }

@@ -54,14 +54,28 @@ class DriverContractSpec extends SparkSpec {
       s"complex-typed output columns break the driver's checker: $offenders")
   }
 
-  test("bench JSON line parses and covers every query") {
-    // reproduce Bench's serialization (not its timing loop) and parse it
-    val qs = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => s""""$k":0.1""").mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":1.0,"unit":"sec","queries":$qs,"sf":"x"}"""
+  test("bench JSON lines parse; the FINAL line fits the driver's tail window") {
+    // run Bench's real serialization (not its timing loop) over every
+    // registered query name
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456)
+    val sfDir = "/root/testdata/sf0.1"
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-    val tree = mapper.readTree(line)
-    assert(tree.get("queries").size() === SparkEntry.queries.size)
+
+    val full = mapper.readTree(Bench.fullLine(results, sfDir))
+    assert(full.get("queries").size() === SparkEntry.queries.size)
+
+    // The driver reads only a ~2.2 KB tail of stdout; the full
+    // per-query line outgrew it at 88 queries (3 rounds of
+    // parsed:null). The final stdout line is therefore the compact
+    // summary, and this bound keeps query growth from silently
+    // re-breaking it.
+    val summary = Bench.summaryLine(results, sfDir)
+    assert(summary.length <= 1500,
+      s"final bench line must fit the driver's tail window, got ${summary.length}B")
+    val s = mapper.readTree(summary)
+    assert(s.get("metric").asText === "total")
+    assert(s.get("unit").asText === "sec")
+    assert(s.get("value").asDouble > 0.0)
+    assert(s.get("n_queries").asInt === SparkEntry.queries.size)
   }
 }

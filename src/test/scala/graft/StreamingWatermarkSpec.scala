@@ -142,6 +142,46 @@ class StreamingWatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionStep: a session already expired vs the watermark is emitted " +
+      "immediately, not deferred to a timeout that may never fire") {
+    import graft.operators.StreamOps
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    // open session ended at t=0; the eviction watermark has jumped to
+    // 90 min (it can outrun the LAGGING late-event watermark across
+    // batches, so an in-gap t=25min event still reaches the step).
+    // The merged session's deadline (25+30=55 min) is behind the
+    // watermark: it must close in THIS invocation — round 3's wm+1
+    // deferred timeout never fires if the watermark stalls here,
+    // diverging from the oracle's `deadline < final wm` rule.
+    val state = TestGroupState.create[StreamOps.OpenSession](
+      Optional.of(StreamOps.OpenSession(0L, 0L, 1L)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(90L * 60000L), false)
+    val out = StreamOps.sessionStep(7L,
+      Iterator(StreamOps.SessEvent(7L, 1L, 25L * 60L, ts(25))), state).toList
+    assert(out === List(StreamOps.ClosedSession(7L, 2L, 0L, 25L * 60L)))
+    assert(state.isRemoved, "expired session's state must not linger")
+  }
+
+  test("sessionStep: deadline exactly AT the watermark stays open " +
+      "(eviction is strict <) with a timeout just past the watermark") {
+    import graft.operators.StreamOps
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val wmMs = (25L * 60L + StreamOps.SessionGapSec) * 1000L // == deadline
+    val state = TestGroupState.create[StreamOps.OpenSession](
+      Optional.of(StreamOps.OpenSession(0L, 0L, 1L)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(wmMs), false)
+    val out = StreamOps.sessionStep(7L,
+      Iterator(StreamOps.SessEvent(7L, 1L, 25L * 60L, ts(25))), state).toList
+    assert(out.isEmpty, "deadline == wm is not yet closed (strict <)")
+    assert(state.isUpdated)
+    assert(state.get === StreamOps.OpenSession(0L, 25L * 60L, 2L))
+    assert(state.getTimeoutTimestampMs.get() === wmMs + 1L)
+  }
+
   test("checkpointed restart: aggregation state survives and each window " +
       "is emitted exactly once across runs") {
     // the ack-fidelity claim (SURVEY S4/E5): offsets commit only after
