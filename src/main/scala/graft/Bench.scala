@@ -67,7 +67,10 @@ object Bench {
     require(warmup.forall(SparkEntry.queries.contains),
       s"stale warm-up name: ${warmup.filterNot(SparkEntry.queries.contains)}")
     warmup.foreach(run)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = query-name filter for controlled local reruns
+    // (the driver always invokes with no args -> full sorted set)
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
     val results = names.map(n => n -> run(n))
     // The driver parses a ~2.2 KB tail of stdout. The full per-query
     // line grows with the query count (≈2.9 KB at 88 queries) and

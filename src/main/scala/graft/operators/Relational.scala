@@ -398,6 +398,36 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
+  /** Exact-distinct-at-scale variant of [[q16DistinctCounts]]: each
+    * COUNT(DISTINCT) is computed as its own pre-deduped combinable
+    * aggregate — distinct (brand, key) then count per brand — joined
+    * back per brand, instead of Spark's single-pass Expand ×3 plan.
+    *
+    * The trade: Expand triples the fact rows BEFORE the shuffle (one
+    * scan, 3× shuffle volume of the joined fact); the pre-dedup form
+    * scans the fact per distinct key set but shuffles each key set
+    * once WITH map-side partial dedup, so shuffled bytes ∝ the
+    * distinct key count, not 3× the fact. At 100× the fact, shuffle
+    * is the bottleneck and this form wins; at sf0.1 the bench has
+    * them near-identical (q16 0.9–2.0 s vs q16b 0.8–1.3 s across
+    * reruns, within machine swing — the Expand cost only separates
+    * once shuffle spills). Both stay registered so the numbers sit
+    * side by side per round. */
+  val q16PrededupCounts: Q = (s, d) => {
+    def joined = li(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_suppkey"), col("l_orderkey"))
+    val supp = joined.select("p_brand", "l_suppkey").distinct()
+      .groupBy("p_brand").agg(count(lit(1)).as("n_suppliers"))
+    val ords = joined.select("p_brand", "l_orderkey").distinct()
+      .groupBy("p_brand").agg(count(lit(1)).as("n_orders"))
+    val items = joined.groupBy("p_brand").agg(count(lit(1)).as("n_items"))
+    supp.join(ords, "p_brand").join(items, "p_brand")
+      .select(col("p_brand"), col("n_suppliers"), col("n_orders"),
+        col("n_items"))
+      .orderBy("p_brand")
+  }
+
   /** TPC-H Q13-style: distribution of customers by order count
     * (left outer join so zero-order customers keep a row, then a
     * second aggregation over the counts). */
@@ -476,6 +506,7 @@ object Relational {
     "q14_promo_share" -> q14PromoShare,
     "q15_top_supplier" -> q15TopSupplier,
     "q16_distinct_counts" -> q16DistinctCounts,
+    "q16b_prededup_counts" -> q16PrededupCounts,
     "q17_small_quantity" -> q17SmallQuantity,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
@@ -704,6 +735,23 @@ object Relational {
            COUNT(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+    "q16b_prededup_counts" ->
+      """WITH j AS (
+           SELECT p_brand, l_suppkey, l_orderkey
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         s AS (
+           SELECT p_brand, COUNT(*) AS n_suppliers
+           FROM (SELECT DISTINCT p_brand, l_suppkey FROM j) z
+           GROUP BY p_brand),
+         o AS (
+           SELECT p_brand, COUNT(*) AS n_orders
+           FROM (SELECT DISTINCT p_brand, l_orderkey FROM j) z
+           GROUP BY p_brand),
+         i AS (SELECT p_brand, COUNT(*) AS n_items FROM j GROUP BY p_brand)
+         SELECT s.p_brand, n_suppliers, n_orders, n_items
+         FROM s JOIN o ON s.p_brand = o.p_brand
+                JOIN i ON s.p_brand = i.p_brand
+         ORDER BY s.p_brand""",
     "q17_small_quantity" ->
       s"""WITH pa AS (
             SELECT l_partkey AS pk,

@@ -272,22 +272,35 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
-  /** Centroid relation shared by [[kmeansAssign]] and
-    * [[annIvfProbe2]]: (clabel, c ARRAY<DOUBLE>) from the
-    * decimal-exact per-(label, dim) means. Tiny (|labels| rows) —
-    * always broadcast at the use site. */
-  private def centroids(s: SparkSession, d: String): DataFrame =
-    emb(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
+  /** Decimal-exact per-(clabel, dim) means of a (clabel, embedding)
+    * relation, in long format — the k-means UPDATE step. Each float
+    * element goes through its shortest string into DECIMAL(30,20)
+    * (exact, order-independent summation; see [[embCentroids]]), so
+    * iterating the step stays bit-identical to the oracle. */
+  private def meansLong(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("clabel"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("clabel"), col("dim"))
       .agg(
         (sum(col("v").cast("string").cast("decimal(30,20)")).cast("double") /
           count(lit(1)).cast("double")).as("mean"))
-      .groupBy(col("label"))
+
+  /** (clabel, dim, mean) long format → (clabel, c ARRAY<DOUBLE>). */
+  private def toArrays(byd: DataFrame): DataFrame =
+    byd.groupBy(col("clabel"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
         .as("dm"))
-      .select(col("label").cast("long").as("clabel"),
+      .select(col("clabel"),
         transform(col("dm"), x => x.getField("mean")).as("c"))
+
+  /** Centroid relation shared by [[kmeansAssign]], [[annIvfProbe2]]
+    * and [[kmeansTrain]]'s initialization: (clabel, c ARRAY<DOUBLE>)
+    * from the decimal-exact per-(label, dim) means. Tiny (|labels|
+    * rows) — always broadcast at the use site. */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    toArrays(meansLong(
+      emb(s, d).select(col("label").cast("long").as("clabel"),
+        col("embedding"))))
 
   private def sqDist(a: Column, b: Column): Column =
     GraftColumn(ArraySqDist(GraftColumn.expr(a), GraftColumn.expr(b)))
@@ -348,6 +361,53 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Fixed Lloyd's iteration count for [[kmeansTrain]] — fixed (not
+    * convergence-tested) so the DuckDB oracle can unroll the exact
+    * same number of rounds deterministically. */
+  val KmeansIters = 2
+
+  /** The k-means ASSIGN step: every vector to its nearest centroid
+    * (squared euclidean, tie → lowest clabel). Centroids broadcast;
+    * vectors never shuffle (WindowGroupLimit top-1 per vec_id). */
+  private def assignToNearest(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("clabel"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("clabel"),
+        sqDist(col("embedding"), col("c")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("clabel"))
+  }
+
+  /** End-to-end Lloyd's TRAINING loop — [[kmeansAssign]] (assign) and
+    * [[embCentroids]] (update) composed for [[KmeansIters]] rounds
+    * from the per-label-mean initialization, so the IVF coarse
+    * quantizer is trained by the engine rather than the label column
+    * standing in for it. Output: the trained centroids in long
+    * (clabel, dim, mean) format (scalar cells — driver checker rule).
+    *
+    * Scale shape per round: centroids (k rows) BROADCAST to the
+    * assign projection, update is one map-side-combinable agg on
+    * (clabel, dim) — the corpus is scanned twice per round and never
+    * shuffled by vector. Intermediate centroids are eagerly
+    * `localCheckpoint()`ed between rounds, the same O(1)-plan-depth
+    * discipline as the connected-components loop: each round's plan
+    * builds on a small materialized relation, not on N stacked
+    * window+agg rounds. A cluster that loses all vectors drops out
+    * (both engines agree: GROUP BY emits no empty groups). */
+  val kmeansTrain: Q = (s, d) => {
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    var cents = centroids(s, d)
+    for (_ <- 1 until KmeansIters)
+      cents = toArrays(meansLong(assignToNearest(e, cents)
+        .select(col("clabel"), col("embedding")))).localCheckpoint()
+    meansLong(assignToNearest(e, cents)
+        .select(col("clabel"), col("embedding")))
+      .select(col("clabel"), col("dim").cast("long").as("dim"), col("mean"))
+      .orderBy("clabel", "dim")
+  }
+
   /** Per-label stats; norms decimal-quantized before the group sum so
     * the aggregation order can't leak into the result. */
   val embLabelStats: Q = (s, d) =>
@@ -370,6 +430,7 @@ object SimilarityOps {
     "emb_label_stats" -> embLabelStats,
     "emb_centroids" -> embCentroids,
     "kmeans_assign" -> kmeansAssign,
+    "kmeans_train" -> kmeansTrain,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
     "emb_dup_text_verify" -> embDupTextVerify)
@@ -408,6 +469,50 @@ object SimilarityOps {
           SELECT CAST(label AS BIGINT) AS clabel,
             list(mean ORDER BY dim) AS c
           FROM byd GROUP BY label)"""
+
+  /** One decimal-exact UPDATE step as a CTE: per-(clabel, dim) means
+    * of `src` (which must expose clabel + embedding). Mirrors
+    * [[meansLong]]. */
+  private def sqlByd(src: String, labelExpr: String, name: String): String =
+    s"""$name AS (
+          SELECT $labelExpr AS clabel, idx.i - 1 AS dim,
+            CAST(CAST(SUM(CAST(CAST($src.embedding[idx.i] AS VARCHAR)
+              AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS mean
+          FROM $src, (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
+          GROUP BY $labelExpr, idx.i)"""
+
+  private def sqlCentFrom(byd: String, name: String): String =
+    s"""$name AS (SELECT clabel, list(mean ORDER BY dim) AS c
+        FROM $byd GROUP BY clabel)"""
+
+  /** One ASSIGN step as a CTE: nearest `cent` centroid per vector
+    * (tie → lowest clabel). Mirrors [[assignToNearest]]. */
+  private def sqlAssignCte(cent: String, name: String): String =
+    s"""$name AS (
+          SELECT vec_id, embedding, clabel FROM (
+            SELECT e.vec_id, e.embedding, $cent.clabel,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${sqlSqDist("e.embedding", s"$cent.c")},
+                         $cent.clabel) AS rn
+            FROM embeddings e CROSS JOIN $cent) z
+          WHERE rn = 1)"""
+
+  /** [[KmeansIters]] unrolled Lloyd's rounds — kept structurally in
+    * sync with [[kmeansTrain]]'s loop by construction. */
+  private def sqlKmeansTrain: String = {
+    val b = Seq.newBuilder[String]
+    b += sqlByd("embeddings", "CAST(embeddings.label AS BIGINT)", "byd0")
+    b += sqlCentFrom("byd0", "cent0")
+    for (i <- 1 to KmeansIters) {
+      b += sqlAssignCte(s"cent${i - 1}", s"a$i")
+      b += sqlByd(s"a$i", s"a$i.clabel", s"byd$i")
+      if (i < KmeansIters) b += sqlCentFrom(s"byd$i", s"cent$i")
+    }
+    s"""WITH ${b.result().mkString(",\n")}
+        SELECT clabel, dim, mean FROM byd$KmeansIters
+        ORDER BY clabel, dim"""
+  }
 
   /** SQL mirror of [[sqDist]]: same element order, same fold. */
   private def sqlSqDist(a: String, b: String): String =
@@ -518,6 +623,7 @@ object SimilarityOps {
               ORDER BY dist, clabel) AS rn
             FROM scored) z
           WHERE rn = 1 ORDER BY vec_id""",
+    "kmeans_train" -> sqlKmeansTrain,
     "ann_ivf_probe2" -> sqlTopK(
       s"""WITH $sqlCentCtes,
           qc AS (

@@ -135,6 +135,29 @@ class PlanSpec extends SparkSpec {
       "the per-vector argmin must be a bounded-heap top-1")
   }
 
+  test("k-means training: final round broadcasts centroids, argmin is a " +
+      "bounded heap, never a cartesian") {
+    val p = physical("kmeans_train")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"trained centroids must broadcast to the assign step:\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-vector argmin must be a bounded-heap top-1")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("exact-distinct variants: Expand plan vs pre-deduped combinable aggs") {
+    // q16 is Spark's single-pass plan: one Expand that triples the
+    // fact rows before the shuffle; q16b is the scale-path rewrite —
+    // no Expand, each distinct key set deduped with map-side partial
+    // aggregation before its own shuffle
+    assert(physical("q16_distinct_counts").contains("Expand"))
+    val p = physical("q16b_prededup_counts")
+    assert(!p.contains("Expand"),
+      s"pre-dedup form must not plan an Expand:\n${p.take(1500)}")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      "each distinct key set needs partial+final aggregate pairs")
+  }
+
   test("payload chunking is narrow — no hash shuffle before the explode") {
     val p = physical("mm_chunk")
     assert(!p.contains("Exchange hashpartitioning"),
