@@ -396,16 +396,76 @@ object SimilarityOps {
     * builds on a small materialized relation, not on N stacked
     * window+agg rounds. A cluster that loses all vectors drops out
     * (both engines agree: GROUP BY emits no empty groups). */
-  val kmeansTrain: Q = (s, d) => {
+  /** The trained coarse quantizer: centroid arrays after
+    * [[KmeansIters]] Lloyd's rounds, eagerly materialized. */
+  private def trainedCentroids(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).select(col("vec_id"), col("embedding"))
     var cents = centroids(s, d)
-    for (_ <- 1 until KmeansIters)
+    for (_ <- 1 to KmeansIters)
       cents = toArrays(meansLong(assignToNearest(e, cents)
         .select(col("clabel"), col("embedding")))).localCheckpoint()
-    meansLong(assignToNearest(e, cents)
-        .select(col("clabel"), col("embedding")))
+    cents
+  }
+
+  val kmeansTrain: Q = (s, d) =>
+    trainedCentroids(s, d)
+      .select(col("clabel"), posexplode(col("c")).as(Seq("dim", "mean")))
       .select(col("clabel"), col("dim").cast("long").as("dim"), col("mean"))
       .orderBy("clabel", "dim")
+
+  /** IVF search over the ENGINE-TRAINED quantizer — the end of the
+    * IVF story: [[kmeansTrain]] produces the cells, every vector is
+    * assigned to its cell by the same broadcast-argmin step, and the
+    * probe is an equi-join on the cell id (queries search only their
+    * own cell, nprobe=1). Against [[annIvf]] (label column as cell)
+    * this is the index a real pipeline would build when no labels
+    * exist. Same 100 TB shape as [[annIvfProbe2]]: quantizer rows
+    * broadcast, probe cost ∝ cell size. */
+  val annIvfTrained: Q = (s, d) => {
+    val af = assignToNearest(
+        emb(s, d).select(col("vec_id"), col("embedding")),
+        trainedCentroids(s, d))
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    val q = af.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("clabel"))
+    val c = af.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("clabel"))
+    topK(
+      c.join(broadcast(q), Seq("clabel"))
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos")),
+      TopK)
+  }
+
+  /** Int8 scalar quantization of the embedding column — the standard
+    * 4× memory cut an ANN index takes before it fits a 100 TB corpus
+    * in serving RAM: per-DIMENSION min/max over the corpus, then
+    * `q = floor((v - lo) * 255 / (hi - lo)) - 128` per element
+    * (long-format output per the scalar-cells rule).
+    *
+    * Exactness: v is the float read as double (exact), lo/hi are
+    * picked (not computed) by MIN/MAX, the affine map is three
+    * correctly-rounded IEEE ops identical on both engines, and floor
+    * is exact — no `round()` (whose tie behavior differs) anywhere.
+    * Scale shape: the stats pass is one combinable agg producing
+    * [[Dims]] rows, BROADCAST back onto the narrow explode — vectors
+    * never shuffle. A constant dimension (hi == lo) quantizes to 0. */
+  val embQuantize: Q = (s, d) => {
+    val longf = emb(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val stats = longf.groupBy("dim")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    longf.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        (when(col("hi") > col("lo"),
+          least(floor((col("v") - col("lo")) * lit(255.0)
+            / (col("hi") - col("lo"))), lit(255L)))
+          .otherwise(lit(0L)) - lit(128L)).as("q_int8"))
+      .orderBy("vec_id", "dim")
   }
 
   /** Per-label stats; norms decimal-quantized before the group sum so
@@ -431,6 +491,8 @@ object SimilarityOps {
     "emb_centroids" -> embCentroids,
     "kmeans_assign" -> kmeansAssign,
     "kmeans_train" -> kmeansTrain,
+    "ann_ivf_trained" -> annIvfTrained,
+    "emb_quantize" -> embQuantize,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
     "emb_dup_text_verify" -> embDupTextVerify)
@@ -498,21 +560,25 @@ object SimilarityOps {
             FROM embeddings e CROSS JOIN $cent) z
           WHERE rn = 1)"""
 
-  /** [[KmeansIters]] unrolled Lloyd's rounds — kept structurally in
-    * sync with [[kmeansTrain]]'s loop by construction. */
-  private def sqlKmeansTrain: String = {
+  /** [[KmeansIters]] unrolled Lloyd's rounds as a CTE chain — kept
+    * structurally in sync with [[trainedCentroids]]'s loop by
+    * construction. `cent$KmeansIters` is the trained quantizer. */
+  private def sqlLloydCtes: Seq[String] = {
     val b = Seq.newBuilder[String]
     b += sqlByd("embeddings", "CAST(embeddings.label AS BIGINT)", "byd0")
     b += sqlCentFrom("byd0", "cent0")
     for (i <- 1 to KmeansIters) {
       b += sqlAssignCte(s"cent${i - 1}", s"a$i")
       b += sqlByd(s"a$i", s"a$i.clabel", s"byd$i")
-      if (i < KmeansIters) b += sqlCentFrom(s"byd$i", s"cent$i")
+      b += sqlCentFrom(s"byd$i", s"cent$i")
     }
-    s"""WITH ${b.result().mkString(",\n")}
+    b.result()
+  }
+
+  private def sqlKmeansTrain: String =
+    s"""WITH ${sqlLloydCtes.mkString(",\n")}
         SELECT clabel, dim, mean FROM byd$KmeansIters
         ORDER BY clabel, dim"""
-  }
 
   /** SQL mirror of [[sqDist]]: same element order, same fold. */
   private def sqlSqDist(a: String, b: String): String =
@@ -624,6 +690,13 @@ object SimilarityOps {
             FROM scored) z
           WHERE rn = 1 ORDER BY vec_id""",
     "kmeans_train" -> sqlKmeansTrain,
+    "ann_ivf_trained" -> sqlTopK(
+      s"""WITH ${sqlLloydCtes.mkString(",\n")},
+          ${sqlAssignCte(s"cent$KmeansIters", "af")}
+          SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
+            ${sqlCosine("qa.embedding", "ca.embedding")} AS cos
+          FROM af qa JOIN af ca ON qa.clabel = ca.clabel
+          WHERE qa.vec_id < $NQueries AND ca.vec_id >= $NQueries""", TopK),
     "ann_ivf_probe2" -> sqlTopK(
       s"""WITH $sqlCentCtes,
           qc AS (
@@ -640,6 +713,22 @@ object SimilarityOps {
           FROM qc JOIN embeddings c
             ON CAST(c.label AS BIGINT) = qc.clabel
                AND c.vec_id >= $NQueries""", TopK),
+    "emb_quantize" ->
+      s"""WITH longf AS (
+            SELECT vec_id, idx.i - 1 AS dim,
+              CAST(embedding[idx.i] AS DOUBLE) AS v
+            FROM embeddings,
+              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx),
+          stats AS (
+            SELECT dim, MIN(v) AS lo, MAX(v) AS hi
+            FROM longf GROUP BY dim)
+          SELECT vec_id, l.dim,
+            CASE WHEN hi > lo
+              THEN least(CAST(floor((v - lo) * 255.0 / (hi - lo)) AS BIGINT),
+                         255)
+              ELSE 0 END - 128 AS q_int8
+          FROM longf l JOIN stats s ON l.dim = s.dim
+          ORDER BY vec_id, l.dim""",
     "emb_label_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
           CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})

@@ -331,6 +331,40 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Token window size / stride for [[docChunkTokens]] — overlap of
+    * `ChunkTokens - ChunkStride` tokens between adjacent chunks. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Training-window chunking: each document split into fixed-size
+    * token windows with overlap — the step that turns a variable-length
+    * corpus into model-input-sized rows (context-window packing's
+    * front half). One chunk row per (doc, start) with the window's
+    * text reassembled; the final window is short rather than padded.
+    *
+    * Scale shape: tokenize is the one-pass codegen'd projection, the
+    * window starts come from a per-row `sequence` + posexplode (narrow,
+    * no shuffle — chunk count ∝ corpus tokens / stride), and the
+    * ORDER BY is output presentation only. At 100 TB this is the
+    * classic embarrassingly-parallel map; the explode multiplies rows
+    * ~n_tokens/stride× so downstream consumers should repartition by
+    * size, not count. */
+  val docChunkTokens: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), size(col("tk")) - 1, lit(ChunkStride)))
+          .as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(slice(col("tk"), col("start_tok") + 1, lit(ChunkTokens)))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("tk"), col("start_tok") + 1, lit(ChunkTokens)),
+          " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
@@ -346,7 +380,8 @@ object TextOps {
     "doc_mix_epochs" -> docMixEpochs,
     "doc_source_stats" -> docSourceStats,
     "tf_top_tokens" -> tfTopTokens,
-    "tf_top_bigrams" -> tfTopBigrams)
+    "tf_top_bigrams" -> tfTopBigrams,
+    "doc_chunk_tokens" -> docChunkTokens)
 
   // ------------------------------------------------------------------
 
@@ -501,5 +536,20 @@ object TextOps {
           FROM (SELECT unnest(list_transform(range(1, length($sqlToks)),
                   i -> $sqlToks[i] || ' ' || $sqlToks[i+1])) AS bigram
                 FROM documents) t
-          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
+          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "doc_chunk_tokens" ->
+      s"""WITH tk AS (
+            SELECT doc_id, $sqlToks AS tk FROM documents
+            WHERE length($sqlToks) >= 1),
+          ch AS (
+            SELECT doc_id, tk,
+              unnest(range(0, length(tk), $ChunkStride)) AS start_tok
+            FROM tk)
+          SELECT doc_id, start_tok // $ChunkStride AS chunk_id, start_tok,
+            length(list_slice(tk, start_tok + 1, start_tok + $ChunkTokens))
+              AS n_tok,
+            array_to_string(
+              list_slice(tk, start_tok + 1, start_tok + $ChunkTokens), ' ')
+              AS chunk_text
+          FROM ch ORDER BY doc_id, chunk_id""")
 }

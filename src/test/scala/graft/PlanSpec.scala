@@ -135,9 +135,18 @@ class PlanSpec extends SparkSpec {
       "the per-vector argmin must be a bounded-heap top-1")
   }
 
-  test("k-means training: final round broadcasts centroids, argmin is a " +
-      "bounded heap, never a cartesian") {
-    val p = physical("kmeans_train")
+  test("k-means training: trained-quantizer probe broadcasts centroids, " +
+      "argmin is a bounded heap, never a cartesian") {
+    // kmeans_train itself trains EAGERLY (localCheckpoint per round),
+    // so its visible plan must be checkpoint-truncated to the
+    // materialized centroid relation...
+    val t = physical("kmeans_train")
+    assert(t.contains("ExistingRDD"),
+      s"training rounds must be checkpoint-truncated:\n${t.take(1500)}")
+    // ...while the probe over the trained quantizer keeps the assign
+    // step lazy: centroids broadcast, per-vector argmin a bounded
+    // heap, no all-pairs join anywhere
+    val p = physical("ann_ivf_trained")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"trained centroids must broadcast to the assign step:\n${p.take(1500)}")
     assert(p.contains("WindowGroupLimit"),
