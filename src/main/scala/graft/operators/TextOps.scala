@@ -349,21 +349,54 @@ object TextOps {
     * classic embarrassingly-parallel map; the explode multiplies rows
     * ~n_tokens/stride× so downstream consumers should repartition by
     * size, not count. */
-  val docChunkTokens: Q = (s, d) =>
+  private def chunkRel(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        Hashing.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 1)
-      .select(col("doc_id"), col("tk"),
+      .select(col("doc_id"), col("source"), col("tk"),
         posexplode(sequence(lit(0), size(col("tk")) - 1, lit(ChunkStride)))
           .as(Seq("chunk_id", "start_tok")))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         col("chunk_id").cast("long").as("chunk_id"),
         col("start_tok").cast("long").as("start_tok"),
         size(slice(col("tk"), col("start_tok") + 1, lit(ChunkTokens)))
           .cast("long").as("n_tok"),
         array_join(slice(col("tk"), col("start_tok") + 1, lit(ChunkTokens)),
           " ").as("chunk_text"))
+
+  val docChunkTokens: Q = (s, d) =>
+    chunkRel(s, d)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tok"), col("chunk_text"))
       .orderBy("doc_id", "chunk_id")
+
+  /** Sequence length for [[docPackChunks]]. */
+  val PackSeqTokens = 64L
+
+  /** Context-window packing — the back half of [[docChunkTokens]]:
+    * chunks are concatenated in (doc_id, chunk_id) order and chopped
+    * into fixed-[[PackSeqTokens]] training sequences; each chunk row
+    * gets the sequence it starts in and its token offset there.
+    *
+    * Packing is PER SOURCE (the shard key), not global: a single
+    * global running sum would serialize the whole corpus through one
+    * partition — the per-source window keeps the prefix-sum parallel
+    * across shards, which is how a 100 TB packing run actually shards
+    * (each source's chunk stream packs independently). The ties-free
+    * (doc_id, chunk_id) ordering makes the running sum deterministic
+    * on both engines. */
+  val docPackChunks: Q = (s, d) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunkRel(s, d)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("off", col("cum") - col("n_tok"))
+      .select(col("source"), col("doc_id"), col("chunk_id"), col("n_tok"),
+        expr(s"off div $PackSeqTokens").as("seq_id"),
+        (col("off") % PackSeqTokens).as("seq_off"))
+      .orderBy("source", "doc_id", "chunk_id")
+  }
 
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
@@ -381,7 +414,8 @@ object TextOps {
     "doc_source_stats" -> docSourceStats,
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams,
-    "doc_chunk_tokens" -> docChunkTokens)
+    "doc_chunk_tokens" -> docChunkTokens,
+    "doc_pack_chunks" -> docPackChunks)
 
   // ------------------------------------------------------------------
 
@@ -551,5 +585,26 @@ object TextOps {
             array_to_string(
               list_slice(tk, start_tok + 1, start_tok + $ChunkTokens), ' ')
               AS chunk_text
-          FROM ch ORDER BY doc_id, chunk_id""")
+          FROM ch ORDER BY doc_id, chunk_id""",
+    "doc_pack_chunks" ->
+      s"""WITH tk AS (
+            SELECT doc_id, source, $sqlToks AS tk FROM documents
+            WHERE length($sqlToks) >= 1),
+          ch AS (
+            SELECT doc_id, source, tk,
+              unnest(range(0, length(tk), $ChunkStride)) AS start_tok
+            FROM tk),
+          sized AS (
+            SELECT doc_id, source, start_tok // $ChunkStride AS chunk_id,
+              length(list_slice(tk, start_tok + 1, start_tok + $ChunkTokens))
+                AS n_tok
+            FROM ch),
+          packed AS (
+            SELECT source, doc_id, chunk_id, n_tok,
+              CAST(SUM(n_tok) OVER (PARTITION BY source
+                ORDER BY doc_id, chunk_id) AS BIGINT) - n_tok AS o
+            FROM sized)
+          SELECT source, doc_id, chunk_id, n_tok,
+            o // $PackSeqTokens AS seq_id, o % $PackSeqTokens AS seq_off
+          FROM packed ORDER BY source, doc_id, chunk_id""")
 }
