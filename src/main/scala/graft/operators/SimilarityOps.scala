@@ -452,6 +452,25 @@ object SimilarityOps {
       TopK)
   }
 
+  /** Recall@k of the trained-quantizer IVF probe against exact brute
+    * force — the go/no-go number for replacing the exact search with
+    * the trained index (mirrors [[annLshRecall]] for the LSH tier).
+    * nprobe=1 against k-means cells; compare with `ann_lsh_recall` to
+    * pick the candidate-generation tier per corpus. */
+  val annIvfTrainedRecall: Q = (s, d) => {
+    val b = knnBrute(s, d).select(col("query_id"), col("cand_id"))
+    val p = annIvfTrained(s, d)
+      .select(col("query_id").as("p_query"), col("cand_id").as("p_cand"))
+    b.join(p, col("query_id") === col("p_query") &&
+        col("cand_id") === col("p_cand"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("p_cand")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK).cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * 4× memory cut an ANN index takes before it fits a 100 TB corpus
     * in serving RAM: per-DIMENSION min/max over the corpus, then
@@ -505,6 +524,7 @@ object SimilarityOps {
     "kmeans_assign" -> kmeansAssign,
     "kmeans_train" -> kmeansTrain,
     "ann_ivf_trained" -> annIvfTrained,
+    "ann_ivf_trained_recall" -> annIvfTrainedRecall,
     "emb_quantize" -> embQuantize,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
@@ -633,6 +653,14 @@ object SimilarityOps {
         FROM wb q JOIN wb c ON q.bucket = c.bucket
         WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK)
 
+  private val sqlAnnIvfTrained: String = sqlTopK(
+    s"""WITH ${sqlLloydCtes.mkString(",\n")},
+        ${sqlAssignCte(s"cent$KmeansIters", "af")}
+        SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
+          ${sqlCosine("qa.embedding", "ca.embedding")} AS cos
+        FROM af qa JOIN af ca ON qa.clabel = ca.clabel
+        WHERE qa.vec_id < $NQueries AND ca.vec_id >= $NQueries""", TopK)
+
   val oracle: Map[String, String] = Map(
     "knn_brute" -> sqlKnnBrute,
     "ann_lsh_recall" ->
@@ -703,13 +731,14 @@ object SimilarityOps {
             FROM scored) z
           WHERE rn = 1 ORDER BY vec_id""",
     "kmeans_train" -> sqlKmeansTrain,
-    "ann_ivf_trained" -> sqlTopK(
-      s"""WITH ${sqlLloydCtes.mkString(",\n")},
-          ${sqlAssignCte(s"cent$KmeansIters", "af")}
-          SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
-            ${sqlCosine("qa.embedding", "ca.embedding")} AS cos
-          FROM af qa JOIN af ca ON qa.clabel = ca.clabel
-          WHERE qa.vec_id < $NQueries AND ca.vec_id >= $NQueries""", TopK),
+    "ann_ivf_trained" -> sqlAnnIvfTrained,
+    "ann_ivf_trained_recall" ->
+      s"""SELECT b.query_id, COUNT(p.cand_id) AS n_hits,
+          CAST(COUNT(p.cand_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+          FROM ($sqlKnnBrute) b
+          LEFT JOIN ($sqlAnnIvfTrained) p
+            ON b.query_id = p.query_id AND b.cand_id = p.cand_id
+          GROUP BY b.query_id ORDER BY b.query_id""",
     "ann_ivf_probe2" -> sqlTopK(
       s"""WITH $sqlCentCtes,
           qc AS (

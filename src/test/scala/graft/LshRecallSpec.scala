@@ -85,12 +85,15 @@ class LshRecallSpec extends SparkSpec {
 
   test("split assignment and canonical report reuse the cached labeling") {
     assert(SparkEntry.queries("dedup_components")(spark, Sf).count() > 0)
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     assert(SparkEntry.queries("dedup_split_assign")(spark, Sf).count() > 0)
     assert(SparkEntry.queries("dedup_savings")(spark, Sf).count() > 0)
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after === before,
-      "consumers of the labeling must not rebuild or re-persist it")
+    // compare IDs, not counts: unpersist is async, so entries from
+    // earlier tests may vanish between the two samples — only NEW
+    // persisted RDDs indicate a rebuild/re-persist by the consumers
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty,
+      s"consumers of the labeling must not rebuild or re-persist it: $added")
   }
 
   test("overwriting the dataset evicts the superseded index entry") {
