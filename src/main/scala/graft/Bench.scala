@@ -28,7 +28,7 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 
-  /** Compact fixed-size summary (<150 B, length-bounded by
+  /** Compact fixed-size summary (~110 B, bounded ≤256 B by
     * DriverContractSpec) printed as the very last stdout line. */
   private[graft] def summaryLine(results: Seq[(String, Double)], sfDir: String): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -71,7 +71,11 @@ object Bench {
       s"stale warm-up name: ${warmup.filterNot(SparkEntry.queries.contains)}")
     warmup.foreach(run)
     // optional args = query-name filter for controlled local reruns
-    // (the driver always invokes with no args -> full sorted set)
+    // (the driver always invokes with no args -> full sorted set);
+    // unknown names fail loudly — a typo'd rerun must not "measure"
+    // an empty set as 0.0s
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
     val results = names.map(n => n -> run(n))

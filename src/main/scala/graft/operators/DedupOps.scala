@@ -235,15 +235,20 @@ object DedupOps {
     componentCache.getOrBuild(s, d, docsMtime(d)) {
       val labels = propagateMinLabels(buckets(s, d))
       // isolated docs (no signature or lone bucket membership is fine
-      // either way: never a candidate) are their own components
-      val isolated = docs(s, d).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("comp"))
-      val all = labels.union(isolated).persist()
-      all.count()
-      labels.unpersist()
+      // either way: never a candidate) are their own components.
+      // The cached relation is checkpointed (not persist()ed) so it
+      // carries NO dependency on `labels` — its blocks can be freed
+      // right here, and the cache entry itself is freeable by
+      // [[IndexCache.release]] on eviction
+      val all = labels.union(isolated(s, d, labels)).localCheckpoint()
+      IndexCache.release(labels)
       all
     }
+
+  private def isolated(s: SparkSession, d: String, labels: DataFrame) =
+    docs(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("comp"))
 
   /** Min-label propagation over a bipartite (doc_id, band, bucket)
     * membership relation → one (doc_id, comp) row per member doc.
@@ -281,7 +286,10 @@ object DedupOps {
       changed = next
         .join(labels.withColumnRenamed("comp", "old"), "doc_id")
         .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
+      // Dataset.unpersist() is a CacheManager no-op on checkpointed
+      // plans — free the superseded checkpoint's blocks directly,
+      // safe because `next` is already materialized and independent
+      IndexCache.release(labels)
       labels = next
       checks += 1
       if (changed > 0 && checks % 25 == 0)

@@ -21,7 +21,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and rebuilt a healthy index and then left the 0-keyed orphan
   * persisted until the next successful stat.
   */
+private[graft] object IndexCache {
+  /** Release EVERY block behind a cached relation. `Dataset.unpersist()`
+    * only talks to the CacheManager, which never saw a
+    * `localCheckpoint()`-backed plan — for those the storage lives on
+    * the checkpoint RDD inside the `LogicalRDD` leaf, so it must be
+    * unpersisted directly or the blocks stay pinned until JVM GC.
+    * Safe on plain `persist()` entries too (their plans have no
+    * LogicalRDD leaf; the Dataset-level unpersist handles them). */
+  def release(df: DataFrame): Unit = {
+    scala.util.Try(df.unpersist())
+    scala.util.Try {
+      df.queryExecution.optimizedPlan.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+    ()
+  }
+}
+
 private[graft] final class IndexCache {
+  import IndexCache.release
+
   private val m = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Long), DataFrame]
 
@@ -31,7 +54,7 @@ private[graft] final class IndexCache {
       val superseded =
         mtime.exists(mt => k._1 == s && k._2 == d && k._3 != mt)
       if (superseded || k._1.sparkContext.isStopped)
-        m.remove(k).foreach(df => scala.util.Try(df.unpersist()))
+        m.remove(k).foreach(release)
     }
     val key = mtime match {
       case Some(mt) => (s, d, mt)
@@ -50,7 +73,7 @@ private[graft] final class IndexCache {
         val built = build
         m.putIfAbsent(key, built) match {
           case Some(winner) =>
-            scala.util.Try(built.unpersist())
+            release(built)
             winner
           case None => built
         }
@@ -60,7 +83,7 @@ private[graft] final class IndexCache {
   /** Drop every cached relation (releases executor storage).
     * Exception-safe: a dead entry can't block the clear. */
   def invalidate(): Unit = {
-    m.values.foreach(df => scala.util.Try(df.unpersist()))
+    m.values.foreach(release)
     m.clear()
   }
 

@@ -414,9 +414,14 @@ object SimilarityOps {
     centroidCache.getOrBuild(s, d, embMtime(d)) {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       var cents = centroids(s, d)
-      for (_ <- 1 to KmeansIters)
-        cents = toArrays(meansLong(assignToNearest(e, cents)
+      for (i <- 1 to KmeansIters) {
+        val next = toArrays(meansLong(assignToNearest(e, cents)
           .select(col("clabel"), col("embedding")))).localCheckpoint()
+        // free the previous round's checkpoint blocks (round 1's input
+        // is the lazy label-means plan — nothing to free there)
+        if (i > 1) IndexCache.release(cents)
+        cents = next
+      }
       cents
     }
 
@@ -483,7 +488,8 @@ object SimilarityOps {
     * is exact — no `round()` (whose tie behavior differs) anywhere.
     * Scale shape: the stats pass is one combinable agg producing
     * [[Dims]] rows, BROADCAST back onto the narrow explode — vectors
-    * never shuffle. A constant dimension (hi == lo) quantizes to 0. */
+    * never shuffle. A constant dimension (hi == lo) carries no
+    * information and quantizes to -128 (the bottom of the range). */
   val embQuantize: Q = (s, d) => {
     val longf = emb(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))

@@ -69,8 +69,11 @@ class DriverContractSpec extends SparkSpec {
     // parsed:null). The final stdout line is therefore the compact
     // summary, and this bound keeps query growth from silently
     // re-breaking it.
+    // 256 B leaves >1.9 KB of the window for whatever logging noise
+    // precedes the line; the real line is ~110 B and fixed-size, so
+    // any growth past this bound is a structural change to review
     val summary = Bench.summaryLine(results, sfDir)
-    assert(summary.length <= 1500,
+    assert(summary.length <= 256,
       s"final bench line must fit the driver's tail window, got ${summary.length}B")
     val s = mapper.readTree(summary)
     assert(s.get("metric").asText === "total")
