@@ -338,6 +338,35 @@ object DedupOps {
         col("total_chars"), col("chars_saved"))
       .orderBy("canonical_id")
 
+  /** Cross-source contamination report: LSH near-dup candidate pairs
+    * rolled up per (source, source) pair — "is source X republishing
+    * source Y" is the question a corpus-mixing review asks before
+    * weighting sources (double-counting a mirrored source silently
+    * over-weights its distribution). Pair sources are ordered
+    * lexicographically so the matrix is canonical-triangular; n_exact
+    * counts the pairs that are verbatim copies. Cost ∝ LSH candidate
+    * pairs (never all pairs) + two doc-metadata equi-joins. */
+  val dedupCrossSource: Q = (s, d) => {
+    val bk = buckets(s, d)
+    val pairs = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ds = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    pairs
+      .join(ds.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(ds.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(
+        least(col("da.source"), col("db.source")).as("source_a"),
+        greatest(col("da.source"), col("db.source")).as("source_b"),
+        (col("da.text") === col("db.text")).cast("long").as("is_exact"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("is_exact")).as("n_exact"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** SimHash fingerprint clusters: groups sharing an identical 32-bit
     * simhash (near-identical token multisets), with sizes. */
   val dedupSimhashClusters: Q = (s, d) =>
@@ -359,7 +388,8 @@ object DedupOps {
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_components" -> dedupComponents,
     "dedup_split_assign" -> dedupSplitAssign,
-    "dedup_savings" -> dedupSavings)
+    "dedup_savings" -> dedupSavings,
+    "dedup_cross_source" -> dedupCrossSource)
 
   /** Recursive CTE mirror of [[components]]: min reachable doc_id via
     * transitive closure (fine at oracle scale; the Spark side is the
@@ -467,6 +497,22 @@ object DedupOps {
               AS chars_saved
           FROM comp c JOIN documents d ON c.doc_id = d.doc_id
           GROUP BY component_id ORDER BY canonical_id""",
+    "dedup_cross_source" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id)
+          SELECT least(da.source, db.source) AS source_a,
+            greatest(da.source, db.source) AS source_b,
+            COUNT(*) AS n_pairs,
+            CAST(SUM(CASE WHEN da.text = db.text THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exact
+          FROM pairs p
+          JOIN documents da ON p.doc_a = da.doc_id
+          JOIN documents db ON p.doc_b = db.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_simhash_clusters" ->
       s"""SELECT simhash, MIN(doc_id) AS canonical_id,
           COUNT(*) AS cluster_size

@@ -22,15 +22,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * persisted until the next successful stat.
   */
 private[graft] object IndexCache {
-  /** Release EVERY block behind a cached relation. `Dataset.unpersist()`
-    * only talks to the CacheManager, which never saw a
-    * `localCheckpoint()`-backed plan — for those the storage lives on
-    * the checkpoint RDD inside the `LogicalRDD` leaf, so it must be
-    * unpersisted directly or the blocks stay pinned until JVM GC.
-    * Safe on plain `persist()` entries too (their plans have no
-    * LogicalRDD leaf; the Dataset-level unpersist handles them). */
-  def release(df: DataFrame): Unit = {
-    scala.util.Try(df.unpersist())
+  /** Unpersist the checkpoint-backed blocks behind `df` (the RDDs
+    * inside `LogicalRDD` leaves). These are invisible to the
+    * CacheManager, so `Dataset.unpersist()` can never free them —
+    * without this they stay pinned until JVM GC. */
+  private def freeCheckpoints(df: DataFrame): Unit = {
     scala.util.Try {
       df.queryExecution.optimizedPlan.foreach {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
@@ -40,6 +36,23 @@ private[graft] object IndexCache {
     }
     ()
   }
+
+  /** Release EVERY block behind a cached relation: the CacheManager
+    * entry (plain `persist()` builds) AND any checkpoint RDDs
+    * (`localCheckpoint()` builds). */
+  def release(df: DataFrame): Unit = {
+    scala.util.Try(df.unpersist())
+    freeCheckpoints(df)
+  }
+
+  /** Free a racing-build LOSER. Checkpoint blocks are always private
+    * to the losing build (each `localCheckpoint` materializes its own
+    * RDD), but a plain `persist()` of the same deterministic plan
+    * SHARES the winner's CacheManager entry — a Dataset-level
+    * unpersist here would evict the winner's storage with it
+    * (IndexCacheSpec pins exactly this), so only the checkpoint-backed
+    * blocks are freed. */
+  def releaseLoser(df: DataFrame): Unit = freeCheckpoints(df)
 }
 
 private[graft] final class IndexCache {
@@ -73,7 +86,7 @@ private[graft] final class IndexCache {
         val built = build
         m.putIfAbsent(key, built) match {
           case Some(winner) =>
-            release(built)
+            IndexCache.releaseLoser(built)
             winner
           case None => built
         }
