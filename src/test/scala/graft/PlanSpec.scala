@@ -167,6 +167,26 @@ class PlanSpec extends SparkSpec {
       "each distinct key set needs partial+final aggregate pairs")
   }
 
+  test("token chunking is narrow and packing needs exactly one shuffle") {
+    // chunking: tokenize + per-row explode, nothing to shuffle (the
+    // orderBy is a range exchange for presentation only)
+    val c = physical("doc_chunk_tokens")
+    assert(!c.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle documents:\n${c.take(1500)}")
+    // packing: ONE hash shuffle (the per-source window) — a global
+    // running sum would show a single-partition window instead
+    val p = physical("doc_pack_chunks")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1,
+      s"packing needs exactly the per-source window shuffle, saw $shuffles")
+  }
+
+  test("int8 quantization broadcasts the per-dim stats, vectors don't shuffle") {
+    val p = physical("emb_quantize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row stats relation must broadcast:\n${p.take(1500)}")
+  }
+
   test("payload chunking is narrow — no hash shuffle before the explode") {
     val p = physical("mm_chunk")
     assert(!p.contains("Exchange hashpartitioning"),
