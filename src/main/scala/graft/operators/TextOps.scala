@@ -398,6 +398,30 @@ object TextOps {
       .orderBy("source", "doc_id", "chunk_id")
   }
 
+  /** Corpus integrity audit — the pre-training data-quality gate, as
+    * one (metric, value) report: table sizes, docs with no embedding,
+    * orphaned embeddings, and malformed vector dims. Every metric is
+    * a combinable count or an anti-join (both broadcastable one way
+    * or the other at scale); a pipeline asserts `n_vecs_no_doc == 0
+    * && n_bad_dim == 0` before training and treats `n_docs_no_vec`
+    * as the embedding-coverage backlog. */
+  val corpusIntegrity: Q = (s, d) => {
+    val dd = docs(s, d)
+    val ee = Tables.embeddings(s, d)
+    def row(name: String, from: DataFrame) =
+      from.agg(count(lit(1)).as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    row("n_docs", dd)
+      .unionAll(row("n_vecs", ee))
+      .unionAll(row("n_docs_no_vec",
+        dd.join(ee, col("doc_id") === col("vec_id"), "left_anti")))
+      .unionAll(row("n_vecs_no_doc",
+        ee.join(dd, col("vec_id") === col("doc_id"), "left_anti")))
+      .unionAll(row("n_bad_dim",
+        ee.filter(size(col("embedding")) =!= SimilarityOps.Dims)))
+      .orderBy("metric")
+  }
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
@@ -415,7 +439,8 @@ object TextOps {
     "tf_top_tokens" -> tfTopTokens,
     "tf_top_bigrams" -> tfTopBigrams,
     "doc_chunk_tokens" -> docChunkTokens,
-    "doc_pack_chunks" -> docPackChunks)
+    "doc_pack_chunks" -> docPackChunks,
+    "corpus_integrity" -> corpusIntegrity)
 
   // ------------------------------------------------------------------
 
@@ -586,6 +611,18 @@ object TextOps {
               list_slice(tk, start_tok + 1, start_tok + $ChunkTokens), ' ')
               AS chunk_text
           FROM ch ORDER BY doc_id, chunk_id""",
+    "corpus_integrity" ->
+      s"""SELECT 'n_docs' AS metric, COUNT(*) AS value FROM documents
+          UNION ALL SELECT 'n_vecs', COUNT(*) FROM embeddings
+          UNION ALL SELECT 'n_docs_no_vec', COUNT(*) FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                              WHERE e.vec_id = d.doc_id)
+          UNION ALL SELECT 'n_vecs_no_doc', COUNT(*) FROM embeddings e
+            WHERE NOT EXISTS (SELECT 1 FROM documents d
+                              WHERE d.doc_id = e.vec_id)
+          UNION ALL SELECT 'n_bad_dim', COUNT(*) FROM embeddings
+            WHERE len(embedding) != ${SimilarityOps.Dims}
+          ORDER BY metric""",
     "doc_pack_chunks" ->
       s"""WITH tk AS (
             SELECT doc_id, source, $sqlToks AS tk FROM documents
