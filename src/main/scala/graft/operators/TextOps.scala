@@ -398,6 +398,35 @@ object TextOps {
       .orderBy("source", "doc_id", "chunk_id")
   }
 
+  /** Vocabulary size for [[tfVocabCoverage]]. */
+  val VocabTopK = 100
+
+  /** Vocabulary coverage: what fraction of each language's token
+    * OCCURRENCES the global top-[[VocabTopK]] vocabulary covers — the
+    * number that sizes a tokenizer's vocab (or flags a language the
+    * vocab underserves before training). Two combinable aggregations
+    * (global term counts, per-language covered/total counts) and one
+    * broadcast of the tiny vocab relation; the fact table shuffles on
+    * the token only. Ratio is one exact division of exact counts. */
+  val tfVocabCoverage: Q = (s, d) => {
+    val tok = docs(s, d)
+      .select(col("lang"), explode(toks).as("token"))
+    val vocab = tok.groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(VocabTopK)
+      .select(col("token"))
+    tok.join(broadcast(vocab).withColumn("in_vocab", lit(1L)),
+        Seq("token"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+      .select(col("lang"), col("n_tokens"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy("lang")
+  }
+
   /** Corpus integrity audit — the pre-training data-quality gate, as
     * one (metric, value) report: table sizes, docs with no embedding,
     * orphaned embeddings, and malformed vector dims. Every metric is
@@ -440,7 +469,8 @@ object TextOps {
     "tf_top_bigrams" -> tfTopBigrams,
     "doc_chunk_tokens" -> docChunkTokens,
     "doc_pack_chunks" -> docPackChunks,
-    "corpus_integrity" -> corpusIntegrity)
+    "corpus_integrity" -> corpusIntegrity,
+    "tf_vocab_coverage" -> tfVocabCoverage)
 
   // ------------------------------------------------------------------
 
@@ -611,6 +641,20 @@ object TextOps {
               list_slice(tk, start_tok + 1, start_tok + $ChunkTokens), ' ')
               AS chunk_text
           FROM ch ORDER BY doc_id, chunk_id""",
+    "tf_vocab_coverage" ->
+      s"""WITH tok AS (
+            SELECT lang, unnest($sqlToks) AS token FROM documents),
+          vocab AS (
+            SELECT token FROM (
+              SELECT token, COUNT(*) AS n FROM tok
+              GROUP BY token ORDER BY n DESC, token LIMIT $VocabTopK) v)
+          SELECT lang, COUNT(*) AS n_tokens,
+            CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+            CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              AS coverage
+          FROM tok GROUP BY lang ORDER BY lang""",
     "corpus_integrity" ->
       s"""SELECT 'n_docs' AS metric, COUNT(*) AS value FROM documents
           UNION ALL SELECT 'n_vecs', COUNT(*) FROM embeddings
