@@ -37,6 +37,41 @@ object EventOps {
         asD(sum(money(col("value")))).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Hourly volume anomaly scoring: each (event_type, hour) bucket's
+    * z-score against that type's own hourly distribution — the ops
+    * monitor that flags a traffic spike or outage hour. Exactness:
+    * the moments are exact integer sums (count, Σn, Σn²), the
+    * population mean/variance are the same correctly-rounded double
+    * expression tree on both engines, and `sqrt` is correctly rounded
+    * (safe, unlike ln — see the keyterms rationale); a degenerate
+    * all-hours-equal type gets z = 0 via the std > 0 guard (the
+    * greatest(…, 0) clamps the tiny negative E[x²]−mean² rounding can
+    * produce). Scale shape: two combinable aggregations and one
+    * broadcast of the per-type stats — the fact table shuffles once
+    * on (hour, type). */
+  val evHourlyAnomaly: Q = (s, d) => {
+    val hourly = ev(s, d)
+      .select(expr("unix_timestamp(ts) div 3600").as("hr"),
+        col("event_type"))
+      .groupBy((col("hr") * 3600).as("hour_sec"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val mean = col("sum_n").cast("double") / col("n_hours").cast("double")
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n")).as("sum_n"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("event_type"), mean.as("mean"),
+        sqrt(greatest(
+          col("sum_sq").cast("double") / col("n_hours").cast("double")
+            - mean * mean, lit(0.0))).as("std"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_sec"), col("n"),
+        when(col("std") > 0.0,
+          (col("n").cast("double") - col("mean")) / col("std"))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy("event_type", "hour_sec")
+  }
+
   /** Gap-based sessionization (30-minute inactivity), the batch
     * equivalent of a streaming session window: lag → boundary flag →
     * running sum = session id → per-session aggregate. One shuffle on
@@ -248,9 +283,30 @@ object EventOps {
     "ev_top_users_salted" -> evTopUsersSalted,
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
+    "ev_hourly_anomaly" -> evHourlyAnomaly,
     "ev_type_stats" -> evTypeStats)
 
   val oracle: Map[String, String] = Map(
+    "ev_hourly_anomaly" ->
+      """WITH hourly AS (
+           SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600
+             AS hour_sec, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type,
+             CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+             sqrt(greatest(
+               CAST(SUM(n * n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 - (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 * (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+               0.0)) AS std
+           FROM hourly GROUP BY event_type)
+         SELECT h.event_type, h.hour_sec, h.n,
+           CASE WHEN s.std > 0.0
+             THEN (CAST(h.n AS DOUBLE) - s.mean) / s.std
+             ELSE 0.0 END AS z
+         FROM hourly h JOIN stats s ON h.event_type = s.event_type
+         ORDER BY h.event_type, h.hour_sec""",
     "ev_retention" ->
       """WITH days AS (
            SELECT DISTINCT user_id,
