@@ -367,6 +367,52 @@ object DedupOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Incremental (delta) dedup: screen a NEW BATCH of documents
+    * against the EXISTING corpus — the shape every production corpus
+    * actually runs (yesterday's 100 TB is already deduped and indexed;
+    * today's crawl is screened against it, never corpus × corpus
+    * again). The batch here is the deterministic ~10% slice
+    * `charhash(doc_id) % 10 = 7`; everything else plays the corpus.
+    *
+    * Per new doc: is it a verbatim copy of a corpus doc, how many LSH
+    * near-dup candidates does it hit in the corpus, and the resulting
+    * triage verdict (exact > near > unique).
+    *
+    * Scale shape: candidate generation is a (band, bucket) equi-join
+    * of the batch's bucket rows against the PERSISTED corpus index —
+    * cost ∝ batch size × bucket occupancy, never corpus². The exact
+    * gate joins the batch against the corpus text-fingerprint set; at
+    * real scale that set is a stored hash index and the batch side is
+    * the broadcast-able one. Both sides here filter the one shared
+    * cached bucket relation, so no signature recompute either. */
+  val dedupIncremental: Q = (s, d) => {
+    val isNew = charHash(col("doc_id").cast("string")) % 10 === 7
+    val all = docs(s, d).select(col("doc_id"), col("text"), isNew.as("is_new"))
+    val batch = all.filter(col("is_new"))
+    val corpusTexts = all.filter(!col("is_new"))
+      .select(col("text")).distinct()
+      .withColumn("exact_hit", lit(1L))
+    val bk = buckets(s, d)
+    val bkIsNew = charHash(col("doc_id").cast("string")) % 10 === 7
+    val cand = bk.filter(bkIsNew).as("x")
+      .join(bk.filter(!bkIsNew).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("cand_id"))
+      .distinct()
+    val nCand = cand.groupBy("doc_id").agg(count(lit(1)).as("n_near_cands"))
+    batch
+      .join(corpusTexts, Seq("text"), "left")
+      .join(nCand, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("exact_hit", "n_near_cands"))
+      .select(col("doc_id"), col("exact_hit").as("is_exact_dup"),
+        col("n_near_cands"),
+        when(col("exact_hit") === 1L, "exact")
+          .when(col("n_near_cands") > 0L, "near")
+          .otherwise("unique").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprint clusters: groups sharing an identical 32-bit
     * simhash (near-identical token multisets), with sizes. */
   val dedupSimhashClusters: Q = (s, d) =>
@@ -389,7 +435,8 @@ object DedupOps {
     "dedup_components" -> dedupComponents,
     "dedup_split_assign" -> dedupSplitAssign,
     "dedup_savings" -> dedupSavings,
-    "dedup_cross_source" -> dedupCrossSource)
+    "dedup_cross_source" -> dedupCrossSource,
+    "dedup_incremental" -> dedupIncremental)
 
   /** Recursive CTE mirror of [[components]]: min reachable doc_id via
     * transitive closure (fine at oracle scale; the Spark side is the
@@ -513,6 +560,33 @@ object DedupOps {
           JOIN documents da ON p.doc_a = da.doc_id
           JOIN documents db ON p.doc_b = db.doc_id
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dedup_incremental" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          tagged AS (
+            SELECT doc_id, text,
+              ${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10 = 7 AS is_new
+            FROM documents),
+          corpus_texts AS (
+            SELECT DISTINCT text FROM tagged WHERE NOT is_new),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS cand_id
+            FROM buckets x
+            JOIN tagged tx ON x.doc_id = tx.doc_id AND tx.is_new
+            JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+            JOIN tagged ty ON y.doc_id = ty.doc_id AND NOT ty.is_new),
+          nc AS (
+            SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY doc_id)
+          SELECT t.doc_id,
+            CAST(CASE WHEN ct.text IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+              AS is_exact_dup,
+            CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_near_cands,
+            CASE WHEN ct.text IS NOT NULL THEN 'exact'
+                 WHEN COALESCE(nc.n, 0) > 0 THEN 'near'
+                 ELSE 'unique' END AS verdict
+          FROM tagged t
+          LEFT JOIN corpus_texts ct ON t.text = ct.text
+          LEFT JOIN nc ON t.doc_id = nc.doc_id
+          WHERE t.is_new ORDER BY t.doc_id""",
     "dedup_simhash_clusters" ->
       s"""SELECT simhash, MIN(doc_id) AS canonical_id,
           COUNT(*) AS cluster_size

@@ -519,8 +519,28 @@ object SimilarityOps {
         (col("total_norm") / col("n").cast("double")).as("avg_norm"))
       .orderBy("label")
 
+  /** L2 normalization to unit vectors (long format) — the hygiene
+    * pass serving stacks run before cosine ANN so similarity becomes a
+    * plain dot product. Reuses the persisted index's precomputed norm
+    * ([[bucketed]]) — the vectors stream through one projection +
+    * posexplode, nothing shuffles. A zero vector has no direction and
+    * maps to all-zero (guarded division).
+    *
+    * Exactness: norm is the same sequential-fold `sqrt(dot(e,e))` tree
+    * on both engines, each element is float→double (exact) and the
+    * division is one correctly-rounded IEEE op — bit-identical. */
+  val embNormalize: Q = (s, d) =>
+    bucketed(s, d)
+      .select(col("vec_id"), col("norm"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("norm") > 0.0, col("v").cast("double") / col("norm"))
+          .otherwise(0.0).as("v_norm"))
+      .orderBy("vec_id", "dim")
+
   val defs: Map[String, Q] = Map(
     "knn_brute" -> knnBrute,
+    "emb_normalize" -> embNormalize,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_probe" -> annLshProbe,
     "ann_ivf" -> annIvf,
@@ -777,6 +797,17 @@ object SimilarityOps {
               ELSE 0 END - 128 AS q_int8
           FROM longf l JOIN stats s ON l.dim = s.dim
           ORDER BY vec_id, l.dim""",
+    "emb_normalize" ->
+      s"""WITH n AS (
+            SELECT vec_id, embedding,
+              sqrt(${sqlDot("embedding", "embedding")}) AS norm
+            FROM embeddings)
+          SELECT vec_id, idx.i - 1 AS dim,
+            CASE WHEN norm > 0
+              THEN CAST(embedding[idx.i] AS DOUBLE) / norm
+              ELSE 0.0 END AS v_norm
+          FROM n, (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
+          ORDER BY vec_id, dim""",
     "emb_label_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
           CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})

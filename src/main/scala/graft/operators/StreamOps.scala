@@ -318,8 +318,35 @@ object StreamOps {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Stream-static enrichment join: the purchase stream joined to a
+    * STATIC dimension (customer ⋈ nation, both batch reads) — the
+    * canonical "enrich events with reference data" pattern. Unlike the
+    * stream-stream interval join there is NO state store and NO
+    * watermark requirement: the static side is planned per micro-batch
+    * (broadcast here — nation is hinted, and customer stays
+    * broadcast-able at any SF where a reference dim fits in memory;
+    * a bigger dim would shuffle-hash-join each batch), so the
+    * streaming side never buffers. Inner join ⇒ the finite replay
+    * equals the batch join the oracle runs. `value` passes through
+    * untouched (raw doubles are bit-identical). */
+  val streamStaticJoin: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val dim = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    val enriched = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("n_name"), col("value"))
+    runToTable(s, enriched, "append")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_hourly" -> streamHourly,
+    "stream_static_join" -> streamStaticJoin,
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_hourly_wm" -> streamHourlyWm,
     "stream_dedup_wm" -> streamDedupWm,
@@ -328,6 +355,13 @@ object StreamOps {
     "stream_interval_join" -> streamIntervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "stream_static_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, n.n_name, e.value
+         FROM events e
+         JOIN customer c ON e.user_id = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
     "stream_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
           event_type, COUNT(*) AS n,

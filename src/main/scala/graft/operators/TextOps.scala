@@ -233,6 +233,88 @@ object TextOps {
           col("n_grams").cast("double"))
       .orderBy("doc_id")
 
+  /** Vocabulary frequency-of-frequencies: how many distinct tokens
+    * occur exactly k times in the corpus — the Zipf/vocab-growth curve
+    * that sizes a tokenizer's vocabulary and estimates the hapax tail
+    * (Good-Turing mass). Two map-side-combinable aggregates back to
+    * back; the second one's input is already tiny (one row per
+    * distinct token). */
+  val tfFreqOfFreq: Q = (s, d) =>
+    docs(s, d)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"))
+      .groupBy("occurrences")
+      .agg(count(lit(1)).as("n_tokens"))
+      .orderBy("occurrences")
+
+  /** Output shards for [[docTrainOrder]]. */
+  val TrainShards = 8
+
+  /** Deterministic training order: every doc gets a (shard, pos) —
+    * the reproducible global shuffle a training run consumes (same
+    * inputs ⇒ identical epoch order on any cluster, which is what
+    * makes a loss curve re-runnable). Shard = salted hash of the
+    * doc id; position = rank by a SECOND salted hash within the
+    * shard, so co-sharded docs are also randomly ordered.
+    *
+    * Scale shape: the rank window partitions BY SHARD — there is no
+    * global row_number (a no-partition window collapses to one task;
+    * per-shard ranks keep all [[TrainShards]]×parallel and a consumer
+    * reads shards independently anyway). */
+  val docTrainOrder: Q = (s, d) => {
+    val shard = Hashing.charHash(
+      concat(col("doc_id").cast("string"), lit("#shard"))) % TrainShards
+    val okey = Hashing.charHash(
+      concat(col("doc_id").cast("string"), lit("#order")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), shard.as("shard"), okey.as("okey"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  /** Keep-decision thresholds for [[docKeepDecision]] (set against
+    * the observed sf distributions: ~15% of docs are under 25 tokens,
+    * ~10% over 0.10 duplicate-3-gram ratio). */
+  val KeepMinTokens = 25L
+  val KeepMaxDupRatio = 0.10
+
+  /** The composed curation gate: one materialized keep/drop decision
+    * per document with the FIRST failing rule as the reason — exact
+    * duplicate (non-canonical copy), too short, repetitive, else keep.
+    * Real pipelines persist exactly this relation (the audit trail of
+    * why a doc was dropped); downstream stages filter
+    * `decision = 'keep'`.
+    *
+    * Scale shape: the per-doc scores are one codegen'd projection; the
+    * only shuffle is the exact-dup canonical groupBy (at 100 TB you'd
+    * key it on a 64-bit text fingerprint instead of the text itself to
+    * shrink the shuffle payload — same plan shape). Rule order is
+    * fixed, so the decision is deterministic however the stages are
+    * fused. */
+  val docKeepDecision: Q = (s, d) => {
+    val canon = docs(s, d)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("canonical_id"))
+    val nTok = size(toks).cast("long")
+    val grams = Hashing.ngrams(toks, 3)
+    val dupRatio = when(nTok >= 3,
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double")).otherwise(0.0)
+    docs(s, d)
+      .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
+        dupRatio.as("dup_ratio"))
+      .join(canon, "text")
+      .select(col("doc_id"), col("n_tokens"), col("dup_ratio"),
+        when(col("doc_id") =!= col("canonical_id"), "exact_dup")
+          .when(col("n_tokens") < KeepMinTokens, "too_short")
+          .when(col("dup_ratio") > KeepMaxDupRatio, "repetitive")
+          .otherwise("keep").as("decision"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language sampling rates (percent) for [[docSampleHash]] —
     * downweight the dominant language, keep the rest. */
   val SampleRates: Map[String, Int] = Map("en" -> 10)
@@ -470,7 +552,10 @@ object TextOps {
     "doc_chunk_tokens" -> docChunkTokens,
     "doc_pack_chunks" -> docPackChunks,
     "corpus_integrity" -> corpusIntegrity,
-    "tf_vocab_coverage" -> tfVocabCoverage)
+    "tf_vocab_coverage" -> tfVocabCoverage,
+    "tf_freq_of_freq" -> tfFreqOfFreq,
+    "doc_train_order" -> docTrainOrder,
+    "doc_keep_decision" -> docKeepDecision)
 
   // ------------------------------------------------------------------
 
@@ -616,6 +701,46 @@ object TextOps {
                          doc_id) AS rk
             FROM documents) t
           WHERE rk <= $QuotaPerLang ORDER BY lang, rk""",
+    "tf_freq_of_freq" ->
+      s"""SELECT occurrences, COUNT(*) AS n_tokens FROM (
+            SELECT token, COUNT(*) AS occurrences
+            FROM (SELECT unnest($sqlToks) AS token FROM documents) t
+            GROUP BY token) z
+          GROUP BY occurrences ORDER BY occurrences""",
+    "doc_train_order" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              ${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR) || '#shard'")}
+                % $TrainShards AS shard,
+              ${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR) || '#order'")}
+                AS okey
+            FROM documents)
+          SELECT doc_id, shard,
+            ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+              AS pos
+          FROM t ORDER BY shard, pos""",
+    "doc_keep_decision" ->
+      s"""WITH g AS (
+            SELECT doc_id, text, length(toks) AS n_tok,
+              ${Hashing.sqlNgrams("toks", 3)} AS g
+            FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents) tk),
+          scored AS (
+            SELECT doc_id, text, CAST(n_tok AS BIGINT) AS n_tokens,
+              CASE WHEN n_tok >= 3
+                THEN CAST(length(g) - length(list_distinct(g)) AS DOUBLE)
+                  / CAST(length(g) AS DOUBLE)
+                ELSE 0.0 END AS dup_ratio
+            FROM g),
+          canon AS (
+            SELECT text, MIN(doc_id) AS canonical_id
+            FROM documents GROUP BY text)
+          SELECT s.doc_id, s.n_tokens, s.dup_ratio,
+            CASE WHEN s.doc_id != c.canonical_id THEN 'exact_dup'
+                 WHEN s.n_tokens < $KeepMinTokens THEN 'too_short'
+                 WHEN s.dup_ratio > $KeepMaxDupRatio THEN 'repetitive'
+                 ELSE 'keep' END AS decision
+          FROM scored s JOIN canon c ON s.text = c.text
+          ORDER BY s.doc_id""",
     "tf_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n
           FROM (SELECT unnest($sqlToks) AS token FROM documents) t
