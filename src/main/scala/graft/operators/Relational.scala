@@ -483,8 +483,36 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** Balance-band width for [[piiPseudonymize]]'s generalization. */
+  val PiiAcctBand = 1000.0
+
+  /** PII pseudonymization + generalization — the compliance pass a
+    * corpus takes before it ships to a training pipeline: the direct
+    * identifier (`c_name`) becomes an irreversible deterministic token
+    * (polynomial hash — deterministic so the SAME person joins across
+    * exports, irreversible short of brute force), and the
+    * quasi-identifier (`c_acctbal`) is coarsened to a
+    * [[PiiAcctBand]]-wide band (k-anonymity-style generalization);
+    * only analysis-safe categorical columns pass through. Pure
+    * per-row projection: no shuffle, fully pushable, and the
+    * hash is the codegen'd [[graft.functions.PolyCharHash]].
+    *
+    * Exactness: `floor(x/band)·band` is two correctly-rounded IEEE
+    * ops + an exact floor — no `round()` (tie behavior differs across
+    * engines). */
+  val piiPseudonymize: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        graft.functions.Hashing.charHash(col("c_name")).as("name_token"),
+        (floor(col("c_acctbal") / lit(PiiAcctBand)) * lit(PiiAcctBand))
+          .as("acct_band"),
+        col("c_mktsegment"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+      .orderBy("c_custkey")
+
   val defs: Map[String, Q] = Map(
     "q0_scan" -> q0Scan,
+    "pii_pseudonymize" -> piiPseudonymize,
     "q13_order_count_dist" -> q13OrderCountDist,
     "q20_full_outer_days" -> q20FullOuterDays,
     "q21_pivot" -> q21Pivot,
@@ -521,6 +549,12 @@ object Relational {
   private val chargeP = sqlCharge("l_extendedprice", "l_discount", "l_tax")
 
   val oracle: Map[String, String] = Map(
+    "pii_pseudonymize" ->
+      s"""SELECT c_custkey,
+          ${graft.functions.Hashing.sqlCharHash("c_name")} AS name_token,
+          floor(c_acctbal / $PiiAcctBand) * $PiiAcctBand AS acct_band,
+          c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+          FROM customer ORDER BY c_custkey""",
     "q13_order_count_dist" ->
       """SELECT n_orders, COUNT(*) AS n_custs FROM (
            SELECT c_custkey, COUNT(o_orderkey) AS n_orders

@@ -506,6 +506,59 @@ object SimilarityOps {
       .orderBy("vec_id", "dim")
   }
 
+  /** Product-quantization layout: [[PqSubspaces]] subspaces of
+    * [[PqSubDim]] dims each; the per-subspace codebook has one code
+    * per label (k=10). */
+  val PqSubspaces = 4
+  val PqSubDim: Int = Dims / PqSubspaces
+
+  /** Product quantization encode — the compression step after
+    * [[embQuantize]]'s scalar int8 on the way to a 100 TB serving
+    * index: each vector becomes [[PqSubspaces]] one-byte codes (here
+    * 4×~3.3 bits), a 64× cut vs float32. The per-subspace codebook
+    * falls out of the SAME decimal-exact full-dimension centroids
+    * ([[centroids]]): the mean of a subvector IS the subvector of the
+    * mean, so `slice(c, m·PqSubDim+1, PqSubDim)` is the trained
+    * sub-codebook with no extra pass. Each vector × subspace picks
+    * its nearest sub-centroid (sequential-fold sqdist, tie → lowest
+    * code) and the four chosen distances sum — in fixed subspace
+    * order, so the reconstruction error is engine-deterministic.
+    *
+    * Scale shape: the codebook is [[PqSubspaces]]·k tiny rows,
+    * BROADCAST; vectors stream through one posexplode (×4 rows) +
+    * codegen'd [[graft.functions.ArraySqDist]] and a bounded
+    * WindowGroupLimit argmin per (vec, subspace); the final pivot is
+    * a combinable agg on vec_id. Vectors never shuffle whole. */
+  val embPqEncode: Q = (s, d) => {
+    val codebook = centroids(s, d)
+      .select(col("clabel").as("code"),
+        posexplode(array((0 until PqSubspaces).map(m =>
+          slice(col("c"), m * PqSubDim + 1, PqSubDim)): _*))
+          .as(Seq("sub", "cb")))
+    val subVecs = emb(s, d)
+      .select(col("vec_id"),
+        posexplode(array((0 until PqSubspaces).map(m =>
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*))
+          .as(Seq("sub", "sv")))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("code"))
+    val assigned = subVecs.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        sqDist(col("sv"), col("cb")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    def pick(m: Int, c: String): Column =
+      max(when(col("sub") === m, col(c)))
+    assigned.groupBy("vec_id")
+      .agg(pick(0, "code").as("c0"), pick(1, "code").as("c1"),
+        pick(2, "code").as("c2"), pick(3, "code").as("c3"),
+        pick(0, "dist").as("d0"), pick(1, "dist").as("d1"),
+        pick(2, "dist").as("d2"), pick(3, "dist").as("d3"))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("sq_err"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label stats; norms decimal-quantized before the group sum so
     * the aggregation order can't leak into the result. */
   val embLabelStats: Q = (s, d) =>
@@ -554,7 +607,8 @@ object SimilarityOps {
     "emb_quantize" -> embQuantize,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
-    "emb_dup_text_verify" -> embDupTextVerify)
+    "emb_dup_text_verify" -> embDupTextVerify,
+    "emb_pq_encode" -> embPqEncode)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -815,5 +869,43 @@ object SimilarityOps {
           CAST(SUM(CAST(sqrt(${sqlDot("embedding", "embedding")})
             AS DECIMAL(18,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
             AS avg_norm
-          FROM embeddings GROUP BY label ORDER BY label""")
+          FROM embeddings GROUP BY label ORDER BY label""",
+    "emb_pq_encode" -> {
+      // per-subspace sqdist: same sequential fold as sqlSqDist but
+      // over the PqSubDim-long slices
+      def subDist(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, ${PqSubDim + 1}),
+              i -> (CAST($a[i] AS DOUBLE) - $b[i])
+                 * (CAST($a[i] AS DOUBLE) - $b[i]))),
+            (x, y) -> x + y)"""
+      def pick(m: Int, c: String): String =
+        s"MAX(CASE WHEN sub = $m THEN $c END)"
+      s"""WITH $sqlCentCtes,
+          subs AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+          cb AS (
+            SELECT cent.clabel AS code, subs.m AS sub,
+              list_slice(cent.c, subs.m * $PqSubDim + 1,
+                subs.m * $PqSubDim + $PqSubDim) AS cb
+            FROM cent, subs),
+          sv AS (
+            SELECT vec_id, subs.m AS sub,
+              list_slice(embedding, subs.m * $PqSubDim + 1,
+                subs.m * $PqSubDim + $PqSubDim) AS sv
+            FROM embeddings, subs),
+          a AS (
+            SELECT vec_id, sub, code, dist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                ORDER BY dist, code) AS rn
+            FROM (
+              SELECT sv.vec_id, sv.sub, cb.code,
+                ${subDist("sv.sv", "cb.cb")} AS dist
+              FROM sv JOIN cb ON sv.sub = cb.sub) z)
+          SELECT vec_id,
+            ${pick(0, "code")} AS c0, ${pick(1, "code")} AS c1,
+            ${pick(2, "code")} AS c2, ${pick(3, "code")} AS c3,
+            ${pick(0, "dist")} + ${pick(1, "dist")}
+              + ${pick(2, "dist")} + ${pick(3, "dist")} AS sq_err
+          FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
+    })
 }

@@ -509,6 +509,99 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** N-gram length / minimum document frequency for
+    * [[textBoilerplateNgrams]]. */
+  val BoilerplateN = 5
+  val BoilerplateMinDf = 2L
+
+  /** Cross-document boilerplate detection: word [[BoilerplateN]]-grams
+    * that appear in at least [[BoilerplateMinDf]] DISTINCT documents,
+    * with their document frequency and total occurrence count — the
+    * "repeated span" report (headers, footers, license blurbs,
+    * templated sentences) that feeds a span-removal pass in a web
+    * corpus cleanup (the documents here have no newlines, so the
+    * dedup unit is the n-gram window, not the line).
+    *
+    * Scale shape: two STACKED map-side-combinable aggregates — per
+    * (doc, gram) occurrence counts first, then per-gram (df, n) over
+    * the already-collapsed rows — never a COUNT(DISTINCT) Expand over
+    * the exploded fact (the q16b lesson). At 100 TB you'd group on
+    * the gram's 64-bit hash instead of the string to shrink the
+    * shuffle payload — same plan shape. */
+  val textBoilerplateNgrams: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("toks", Hashing.tokens(col("text")))
+      .filter(size(col("toks")) >= BoilerplateN)
+      .select(col("doc_id"),
+        explode(Hashing.ngrams(col("toks"), BoilerplateN)).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_occurrences"))
+      .filter(col("df") >= BoilerplateMinDf)
+      .orderBy(col("df").desc, col("n_occurrences").desc, col("gram"))
+
+  /** Temperature-sampling exponent is fixed at 0.5 (`sqrt`) — the
+    * only power that is IEEE-correctly-rounded on both engines (`pow`
+    * with arbitrary exponents is libm-dependent; see
+    * [[graft.functions.Exact]]). */
+  val docSampleTemperature: Q = (s, d) => {
+    val total = docs(s, d).agg(count(lit(1)).as("n_total"))
+    val perLang = docs(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n_docs").cast("double") / col("n_total").cast("double"))
+      .withColumn("weight", sqrt(col("share")))
+    // Σ weight over languages as a SEQUENTIAL lang-ordered fold (not
+    // SUM, whose accumulation order is engine-internal): sort the
+    // (lang, weight) structs, fold in order — deterministic on both
+    // engines. |langs| rows, so the collect_list is trivially small.
+    val z = perLang
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("lang"), col("weight")))),
+          x => x.getField("weight")),
+        lit(0.0), (acc, w) => acc + w).as("z"))
+    perLang.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("share"), col("weight"),
+        (col("weight") / col("z")).as("q_prob"),
+        floor(col("weight") / col("z") * col("n_total").cast("double"))
+          .cast("long").as("target_docs"))
+      .orderBy("lang")
+  }
+
+  /** Power-of-two sequence-length buckets for [[docLengthBuckets]]. */
+  val LengthBucketBounds: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+  val LengthBucketCap = 1024L
+
+  /** Length-bucketed batching report: documents grouped into
+    * power-of-two token-length buckets, with the padding waste a
+    * pad-to-bucket-max batching strategy would pay — the number that
+    * decides bucket boundaries (or switches the pipeline to packing,
+    * [[docPackChunks]]) before a training run burns FLOPs on pad
+    * tokens. One projection + one combinable agg; all-integer until
+    * the final exact division. */
+  val docLengthBuckets: Q = (s, d) => {
+    val nTok = size(toks).cast("long")
+    val bucket = LengthBucketBounds.reverse
+      .foldLeft(lit(LengthBucketCap): Column) { (acc, b) =>
+        when(nTok <= b, b).otherwise(acc)
+      }
+    docs(s, d)
+      .select(bucket.as("bucket_max"), nTok.as("n_tok"))
+      .groupBy("bucket_max")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .select(col("bucket_max"), col("n_docs"), col("sum_tokens"),
+        (col("bucket_max") * col("n_docs") - col("sum_tokens"))
+          .as("pad_tokens"),
+        ((col("bucket_max") * col("n_docs") - col("sum_tokens"))
+          .cast("double") /
+          (col("bucket_max") * col("n_docs")).cast("double"))
+          .as("pad_ratio"))
+      .orderBy("bucket_max")
+  }
+
   /** Corpus integrity audit — the pre-training data-quality gate, as
     * one (metric, value) report: table sizes, docs with no embedding,
     * orphaned embeddings, and malformed vector dims. Every metric is
@@ -555,7 +648,10 @@ object TextOps {
     "tf_vocab_coverage" -> tfVocabCoverage,
     "tf_freq_of_freq" -> tfFreqOfFreq,
     "doc_train_order" -> docTrainOrder,
-    "doc_keep_decision" -> docKeepDecision)
+    "doc_keep_decision" -> docKeepDecision,
+    "text_boilerplate_ngrams" -> textBoilerplateNgrams,
+    "doc_sample_temperature" -> docSampleTemperature,
+    "doc_length_buckets" -> docLengthBuckets)
 
   // ------------------------------------------------------------------
 
@@ -792,6 +888,54 @@ object TextOps {
           UNION ALL SELECT 'n_bad_dim', COUNT(*) FROM embeddings
             WHERE len(embedding) != ${SimilarityOps.Dims}
           ORDER BY metric""",
+    "text_boilerplate_ngrams" ->
+      s"""WITH g AS (
+            SELECT doc_id, unnest(${Hashing.sqlNgrams("toks", BoilerplateN)})
+              AS gram
+            FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t
+            WHERE length(toks) >= $BoilerplateN),
+          tf AS (
+            SELECT doc_id, gram, COUNT(*) AS tf FROM g
+            GROUP BY doc_id, gram)
+          SELECT gram, COUNT(*) AS df,
+            CAST(SUM(tf) AS BIGINT) AS n_occurrences
+          FROM tf GROUP BY gram
+          HAVING COUNT(*) >= $BoilerplateMinDf
+          ORDER BY df DESC, n_occurrences DESC, gram""",
+    "doc_sample_temperature" ->
+      """WITH t AS (SELECT COUNT(*) AS n_total FROM documents),
+          w AS (
+            SELECT lang, COUNT(*) AS n_docs, t.n_total,
+              CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+              sqrt(CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+                AS weight
+            FROM documents, t GROUP BY lang, t.n_total),
+          z AS (
+            SELECT list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE), list(weight ORDER BY lang)),
+              (a, b) -> a + b) AS z
+            FROM w)
+          SELECT lang, n_docs, share, weight,
+            weight / z.z AS q_prob,
+            CAST(floor(weight / z.z * CAST(n_total AS DOUBLE)) AS BIGINT)
+              AS target_docs
+          FROM w, z ORDER BY lang""",
+    "doc_length_buckets" -> {
+      val bucketCase = LengthBucketBounds
+        .map(b => s"WHEN n_tok <= $b THEN $b")
+        .mkString("CASE ", " ", s" ELSE $LengthBucketCap END")
+      s"""WITH t AS (
+            SELECT CAST($bucketCase AS BIGINT) AS bucket_max, n_tok FROM (
+              SELECT CAST(length($sqlToks) AS BIGINT) AS n_tok
+              FROM documents) z)
+          SELECT bucket_max, COUNT(*) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+            CAST(bucket_max * COUNT(*) - SUM(n_tok) AS BIGINT)
+              AS pad_tokens,
+            CAST(bucket_max * COUNT(*) - SUM(n_tok) AS DOUBLE)
+              / CAST(bucket_max * COUNT(*) AS DOUBLE) AS pad_ratio
+          FROM t GROUP BY bucket_max ORDER BY bucket_max"""
+    },
     "doc_pack_chunks" ->
       s"""WITH tk AS (
             SELECT doc_id, source, $sqlToks AS tk FROM documents

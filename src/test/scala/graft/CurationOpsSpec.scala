@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, SimilarityOps, TextOps}
+
+/** Semantic pins for the round-5 curation/compression operators
+  * (value correctness vs DuckDB is the driver gate; these pin the
+  * properties the oracle can't express). */
+class CurationOpsSpec extends SparkSpec {
+
+  test("doc_length_buckets partitions the corpus exactly") {
+    val out = TextOps.docLengthBuckets(spark, Sf).collect()
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs,
+      "every document must land in exactly one bucket")
+    val legal = (TextOps.LengthBucketBounds :+ TextOps.LengthBucketCap).toSet
+    assert(out.forall(r => legal.contains(r.getAs[Long]("bucket_max"))))
+    assert(out.forall(r => r.getAs[Long]("pad_tokens") >= 0L),
+      "padding to the bucket max can never be negative")
+    assert(out.forall { r =>
+      val p = r.getAs[Double]("pad_ratio"); p >= 0.0 && p < 1.0
+    })
+  }
+
+  test("doc_sample_temperature is a flattened probability distribution") {
+    val out = TextOps.docSampleTemperature(spark, Sf).collect()
+    val qSum = out.map(_.getAs[Double]("q_prob")).sum
+    assert(math.abs(qSum - 1.0) < 1e-12, s"q_prob must sum to 1, got $qSum")
+    // sqrt-temperature flattens: dominant langs are downweighted,
+    // rare langs upweighted (strict when shares differ from uniform)
+    val u = 1.0 / out.length
+    out.foreach { r =>
+      val share = r.getAs[Double]("share")
+      val q = r.getAs[Double]("q_prob")
+      if (share > u) assert(q < share, s"${r.getAs[String]("lang")}: " +
+        s"dominant share $share must shrink, got q=$q")
+      if (share < u) assert(q > share, s"${r.getAs[String]("lang")}: " +
+        s"rare share $share must grow, got q=$q")
+    }
+    assert(out.map(_.getAs[Long]("target_docs")).forall(_ >= 0L))
+  }
+
+  test("text_boilerplate_ngrams respects the df threshold") {
+    val out = TextOps.textBoilerplateNgrams(spark, Sf).collect()
+    assert(out.nonEmpty, "the word-soup corpus must surface repeated spans")
+    assert(out.forall(_.getAs[Long]("df") >= TextOps.BoilerplateMinDf))
+    assert(out.forall(r =>
+      r.getAs[Long]("n_occurrences") >= r.getAs[Long]("df")),
+      "a gram occurs at least once in each document that contains it")
+  }
+
+  test("emb_pq_encode: per-subspace argmin beats any whole-vector centroid") {
+    val pq = SimilarityOps.embPqEncode(spark, Sf)
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("sq_err"))
+    val n = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    assert(pq.count() === n, "exactly one code row per vector")
+    val codes = pq.collect()
+    Seq("c0", "c1", "c2", "c3").foreach { c =>
+      assert(codes.forall { r =>
+        val v = r.getAs[Long](c); v >= 0L && v <= 9L
+      }, s"$c must be a label-codebook index")
+    }
+    // The PQ distortion decomposes: Σ_m min_code d_m ≤ Σ_m d_m(k) for
+    // any single centroid k — in particular the k-means-assigned one,
+    // whose Σ_m d_m(k) IS the full-dimension squared distance.
+    val km = SimilarityOps.defs("kmeans_assign")(spark, Sf)
+      .select(col("vec_id"), col("dist"))
+    val joined = pq.join(km, "vec_id")
+      .select(col("vec_id"), col("sq_err"), col("dist")).collect()
+    joined.foreach { r =>
+      assert(r.getAs[Double]("sq_err") <= r.getAs[Double]("dist") + 1e-9,
+        s"vec ${r.getAs[Long]("vec_id")}: PQ reconstruction must be at " +
+          "least as good as the nearest whole-vector centroid")
+    }
+  }
+
+  test("pii_pseudonymize leaks no direct identifiers") {
+    val out = Relational.piiPseudonymize(spark, Sf)
+    val cols = out.columns.toSet
+    assert(!cols.contains("c_name") && !cols.contains("c_acctbal"),
+      "raw identifier / raw quasi-identifier must not pass through")
+    val rows = out.collect()
+    assert(rows.forall(r =>
+      r.getAs[Double]("acct_band") % Relational.PiiAcctBand == 0.0),
+      "balances must be generalized to band boundaries")
+    // deterministic: same input → same tokens on a re-run
+    val again = Relational.piiPseudonymize(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("name_token")).toSeq ===
+      again.map(_.getAs[Long]("name_token")).toSeq)
+  }
+}
