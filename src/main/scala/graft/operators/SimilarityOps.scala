@@ -529,12 +529,20 @@ object SimilarityOps {
     * codegen'd [[graft.functions.ArraySqDist]] and a bounded
     * WindowGroupLimit argmin per (vec, subspace); the final pivot is
     * a combinable agg on vec_id. Vectors never shuffle whole. */
-  val embPqEncode: Q = (s, d) => {
-    val codebook = centroids(s, d)
+  /** The per-subspace codebook: (sub, code, cb ARRAY<DOUBLE>) sliced
+    * from the full-dimension centroids. PqSubspaces·k rows — always
+    * broadcast at the use site. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    centroids(s, d)
       .select(col("clabel").as("code"),
         posexplode(array((0 until PqSubspaces).map(m =>
           slice(col("c"), m * PqSubDim + 1, PqSubDim)): _*))
           .as(Seq("sub", "cb")))
+
+  /** Every vector's per-subspace nearest code: (vec_id, sub, code,
+    * dist), the argmin step shared by [[embPqEncode]] and the ADC
+    * search ([[annPqAdc]]). */
+  private def pqAssigned(s: SparkSession, d: String): DataFrame = {
     val subVecs = emb(s, d)
       .select(col("vec_id"),
         posexplode(array((0 until PqSubspaces).map(m =>
@@ -542,13 +550,18 @@ object SimilarityOps {
           .as(Seq("sub", "sv")))
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("dist"), col("code"))
-    val assigned = subVecs.join(broadcast(codebook), Seq("sub"))
+    subVecs.join(broadcast(pqCodebook(s, d)), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"),
         sqDist(col("sv"), col("cb")).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-    def pick(m: Int, c: String): Column =
-      max(when(col("sub") === m, col(c)))
+  }
+
+  private def pick(m: Int, c: String): Column =
+    max(when(col("sub") === m, col(c)))
+
+  val embPqEncode: Q = (s, d) => {
+    val assigned = pqAssigned(s, d)
     assigned.groupBy("vec_id")
       .agg(pick(0, "code").as("c0"), pick(1, "code").as("c1"),
         pick(2, "code").as("c2"), pick(3, "code").as("c3"),
@@ -557,6 +570,126 @@ object SimilarityOps {
       .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
         (col("d0") + col("d1") + col("d2") + col("d3")).as("sq_err"))
       .orderBy("vec_id")
+  }
+
+  /** ANN search over the COMPRESSED index — asymmetric distance
+    * computation (ADC), the reason PQ exists: each query precomputes a
+    * distance LOOKUP TABLE (its subvector's distance to every
+    * sub-centroid, |queries|·[[PqSubspaces]]·k tiny rows), and a
+    * candidate's approximate distance is four table lookups summed —
+    * the candidate's float vector is never touched. At 100 TB the
+    * corpus side is the 4-byte code tuple, the LUT is broadcast, and
+    * the probe is an equi-join on (sub, code) + a combinable pivot
+    * agg — the serving-RAM search shape (Jégou et al., PAMI 2011;
+    * public-domain algorithm). Distances sum in fixed subspace order
+    * → engine-deterministic. Top-k per query by ascending ADC. */
+  /** (query_id, cand_id, adc): every candidate's four-lookup ADC
+    * score — shared by [[annPqAdc]] and [[annPqRerank]]. */
+  private def adcScores(s: SparkSession, d: String): DataFrame = {
+    val lut = emb(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        posexplode(array((0 until PqSubspaces).map(m =>
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*))
+          .as(Seq("sub", "qv")))
+      .join(pqCodebook(s, d), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        sqDist(col("qv"), col("cb")).as("dq"))
+    val cands = pqAssigned(s, d)
+      .filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
+    cands.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(pick(0, "dq").as("d0"), pick(1, "dq").as("d1"),
+        pick(2, "dq").as("d2"), pick(3, "dq").as("d3"))
+      .select(col("query_id"), col("cand_id"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("adc"))
+  }
+
+  val annPqAdc: Q = (s, d) => {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    adcScores(s, d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ADC shortlist size for [[annPqRerank]] — the second knob (with
+    * nprobe) of a compressed index: bigger shortlist, better recall,
+    * more exact distance evaluations. */
+  val PqShortlist = 50
+
+  /** Two-stage compressed search — ADC shortlist then EXACT rerank:
+    * the production serving shape for a PQ index (scan codes for a
+    * cheap [[PqShortlist]]-deep shortlist, fetch only those
+    * [[PqShortlist]] float vectors, exact top-[[TopK]]). Recall can
+    * only improve on raw ADC — any true neighbor the ADC ranks into
+    * the shortlist is re-ranked by its exact distance (pinned in
+    * CurationOpsSpec). On this synthetic near-uniform corpus the raw
+    * ADC gate ([[annPqRecall]]) sits at chance level — exactly the
+    * measurement that tells a pipeline the codes alone can't rank
+    * this corpus and the rerank stage is mandatory.
+    *
+    * Scale shape: stage 1 is [[adcScores]] (codes × broadcast LUT,
+    * bounded-heap window); stage 2 touches [[PqShortlist]]·|queries|
+    * vectors via an equi-join on cand_id — the expensive float reads
+    * are capped by the shortlist, never ∝ corpus. */
+  val annPqRerank: Q = (s, d) => {
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    val shortlist = adcScores(s, d)
+      .withColumn("srk", row_number().over(wa))
+      .filter(col("srk") <= PqShortlist)
+      .select(col("query_id"), col("cand_id"))
+    val q = emb(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), v => v.cast("double")).as("qe"))
+    val c = emb(s, d).filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cand_id"))
+    shortlist
+      .join(c, "cand_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        sqDist(col("ce"), col("qe")).as("dist"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the ADC-over-codes search against EXACT squared-L2
+    * brute force (same metric family as the PQ distortion — cosine
+    * recall belongs to the LSH/IVF gates). The compression go/no-go:
+    * how much of the true neighborhood survives 64×-compressed
+    * distance evaluation. */
+  val annPqRecall: Q = (s, d) => {
+    val e = emb(s, d)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cand_id"))
+    val exact = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cand_id"),
+          col("embedding").as("ce")))
+      .select(col("query_id"), col("cand_id"),
+        sqDist(col("ce"), transform(col("qe"), v => v.cast("double")))
+          .as("dist"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("cand_id"))
+    val approx = annPqAdc(s, d)
+      .select(col("query_id").as("p_query"), col("cand_id").as("p_cand"))
+    exact.join(approx, col("query_id") === col("p_query") &&
+        col("cand_id") === col("p_cand"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("p_cand")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK).cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
   }
 
   /** Per-label stats; norms decimal-quantized before the group sum so
@@ -608,7 +741,10 @@ object SimilarityOps {
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
     "emb_dup_text_verify" -> embDupTextVerify,
-    "emb_pq_encode" -> embPqEncode)
+    "emb_pq_encode" -> embPqEncode,
+    "ann_pq_adc" -> annPqAdc,
+    "ann_pq_recall" -> annPqRecall,
+    "ann_pq_rerank" -> annPqRerank)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -870,42 +1006,132 @@ object SimilarityOps {
             AS DECIMAL(18,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
             AS avg_norm
           FROM embeddings GROUP BY label ORDER BY label""",
-    "emb_pq_encode" -> {
-      // per-subspace sqdist: same sequential fold as sqlSqDist but
-      // over the PqSubDim-long slices
-      def subDist(a: String, b: String): String =
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, ${PqSubDim + 1}),
-              i -> (CAST($a[i] AS DOUBLE) - $b[i])
-                 * (CAST($a[i] AS DOUBLE) - $b[i]))),
-            (x, y) -> x + y)"""
-      def pick(m: Int, c: String): String =
-        s"MAX(CASE WHEN sub = $m THEN $c END)"
-      s"""WITH $sqlCentCtes,
-          subs AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
-          cb AS (
-            SELECT cent.clabel AS code, subs.m AS sub,
-              list_slice(cent.c, subs.m * $PqSubDim + 1,
-                subs.m * $PqSubDim + $PqSubDim) AS cb
-            FROM cent, subs),
-          sv AS (
-            SELECT vec_id, subs.m AS sub,
-              list_slice(embedding, subs.m * $PqSubDim + 1,
-                subs.m * $PqSubDim + $PqSubDim) AS sv
-            FROM embeddings, subs),
-          a AS (
-            SELECT vec_id, sub, code, dist,
+    "emb_pq_encode" ->
+      s"""WITH $sqlPqCtes
+          SELECT vec_id,
+            ${sqlPick(0, "code")} AS c0, ${sqlPick(1, "code")} AS c1,
+            ${sqlPick(2, "code")} AS c2, ${sqlPick(3, "code")} AS c3,
+            ${sqlPick(0, "dist")} + ${sqlPick(1, "dist")}
+              + ${sqlPick(2, "dist")} + ${sqlPick(3, "dist")} AS sq_err
+          FROM pqa GROUP BY vec_id ORDER BY vec_id""",
+    "ann_pq_adc" ->
+      s"""WITH $sqlPqCtes, $sqlAdcCtes
+          SELECT query_id, rank, cand_id, adc FROM (
+            SELECT adc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc, cand_id) AS rank
+            FROM adc) z
+          WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "ann_pq_recall" ->
+      s"""WITH $sqlPqCtes, $sqlAdcCtes,
+          approx AS (
+            SELECT query_id, cand_id FROM (
+              SELECT adc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc, cand_id) AS rank
+              FROM adc) z
+            WHERE rank <= $TopK),
+          exact AS (
+            SELECT query_id, cand_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                  ${sqlSqDistFF("c.embedding", "q.embedding")},
+                  c.vec_id) AS rank
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries) z
+            WHERE rank <= $TopK)
+          SELECT e.query_id, COUNT(p.cand_id) AS n_hits,
+            CAST(COUNT(p.cand_id) AS DOUBLE) / CAST($TopK AS DOUBLE)
+              AS recall
+          FROM exact e
+          LEFT JOIN approx p
+            ON e.query_id = p.query_id AND e.cand_id = p.cand_id
+          GROUP BY e.query_id ORDER BY e.query_id""",
+    "ann_pq_rerank" ->
+      s"""WITH $sqlPqCtes, $sqlAdcCtes,
+          shortlist AS (
+            SELECT query_id, cand_id FROM (
+              SELECT adc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc, cand_id) AS srk
+              FROM adc) z
+            WHERE srk <= $PqShortlist)
+          SELECT query_id, rank, cand_id, dist FROM (
+            SELECT sl.query_id, sl.cand_id,
+              ${sqlSqDistFF("c.embedding", "q.embedding")} AS dist,
+              ROW_NUMBER() OVER (PARTITION BY sl.query_id
+                ORDER BY ${sqlSqDistFF("c.embedding", "q.embedding")},
+                         sl.cand_id) AS rank
+            FROM shortlist sl
+            JOIN embeddings c ON sl.cand_id = c.vec_id
+            JOIN embeddings q ON sl.query_id = q.vec_id) z
+          WHERE rank <= $TopK ORDER BY query_id, rank""")
+
+  /** Per-subspace sqdist: same sequential fold as [[sqlSqDist]] but
+    * over the [[PqSubDim]]-long slices. */
+  private def sqlSubDist(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, ${PqSubDim + 1}),
+          i -> (CAST($a[i] AS DOUBLE) - $b[i])
+             * (CAST($a[i] AS DOUBLE) - $b[i]))),
+        (x, y) -> x + y)"""
+
+  /** Full-dimension sqdist where BOTH sides are float arrays (the
+    * exact-L2 brute mirror; [[sqlSqDist]]'s right side is a computed
+    * double list). */
+  private def sqlSqDistFF(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, ${Dims + 1}),
+          i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+             * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+        (x, y) -> x + y)"""
+
+  private def sqlPick(m: Int, c: String): String =
+    s"MAX(CASE WHEN sub = $m THEN $c END)"
+
+  /** The PQ CTE chain shared by the three PQ oracles: centroids →
+    * per-subspace codebook (cb) → subvectors (sv) → per-(vec, sub)
+    * nearest code (pqa). Mirrors [[pqCodebook]]/[[pqAssigned]]. */
+  private def sqlPqCtes: String =
+    s"""$sqlCentCtes,
+        subs AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+        cb AS (
+          SELECT cent.clabel AS code, subs.m AS sub,
+            list_slice(cent.c, subs.m * $PqSubDim + 1,
+              subs.m * $PqSubDim + $PqSubDim) AS cb
+          FROM cent, subs),
+        sv AS (
+          SELECT vec_id, subs.m AS sub,
+            list_slice(embedding, subs.m * $PqSubDim + 1,
+              subs.m * $PqSubDim + $PqSubDim) AS sv
+          FROM embeddings, subs),
+        pqa AS (
+          SELECT vec_id, sub, code, dist FROM (
+            SELECT scored.*,
               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                 ORDER BY dist, code) AS rn
             FROM (
               SELECT sv.vec_id, sv.sub, cb.code,
-                ${subDist("sv.sv", "cb.cb")} AS dist
-              FROM sv JOIN cb ON sv.sub = cb.sub) z)
-          SELECT vec_id,
-            ${pick(0, "code")} AS c0, ${pick(1, "code")} AS c1,
-            ${pick(2, "code")} AS c2, ${pick(3, "code")} AS c3,
-            ${pick(0, "dist")} + ${pick(1, "dist")}
-              + ${pick(2, "dist")} + ${pick(3, "dist")} AS sq_err
-          FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
-    })
+                ${sqlSubDist("sv.sv", "cb.cb")} AS dist
+              FROM sv JOIN cb ON sv.sub = cb.sub) scored) z
+          WHERE rn = 1)"""
+
+  /** ADC CTEs on top of [[sqlPqCtes]]: query LUT (distance of each
+    * query subvector to every sub-centroid) → candidate codes → the
+    * fixed-order four-lookup sum. Mirrors [[annPqAdc]]. */
+  private def sqlAdcCtes: String =
+    s"""lut AS (
+          SELECT sv.vec_id AS query_id, sv.sub, cb.code,
+            ${sqlSubDist("sv.sv", "cb.cb")} AS dq
+          FROM sv JOIN cb ON sv.sub = cb.sub
+          WHERE sv.vec_id < $NQueries),
+        cands AS (
+          SELECT vec_id AS cand_id, sub, code FROM pqa
+          WHERE vec_id >= $NQueries),
+        adc AS (
+          SELECT query_id, cand_id,
+            ${sqlPick(0, "dq")} + ${sqlPick(1, "dq")}
+              + ${sqlPick(2, "dq")} + ${sqlPick(3, "dq")} AS adc
+          FROM (
+            SELECT lut.query_id, cands.cand_id, cands.sub, lut.dq
+            FROM cands JOIN lut
+              ON cands.sub = lut.sub AND cands.code = lut.code) j
+          GROUP BY query_id, cand_id)"""
 }

@@ -315,6 +315,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Curation-funnel report: how many documents survive each
+    * [[docKeepDecision]] rule CUMULATIVELY, in the same fixed rule
+    * order — the pipeline-yield number a data team watches per corpus
+    * snapshot (a stage that suddenly eats 40% is a bug or a corpus
+    * shift). One scan + one combinable aggregate produce every stage
+    * count (conjunction flags summed in a single pass — not one scan
+    * per stage); the 4-row reshape is a `stack` on the 1-row result.
+    * All-integer until the exact survival divisions. */
+  val docFilterFunnel: Q = (s, d) => {
+    val canon = docs(s, d)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("canonical_id"))
+    val nTok = size(toks).cast("long")
+    val grams = Hashing.ngrams(toks, 3)
+    val dupRatio = when(nTok >= 3,
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double")).otherwise(0.0)
+    val surviveDedup = col("doc_id") === col("canonical_id")
+    val surviveLen = surviveDedup && nTok >= KeepMinTokens
+    val surviveRep = surviveLen && dupRatio <= KeepMaxDupRatio
+    def hits(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    docs(s, d)
+      .join(canon, "text")
+      .agg(count(lit(1)).as("n0"), hits(surviveDedup).as("n1"),
+        hits(surviveLen).as("n2"), hits(surviveRep).as("n3"))
+      .select(expr(
+        """stack(4,
+             0L, 'total',       n0, CAST(0 AS BIGINT),
+             1L, 'exact_dedup', n1, n0 - n1,
+             2L, 'min_length',  n2, n1 - n2,
+             3L, 'repetition',  n3, n2 - n3)
+           AS (stage_id, stage, n_surviving, n_dropped)"""),
+        col("n0"))
+      .select(col("stage_id"), col("stage"), col("n_surviving"),
+        col("n_dropped"),
+        (col("n_surviving").cast("double") / col("n0").cast("double"))
+          .as("survival"))
+      .orderBy("stage_id")
+  }
+
   /** Per-language sampling rates (percent) for [[docSampleHash]] —
     * downweight the dominant language, keep the rest. */
   val SampleRates: Map[String, Int] = Map("en" -> 10)
@@ -651,7 +690,8 @@ object TextOps {
     "doc_keep_decision" -> docKeepDecision,
     "text_boilerplate_ngrams" -> textBoilerplateNgrams,
     "doc_sample_temperature" -> docSampleTemperature,
-    "doc_length_buckets" -> docLengthBuckets)
+    "doc_length_buckets" -> docLengthBuckets,
+    "doc_filter_funnel" -> docFilterFunnel)
 
   // ------------------------------------------------------------------
 
@@ -920,6 +960,42 @@ object TextOps {
             CAST(floor(weight / z.z * CAST(n_total AS DOUBLE)) AS BIGINT)
               AS target_docs
           FROM w, z ORDER BY lang""",
+    "doc_filter_funnel" ->
+      s"""WITH g AS (
+            SELECT doc_id, text, length(toks) AS n_tok,
+              ${Hashing.sqlNgrams("toks", 3)} AS g
+            FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents) tk),
+          scored AS (
+            SELECT doc_id, text, CAST(n_tok AS BIGINT) AS n_tokens,
+              CASE WHEN n_tok >= 3
+                THEN CAST(length(g) - length(list_distinct(g)) AS DOUBLE)
+                  / CAST(length(g) AS DOUBLE)
+                ELSE 0.0 END AS dup_ratio
+            FROM g),
+          canon AS (
+            SELECT text, MIN(doc_id) AS canonical_id
+            FROM documents GROUP BY text),
+          f AS (
+            SELECT COUNT(*) AS n0,
+              CAST(SUM(CASE WHEN s.doc_id = c.canonical_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(SUM(CASE WHEN s.doc_id = c.canonical_id
+                AND s.n_tokens >= $KeepMinTokens
+                THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              CAST(SUM(CASE WHEN s.doc_id = c.canonical_id
+                AND s.n_tokens >= $KeepMinTokens
+                AND s.dup_ratio <= $KeepMaxDupRatio
+                THEN 1 ELSE 0 END) AS BIGINT) AS n3
+            FROM scored s JOIN canon c ON s.text = c.text)
+          SELECT stage_id, stage, n_surviving, n_dropped,
+            CAST(n_surviving AS DOUBLE) / CAST(n0 AS DOUBLE) AS survival
+          FROM (
+            SELECT CAST(0 AS BIGINT) AS stage_id, 'total' AS stage,
+              n0 AS n_surviving, CAST(0 AS BIGINT) AS n_dropped, n0 FROM f
+            UNION ALL SELECT 1, 'exact_dedup', n1, n0 - n1, n0 FROM f
+            UNION ALL SELECT 2, 'min_length',  n2, n1 - n2, n0 FROM f
+            UNION ALL SELECT 3, 'repetition',  n3, n2 - n3, n0 FROM f) u
+          ORDER BY stage_id""",
     "doc_length_buckets" -> {
       val bucketCase = LengthBucketBounds
         .map(b => s"WHEN n_tok <= $b THEN $b")

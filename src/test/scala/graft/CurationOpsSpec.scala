@@ -76,6 +76,45 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq_rerank dominates raw ADC against exact-L2 truth") {
+    // any true neighbor ADC ranks into the shortlist is re-ranked by
+    // its exact distance, so rerank recall >= raw-ADC recall per query
+    val adc = SimilarityOps.defs("ann_pq_adc")(spark, Sf)
+      .select(col("query_id"), col("cand_id")).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    val rr = SimilarityOps.defs("ann_pq_rerank")(spark, Sf)
+      .select(col("query_id"), col("cand_id")).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    // exact-L2 truth computed independently (zip_with fold), then the
+    // dominance check per query
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    e.createOrReplaceTempView("curation_emb")
+    val nq = SimilarityOps.NQueries
+    val k = SimilarityOps.TopK
+    val exact = spark.sql(
+      s"""SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                aggregate(zip_with(c.embedding, q.embedding,
+                  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                  CAST(0.0 AS DOUBLE), (a, b) -> a + b),
+                c.vec_id) AS rank
+            FROM curation_emb q CROSS JOIN curation_emb c
+            WHERE q.vec_id < $nq AND c.vec_id >= $nq) z
+          WHERE rank <= $k""").collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    exact.keys.foreach { q =>
+      val rrHits = (rr(q) intersect exact(q)).size
+      val adcHits = (adc(q) intersect exact(q)).size
+      assert(rrHits >= adcHits,
+        s"query $q: rerank recall $rrHits must be >= ADC recall $adcHits")
+    }
+  }
+
   test("pii_pseudonymize leaks no direct identifiers") {
     val out = Relational.piiPseudonymize(spark, Sf)
     val cols = out.columns.toSet
