@@ -63,10 +63,11 @@ object Bench {
     // query for all of them (ann_ivf does the same for the ANN
     // index). Timed queries then measure marginal cost only.
     // (kmeans_train builds the shared trained-quantizer relation the
-    // same way — ann_ivf_trained consumes it)
+    // same way — ann_ivf_trained consumes it; emb_pq_encode builds
+    // the persisted PQ code relation the three PQ queries share)
     val warmup = Seq("ann_ivf", "text_stats", "ev_type_stats", "q0_scan",
       "mm_meta", "dedup_exact", "dedup_lsh_pairs", "dedup_components",
-      "kmeans_train")
+      "kmeans_train", "emb_pq_encode")
     require(warmup.forall(SparkEntry.queries.contains),
       s"stale warm-up name: ${warmup.filterNot(SparkEntry.queries.contains)}")
     warmup.foreach(run)

@@ -215,4 +215,37 @@ class PlanSpec extends SparkSpec {
     // map-side combine is in effect
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(2000))
   }
+
+  test("ADC search broadcasts the lookup table and bounds the top-k heap") {
+    val p = physical("ann_pq_adc")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |q|·subspaces·k LUT must broadcast onto the code tuples:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "ADC is an equi-join on (sub, code), never all-pairs")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must be a bounded heap")
+  }
+
+  test("boilerplate n-grams use stacked combinable aggs, not an Expand") {
+    val p = physical("text_boilerplate_ngrams")
+    assert(!p.contains("Expand"),
+      s"df must come from pre-collapsed (doc, gram) rows, not COUNT(DISTINCT):\n${p.take(1500)}")
+    // partial + final pairs for both stacked aggregates
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(2000))
+  }
+
+  test("PII pseudonymization is a pure scan+project — zero shuffles") {
+    val p = physical("pii_pseudonymize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the compliance pass must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("filter funnel computes every stage count in one aggregate pass") {
+    val p = physical("doc_filter_funnel")
+    // one partial+final pair for the flag sums (plus the canon
+    // groupBy's pair) — and never one scan per funnel stage
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2,
+      s"stage counts must come from one documents pass plus the canon pass, saw $scans scans:\n${p.take(1500)}")
+  }
 }
