@@ -183,6 +183,35 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash estimator calibration: per LSH candidate pair, the
+    * signature's Jaccard ESTIMATE (fraction of the K lanes that
+    * agree — each lane matches with probability = true Jaccard) next
+    * to the exact shingle Jaccard, with the absolute error. This is
+    * the report that decides whether K=[[graft.functions.Hashing.K]]
+    * lanes is enough resolution at the pipeline's similarity
+    * threshold before scaling the signature up (2× lanes = 2× signature
+    * shuffle bytes corpus-wide). Estimate arithmetic is exact: the
+    * lane-match count is an integer and /16 is a power-of-two
+    * division. Cost ∝ candidate pairs (signatures equi-joined by
+    * doc), never all pairs. */
+  val dedupMinhashEst: Q = (s, d) => {
+    val sig = signatures(s, d)
+    def matches: Column = (0 until K).map(i =>
+      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    dedupJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        matches.as("n_match_lanes"),
+        (matches.cast("double") / lit(K.toDouble)).as("est_jaccard"),
+        col("jaccard"),
+        abs(matches.cast("double") / lit(K.toDouble) - col("jaccard"))
+          .as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** LSH candidates verified by EDIT DISTANCE instead of shingle
     * Jaccard — the character-level near-dup verifier (catches small
     * in-word edits that word shingles miss). Levenshtein is exact
@@ -436,7 +465,8 @@ object DedupOps {
     "dedup_split_assign" -> dedupSplitAssign,
     "dedup_savings" -> dedupSavings,
     "dedup_cross_source" -> dedupCrossSource,
-    "dedup_incremental" -> dedupIncremental)
+    "dedup_incremental" -> dedupIncremental,
+    "dedup_minhash_est" -> dedupMinhashEst)
 
   /** Recursive CTE mirror of [[components]]: min reachable doc_id via
     * transitive closure (fine at oracle scale; the Spark side is the
@@ -504,6 +534,46 @@ object DedupOps {
           JOIN sizes za ON p.doc_a = za.doc_id
           JOIN sizes zb ON p.doc_b = zb.doc_id
           ORDER BY 1, 2""",
+    "dedup_minhash_est" -> {
+      val laneSum = (0 until K)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id),
+          sh AS (
+            SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+            WHERE length(toks) >= 3),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT doc_a, doc_b, COUNT(*) AS n_inter
+            FROM pairs
+            JOIN sh sa ON doc_a = sa.doc_id
+            JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+            GROUP BY doc_a, doc_b),
+          jac AS (
+            SELECT p.doc_a, p.doc_b,
+              CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+                AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+            JOIN sizes za ON p.doc_a = za.doc_id
+            JOIN sizes zb ON p.doc_b = zb.doc_id)
+          SELECT j.doc_a, j.doc_b,
+            CAST($laneSum AS BIGINT) AS n_match_lanes,
+            CAST($laneSum AS DOUBLE) / ${K}.0 AS est_jaccard,
+            j.jaccard,
+            abs(CAST($laneSum AS DOUBLE) / ${K}.0 - j.jaccard) AS abs_err
+          FROM jac j
+          JOIN sig a ON j.doc_a = a.doc_id
+          JOIN sig b ON j.doc_b = b.doc_id
+          ORDER BY doc_a, doc_b"""
+    },
     "dedup_edit_distance" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
           pairs AS (

@@ -142,11 +142,30 @@ object MultimodalOps {
           .cast("long").as("chunk_len"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Exact media dedup by CONTENT DIGEST — the only dedup that works
+    * on opaque payloads (no tokens to shingle): group on the 128-bit
+    * md5 of the bytes, keep the lowest doc as canonical. At 100 TB
+    * this is why the digest exists: the shuffle carries 16 bytes per
+    * row instead of the payload (a groupBy on the payload column
+    * itself would move the whole corpus through the exchange — the
+    * text-side `dedup_exact` documents the same fingerprint move).
+    * Map-side combinable; payload bytes never leave the scan stage. */
+  val mmPayloadDedup: Q = (s, d) =>
+    withPayload(graft.sources.Tables.documents(s, d))
+      .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .groupBy("payload_md5")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("byte_len")).as("byte_len"))
+      .orderBy("payload_md5")
+
   val defs: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_chunk" -> mmChunk)
+    "mm_chunk" -> mmChunk,
+    "mm_payload_dedup" -> mmPayloadDedup)
 
   // the fake-codec geometry exists ONCE as SQL fragments — mm_meta and
   // mm_resize both compose these, so a codec change can't silently
@@ -178,6 +197,12 @@ object MultimodalOps {
                ($sqlByteLen + ${ChunkBytes - 1}) // $ChunkBytes)) AS chunk_idx
            FROM documents WHERE $sqlByteLen > 0) t
          ORDER BY doc_id, chunk_idx""",
+    "mm_payload_dedup" ->
+      s"""SELECT md5(text) AS payload_md5,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies,
+           MIN($sqlByteLen) AS byte_len
+         FROM documents GROUP BY md5(text) ORDER BY payload_md5""",
     "mm_meta" ->
       s"""SELECT doc_id,
            $sqlByteLen AS byte_len,

@@ -344,6 +344,50 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** readStream over the documents parquet (same symlink-dir trick as
+    * [[eventsStream]]) — the corpus-ingest stream. */
+  private def docsStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = srcDirCache.getOrElseUpdate(s"$d#documents", {
+      val t = Files.createTempDirectory("graft-stream-docsrc")
+      t.toFile.deleteOnExit()
+      val link = t.resolve("documents.parquet")
+      Files.createSymbolicLink(link, Paths.get(s"$d/documents.parquet"))
+      link.toFile.deleteOnExit()
+      t.toString
+    })
+    val schema = Tables.load(s, d, "documents").schema
+    s.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Curation ON INGEST: the stateless [[TextOps.docKeepDecision]]
+    * rules (min length, repetition — the corpus-wide exact-dup rule
+    * is deliberately absent: it needs cross-batch state, which is
+    * [[streamDedupKeys]]'s job) run inside a streaming query as docs
+    * arrive, routing each to keep or a drop reason — the reference's
+    * classify-and-route shape (SURVEY §2.6 E6) applied to the
+    * training-data ingest path. Stateless append mode: no state
+    * store, no watermark, each micro-batch is one codegen'd
+    * projection, so ingest curation adds zero shuffle at any scale.
+    * The finite replay must equal the batch oracle bit-for-bit. */
+  val streamCurationRoute: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val toks = graft.functions.Hashing.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val grams = graft.functions.Hashing.ngrams(toks, 3)
+    val dupRatio = when(nTok >= 3,
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double")).otherwise(0.0)
+    val routed = docsStream(s, d)
+      .select(col("doc_id"), nTok.as("n_tokens"), dupRatio.as("dup_ratio"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_ratio"),
+        when(col("n_tokens") < TextOps.KeepMinTokens, "too_short")
+          .when(col("dup_ratio") > TextOps.KeepMaxDupRatio, "repetitive")
+          .otherwise("keep").as("decision"))
+    runToTable(s, routed, "append")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_hourly" -> streamHourly,
     "stream_static_join" -> streamStaticJoin,
@@ -352,9 +396,29 @@ object StreamOps {
     "stream_dedup_wm" -> streamDedupWm,
     "stream_sessionize" -> streamSessionize,
     "stream_session_window" -> streamSessionWindow,
-    "stream_interval_join" -> streamIntervalJoin)
+    "stream_interval_join" -> streamIntervalJoin,
+    "stream_curation_route" -> streamCurationRoute)
 
   val oracle: Map[String, String] = Map(
+    "stream_curation_route" -> {
+      val sqlToks = graft.functions.Hashing.sqlTokens("text")
+      s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, dup_ratio,
+            CASE WHEN n_tok < ${TextOps.KeepMinTokens} THEN 'too_short'
+                 WHEN dup_ratio > ${TextOps.KeepMaxDupRatio}
+                   THEN 'repetitive'
+                 ELSE 'keep' END AS decision
+          FROM (
+            SELECT doc_id, length(toks) AS n_tok,
+              CASE WHEN length(toks) >= 3
+                THEN CAST(length(g) - length(list_distinct(g)) AS DOUBLE)
+                  / CAST(length(g) AS DOUBLE)
+                ELSE 0.0 END AS dup_ratio
+            FROM (
+              SELECT doc_id, toks,
+                ${graft.functions.Hashing.sqlNgrams("toks", 3)} AS g
+              FROM (SELECT doc_id, $sqlToks AS toks FROM documents) tk) z)
+          ORDER BY doc_id"""
+    },
     "stream_static_join" ->
       """SELECT e.event_id, e.user_id, c.c_name, n.n_name, e.value
          FROM events e
