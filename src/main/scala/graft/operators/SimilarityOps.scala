@@ -85,6 +85,7 @@ object SimilarityOps {
     indexCache.invalidate()
     centroidCache.invalidate()
     pqCache.invalidate()
+    labelCentCache.invalidate()
   }
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
@@ -297,14 +298,24 @@ object SimilarityOps {
       .select(col("clabel"),
         transform(col("dm"), x => x.getField("mean")).as("c"))
 
-  /** Centroid relation shared by [[kmeansAssign]], [[annIvfProbe2]]
-    * and [[kmeansTrain]]'s initialization: (clabel, c ARRAY<DOUBLE>)
-    * from the decimal-exact per-(label, dim) means. Tiny (|labels|
-    * rows) — always broadcast at the use site. */
+  /** Label-mean centroids are consumed by five queries (assign,
+    * probe2, train init, PQ codebook, ADC LUT) — materialized once
+    * per (session, dataset, mtime) so the decimal-exact aggregation
+    * over the posexploded corpus runs once, not per consumer. */
+  private val labelCentCache = new IndexCache
+
+  /** Centroid relation shared by [[kmeansAssign]], [[annIvfProbe2]],
+    * [[kmeansTrain]]'s initialization and the PQ codebook:
+    * (clabel, c ARRAY<DOUBLE>) from the decimal-exact per-(label, dim)
+    * means. Tiny (|labels| rows) — always broadcast at the use site. */
   private def centroids(s: SparkSession, d: String): DataFrame =
-    toArrays(meansLong(
-      emb(s, d).select(col("label").cast("long").as("clabel"),
-        col("embedding"))))
+    labelCentCache.getOrBuild(s, d, embMtime(d)) {
+      val c = toArrays(meansLong(
+        emb(s, d).select(col("label").cast("long").as("clabel"),
+          col("embedding")))).persist()
+      c.count() // materialize once, before any consumer broadcasts it
+      c
+    }
 
   private def sqDist(a: Column, b: Column): Column =
     GraftColumn(ArraySqDist(GraftColumn.expr(a), GraftColumn.expr(b)))
