@@ -140,6 +140,32 @@ object SimilarityOps {
       TopK)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for
+    * each query, the most-similar candidates whose label DIFFERS
+    * (high cosine + different class = the pairs that sharpen an
+    * embedding model's decision boundary; random negatives are too
+    * easy to teach anything). Same plan as [[knnBrute]] with the
+    * label-inequality predicate fused into the broadcast join — at
+    * 100 TB the query side is the (small) anchor batch and the
+    * candidate stream is one codegen'd projection; mining cost equals
+    * a brute top-k, and an LSH/IVF candidate tier drops in exactly
+    * like the positive-pair searches. */
+  val annHardNegatives: Q = (s, d) => {
+    val e = bucketed(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("label").cast("long").as("qlabel"))
+    val c = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("label").cast("long").as("clabel"))
+    topK(
+      c.crossJoin(broadcast(q))
+        .filter(col("clabel") =!= col("qlabel"))
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos")),
+      TopK)
+  }
+
   /** Bucket histogram: occupancy of each LSH bucket. */
   val annLshBuckets: Q = (s, d) =>
     bucketed(s, d)
@@ -768,7 +794,8 @@ object SimilarityOps {
     "emb_pq_encode" -> embPqEncode,
     "ann_pq_adc" -> annPqAdc,
     "ann_pq_recall" -> annPqRecall,
-    "ann_pq_rerank" -> annPqRerank)
+    "ann_pq_rerank" -> annPqRerank,
+    "ann_hard_negatives" -> annHardNegatives)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -903,6 +930,13 @@ object SimilarityOps {
 
   val oracle: Map[String, String] = Map(
     "knn_brute" -> sqlKnnBrute,
+    "ann_hard_negatives" -> sqlTopK(
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlCosine("q.embedding", "c.embedding")} AS cos
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries
+            AND CAST(q.label AS BIGINT) != CAST(c.label AS BIGINT)""",
+      TopK),
     "ann_lsh_recall" ->
       s"""SELECT b.query_id, COUNT(p.cand_id) AS n_hits,
           CAST(COUNT(p.cand_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall

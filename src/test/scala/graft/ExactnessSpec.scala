@@ -15,7 +15,13 @@ class ExactnessSpec extends SparkSpec {
 
   private val Queries =
     Seq("q1_pricing_summary", "emb_centroids", "emb_label_stats",
-      "ev_hourly", "text_keyterms")
+      "ev_hourly", "text_keyterms",
+      // round 5: the lang-ordered normalizer fold must not depend on
+      // which partition delivers which language first
+      "doc_sample_temperature",
+      // round 5: PQ distortion sums four broadcast-join distances in
+      // fixed subspace order — must survive any corpus partitioning
+      "emb_pq_encode")
 
   Queries.foreach { name =>
     test(s"$name is bit-identical under different shuffle partitionings") {
