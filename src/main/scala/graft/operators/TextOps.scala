@@ -580,6 +580,41 @@ object TextOps {
       .filter(col("df") >= BoilerplateMinDf)
       .orderBy(col("df").desc, col("n_occurrences").desc, col("gram"))
 
+  /** The apply step of [[textBoilerplateNgrams]]: per document, the
+    * fraction of its word 5-grams that are corpus boilerplate
+    * (df ≥ [[BoilerplateMinDf]]) — the score a span-removal pass
+    * thresholds on (a doc that is mostly template text gets dropped
+    * or stripped; compare [[textContamination]], which scores overlap
+    * against a BENCHMARK set instead of the corpus itself).
+    *
+    * Scale shape: the boilerplate relation reduces to distinct gram
+    * hashes (compact, broadcast-able the way the benchmark set is);
+    * the per-doc side joins its distinct gram hashes against it and
+    * counts hits — explode → equi-join → combinable agg, never a
+    * doc × doc comparison. */
+  val textBoilerplateFraction: Q = (s, d) => {
+    val grams = docs(s, d)
+      .withColumn("toks", Hashing.tokens(col("text")))
+      .filter(size(col("toks")) >= BoilerplateN)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Hashing.hashAll(Hashing.ngrams(col("toks"), BoilerplateN))))
+          .as("gh"))
+    val boiler = grams.groupBy("gh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerplateMinDf)
+      .select(col("gh"))
+    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(broadcast(boiler), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .as("boiler_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-sampling exponent is fixed at 0.5 (`sqrt`) — the
     * only power that is IEEE-correctly-rounded on both engines (`pow`
     * with arbitrary exponents is libm-dependent; see
@@ -691,7 +726,8 @@ object TextOps {
     "text_boilerplate_ngrams" -> textBoilerplateNgrams,
     "doc_sample_temperature" -> docSampleTemperature,
     "doc_length_buckets" -> docLengthBuckets,
-    "doc_filter_funnel" -> docFilterFunnel)
+    "doc_filter_funnel" -> docFilterFunnel,
+    "text_boilerplate_fraction" -> textBoilerplateFraction)
 
   // ------------------------------------------------------------------
 
@@ -942,6 +978,27 @@ object TextOps {
           FROM tf GROUP BY gram
           HAVING COUNT(*) >= $BoilerplateMinDf
           ORDER BY df DESC, n_occurrences DESC, gram""",
+    "text_boilerplate_fraction" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              unnest(list_distinct(${Hashing.sqlHashAll(
+                Hashing.sqlNgrams("toks", BoilerplateN))})) AS gh
+            FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t
+            WHERE length(toks) >= $BoilerplateN),
+          boiler AS (
+            SELECT gh FROM (
+              SELECT gh, COUNT(*) AS df FROM g GROUP BY gh) z
+            WHERE df >= $BoilerplateMinDf),
+          totals AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+          hits AS (
+            SELECT g.doc_id, COUNT(*) AS n_boiler
+            FROM g JOIN boiler b ON g.gh = b.gh GROUP BY g.doc_id)
+          SELECT t.doc_id, t.n_grams, COALESCE(h.n_boiler, 0) AS n_boiler,
+            CAST(COALESCE(h.n_boiler, 0) AS DOUBLE)
+              / CAST(t.n_grams AS DOUBLE) AS boiler_fraction
+          FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+          ORDER BY t.doc_id""",
     "doc_sample_temperature" ->
       """WITH t AS (SELECT COUNT(*) AS n_total FROM documents),
           w AS (
