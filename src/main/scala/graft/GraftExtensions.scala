@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_tokens",
       "graft_tokens(str) - single-space tokens, empties dropped", 1)(
       es => WhitespaceTokens(es.head))
+    register("graft_cdc_boundaries",
+      "graft_cdc_boundaries(bin) - content-defined chunk boundaries " +
+        "(rolling-hash, shift-robust)", 1)(
+      es => CdcBoundaries(es.head))
   }
 }

@@ -670,3 +670,101 @@ case class ArraySqDist(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `cdcBoundaries(binary) -> array<long>`: content-defined chunk
+  * boundaries by rolling hash — the shift-robust chunker a
+  * dedup-oriented media pipeline uses instead of fixed byte ranges
+  * ([[graft.operators.MultimodalOps]]'s `mm_chunk`): an insertion
+  * early in a payload shifts every fixed-range boundary after it, but
+  * content-defined boundaries RE-SYNCHRONIZE [[CdcBoundaries.Window]]
+  * bytes past the edit, so unchanged content re-chunks identically
+  * and downstream digest dedup still hits (Rabin-style CDC as used in
+  * LBFS/backup dedup; public-domain technique).
+  *
+  * A boundary falls after offset `o` (0 < o < n) iff the polynomial
+  * hash of the [[CdcBoundaries.Window]] bytes ending at `o` is ≡ 0
+  * mod [[CdcBoundaries.Divisor]] — expected chunk length ≈ Divisor
+  * bytes. Pure per-position predicate (no min/max clamp), so the
+  * DuckDB mirror is an O(n·W) window fold while this codegen'd loop
+  * is O(n) with an incremental pop-push (the 31^(W-1) factor of the
+  * outgoing byte is subtracted before the shift — exact in 64-bit
+  * arithmetic mod P).
+  */
+case class CdcBoundaries(child: Expression)
+    extends UnaryExpression {
+  import CdcBoundaries.{Divisor, Window}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cdc_boundaries"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (child, (dt: DataType) => dt == BinaryType, "BINARY"))
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val n = bytes.length
+    var h = 0L
+    var o = 0
+    while (o < n) {
+      h = (h * 31L + (bytes(o) & 0xffL)) % Hashing.P
+      if (o >= Window) {
+        // pop the byte that left the window: after the push above its
+        // weight in h is 31^W
+        h = (h - (bytes(o - Window) & 0xffL) * CdcBoundaries.PopWeight % Hashing.P
+          + Hashing.P) % Hashing.P
+      }
+      val end = o + 1
+      if (end >= Window && end < n && h % Divisor == 0L) out += end.toLong
+      o += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val o = ctx.freshName("o")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val end = ctx.freshName("end")
+      s"""|int $n = $c.length;
+          |long $h = 0L; int $cnt = 0;
+          |long[] $out = new long[$n];
+          |for (int $o = 0; $o < $n; $o++) {
+          |  $h = ($h * 31L + ((long) $c[$o] & 0xffL)) % ${Hashing.P}L;
+          |  if ($o >= $Window) {
+          |    $h = ($h - ((long) $c[$o - $Window] & 0xffL)
+          |      * ${CdcBoundaries.PopWeight}L % ${Hashing.P}L
+          |      + ${Hashing.P}L) % ${Hashing.P}L;
+          |  }
+          |  int $end = $o + 1;
+          |  if ($end >= $Window && $end < $n && $h % ${Divisor}L == 0L) {
+          |    $out[$cnt++] = (long) $end;
+          |  }
+          |}
+          |${ev.value} =
+          |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+          |    java.util.Arrays.copyOf($out, $cnt));""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcBoundaries {
+  /** Rolling-hash window (bytes). */
+  val Window = 8
+  /** Boundary divisor — expected chunk length ≈ this many bytes. */
+  val Divisor = 64L
+  /** 31^Window mod P: the weight of the byte leaving the window at
+    * the moment it is popped (the incoming push has already shifted
+    * it once more). */
+  val PopWeight: Long = {
+    var w = 1L
+    for (_ <- 1 to Window) w = w * 31L % Hashing.P
+    w
+  }
+}

@@ -142,6 +142,37 @@ object MultimodalOps {
           .cast("long").as("chunk_len"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Content-defined chunking over the payload — [[mmChunk]]'s
+    * dedup-robust sibling: boundaries fall where the rolling hash of
+    * the trailing [[graft.functions.CdcBoundaries.Window]] bytes hits
+    * 0 mod [[graft.functions.CdcBoundaries.Divisor]], so an insertion
+    * early in a payload re-synchronizes within one window and the
+    * unchanged tail re-chunks IDENTICALLY (fixed ranges shift every
+    * boundary after an edit — every downstream chunk digest changes;
+    * MultimodalSpec pins the re-sync property). Chunk digests from
+    * this feed [[mmPayloadDedup]]-style digest dedup at sub-file
+    * granularity.
+    *
+    * Scale shape: the boundary scan is one codegen'd O(n) pass per
+    * row ([[graft.functions.CdcBoundaries]]), the chunk reshape a
+    * posexplode — narrow end to end, cost ∝ payload bytes. */
+  val mmCdcChunk: Q = (s, d) =>
+    withPayload(graft.sources.Tables.documents(s, d))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .filter(col("byte_len") > 0)
+      .withColumn("bs", org.apache.spark.sql.GraftColumn(
+        graft.functions.CdcBoundaries(
+          org.apache.spark.sql.GraftColumn.expr(col("payload")))))
+      .withColumn("starts", concat(array(lit(0L)), col("bs")))
+      .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("starts"), col("ends")))
+          .as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("se.starts").as("offset"),
+        (col("se.ends") - col("se.starts")).as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Exact media dedup by CONTENT DIGEST — the only dedup that works
     * on opaque payloads (no tokens to shingle): group on the 128-bit
     * md5 of the bytes, keep the lowest doc as canonical. At 100 TB
@@ -165,7 +196,8 @@ object MultimodalOps {
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
     "mm_chunk" -> mmChunk,
-    "mm_payload_dedup" -> mmPayloadDedup)
+    "mm_payload_dedup" -> mmPayloadDedup,
+    "mm_cdc_chunk" -> mmCdcChunk)
 
   // the fake-codec geometry exists ONCE as SQL fragments — mm_meta and
   // mm_resize both compose these, so a codec change can't silently
@@ -197,6 +229,34 @@ object MultimodalOps {
                ($sqlByteLen + ${ChunkBytes - 1}) // $ChunkBytes)) AS chunk_idx
            FROM documents WHERE $sqlByteLen > 0) t
          ORDER BY doc_id, chunk_idx""",
+    "mm_cdc_chunk" -> {
+      val W = graft.functions.CdcBoundaries.Window
+      val D = graft.functions.CdcBoundaries.Divisor
+      val P = graft.functions.Hashing.P
+      // O(n·W) window fold per position — the oracle-scale mirror of
+      // the codegen'd O(n) pop-push loop; ASCII corpus => byte ==
+      // ascii(char) (asserted in MultimodalSpec)
+      s"""WITH b AS (
+            SELECT doc_id, CAST($sqlByteLen AS BIGINT) AS n,
+              list_filter(range($W, CAST($sqlByteLen AS BIGINT)),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % $P) % $D = 0) AS bs
+            FROM documents WHERE $sqlByteLen > 0),
+          se AS (
+            SELECT doc_id, n,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ex AS (
+            SELECT doc_id, starts, ends,
+              unnest(range(1, CAST(length(starts) + 1 AS BIGINT))) AS i
+            FROM se)
+          SELECT doc_id, i - 1 AS chunk_idx, starts[i] AS offset,
+            ends[i] - starts[i] AS chunk_len
+          FROM ex ORDER BY doc_id, chunk_idx"""
+    },
     "mm_payload_dedup" ->
       s"""SELECT md5(text) AS payload_md5,
            MIN(doc_id) AS canonical_id,

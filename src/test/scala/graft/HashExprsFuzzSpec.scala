@@ -140,6 +140,45 @@ class HashExprsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("cdcBoundaries: codegen path equals an O(n*W) window fold on " +
+      "arbitrary bytes, and boundaries re-sync after an insertion") {
+    import graft.functions.CdcBoundaries.{Divisor, Window}
+    def refBoundaries(bytes: Array[Byte]): Seq[Long] =
+      (Window until bytes.length).filter { end =>
+        var h = 0L
+        ((end - Window) until end).foreach(j =>
+          h = (h * 31L + (bytes(j) & 0xffL)) % P)
+        h % Divisor == 0L
+      }.map(_.toLong)
+    val r = new Random(0xCDC)
+    val payloads = Seq(Array.emptyByteArray, Array[Byte](1),
+      Array.fill[Byte](Window - 1)(7), Array.fill[Byte](Window)(7)) ++
+      (1 to 200).map(_ => Array.fill[Byte](r.nextInt(600))(r.nextInt.toByte))
+    val rows = payloads.zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("id", "payload")
+      .select(col("id"), col("payload"),
+        org.apache.spark.sql.GraftColumn(graft.functions.CdcBoundaries(
+          org.apache.spark.sql.GraftColumn.expr(col("payload")))).as("bs"))
+      .collect()
+    rows.foreach { row =>
+      val bytes = row.getAs[Array[Byte]]("payload")
+      assert(row.getSeq[Long](2) === refBoundaries(bytes),
+        s"payload #${row.getInt(0)} (${bytes.length} bytes)")
+    }
+    // the CDC property: prepending a prefix shifts only boundaries
+    // whose window overlaps the prefix; past prefixLen + W the cut
+    // points re-synchronize exactly (fixed-size chunking shifts ALL
+    // of them, which is why CDC exists)
+    val doc = Array.fill[Byte](500)(r.nextInt.toByte)
+    val prefix = Array.fill[Byte](37)(r.nextInt.toByte)
+    val shifted = prefix ++ doc
+    val resynced = refBoundaries(shifted)
+      .filter(_ >= prefix.length + Window)
+    assert(resynced === refBoundaries(doc).map(_ + prefix.length),
+      "unchanged content must re-chunk identically after an insertion")
+    assert(refBoundaries(doc).nonEmpty, "property test must not be vacuous")
+  }
+
   test("floatDot: codegen path equals a sequential reference fold") {
     val r = new Random(0xD07)
     val arrays = (1 to 100).map(_ =>

@@ -47,6 +47,30 @@ class MultimodalSpec extends SparkSpec {
     assert(chunks.nonEmpty)
   }
 
+  test("CDC chunks tile every payload exactly (gapless, complete)") {
+    import org.apache.spark.sql.functions._
+    val lens = MultimodalOps.withPayload(Tables.documents(spark, Sf))
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = MultimodalOps.mmCdcChunk(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("offset"), r.getAs[Long]("chunk_len")))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 0L, s"doc $docId must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, o1, l1), (_, _, o2, _)) =>
+          assert(o1 + l1 === o2, s"doc $docId has a gap/overlap at $o2")
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 === lens(docId),
+        s"doc $docId chunks must cover the full payload")
+      assert(cs.forall(_._4 > 0), s"doc $docId has an empty chunk")
+    }
+  }
+
   test("payload is opaque binary with byte-length metadata") {
     val docs = Tables.documents(spark, Sf)
     val row = MultimodalOps.withPayload(docs).head()
