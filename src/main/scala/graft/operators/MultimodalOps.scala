@@ -173,6 +173,37 @@ object MultimodalOps {
         (col("se.ends") - col("se.starts")).as("chunk_len"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Sub-file dedup over the content-defined chunks — the payoff of
+    * [[mmCdcChunk]]: each CDC chunk's bytes are digested and grouped,
+    * so byte ranges SHARED between different payloads surface even
+    * when the containing files differ (the backup-dedup model:
+    * storage ∝ distinct chunks, not total bytes). The digest relation
+    * is what a chunk store persists; `n_docs > 1` rows are the
+    * cross-file savings. Shape: boundary scan + slice + md5 are one
+    * narrow codegen'd pass, then a single combinable groupBy on the
+    * 16-byte digest — payload bytes never shuffle. */
+  val mmCdcDedup: Q = (s, d) =>
+    withPayload(graft.sources.Tables.documents(s, d))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .filter(col("byte_len") > 0)
+      .withColumn("bs", org.apache.spark.sql.GraftColumn(
+        graft.functions.CdcBoundaries(
+          org.apache.spark.sql.GraftColumn.expr(col("payload")))))
+      .withColumn("starts", concat(array(lit(0L)), col("bs")))
+      .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
+      .select(col("doc_id"), col("payload"),
+        posexplode(arrays_zip(col("starts"), col("ends")))
+          .as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"),
+        md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
+          "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"),
+        (col("se.ends") - col("se.starts")).as("chunk_len"))
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("chunk_len")).as("chunk_len"))
+      .orderBy("chunk_md5")
+
   /** Exact media dedup by CONTENT DIGEST — the only dedup that works
     * on opaque payloads (no tokens to shingle): group on the 128-bit
     * md5 of the bytes, keep the lowest doc as canonical. At 100 TB
@@ -197,7 +228,8 @@ object MultimodalOps {
     "mm_frame_sample" -> mmFrameSample,
     "mm_chunk" -> mmChunk,
     "mm_payload_dedup" -> mmPayloadDedup,
-    "mm_cdc_chunk" -> mmCdcChunk)
+    "mm_cdc_chunk" -> mmCdcChunk,
+    "mm_cdc_dedup" -> mmCdcDedup)
 
   // the fake-codec geometry exists ONCE as SQL fragments — mm_meta and
   // mm_resize both compose these, so a codec change can't silently
@@ -256,6 +288,37 @@ object MultimodalOps {
           SELECT doc_id, i - 1 AS chunk_idx, starts[i] AS offset,
             ends[i] - starts[i] AS chunk_len
           FROM ex ORDER BY doc_id, chunk_idx"""
+    },
+    "mm_cdc_dedup" -> {
+      val W = graft.functions.CdcBoundaries.Window
+      val D = graft.functions.CdcBoundaries.Divisor
+      val P = graft.functions.Hashing.P
+      s"""WITH b AS (
+            SELECT doc_id, text, CAST($sqlByteLen AS BIGINT) AS n,
+              list_filter(range($W, CAST($sqlByteLen AS BIGINT)),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % $P) % $D = 0) AS bs
+            FROM documents WHERE $sqlByteLen > 0),
+          se AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id,
+              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5,
+              ends[i] - starts[i] AS chunk_len
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                      AS i
+                  FROM se) z)
+          SELECT chunk_md5, COUNT(*) AS n_refs,
+            COUNT(DISTINCT doc_id) AS n_docs,
+            MIN(chunk_len) AS chunk_len
+          FROM ch GROUP BY chunk_md5 ORDER BY chunk_md5"""
     },
     "mm_payload_dedup" ->
       s"""SELECT md5(text) AS payload_md5,
