@@ -341,14 +341,21 @@ object Relational {
   }
 
   /** TPC-H Q15-style: supplier(s) with the max quarterly revenue —
-    * exact-decimal max so the equality predicate is unambiguous. */
+    * exact-decimal max so the equality predicate is unambiguous.
+    * The max is a 1-row scalar aggregate BROADCAST back onto the
+    * per-supplier relation (the q22 threshold pattern) — round 5
+    * replaced an empty-partition window here, which planned as a
+    * single-partition WindowExec over the whole supplier aggregate
+    * (the "No Partition Defined" warning; a real bottleneck once
+    * |suppliers| is large). */
   val q15TopSupplier: Q = (s, d) => {
     val rev = li(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("r"))
-    val top = rev.withColumn("maxr", max(col("r")).over(Window.partitionBy()))
+    val top = rev
+      .crossJoin(broadcast(rev.agg(max(col("r")).as("maxr"))))
       .filter(col("r") === col("maxr"))
     top.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), asD(col("r")).as("total_revenue"))

@@ -216,6 +216,15 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(2000))
   }
 
+  test("q15 max-revenue threshold broadcasts — no single-partition window") {
+    val p = physical("q15_top_supplier")
+    assert(!p.contains("Window"),
+      s"the scalar max must be an aggregate + broadcast, not an " +
+        s"empty-partition WindowExec funneling all suppliers into one task:\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+  }
+
   test("ADC search broadcasts the lookup table and bounds the top-k heap") {
     val p = physical("ann_pq_adc")
     assert(p.contains("BroadcastHashJoin"),
