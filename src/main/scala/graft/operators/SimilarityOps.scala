@@ -224,6 +224,35 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SEMANTIC dedup clusters: connected components over the VERIFIED
+    * embedding near-dup graph ([[embNearDup]]'s bucket-candidates +
+    * cosine-threshold edges) — the vector-space analogue of
+    * `dedup_components`, and the unit a leakage-free split or a
+    * keep-one-per-cluster policy operates on when similarity is
+    * semantic rather than lexical. Reuses the O(1)-plan-depth
+    * min-label propagation ([[DedupOps.propagateMinLabels]]) by
+    * encoding each verified pair as a two-member bucket in the same
+    * bipartite membership shape — so the scalable CC path is ONE
+    * implementation with two edge generators. Isolated vectors are
+    * their own singleton components via one anti-join. */
+  val embComponents: Q = (s, d) => {
+    val pairs = embNearDup(s, d).select(col("vec_a"), col("vec_b"))
+    // bipartite encoding: pair i = a bucket holding exactly its two
+    // endpoints; the synthetic bucket id (a << 32 | b) is unique per
+    // pair and never collides (vec ids are < 2^31)
+    val membership = pairs
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("doc_id"),
+        lit(0L).as("band"),
+        (col("vec_a") * lit(4294967296L) + col("vec_b")).as("bucket"))
+    val labels = DedupOps.propagateMinLabels(membership)
+    val singletons = emb(s, d).select(col("vec_id").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("comp"))
+    labels.union(singletons)
+      .select(col("doc_id").as("vec_id"), col("comp").as("component_id"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid vectors — the coarse-quantizer training step
     * an IVF index needs. Element-wise mean via posexplode →
     * (label, dim) aggregation, emitted in LONG FORMAT — one scalar row
@@ -795,7 +824,8 @@ object SimilarityOps {
     "ann_pq_adc" -> annPqAdc,
     "ann_pq_recall" -> annPqRecall,
     "ann_pq_rerank" -> annPqRerank,
-    "ann_hard_negatives" -> annHardNegatives)
+    "ann_hard_negatives" -> annHardNegatives,
+    "emb_components" -> embComponents)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -955,6 +985,20 @@ object SimilarityOps {
           FROM embeddings q JOIN embeddings c ON q.label = c.label
           WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", 3),
     "emb_near_dup" -> sqlEmbNearDup,
+    "emb_components" ->
+      s"""WITH RECURSIVE
+          p AS (SELECT vec_a, vec_b FROM ($sqlEmbNearDup) nd),
+          edges AS (
+            SELECT vec_a AS src, vec_b AS dst FROM p
+            UNION SELECT vec_b, vec_a FROM p),
+          reach AS (
+            SELECT vec_id AS src, vec_id AS dst FROM embeddings
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          comp AS (
+            SELECT src AS vec_id, MIN(dst) AS component_id
+            FROM reach GROUP BY src)
+          SELECT vec_id, component_id FROM comp ORDER BY vec_id""",
     "emb_dup_text_verify" ->
       s"""WITH p AS (SELECT * FROM ($sqlEmbNearDup) nd),
           tok AS (

@@ -115,6 +115,24 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("doc_filter_funnel stage drops equal doc_keep_decision's counts") {
+    // the funnel's cumulative drops and the per-doc decision relation
+    // are two views of the same rule chain — they must agree exactly
+    val rows = TextOps.docFilterFunnel(spark, Sf).collect()
+    val dropped = rows
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_dropped"))
+      .toMap
+    val nTotal = rows.find(_.getAs[String]("stage") == "total").get
+      .getAs[Long]("n_surviving")
+    val decisions = TextOps.docKeepDecision(spark, Sf).collect()
+      .groupBy(_.getAs[String]("decision"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(dropped("exact_dedup") === decisions.getOrElse("exact_dup", 0L))
+    assert(dropped("min_length") === decisions.getOrElse("too_short", 0L))
+    assert(dropped("repetition") === decisions.getOrElse("repetitive", 0L))
+    assert(decisions.values.sum === nTotal)
+  }
+
   test("pii_pseudonymize leaks no direct identifiers") {
     val out = Relational.piiPseudonymize(spark, Sf)
     val cols = out.columns.toSet
