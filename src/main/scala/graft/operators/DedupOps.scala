@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing._
@@ -367,6 +368,36 @@ object DedupOps {
         col("total_chars"), col("chars_saved"))
       .orderBy("canonical_id")
 
+  /** Quality-weighted canonical selection: per near-dup cluster, KEEP
+    * the member with the best quality score ([[TextOps.textQuality]]'s
+    * weighted stopword/alpha/diversity blend) instead of
+    * [[dedupSavings]]' min-id convention — the keep-one policy a real
+    * curation pipeline runs, where dropping the cleaner copy of a
+    * near-dup pair throws away exactly the data you deduped to keep.
+    * Deterministic: ties (identical doubles — e.g. exact copies score
+    * identically) break to the lowest doc_id on both engines.
+    *
+    * Scale shape: the cached component labeling equi-joined to the
+    * per-doc quality projection, then one WindowGroupLimit-able
+    * top-1 per cluster (bounded heap, no cluster-wide sort) plus a
+    * partition-count window over the same shuffle — a single
+    * hash-partition by component. */
+  val dedupKeepBest: Q = (s, d) => {
+    val quality = TextOps.textQuality(s, d)
+      .select(col("doc_id"), col("quality"))
+    val byComp = Window.partitionBy(col("comp"))
+    components(s, d)
+      .join(quality, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("rn", row_number().over(
+        byComp.orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("comp").as("component_id"),
+        col("doc_id").as("keep_doc_id"),
+        col("quality").as("keep_quality"), col("n_members"))
+      .orderBy("component_id")
+  }
+
   /** Cross-source contamination report: LSH near-dup candidate pairs
     * rolled up per (source, source) pair — "is source X republishing
     * source Y" is the question a corpus-mixing review asks before
@@ -466,7 +497,8 @@ object DedupOps {
     "dedup_savings" -> dedupSavings,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_incremental" -> dedupIncremental,
-    "dedup_minhash_est" -> dedupMinhashEst)
+    "dedup_minhash_est" -> dedupMinhashEst,
+    "dedup_keep_best" -> dedupKeepBest)
 
   /** Recursive CTE mirror of [[components]]: min reachable doc_id via
     * transitive closure (fine at oracle scale; the Spark side is the
@@ -614,6 +646,19 @@ object DedupOps {
               AS chars_saved
           FROM comp c JOIN documents d ON c.doc_id = d.doc_id
           GROUP BY component_id ORDER BY canonical_id""",
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents,
+          ql AS (SELECT doc_id, quality
+                 FROM (${TextOps.oracle("text_quality")}) tq)
+          SELECT component_id, keep_doc_id, keep_quality, n_members
+          FROM (
+            SELECT c.component_id, c.doc_id AS keep_doc_id,
+              ql.quality AS keep_quality,
+              COUNT(*) OVER (PARTITION BY c.component_id) AS n_members,
+              ROW_NUMBER() OVER (PARTITION BY c.component_id
+                ORDER BY ql.quality DESC, c.doc_id) AS rn
+            FROM comp c JOIN ql ON c.doc_id = ql.doc_id) z
+          WHERE rn = 1 ORDER BY component_id""",
     "dedup_cross_source" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
           pairs AS (

@@ -86,6 +86,7 @@ object SimilarityOps {
     centroidCache.invalidate()
     pqCache.invalidate()
     labelCentCache.invalidate()
+    embCompCache.invalidate()
   }
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
@@ -235,23 +236,54 @@ object SimilarityOps {
     * bipartite membership shape — so the scalable CC path is ONE
     * implementation with two edge generators. Isolated vectors are
     * their own singleton components via one anti-join. */
-  val embComponents: Q = (s, d) => {
-    val pairs = embNearDup(s, d).select(col("vec_a"), col("vec_b"))
-    // bipartite encoding: pair i = a bucket holding exactly its two
-    // endpoints; the synthetic bucket id (a << 32 | b) is unique per
-    // pair and never collides (vec ids are < 2^31)
-    val membership = pairs
-      .select(explode(array(col("vec_a"), col("vec_b"))).as("doc_id"),
-        lit(0L).as("band"),
-        (col("vec_a") * lit(4294967296L) + col("vec_b")).as("bucket"))
-    val labels = DedupOps.propagateMinLabels(membership)
-    val singletons = emb(s, d).select(col("vec_id").as("doc_id"))
-      .join(labels, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("comp"))
-    labels.union(singletons)
+  /** One materialized semantic labeling per (session, dataset, mtime)
+    * — shared by `emb_components` and `emb_split_assign`, mirroring
+    * the lexical component cache in [[DedupOps]]. */
+  private val embCompCache = new IndexCache
+
+  private def embComponentsRel(s: SparkSession, d: String): DataFrame =
+    embCompCache.getOrBuild(s, d, embMtime(d)) {
+      val pairs = embNearDup(s, d).select(col("vec_a"), col("vec_b"))
+      // bipartite encoding: pair i = a bucket holding exactly its two
+      // endpoints; the synthetic bucket id (a << 32 | b) is unique per
+      // pair and never collides (vec ids are < 2^31)
+      val membership = pairs
+        .select(explode(array(col("vec_a"), col("vec_b"))).as("doc_id"),
+          lit(0L).as("band"),
+          (col("vec_a") * lit(4294967296L) + col("vec_b")).as("bucket"))
+      val labels = DedupOps.propagateMinLabels(membership)
+      val singletons = emb(s, d).select(col("vec_id").as("doc_id"))
+        .join(labels, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("comp"))
+      // checkpointed so the cached relation carries no dependency on
+      // the loop's intermediate checkpoints (same discipline as the
+      // lexical component cache)
+      val all = labels.union(singletons).localCheckpoint()
+      IndexCache.release(labels)
+      all
+    }
+
+  val embComponents: Q = (s, d) =>
+    embComponentsRel(s, d)
       .select(col("doc_id").as("vec_id"), col("comp").as("component_id"))
       .orderBy("vec_id")
-  }
+
+  /** Leakage-free split in EMBEDDING space: the whole semantic
+    * near-dup cluster lands in one of train/val/test — the guard
+    * against a paraphrase (lexically distant, semantically identical)
+    * of a training doc leaking into eval, which token-level dedup
+    * cannot catch. Same deterministic rule as the lexical
+    * `dedup_split_assign` (char-hash of the component id, mod 10 →
+    * 8/1/1), so the two splits are directly comparable. */
+  val embSplitAssign: Q = (s, d) =>
+    embComponentsRel(s, d)
+      .withColumn("bucket",
+        graft.functions.Hashing.charHash(col("comp").cast("string")) % 10)
+      .select(col("doc_id").as("vec_id"), col("comp").as("component_id"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("vec_id")
 
   /** Per-label centroid vectors — the coarse-quantizer training step
     * an IVF index needs. Element-wise mean via posexplode →
@@ -825,7 +857,8 @@ object SimilarityOps {
     "ann_pq_recall" -> annPqRecall,
     "ann_pq_rerank" -> annPqRerank,
     "ann_hard_negatives" -> annHardNegatives,
-    "emb_components" -> embComponents)
+    "emb_components" -> embComponents,
+    "emb_split_assign" -> embSplitAssign)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -936,6 +969,22 @@ object SimilarityOps {
         WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.35
         ORDER BY vec_a, vec_b"""
 
+  /** Recursive-CTE mirror of [[embComponentsRel]] (comp = min
+    * reachable vec_id over the verified near-dup graph), WITH-ready —
+    * shared by the emb_components and emb_split_assign oracles. */
+  private def sqlEmbCompCtes: String =
+    s"""p AS (SELECT vec_a, vec_b FROM ($sqlEmbNearDup) nd),
+        edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM p
+          UNION SELECT vec_b, vec_a FROM p),
+        reach AS (
+          SELECT vec_id AS src, vec_id AS dst FROM embeddings
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS vec_id, MIN(dst) AS component_id
+          FROM reach GROUP BY src)"""
+
   private val sqlKnnBrute: String = sqlTopK(
     s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         ${sqlCosine("q.embedding", "c.embedding")} AS cos
@@ -986,19 +1035,19 @@ object SimilarityOps {
           WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", 3),
     "emb_near_dup" -> sqlEmbNearDup,
     "emb_components" ->
-      s"""WITH RECURSIVE
-          p AS (SELECT vec_a, vec_b FROM ($sqlEmbNearDup) nd),
-          edges AS (
-            SELECT vec_a AS src, vec_b AS dst FROM p
-            UNION SELECT vec_b, vec_a FROM p),
-          reach AS (
-            SELECT vec_id AS src, vec_id AS dst FROM embeddings
-            UNION
-            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-          comp AS (
-            SELECT src AS vec_id, MIN(dst) AS component_id
-            FROM reach GROUP BY src)
+      s"""WITH RECURSIVE $sqlEmbCompCtes
           SELECT vec_id, component_id FROM comp ORDER BY vec_id""",
+    "emb_split_assign" ->
+      s"""WITH RECURSIVE $sqlEmbCompCtes
+          SELECT vec_id, component_id,
+            CASE WHEN b < 8 THEN 'train'
+                 WHEN b = 8 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT vec_id, component_id,
+                  ${graft.functions.Hashing.sqlCharHash(
+                    "CAST(component_id AS VARCHAR)")} % 10 AS b
+                FROM comp) z
+          ORDER BY vec_id""",
     "emb_dup_text_verify" ->
       s"""WITH p AS (SELECT * FROM ($sqlEmbNearDup) nd),
           tok AS (

@@ -133,6 +133,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(decisions.values.sum === nTotal)
   }
 
+  test("emb_split_assign is cluster-atomic over the semantic components") {
+    import spark.implicits._
+    val split = SparkEntry.queries("emb_split_assign")(spark, Sf)
+      .as[(Long, Long, String)].collect()
+    assert(split.nonEmpty)
+    split.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).toSet.size === 1,
+        s"semantic component ${g.head._2} straddles splits: ${g.toSeq}")
+    }
+    // every verified near-dup pair must be co-assigned — the semantic
+    // contamination guard the lexical split cannot provide
+    val comp = split.map(t => t._1 -> t._2).toMap
+    SimilarityOps.embNearDup(spark, Sf)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(comp(a) === comp(b),
+          s"near-dup pair ($a, $b) split across components")
+      }
+  }
+
+  test("dedup_keep_best keeps the best-quality member of every cluster") {
+    val comp = SparkEntry.queries("dedup_components")(spark, Sf)
+    val quality = TextOps.textQuality(spark, Sf)
+      .select(col("doc_id"), col("quality"))
+    val expected = comp.join(quality, "doc_id")
+      .groupBy(col("component_id"))
+      .agg(max(col("quality")).as("max_q"), count(lit(1)).as("n"))
+    val best = SparkEntry.queries("dedup_keep_best")(spark, Sf)
+    val joined = best.join(expected, "component_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("keep_quality") === r.getAs[Double]("max_q"),
+        s"component ${r.getAs[Long]("component_id")} kept a non-best member")
+      assert(r.getAs[Long]("n_members") === r.getAs[Long]("n"))
+    }
+    // the kept doc is an actual member of its cluster
+    val members = best.join(comp,
+      best("component_id") === comp("component_id") &&
+        best("keep_doc_id") === comp("doc_id"))
+    assert(members.count() === best.count())
+  }
+
   test("pii_pseudonymize leaks no direct identifiers") {
     val out = Relational.piiPseudonymize(spark, Sf)
     val cols = out.columns.toSet
