@@ -694,10 +694,12 @@ object SimilarityOps {
     * agg — the serving-RAM search shape (Jégou et al., PAMI 2011;
     * public-domain algorithm). Distances sum in fixed subspace order
     * → engine-deterministic. Top-k per query by ascending ADC. */
-  /** (query_id, cand_id, adc): every candidate's four-lookup ADC
-    * score — shared by [[annPqAdc]] and [[annPqRerank]]. */
-  private def adcScores(s: SparkSession, d: String): DataFrame = {
-    val lut = emb(s, d).filter(col("vec_id") < NQueries)
+  /** The per-query ADC lookup table: distance of each query subvector
+    * to every sub-centroid — |queries|·[[PqSubspaces]]·k tiny rows,
+    * always broadcast at the use site. Shared by [[adcScores]] and
+    * [[annIvfPq]]. */
+  private def adcLut(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"),
         posexplode(array((0 until PqSubspaces).map(m =>
           slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*))
@@ -705,10 +707,14 @@ object SimilarityOps {
       .join(pqCodebook(s, d), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         sqDist(col("qv"), col("cb")).as("dq"))
+
+  /** (query_id, cand_id, adc): every candidate's four-lookup ADC
+    * score — shared by [[annPqAdc]] and [[annPqRerank]]. */
+  private def adcScores(s: SparkSession, d: String): DataFrame = {
     val cands = pqAssigned(s, d)
       .filter(col("vec_id") >= NQueries)
       .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
-    cands.join(broadcast(lut), Seq("sub", "code"))
+    cands.join(broadcast(adcLut(s, d)), Seq("sub", "code"))
       .groupBy("query_id", "cand_id")
       .agg(pick(0, "dq").as("d0"), pick(1, "dq").as("d1"),
         pick(2, "dq").as("d2"), pick(3, "dq").as("d3"))
@@ -769,6 +775,93 @@ object SimilarityOps {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("cand_id"), col("dist"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Cells each query probes in the composed IVF+PQ search. */
+  val IvfPqNprobe = 2
+
+  /** The COMPOSED index — IVF routing over the engine-trained coarse
+    * quantizer, ADC-over-codes scoring inside the probed cells: the
+    * IVFADC architecture (Jégou et al., PAMI 2011) every billion-scale
+    * serving index uses, assembled here from the engine's own trained
+    * quantizer ([[trainedCentroids]]) and PQ code relation
+    * ([[pqAssigned]]). The coarse quantizer bounds WHICH codes are
+    * read (nprobe cells, not the corpus); PQ bounds WHAT a read costs
+    * (four LUT lookups, no float vector touched) — the two knobs a
+    * 100 TB deployment tunes independently.
+    *
+    * Scale shape: centroids and the per-query LUT are tiny broadcast
+    * relations; the corpus-side code tuples are equi-joined on their
+    * cell id so only probed cells' codes flow into the four-lookup
+    * sum; top-k is a bounded-heap window. Nothing in the plan scans
+    * floats or shuffles ∝ corpus. */
+  val annIvfPq: Q = (s, d) => {
+    val cents = trainedCentroids(s, d)
+    // nprobe routing: each query's IvfPqNprobe nearest trained cells
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("clabel"))
+    val route = emb(s, d).filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("clabel"),
+        sqDist(col("embedding"), col("c")).as("dist"))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= IvfPqNprobe)
+      .select(col("query_id"), col("clabel"))
+    // corpus-side code tuples tagged with their trained cell
+    val cells = assignToNearest(
+        emb(s, d).select(col("vec_id"), col("embedding")), cents)
+      .filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("clabel"))
+    val probed = pqAssigned(s, d)
+      .filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
+      .join(cells, "cand_id")
+      .join(broadcast(route), Seq("clabel"))
+      .select(col("query_id"), col("cand_id"), col("sub"), col("code"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    probed
+      .join(broadcast(adcLut(s, d)), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(pick(0, "dq").as("d0"), pick(1, "dq").as("d1"),
+        pick(2, "dq").as("d2"), pick(3, "dq").as("d3"))
+      .select(col("query_id"), col("cand_id"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("adc"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the composed IVF+PQ search vs exact squared-L2 brute
+    * force — the end-to-end gate for the full compressed serving
+    * stack (routing loss AND compression loss together), alongside
+    * the per-stage gates [[annIvfTrainedRecall]] / [[annPqRecall]]. */
+  val annIvfPqRecall: Q = (s, d) => {
+    val e = emb(s, d)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cand_id"))
+    val exact = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cand_id"),
+          col("embedding").as("ce")))
+      .select(col("query_id"), col("cand_id"),
+        sqDist(col("ce"), transform(col("qe"), v => v.cast("double")))
+          .as("dist"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("cand_id"))
+    val approx = annIvfPq(s, d)
+      .select(col("query_id").as("p_query"), col("cand_id").as("p_cand"))
+    exact.join(approx, col("query_id") === col("p_query") &&
+        col("cand_id") === col("p_cand"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("p_cand")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK).cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
   }
 
   /** Recall@k of the ADC-over-codes search against EXACT squared-L2
@@ -858,7 +951,9 @@ object SimilarityOps {
     "ann_pq_rerank" -> annPqRerank,
     "ann_hard_negatives" -> annHardNegatives,
     "emb_components" -> embComponents,
-    "emb_split_assign" -> embSplitAssign)
+    "emb_split_assign" -> embSplitAssign,
+    "ann_ivf_pq" -> annIvfPq,
+    "ann_ivf_pq_recall" -> annIvfPqRecall)
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1213,7 +1308,27 @@ object SimilarityOps {
             FROM shortlist sl
             JOIN embeddings c ON sl.cand_id = c.vec_id
             JOIN embeddings q ON sl.query_id = q.vec_id) z
-          WHERE rank <= $TopK ORDER BY query_id, rank""")
+          WHERE rank <= $TopK ORDER BY query_id, rank""",
+    "ann_ivf_pq" -> sqlIvfPqSearch,
+    "ann_ivf_pq_recall" ->
+      s"""WITH approx AS (
+            SELECT query_id, cand_id FROM ($sqlIvfPqSearch) s),
+          exact AS (
+            SELECT query_id, cand_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                  ${sqlSqDistFF("c.embedding", "q.embedding")},
+                  c.vec_id) AS rank
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries) z
+            WHERE rank <= $TopK)
+          SELECT e.query_id, COUNT(p.cand_id) AS n_hits,
+            CAST(COUNT(p.cand_id) AS DOUBLE) / CAST($TopK AS DOUBLE)
+              AS recall
+          FROM exact e
+          LEFT JOIN approx p
+            ON e.query_id = p.query_id AND e.cand_id = p.cand_id
+          GROUP BY e.query_id ORDER BY e.query_id""")
 
   /** Per-subspace sqdist: same sequential fold as [[sqlSqDist]] but
     * over the [[PqSubDim]]-long slices. */
@@ -1264,15 +1379,61 @@ object SimilarityOps {
               FROM sv JOIN cb ON sv.sub = cb.sub) scored) z
           WHERE rn = 1)"""
 
-  /** ADC CTEs on top of [[sqlPqCtes]]: query LUT (distance of each
-    * query subvector to every sub-centroid) → candidate codes → the
-    * fixed-order four-lookup sum. Mirrors [[annPqAdc]]. */
-  private def sqlAdcCtes: String =
+  /** The composed IVF+PQ search as one statement — Lloyd-trained
+    * cells ([[sqlLloydCtes]]) route each query to its
+    * [[IvfPqNprobe]] nearest cells, and only those cells' PQ codes
+    * are ADC-scored. Mirrors [[annIvfPq]]. */
+  private def sqlIvfPqSearch: String = {
+    val centK = s"cent$KmeansIters"
+    s"""WITH ${sqlLloydCtes.mkString(",\n")},
+        ${sqlAssignCte(centK, "af")},
+        $sqlPqCtes,
+        $sqlLutCte,
+        route AS (
+          SELECT query_id, clabel FROM (
+            SELECT q.vec_id AS query_id, $centK.clabel,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY ${sqlSqDist("q.embedding", s"$centK.c")},
+                         $centK.clabel) AS crk
+            FROM embeddings q CROSS JOIN $centK
+            WHERE q.vec_id < $NQueries) z
+          WHERE crk <= $IvfPqNprobe),
+        cellcand AS (
+          SELECT vec_id AS cand_id, clabel FROM af
+          WHERE vec_id >= $NQueries),
+        adcp AS (
+          SELECT query_id, cand_id,
+            ${sqlPick(0, "dq")} + ${sqlPick(1, "dq")}
+              + ${sqlPick(2, "dq")} + ${sqlPick(3, "dq")} AS adc
+          FROM (
+            SELECT r.query_id, cc.cand_id, p.sub, lut.dq
+            FROM route r
+            JOIN cellcand cc ON r.clabel = cc.clabel
+            JOIN pqa p ON p.vec_id = cc.cand_id
+            JOIN lut ON lut.query_id = r.query_id
+              AND lut.sub = p.sub AND lut.code = p.code) j
+          GROUP BY query_id, cand_id)
+        SELECT query_id, rank, cand_id, adc FROM (
+          SELECT adcp.*, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc, cand_id) AS rank
+          FROM adcp) z2
+        WHERE rank <= $TopK ORDER BY query_id, rank"""
+  }
+
+  /** The query LUT CTE (distance of each query subvector to every
+    * sub-centroid) — mirrors [[adcLut]]; shared by [[sqlAdcCtes]] and
+    * the IVF+PQ oracle. Requires [[sqlPqCtes]]' sv/cb in scope. */
+  private def sqlLutCte: String =
     s"""lut AS (
           SELECT sv.vec_id AS query_id, sv.sub, cb.code,
             ${sqlSubDist("sv.sv", "cb.cb")} AS dq
           FROM sv JOIN cb ON sv.sub = cb.sub
-          WHERE sv.vec_id < $NQueries),
+          WHERE sv.vec_id < $NQueries)"""
+
+  /** ADC CTEs on top of [[sqlPqCtes]]: query LUT → candidate codes →
+    * the fixed-order four-lookup sum. Mirrors [[annPqAdc]]. */
+  private def sqlAdcCtes: String =
+    s"""$sqlLutCte,
         cands AS (
           SELECT vec_id AS cand_id, sub, code FROM pqa
           WHERE vec_id >= $NQueries),

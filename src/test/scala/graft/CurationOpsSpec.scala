@@ -175,6 +175,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(members.count() === best.count())
   }
 
+  test("ann_ivf_pq is the full ADC search restricted to routed cells") {
+    val ivf = SimilarityOps.annIvfPq(spark, Sf)
+    // per query: ranks contiguous from 1, adc non-decreasing
+    ivf.collect().groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to g.length),
+        "ranks must be contiguous from 1")
+      val adcs = sorted.map(_.getAs[Double]("adc"))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+        "adc must be non-decreasing with rank")
+    }
+    // restriction consistency: any pair the cell-routed search shares
+    // with the full (unrouted) ADC search carries the IDENTICAL score
+    // — routing changes WHICH codes are read, never what a read costs
+    val full = SimilarityOps.annPqAdc(spark, Sf)
+      .select(col("query_id"), col("cand_id"), col("adc").as("full_adc"))
+    val shared = ivf.join(full, Seq("query_id", "cand_id")).collect()
+    shared.foreach { r =>
+      assert(r.getAs[Double]("adc") === r.getAs[Double]("full_adc"),
+        s"ADC mismatch on shared pair ${r.getAs[Long]("query_id")}/" +
+          s"${r.getAs[Long]("cand_id")}")
+    }
+  }
+
   test("pii_pseudonymize leaks no direct identifiers") {
     val out = Relational.piiPseudonymize(spark, Sf)
     val cols = out.columns.toSet
