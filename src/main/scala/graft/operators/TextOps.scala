@@ -700,6 +700,156 @@ object TextOps {
       .orderBy("metric")
   }
 
+  // ------------------------------------------------------------------
+  // BPE tokenizer training (the vocabulary-learning step of the
+  // pipeline whose sizing inputs are tf_vocab_coverage /
+  // text_token_count)
+  // ------------------------------------------------------------------
+
+  /** Number of BPE merge rounds learned by [[tfBpeTrain]] — fixed
+    * (not convergence-tested) so the DuckDB oracle can unroll the
+    * exact same rounds as a CTE chain, like [[SimilarityOps.KmeansIters]]. */
+  val BpeMerges = 8
+
+  private def docsMtime(d: String): Option[Long] =
+    try Some(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis)
+    catch { case _: java.io.IOException => None }
+
+  /** The word-frequency relation BPE trains on. This is the classic
+    * trainer shape (Sennrich et al.'s reference implementation counts
+    * words once, then learns merges over the vocab table): the corpus
+    * is scanned and shuffled EXACTLY ONCE — one combinable count agg,
+    * shuffle ∝ |vocab| — and every merge round after that touches only
+    * the vocab-sized relation. At 100 TB the corpus pass dominates and
+    * is unavoidable; the training loop itself is corpus-size-free. */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Symbol representation of a word: symbols separated by TWO
+    * spaces, with two-space padding at both ends. The double-space
+    * separator is what makes a plain left-to-right `replace` EXACT
+    * greedy BPE: the pattern `" L  R "` keeps one space of each outer
+    * gap, so (a) a pair can never match a suffix of a longer symbol
+    * (`"tal o"` does not contain `" al  o "`), and (b) consecutive
+    * overlapping occurrences (`a a a a`) merge exactly like the
+    * greedy non-overlapping scan (`aa aa`, not `aa a a` — a
+    * SINGLE-space encoding gets this wrong because the shared
+    * delimiter is consumed by the previous match). Spark's `replace`
+    * and DuckDB's `replace` share these scan semantics, so the oracle
+    * matches by construction. */
+  private[graft] def bpeCharRepr(word: Column): Column =
+    concat(lit("  "), concat_ws("  ", split(word, "")), lit("  "))
+
+  /** One BPE merge `"L R" -> "LR"` applied to a [[bpeCharRepr]]
+    * string (gram is the space-joined pair as counted by
+    * [[bpePairCounts]]). */
+  private[graft] def bpeApplyMerge(repr: Column, gram: Column): Column =
+    replace(repr,
+      concat(lit(" "), replace(gram, lit(" "), lit("  ")), lit(" ")),
+      concat(lit(" "), replace(gram, lit(" "), lit("")), lit(" ")))
+
+  /** Frequency-weighted adjacent-symbol pair counts over a
+    * (freq, repr) vocab relation — one explode + one combinable agg
+    * on the vocab-sized input. */
+  private[graft] def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"),
+        explode(Hashing.ngrams(split(trim(col("repr")), "  "), 2)).as("gram"))
+      .groupBy("gram").agg(sum("freq").as("c"))
+
+  /** One trained merge table per (session, dataset, mtime) — the BPE
+    * analogue of [[SimilarityOps]]'s trained quantizer, shared by
+    * `tf_bpe_train` and `tf_bpe_encode`; the bench builds it in the
+    * untimed warm-up like the other index relations. */
+  private val bpeCache = new IndexCache
+
+  /** Drop the cached BPE merge tables (releases executor storage). */
+  def invalidateIndexes(): Unit = bpeCache.invalidate()
+
+  /** The trained merge table (step, gram, c): [[BpeMerges]] rounds of
+    * count-pairs → argmax (count desc, tie → lexicographically
+    * smallest pair) → apply-merge. Each round's winner is eagerly
+    * `localCheckpoint()`ed (1 row), so round i+1's pair count replays
+    * only cheap vocab-sized projections on top of the materialized
+    * vocab relation — the same O(1)-plan-depth discipline as the
+    * k-means and connected-components loops. */
+  private def bpeMergeTable(s: SparkSession, d: String): DataFrame =
+    bpeCache.getOrBuild(s, d, docsMtime(d)) {
+      val vocab0 = bpeVocab(s, d)
+        .withColumn("repr", bpeCharRepr(col("word")))
+        .localCheckpoint()
+      var cur = vocab0
+      var merges: DataFrame = null
+      for (i <- 1 to BpeMerges) {
+        val best = bpePairCounts(cur)
+          .orderBy(col("c").desc, col("gram"))
+          .limit(1)
+          .select(lit(i.toLong).as("step"), col("gram"), col("c"))
+          .localCheckpoint()
+        merges = if (merges == null) best else merges.unionAll(best)
+        cur = cur
+          .crossJoin(broadcast(best.select(col("gram").as("mgram"))))
+          .withColumn("repr", bpeApplyMerge(col("repr"), col("mgram")))
+          .drop("mgram")
+      }
+      // the merge table's leaves are the per-step checkpoints; the
+      // vocab materialization only fed the (finished) training loop
+      IndexCache.release(vocab0)
+      merges
+    }
+
+  /** First-round BPE pair-frequency report: the top candidate merges
+    * over the character-level vocab — the "what would BPE learn
+    * first" diagnostic. */
+  val tfBpePairs: Q = (s, d) =>
+    bpePairCounts(
+        bpeVocab(s, d).withColumn("repr", bpeCharRepr(col("word"))))
+      .orderBy(col("c").desc, col("gram"))
+      .limit(20)
+      .select(col("gram").as("pair"),
+        split_part(col("gram"), lit(" "), lit(1)).as("left_sym"),
+        split_part(col("gram"), lit(" "), lit(2)).as("right_sym"),
+        col("c").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+
+  /** The learned BPE merge table after [[BpeMerges]] rounds — the
+    * artifact a tokenizer ships. Oracle: the identical rounds
+    * unrolled as a DuckDB CTE chain. */
+  val tfBpeTrain: Q = (s, d) =>
+    bpeMergeTable(s, d)
+      .select(col("step"),
+        split_part(col("gram"), lit(" "), lit(1)).as("left_sym"),
+        split_part(col("gram"), lit(" "), lit(2)).as("right_sym"),
+        replace(col("gram"), lit(" "), lit("")).as("merged"),
+        col("c").as("pair_count"))
+      .orderBy("step")
+
+  /** ENCODE step: the trained merges applied to the vocab in step
+    * order, emitting each word's segmentation and symbol count — the
+    * corpus-compression report (Σ freq·n_symbols is the token count
+    * training would see). Applying M merges is M broadcast-1-row
+    * joins + projections over the vocab relation; the corpus itself
+    * is never re-scanned. */
+  val tfBpeEncode: Q = (s, d) => {
+    val merges = bpeMergeTable(s, d)
+    var cur = bpeVocab(s, d).withColumn("repr", bpeCharRepr(col("word")))
+    for (i <- 1 to BpeMerges) {
+      cur = cur
+        .crossJoin(broadcast(
+          merges.filter(col("step") === i).select(col("gram").as("mgram"))))
+        .withColumn("repr", bpeApplyMerge(col("repr"), col("mgram")))
+        .drop("mgram")
+    }
+    cur.select(col("word"), col("freq"),
+        length(col("word")).cast("long").as("n_chars"),
+        size(split(trim(col("repr")), "  ")).cast("long").as("n_symbols"),
+        replace(trim(col("repr")), lit("  "), lit(" ")).as("encoded"))
+      .orderBy("word")
+  }
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
@@ -727,7 +877,10 @@ object TextOps {
     "doc_sample_temperature" -> docSampleTemperature,
     "doc_length_buckets" -> docLengthBuckets,
     "doc_filter_funnel" -> docFilterFunnel,
-    "text_boilerplate_fraction" -> textBoilerplateFraction)
+    "text_boilerplate_fraction" -> textBoilerplateFraction,
+    "tf_bpe_pairs" -> tfBpePairs,
+    "tf_bpe_train" -> tfBpeTrain,
+    "tf_bpe_encode" -> tfBpeEncode)
 
   // ------------------------------------------------------------------
 
@@ -1089,5 +1242,69 @@ object TextOps {
             FROM sized)
           SELECT source, doc_id, chunk_id, n_tok,
             o // $PackSeqTokens AS seq_id, o % $PackSeqTokens AS seq_off
-          FROM packed ORDER BY source, doc_id, chunk_id""")
+          FROM packed ORDER BY source, doc_id, chunk_id""",
+    "tf_bpe_pairs" ->
+      s"""WITH ${sqlBpeCtes(0)}
+          SELECT gram AS pair,
+            split_part(gram, ' ', 1) AS left_sym,
+            split_part(gram, ' ', 2) AS right_sym,
+            c AS n
+          FROM (SELECT gram, c FROM p1 ORDER BY c DESC, gram LIMIT 20) t
+          ORDER BY n DESC, pair""",
+    "tf_bpe_train" ->
+      s"""WITH ${sqlBpeCtes(BpeMerges)}
+          SELECT step,
+            split_part(gram, ' ', 1) AS left_sym,
+            split_part(gram, ' ', 2) AS right_sym,
+            replace(gram, ' ', '') AS merged,
+            c AS pair_count
+          FROM (${(1 to BpeMerges).map(i =>
+              s"SELECT CAST($i AS BIGINT) AS step, gram, c FROM b$i")
+            .mkString(" UNION ALL ")}) t
+          ORDER BY step""",
+    "tf_bpe_encode" ->
+      s"""WITH ${sqlBpeCtes(BpeMerges)}
+          SELECT word, freq,
+            CAST(length(word) AS BIGINT) AS n_chars,
+            CAST(length(string_split(trim(repr), '  ')) AS BIGINT)
+              AS n_symbols,
+            replace(trim(repr), '  ', ' ') AS encoded
+          FROM r$BpeMerges ORDER BY word""")
+
+  /** The BPE training rounds as a DuckDB CTE chain: `words` (the
+    * word-frequency relation), `r0` (char-level symbol repr with the
+    * double-space encoding of [[bpeCharRepr]]), then per round i:
+    * `p_i` pair counts, `b_i` the argmax pair, `r_i` the merge applied
+    * via the same literal `replace` as [[bpeApplyMerge]]. `merges = 0`
+    * emits just the base + first-round pair counts (also exposes p1,
+    * used by tf_bpe_pairs). */
+  private def sqlBpeCtes(merges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""words AS (
+            SELECT t AS word, count(*) AS freq FROM (
+              SELECT unnest($sqlToks) AS t FROM documents) u
+            GROUP BY t),
+          r0 AS (
+            SELECT word, freq,
+              '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+                AS repr
+            FROM words)"""
+    for (i <- 1 to math.max(merges, 1)) {
+      sb ++= s""",
+          p$i AS (
+            SELECT g AS gram, CAST(sum(freq) AS BIGINT) AS c FROM (
+              SELECT freq, unnest(${Hashing.sqlNgrams("syms", 2)}) AS g
+              FROM (SELECT freq, string_split(trim(repr), '  ') AS syms
+                    FROM r${i - 1}) sy) pg
+            GROUP BY g)"""
+      if (merges > 0) sb ++= s""",
+          b$i AS (SELECT gram, c FROM p$i ORDER BY c DESC, gram LIMIT 1),
+          r$i AS (
+            SELECT word, freq,
+              replace(repr, ' ' || replace(gram, ' ', '  ') || ' ',
+                            ' ' || replace(gram, ' ', '') || ' ') AS repr
+            FROM r${i - 1} CROSS JOIN b$i)"""
+    }
+    sb.toString
+  }
 }
