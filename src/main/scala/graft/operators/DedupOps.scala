@@ -85,8 +85,14 @@ object DedupOps {
     * shingles (docs with <3 tokens get no signature and are dropped —
     * nothing to near-dup match on). All K lanes come from ONE
     * codegen'd pass over the shingle hashes ([[graft.functions.MinHashSig]]). */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val sig = docs(s, d)
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(docs(s, d))
+
+  /** [[signatures]] over ANY (doc_id, text) relation — every step is
+    * a stateless per-row expression, so this also runs unchanged
+    * inside a streaming query ([[StreamOps]]'s ingest gate). */
+  private def signaturesOf(df: DataFrame): DataFrame = {
+    val sig = df
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingle_hashes", hashAll(shingles(col("toks"))))
@@ -94,6 +100,16 @@ object DedupOps {
     sig.select(
       col("doc_id") +: (0 until K).map(i => col("sig").getItem(i).as(s"mh$i")): _*)
   }
+
+  /** The stateless (doc_id, band, bucket) projection — the per-row
+    * part of [[buckets]], without the persist. Streaming-safe. */
+  private[graft] def bucketRows(df: DataFrame): DataFrame =
+    signaturesOf(df)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(bandBucket): _*))
+          .as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        col("bucket"))
 
   /** SQL CTE mirroring [[signatures]]. */
   private def sqlSignatures: String = {
@@ -119,13 +135,7 @@ object DedupOps {
     * the cache on both sides rather than recomputing. */
   private def buckets(s: SparkSession, d: String): DataFrame =
     bucketCache.getOrBuild(s, d, docsMtime(d)) {
-      val bk = signatures(s, d)
-        .select(col("doc_id"),
-          posexplode(array((0 until Bands).map(bandBucket): _*))
-            .as(Seq("band", "bucket")))
-        .select(col("doc_id"), col("band").cast("long").as("band"),
-          col("bucket"))
-        .persist()
+      val bk = bucketRows(docs(s, d)).persist()
       bk.count() // materialize once, before any self-join runs
       bk
     }
@@ -519,6 +529,22 @@ object DedupOps {
         comp AS (
           SELECT src AS doc_id, MIN(dst) AS component_id
           FROM reach GROUP BY src)"""
+
+  /** Batch oracle for [[StreamOps]]'s `stream_neardup_candidates`:
+    * incoming (is_new) docs' bucket rows joined against the corpus
+    * side, same tag rule as `dedup_incremental`. */
+  private[operators] def sqlNeardupCandidates: String =
+    s"""WITH $sqlSignatures, $sqlBuckets,
+        tagged AS (
+          SELECT doc_id,
+            ${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10 = 7 AS is_new
+          FROM documents)
+        SELECT x.doc_id, x.band, x.bucket, y.doc_id AS cand_id
+        FROM buckets x
+        JOIN tagged tx ON x.doc_id = tx.doc_id AND tx.is_new
+        JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+        JOIN tagged ty ON y.doc_id = ty.doc_id AND NOT ty.is_new
+        ORDER BY x.doc_id, x.band, x.bucket, y.doc_id"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->

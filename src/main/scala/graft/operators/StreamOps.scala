@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -388,6 +388,35 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** Near-dup gate ON INGEST: each incoming document's LSH bucket
+    * rows (the same one-pass minhash/band projection the batch index
+    * is built from — pure per-row expressions, streaming-safe) joined
+    * against the corpus bucket index as a STREAM-STATIC equi-join.
+    * Stateless append mode: stream-static joins keep no state store,
+    * so this gate runs unbounded with zero state — the any-hit rows
+    * are the quarantine signal routed DLQ-style (SURVEY §2.6 E6), and
+    * the per-doc rollup/verdict is `dedup_incremental`'s (batch) job.
+    *
+    * Corpus vs incoming uses `dedup_incremental`'s hash tag. In
+    * production the static side IS the persisted [[DedupOps]] bucket
+    * index; the finite oracle replay recomputes it inside its
+    * isolated session (the cache is session-keyed, and a per-replay
+    * session must not grow a cache entry per call). */
+  val streamNeardupCandidates: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def isNew(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    val corpusIdx = DedupOps.bucketRows(Tables.documents(s, d))
+      .filter(!isNew(col("doc_id")))
+      .select(col("band"), col("bucket"), col("doc_id").as("cand_id"))
+    val incoming = DedupOps.bucketRows(docsStream(s, d))
+      .filter(isNew(col("doc_id")))
+    val hits = incoming.join(corpusIdx, Seq("band", "bucket"))
+      .select(col("doc_id"), col("band"), col("bucket"), col("cand_id"))
+    runToTable(s, hits, "append")
+      .orderBy("doc_id", "band", "bucket", "cand_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_hourly" -> streamHourly,
     "stream_static_join" -> streamStaticJoin,
@@ -397,9 +426,11 @@ object StreamOps {
     "stream_sessionize" -> streamSessionize,
     "stream_session_window" -> streamSessionWindow,
     "stream_interval_join" -> streamIntervalJoin,
-    "stream_curation_route" -> streamCurationRoute)
+    "stream_curation_route" -> streamCurationRoute,
+    "stream_neardup_candidates" -> streamNeardupCandidates)
 
   val oracle: Map[String, String] = Map(
+    "stream_neardup_candidates" -> DedupOps.sqlNeardupCandidates,
     "stream_curation_route" -> {
       val sqlToks = graft.functions.Hashing.sqlTokens("text")
       s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, dup_ratio,

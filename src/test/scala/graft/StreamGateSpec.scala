@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.Hashing
+import graft.operators.DedupOps
+
+/** Pins for the streaming near-dup ingest gate
+  * (`stream_neardup_candidates`): the stream-static candidate join
+  * must keep ZERO state (it is the unbounded-safe ingest shape) and
+  * must emit exactly what the equivalent batch join computes.
+  */
+class StreamGateSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private def isNew(c: org.apache.spark.sql.Column) =
+    Hashing.charHash(c.cast("string")) % 10 === 7
+
+  test("ingest gate is stateless and equals its batch mirror") {
+    val batchDocs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpusIdx = DedupOps.bucketRows(batchDocs)
+      .filter(!isNew(col("doc_id")))
+      .select(col("band"), col("bucket"), col("doc_id").as("cand_id"))
+
+    val in = MemoryStream[(Long, String)]
+    in.addData(batchDocs.as[(Long, String)].collect().toSeq: _*)
+    val stream = in.toDF.toDF("doc_id", "text")
+    val hits = DedupOps.bucketRows(stream)
+      .filter(isNew(col("doc_id")))
+      .join(corpusIdx, Seq("band", "bucket"))
+      .select(col("doc_id"), col("band"), col("bucket"), col("cand_id"))
+
+    val q = hits.writeStream.format("memory").queryName("gate_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+      "the ingest gate must not allocate any state store")
+
+    val got = spark.table("gate_spec")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val expected = DedupOps.bucketRows(batchDocs)
+      .filter(isNew(col("doc_id")))
+      .join(corpusIdx, Seq("band", "bucket"))
+      .select(col("doc_id"), col("band"), col("bucket"), col("cand_id"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.nonEmpty, "sf0.001 must produce at least one candidate hit")
+    assert(got === expected)
+
+    // every emitted row respects the tagging: incoming is_new, the
+    // candidate corpus-side
+    got.foreach { r =>
+      val Seq(docId, _, _, candId) = r.map(_.asInstanceOf[Long])
+      def tag(id: Long) = {
+        var h = 0L
+        id.toString.foreach(c => h = (h * 31 + c.toLong) % Hashing.P)
+        h % 10 == 7
+      }
+      assert(tag(docId) && !tag(candId))
+    }
+  }
+}
