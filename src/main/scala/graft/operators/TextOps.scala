@@ -700,6 +700,47 @@ object TextOps {
       .orderBy("metric")
   }
 
+  /** Per-language RELATIVE quality gate: keep documents at or above
+    * their own language's median quality — the thresholding move that
+    * doesn't starve low-resource languages (a global cutoff drops
+    * whole languages whose score distribution sits lower, e.g. from
+    * stopword-list bias). The median is the exact window-rank lerp of
+    * `q23_percentiles` (built-in `percentile` buffers whole groups;
+    * the window form spills), per language; medians then BROADCAST
+    * back onto the scored projection — |langs| rows, so the fact side
+    * never shuffles for the join. Quality arithmetic is identical to
+    * [[textQuality]], so the two relations agree bit-for-bit. */
+  val docQualityGate: Q = (s, d) => {
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
+      .cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val quality = ratio(nStop, nTokens) * lit(0.2) +
+      ratio(nAlpha, length(col("text")).cast("long")) * lit(0.4) +
+      ratio(nDistinct, nTokens) * lit(0.4)
+    val scored = docs(s, d)
+      .select(col("doc_id"), col("lang"), quality.as("quality"))
+    val wAll = Window.partitionBy(col("lang"))
+    val wSort = wAll.orderBy(col("quality"))
+    val pos = (col("n") - 1).cast("double") * lit(0.5)
+    val lo = max(when(col("rn") === floor(pos).cast("long") + 1, col("quality")))
+    val hi = max(when(col("rn") === ceil(pos).cast("long") + 1, col("quality")))
+    val frac = max(pos - floor(pos))
+    val medians = scored
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wSort))
+      .groupBy(col("lang"))
+      .agg((lo * (lit(1.0) - frac) + hi * frac).as("lang_median"))
+    scored.join(broadcast(medians), "lang")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("lang_median"),
+        when(col("quality") >= col("lang_median"), "keep")
+          .otherwise("drop").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
   // BPE tokenizer training (the vocabulary-learning step of the
   // pipeline whose sizing inputs are tf_vocab_coverage /
@@ -880,7 +921,8 @@ object TextOps {
     "text_boilerplate_fraction" -> textBoilerplateFraction,
     "tf_bpe_pairs" -> tfBpePairs,
     "tf_bpe_train" -> tfBpeTrain,
-    "tf_bpe_encode" -> tfBpeEncode)
+    "tf_bpe_encode" -> tfBpeEncode,
+    "doc_quality_gate" -> docQualityGate)
 
   // ------------------------------------------------------------------
 
@@ -1269,7 +1311,25 @@ object TextOps {
             CAST(length(string_split(trim(repr), '  ')) AS BIGINT)
               AS n_symbols,
             replace(trim(repr), '  ', ' ') AS encoded
-          FROM r$BpeMerges ORDER BY word""")
+          FROM r$BpeMerges ORDER BY word""",
+    "doc_quality_gate" ->
+      s"""WITH q AS (
+            SELECT doc_id, lang,
+              (CAST($sqlNStop AS DOUBLE) / CAST(length($sqlToks) AS DOUBLE))
+                  * 0.2
+                + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.4
+                + (CAST(length(list_distinct($sqlToks)) AS DOUBLE)
+                   / CAST(length($sqlToks) AS DOUBLE)) * 0.4 AS quality
+            FROM documents),
+          m AS (
+            SELECT lang, quantile_cont(quality, 0.5) AS lang_median
+            FROM q GROUP BY lang)
+          SELECT q.doc_id, q.lang, q.quality, m.lang_median,
+            CASE WHEN q.quality >= m.lang_median THEN 'keep' ELSE 'drop' END
+              AS verdict
+          FROM q JOIN m ON q.lang = m.lang
+          ORDER BY q.doc_id""")
 
   /** The BPE training rounds as a DuckDB CTE chain: `words` (the
     * word-frequency relation), `r0` (char-level symbol repr with the

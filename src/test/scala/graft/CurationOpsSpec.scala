@@ -23,6 +23,24 @@ class CurationOpsSpec extends SparkSpec {
     })
   }
 
+  test("doc_quality_gate keeps at least half of every language") {
+    val out = TextOps.docQualityGate(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val kept = rows.count(_.getAs[String]("verdict") == "keep")
+      // quality >= the interpolated median holds for at least the
+      // upper half (more under ties); a language can never be
+      // entirely dropped by its OWN median — the point of the gate
+      assert(kept >= rows.length / 2, s"$lang kept $kept/${rows.length}")
+      assert(kept < rows.length || rows.length == 1,
+        s"$lang dropped nothing — median gate must bite when n > 1 " +
+          "unless every score ties")
+      val med = rows.head.getAs[Double]("lang_median")
+      assert(rows.forall(_.getAs[Double]("lang_median") == med),
+        s"$lang must see one median")
+    }
+  }
+
   test("doc_sample_temperature is a flattened probability distribution") {
     val out = TextOps.docSampleTemperature(spark, Sf).collect()
     val qSum = out.map(_.getAs[Double]("q_prob")).sum
