@@ -494,7 +494,32 @@ object DedupOps {
         count(lit(1)).as("cluster_size"))
       .orderBy("simhash")
 
+  /** The curation MANIFEST — the relation a training run actually
+    * consumes: per document, the absolute keep/drop decision with its
+    * first failing rule ([[TextOps.docKeepDecision]]), the near-dup
+    * component and its leakage-free split ([[dedupSplitAssign]], off
+    * the cached labeling), the per-language relative quality verdict
+    * ([[TextOps.docQualityGate]]), and the final gate as their
+    * conjunction. Three doc_id equi-joins; at 100 TB this is the one
+    * materialization downstream writers filter
+    * (`final_decision = 'keep'`) and partition by `split` — the audit
+    * trail of why every document was kept or dropped. */
+  val docManifest: Q = (s, d) =>
+    TextOps.docKeepDecision(s, d)
+      .select(col("doc_id"), col("decision"))
+      .join(dedupSplitAssign(s, d)
+        .select(col("doc_id"), col("component_id"), col("split")), "doc_id")
+      .join(TextOps.docQualityGate(s, d)
+        .select(col("doc_id"), col("quality"),
+          col("verdict").as("quality_verdict")), "doc_id")
+      .select(col("doc_id"), col("decision"), col("component_id"),
+        col("split"), col("quality"), col("quality_verdict"),
+        when(col("decision") === "keep" && col("quality_verdict") === "keep",
+          "keep").otherwise("drop").as("final_decision"))
+      .orderBy("doc_id")
+
   val defs: Map[String, Q] = Map(
+    "doc_manifest" -> docManifest,
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
     "dedup_minhash_sig" -> dedupMinhashSig,
@@ -653,6 +678,26 @@ object DedupOps {
     "dedup_components" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
           SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
+    "doc_manifest" ->
+      s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents,
+          kd AS (${TextOps.oracle("doc_keep_decision")}),
+          qg AS (${TextOps.oracle("doc_quality_gate")}),
+          sp AS (
+            SELECT doc_id, component_id,
+              CASE WHEN b < 8 THEN 'train'
+                   WHEN b = 8 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT doc_id, component_id,
+                    ${sqlCharHash("CAST(component_id AS VARCHAR)")} % 10 AS b
+                  FROM comp) z)
+          SELECT kd.doc_id, kd.decision, sp.component_id, sp.split,
+            qg.quality, qg.verdict AS quality_verdict,
+            CASE WHEN kd.decision = 'keep' AND qg.verdict = 'keep'
+                 THEN 'keep' ELSE 'drop' END AS final_decision
+          FROM kd
+          JOIN sp ON kd.doc_id = sp.doc_id
+          JOIN qg ON kd.doc_id = qg.doc_id
+          ORDER BY kd.doc_id""",
     "dedup_split_assign" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
           SELECT doc_id, component_id,

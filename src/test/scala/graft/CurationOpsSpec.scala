@@ -41,6 +41,23 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("doc_manifest is the exact conjunction of its source gates") {
+    val m = graft.operators.DedupOps.docManifest(spark, Sf).collect()
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(m.length === nDocs, "one manifest row per document")
+    m.foreach { r =>
+      val expect =
+        if (r.getAs[String]("decision") == "keep" &&
+          r.getAs[String]("quality_verdict") == "keep") "keep" else "drop"
+      assert(r.getAs[String]("final_decision") === expect)
+    }
+    val kd = TextOps.docKeepDecision(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    assert(m.forall(r =>
+      kd(r.getAs[Long]("doc_id")) == r.getAs[String]("decision")),
+      "manifest decisions must match doc_keep_decision row-for-row")
+  }
+
   test("doc_sample_temperature is a flattened probability distribution") {
     val out = TextOps.docSampleTemperature(spark, Sf).collect()
     val qSum = out.map(_.getAs[Double]("q_prob")).sum
