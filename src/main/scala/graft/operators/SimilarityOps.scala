@@ -928,7 +928,45 @@ object SimilarityOps {
           .otherwise(0.0).as("v_norm"))
       .orderBy("vec_id", "dim")
 
+  /** Incremental index UPSERT gate: a batch of incoming vectors
+    * (hash-tagged, `dedup_incremental`'s corpus/batch convention)
+    * probed against the EXISTING bucket index BEFORE insertion — the
+    * search-before-insert that keeps an online ANN index from
+    * accumulating near-duplicates, and the embedding-side mirror of
+    * the lexical `dedup_incremental` / `stream_neardup_candidates`
+    * pair. Per incoming vector: its bucket, same-bucket corpus
+    * occupancy, best cosine among corpus members (NULL on an empty
+    * bucket), and the insert/near_dup verdict at [[embNearDup]]'s
+    * 0.35 edge threshold. One bucket equi-join against the cached
+    * index (batch side broadcast) + one combinable (count, max) agg —
+    * an upsert batch never rebuilds or rescans the index. */
+  val annIndexUpsert: Q = (s, d) => {
+    def isNew(c: Column) =
+      graft.functions.Hashing.charHash(c.cast("string")) % 10 === 7
+    val wb = bucketed(s, d)
+    val batch = wb.filter(isNew(col("vec_id")))
+      .select(col("vec_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("bucket"))
+    val corpus = wb.filter(!isNew(col("vec_id")))
+      .select(col("embedding").as("ce"), col("norm").as("cn"),
+        col("bucket"))
+    val probed = corpus.join(broadcast(batch), Seq("bucket"))
+      .select(col("vec_id"),
+        cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bucket_cands"), max(col("cos")).as("best_cos"))
+    batch.select(col("vec_id"), col("bucket"))
+      .join(probed, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_bucket_cands"))
+      .select(col("vec_id"), col("bucket"), col("n_bucket_cands"),
+        col("best_cos"),
+        when(col("best_cos") >= 0.35, "near_dup")
+          .otherwise("insert").as("verdict"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "ann_index_upsert" -> annIndexUpsert,
     "knn_brute" -> knnBrute,
     "emb_normalize" -> embNormalize,
     "ann_lsh_buckets" -> annLshBuckets,
@@ -1103,6 +1141,27 @@ object SimilarityOps {
         WHERE qa.vec_id < $NQueries AND ca.vec_id >= $NQueries""", TopK)
 
   val oracle: Map[String, String] = Map(
+    "ann_index_upsert" ->
+      s"""WITH wb AS (
+            SELECT vec_id, embedding,
+              ${sqlBucket("embedding")} AS bucket,
+              ${graft.functions.Hashing
+                .sqlCharHash("CAST(vec_id AS VARCHAR)")} % 10 = 7 AS is_new
+            FROM embeddings),
+          pr AS (
+            SELECT b.vec_id, COUNT(*) AS n_bucket_cands,
+              MAX(${sqlCosine("b.embedding", "c.embedding")}) AS best_cos
+            FROM wb b JOIN wb c
+              ON b.bucket = c.bucket AND b.is_new AND NOT c.is_new
+            GROUP BY b.vec_id)
+          SELECT b.vec_id, b.bucket,
+            CAST(COALESCE(pr.n_bucket_cands, 0) AS BIGINT)
+              AS n_bucket_cands,
+            pr.best_cos,
+            CASE WHEN pr.best_cos >= 0.35 THEN 'near_dup'
+                 ELSE 'insert' END AS verdict
+          FROM wb b LEFT JOIN pr ON b.vec_id = pr.vec_id
+          WHERE b.is_new ORDER BY b.vec_id""",
     "knn_brute" -> sqlKnnBrute,
     "ann_hard_negatives" -> sqlTopK(
       s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
