@@ -271,7 +271,36 @@ object EventOps {
           .as("approx_median_value"))
       .orderBy("event_type")
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: (type → next type) counts and row-normalized
+    * probabilities — the behavioral fingerprint behind funnel design
+    * and bot detection (a scripted user's matrix is near-degenerate).
+    * Sequence order is (epoch second, event_id) so sub-second
+    * timestamp precision — which the engines truncate differently —
+    * can never flip adjacency. One window pass partitioned by user
+    * (the fact table's one shuffle), then a combinable count agg on
+    * the |types|² relation; the row normalizer is a window over that
+    * tiny aggregate, and the division is one exact integer-ratio
+    * IEEE op. */
+  val evTransitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val tr = ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("ts_sec"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    tr.select(col("event_type"), col("next_type"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("event_type")))
+            .cast("double")).as("p"))
+      .orderBy("event_type", "next_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "ev_transitions" -> evTransitions,
     "ev_approx_stats" -> evApproxStats,
     "ev_attribution" -> evAttribution,
     "ev_json_extract" -> evJson,
@@ -287,6 +316,20 @@ object EventOps {
     "ev_type_stats" -> evTypeStats)
 
   val oracle: Map[String, String] = Map(
+    "ev_transitions" ->
+      """WITH seq AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_type
+           FROM events),
+         tr AS (
+           SELECT event_type, next_type, COUNT(*) AS n FROM seq
+           WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT event_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+         FROM tr ORDER BY event_type, next_type""",
     "ev_hourly_anomaly" ->
       """WITH hourly AS (
            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600

@@ -965,8 +965,42 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Embedding QA: each vector's squared distance to its OWN label
+    * centroid, flagged against that label's p95 distance — the
+    * mislabeled/outlier shortlist fed to human review or re-embedding
+    * before the corpus trains anything. Centroids come from the
+    * cached label-centroid relation and BROADCAST onto one codegen'd
+    * distance projection (vectors never shuffle for the join); the
+    * p95 is the exact window-rank lerp (`q23_percentiles` machinery)
+    * per label, and the |labels| thresholds broadcast back. */
+  val embOutliers: Q = (s, d) => {
+    val withDist = emb(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("clabel"),
+        col("embedding"))
+      .join(broadcast(centroids(s, d)), "clabel")
+      .select(col("vec_id"), col("clabel").as("label"),
+        sqDist(col("embedding"), col("c")).as("dist"))
+    val wAll = Window.partitionBy(col("label"))
+    val wSort = wAll.orderBy(col("dist"))
+    val pos = (col("n") - 1).cast("double") * lit(0.95)
+    val lo = max(when(col("rn") === floor(pos).cast("long") + 1, col("dist")))
+    val hi = max(when(col("rn") === ceil(pos).cast("long") + 1, col("dist")))
+    val frac = max(pos - floor(pos))
+    val p95 = withDist
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wSort))
+      .groupBy(col("label"))
+      .agg((lo * (lit(1.0) - frac) + hi * frac).as("label_p95"))
+    withDist.join(broadcast(p95), "label")
+      .select(col("vec_id"), col("label"), col("dist"), col("label_p95"),
+        when(col("dist") > col("label_p95"), "outlier")
+          .otherwise("ok").as("verdict"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "ann_index_upsert" -> annIndexUpsert,
+    "emb_outliers" -> embOutliers,
     "knn_brute" -> knnBrute,
     "emb_normalize" -> embNormalize,
     "ann_lsh_buckets" -> annLshBuckets,
@@ -1141,6 +1175,21 @@ object SimilarityOps {
         WHERE qa.vec_id < $NQueries AND ca.vec_id >= $NQueries""", TopK)
 
   val oracle: Map[String, String] = Map(
+    "emb_outliers" ->
+      s"""WITH $sqlCentCtes,
+          wd AS (
+            SELECT e.vec_id, cent.clabel AS label,
+              ${sqlSqDist("e.embedding", "cent.c")} AS dist
+            FROM embeddings e
+            JOIN cent ON CAST(e.label AS BIGINT) = cent.clabel),
+          p AS (
+            SELECT label, quantile_cont(dist, 0.95) AS label_p95
+            FROM wd GROUP BY label)
+          SELECT wd.vec_id, wd.label, wd.dist, p.label_p95,
+            CASE WHEN wd.dist > p.label_p95 THEN 'outlier'
+                 ELSE 'ok' END AS verdict
+          FROM wd JOIN p ON wd.label = p.label
+          ORDER BY wd.vec_id""",
     "ann_index_upsert" ->
       s"""WITH wb AS (
             SELECT vec_id, embedding,

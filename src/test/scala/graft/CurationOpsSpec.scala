@@ -58,6 +58,33 @@ class CurationOpsSpec extends SparkSpec {
       "manifest decisions must match doc_keep_decision row-for-row")
   }
 
+  test("ev_transitions rows are per-type probability distributions") {
+    val out = graft.operators.EventOps.evTransitions(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val pSum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-12, s"$t row must sum to 1, got $pSum")
+      val n = rows.map(_.getAs[Long]("n")).sum
+      assert(n > 0L)
+    }
+  }
+
+  test("emb_outliers flags at most the upper tail of every label") {
+    val out = SimilarityOps.embOutliers(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("label")).foreach { case (l, rows) =>
+      val nOut = rows.count(_.getAs[String]("verdict") == "outlier")
+      // strictly-above-p95 flags at most 5% (fewer under ties)
+      assert(nOut <= math.ceil(rows.length * 0.05),
+        s"label $l flagged $nOut of ${rows.length}")
+      val p95 = rows.head.getAs[Double]("label_p95")
+      assert(rows.forall(_.getAs[Double]("label_p95") == p95),
+        s"label $l must see one threshold")
+    }
+    assert(out.exists(_.getAs[String]("verdict") == "outlier"),
+      "a continuous distance distribution must have an upper tail")
+  }
+
   test("doc_sample_temperature is a flattened probability distribution") {
     val out = TextOps.docSampleTemperature(spark, Sf).collect()
     val qSum = out.map(_.getAs[Double]("q_prob")).sum
