@@ -66,10 +66,11 @@ object Bench {
     // same way — ann_ivf_trained consumes it; emb_pq_encode builds
     // the persisted PQ code relation the three PQ queries share;
     // tf_bpe_train builds the cached BPE merge table tf_bpe_encode
-    // consumes)
+    // consumes; emb_components builds the cached SEMANTIC labeling
+    // emb_split_assign consumes, symmetric with dedup_components)
     val warmup = Seq("ann_ivf", "text_stats", "ev_type_stats", "q0_scan",
       "mm_meta", "dedup_exact", "dedup_lsh_pairs", "dedup_components",
-      "kmeans_train", "emb_pq_encode", "tf_bpe_train")
+      "kmeans_train", "emb_pq_encode", "tf_bpe_train", "emb_components")
     require(warmup.forall(SparkEntry.queries.contains),
       s"stale warm-up name: ${warmup.filterNot(SparkEntry.queries.contains)}")
     warmup.foreach(run)

@@ -21,7 +21,13 @@ class ExactnessSpec extends SparkSpec {
       "doc_sample_temperature",
       // round 5: PQ distortion sums four broadcast-join distances in
       // fixed subspace order — must survive any corpus partitioning
-      "emb_pq_encode")
+      "emb_pq_encode",
+      // round 5 late additions: the window-rank median/p95 lerp must
+      // pick the same ranked values under any partitioning (ties
+      // carry equal values), and the BPE argmax/transition counts are
+      // integer aggs whose ties break on ordered keys
+      "doc_quality_gate", "emb_outliers", "tf_bpe_train",
+      "ev_transitions")
 
   Queries.foreach { name =>
     test(s"$name is bit-identical under different shuffle partitionings") {

@@ -193,6 +193,46 @@ class PlanSpec extends SparkSpec {
       s"chunking must not shuffle payloads:\n${p.take(1500)}")
   }
 
+  test("quality gate broadcasts the per-language medians — the fact " +
+      "side never shuffles for the join") {
+    val p = physical("doc_quality_gate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // one hash shuffle total: the median window; the scored projection
+    // joins by broadcast
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 hash shuffle, saw $shuffles")
+  }
+
+  test("curation manifest joins every gate by broadcast — no sort-merge") {
+    val p = physical("doc_manifest")
+    assert(!p.contains("SortMergeJoin"),
+      "per-doc gate relations must broadcast-join on doc_id")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ANN upsert probes by bucket equi-join with the batch broadcast") {
+    val p = physical("ann_index_upsert")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the probe must be a bucket equi-join, not all-pairs")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("event transitions shuffle the fact table exactly once (by user)") {
+    val p = physical("ev_transitions")
+    val shuffles = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    // user window + (type, next) agg + tiny row-normalizer window
+    assert(shuffles <= 3, s"saw $shuffles hash shuffles")
+    assert(p.contains("user_id"), "sequence window must partition by user")
+  }
+
+  test("BPE pair counting aggregates partially before the shuffle") {
+    val p = physical("tf_bpe_pairs")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "freq-weighted pair counts must map-side combine:\n" + p.take(2000))
+  }
+
   test("partition pruning: a filter on the partition column skips files") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val dir = tmpDir("plan-partitioned")
