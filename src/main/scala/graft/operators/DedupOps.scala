@@ -518,8 +518,39 @@ object DedupOps {
           "keep").otherwise("drop").as("final_decision"))
       .orderBy("doc_id")
 
+  /** Split-quality check: per val/test document, the fraction of
+    * token OCCURRENCES outside the train split's vocabulary — the
+    * generalization-gap early warning (an eval split whose OOV rate
+    * is ~0 against train usually means leakage; one near 1 means the
+    * split captured a disjoint domain and eval loss will mislead).
+    * Builds on the leakage-free cluster split, so near-dup leakage is
+    * already excluded and what remains is genuine vocabulary overlap.
+    * Scale shape: one explode + doc_id equi-join to splits, the train
+    * vocab as a distinct combinable agg, one token equi-join (vocab ≪
+    * corpus; at 100 TB both sides hash-partition on the token), one
+    * per-doc count agg. */
+  val docSplitOov: Q = (s, d) => {
+    val sp = dedupSplitAssign(s, d).select(col("doc_id"), col("split"))
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(sp, "doc_id")
+    val trainVocab = tok.filter(col("split") === "train")
+      .select(col("tok")).distinct()
+      .withColumn("in_train", lit(1L))
+    tok.filter(col("split") =!= "train")
+      .join(trainVocab, Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_train").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("split"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "doc_manifest" -> docManifest,
+    "doc_split_oov" -> docSplitOov,
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
     "dedup_minhash_sig" -> dedupMinhashSig,
@@ -678,6 +709,28 @@ object DedupOps {
     "dedup_components" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
           SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
+    "doc_split_oov" ->
+      s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents,
+          sp AS (
+            SELECT doc_id,
+              CASE WHEN b < 8 THEN 'train'
+                   WHEN b = 8 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                    ${sqlCharHash("CAST(component_id AS VARCHAR)")} % 10 AS b
+                  FROM comp) z),
+          tok AS (
+            SELECT d.doc_id, sp.split, unnest(${sqlTokens("text")}) AS tok
+            FROM documents d JOIN sp ON d.doc_id = sp.doc_id),
+          tv AS (SELECT DISTINCT tok FROM tok WHERE split = 'train')
+          SELECT t.doc_id, t.split, COUNT(*) AS n_tokens,
+            CAST(SUM(CASE WHEN tv.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_oov,
+            CAST(SUM(CASE WHEN tv.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+          FROM tok t LEFT JOIN tv ON t.tok = tv.tok
+          WHERE t.split != 'train'
+          GROUP BY t.doc_id, t.split ORDER BY t.doc_id""",
     "doc_manifest" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents,
           kd AS (${TextOps.oracle("doc_keep_decision")}),

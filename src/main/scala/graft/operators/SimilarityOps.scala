@@ -998,9 +998,44 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension winsorization: clip each coordinate to its
+    * dimension's exact [p05, p95] — the outlier-taming preprocessing
+    * before quantization ([[embQuantize]]'s min/max affine map is
+    * exactly what a single corrupt coordinate wrecks). Same long
+    * (vec_id, dim) output contract as emb_quantize; the per-dim
+    * thresholds come from the exact window-rank lerp and BROADCAST
+    * back onto the explode (vectors never shuffle — the only shuffle
+    * is the |dims|-keyed percentile window). */
+  val embWinsorize: Q = (s, d) => {
+    val vals = emb(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val wAll = Window.partitionBy(col("dim"))
+    val wSort = wAll.orderBy(col("v"))
+    def pick(p: Double): Column = {
+      val pos = (col("n") - 1).cast("double") * lit(p)
+      val lo = max(when(col("rn") === floor(pos).cast("long") + 1, col("v")))
+      val hi = max(when(col("rn") === ceil(pos).cast("long") + 1, col("v")))
+      val frac = max(pos - floor(pos))
+      lo * (lit(1.0) - frac) + hi * frac
+    }
+    val bounds = vals
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wSort))
+      .groupBy(col("dim"))
+      .agg(pick(0.05).as("lo"), pick(0.95).as("hi"))
+    vals.join(broadcast(bounds), "dim")
+      .select(col("vec_id"), col("dim"), col("v"),
+        col("lo"), col("hi"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("v_clip"))
+      .orderBy("vec_id", "dim")
+  }
+
   val defs: Map[String, Q] = Map(
     "ann_index_upsert" -> annIndexUpsert,
     "emb_outliers" -> embOutliers,
+    "emb_winsorize" -> embWinsorize,
     "knn_brute" -> knnBrute,
     "emb_normalize" -> embNormalize,
     "ann_lsh_buckets" -> annLshBuckets,
@@ -1175,6 +1210,20 @@ object SimilarityOps {
         WHERE qa.vec_id < $NQueries AND ca.vec_id >= $NQueries""", TopK)
 
   val oracle: Map[String, String] = Map(
+    "emb_winsorize" ->
+      s"""WITH vals AS (
+            SELECT vec_id, idx.i - 1 AS dim,
+              CAST(embedding[idx.i] AS DOUBLE) AS v
+            FROM embeddings,
+              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx),
+          bounds AS (
+            SELECT dim, quantile_cont(v, 0.05) AS lo,
+              quantile_cont(v, 0.95) AS hi
+            FROM vals GROUP BY dim)
+          SELECT vals.vec_id, vals.dim, vals.v, b.lo, b.hi,
+            least(greatest(vals.v, b.lo), b.hi) AS v_clip
+          FROM vals JOIN bounds b ON vals.dim = b.dim
+          ORDER BY vals.vec_id, vals.dim""",
     "emb_outliers" ->
       s"""WITH $sqlCentCtes,
           wd AS (

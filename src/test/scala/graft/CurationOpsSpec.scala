@@ -85,6 +85,36 @@ class CurationOpsSpec extends SparkSpec {
       "a continuous distance distribution must have an upper tail")
   }
 
+  test("doc_split_oov covers exactly the eval splits with sane rates") {
+    val out = graft.operators.DedupOps.docSplitOov(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(Set("val", "test")(r.getAs[String]("split")),
+        "train rows must not appear in an OOV-vs-train report")
+      val (n, oov) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))
+      assert(oov >= 0L && oov <= n)
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("emb_winsorize clips into [lo, hi] and only the tails") {
+    val out = SimilarityOps.embWinsorize(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (v, lo, hi, c) = (r.getAs[Double]("v"), r.getAs[Double]("lo"),
+        r.getAs[Double]("hi"), r.getAs[Double]("v_clip"))
+      assert(lo <= hi)
+      assert(c >= lo && c <= hi)
+      assert(if (v >= lo && v <= hi) c == v else c == lo || c == hi,
+        "in-range values must pass through untouched")
+    }
+    val clippedFrac = out.count(r =>
+      r.getAs[Double]("v_clip") != r.getAs[Double]("v")).toDouble / out.length
+    assert(clippedFrac > 0.0 && clippedFrac <= 0.11,
+      s"p05/p95 clipping must touch ~10% of coordinates, got $clippedFrac")
+  }
+
   test("doc_sample_temperature is a flattened probability distribution") {
     val out = TextOps.docSampleTemperature(spark, Sf).collect()
     val qSum = out.map(_.getAs[Double]("q_prob")).sum

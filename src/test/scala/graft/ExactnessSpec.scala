@@ -27,7 +27,7 @@ class ExactnessSpec extends SparkSpec {
       // carry equal values), and the BPE argmax/transition counts are
       // integer aggs whose ties break on ordered keys
       "doc_quality_gate", "emb_outliers", "tf_bpe_train",
-      "ev_transitions")
+      "ev_transitions", "emb_winsorize")
 
   Queries.foreach { name =>
     test(s"$name is bit-identical under different shuffle partitionings") {
