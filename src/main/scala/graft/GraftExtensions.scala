@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_shingles",
       "graft_shingles(tokens) - space-joined 3-word shingles", 1)(
       es => WordNgrams(es.head, 3))
+    register("graft_bigrams",
+      "graft_bigrams(tokens) - space-joined adjacent pairs (BPE pair " +
+        "counting, bigram stats)", 1)(
+      es => WordNgrams(es.head, 2))
     register("graft_tokens",
       "graft_tokens(str) - single-space tokens, empties dropped", 1)(
       es => WhitespaceTokens(es.head))

@@ -517,6 +517,29 @@ object Relational {
         col("c_nationkey").cast("long").as("c_nationkey"))
       .orderBy("c_custkey")
 
+  /** NTILE quartiles of order value within each priority class, with
+    * per-quartile stats — the equal-frequency binning window. The
+    * window is PARTITIONED (by priority), never a global
+    * single-partition sort (the q15 lesson: global windows serialize
+    * on one task at scale; partitioned ntile shards by key). The
+    * order key includes o_orderkey so tied prices can't make bucket
+    * membership depend on partitioning; both engines use the
+    * standard ntile split (remainder rows to the first buckets). */
+  val q28Ntile: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        asD(sum(price6(col("o_totalprice")))).as("sum_price"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   val defs: Map[String, Q] = Map(
     "q0_scan" -> q0Scan,
     "pii_pseudonymize" -> piiPseudonymize,
@@ -546,7 +569,8 @@ object Relational {
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
     "q26_grouping_sets" -> q26GroupingSets,
-    "q27_profile" -> q27Profile)
+    "q27_profile" -> q27Profile,
+    "q28_ntile" -> q28Ntile)
 
   // ---------------------------------------------------------------- //
   // DuckDB oracle SQL — same arithmetic, same ordering, same names.  //
@@ -695,6 +719,18 @@ object Relational {
             AS running_revenue
           FROM lineitem WHERE l_suppkey <= 5
           ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q28_ntile" ->
+      s"""SELECT o_orderpriority, quartile, COUNT(*) AS n,
+          MIN(o_totalprice) AS min_price,
+          MAX(o_totalprice) AS max_price,
+          CAST(SUM(${sqlPrice6("o_totalprice")}) AS DOUBLE) AS sum_price
+          FROM (
+            SELECT o_orderpriority, o_totalprice,
+              CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+            FROM orders) t
+          GROUP BY o_orderpriority, quartile
+          ORDER BY o_orderpriority, quartile""",
     "q27_profile" -> ProfileCols.map(c =>
       s"""SELECT '$c' AS col_name,
           CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -700,6 +700,40 @@ object TextOps {
       .orderBy("metric")
   }
 
+  /** Collocation scoring without logarithms: lift =
+    * p(ab) / (p(a)·p(b)) for the top bigrams — PMI's argument without
+    * the `ln` (cross-libm `ln` is not correctly rounded, so exact
+    * oracle parity bans it; lift is the same ranking signal). A lift
+    * ≫ 1 marks a true collocation, ≈ 1 statistical coincidence. Every
+    * input is an exact integer count; the score is a fixed tree of
+    * three exact ratios, so no overflow however large the corpus
+    * (counts never multiply as integers). Unigram relation is
+    * vocab-sized and broadcast twice (left/right); corpus scanned
+    * twice (unigrams, bigrams), each one combinable agg. */
+  val tfBigramLift: Q = (s, d) => {
+    val tok = docs(s, d).select(explode(toks).as("tok"))
+    val uni = tok.groupBy("tok").agg(count(lit(1)).as("n_uni"))
+    val nTotal = tok.agg(count(lit(1)).as("n_tokens"))
+    val biAll = docs(s, d)
+      .select(explode(Hashing.ngrams(toks, 2)).as("bigram"))
+    val bTotal = biAll.agg(count(lit(1)).as("n_bigrams"))
+    val bi = biAll.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("bigram")).limit(20)
+      .withColumn("left_tok", split_part(col("bigram"), lit(" "), lit(1)))
+      .withColumn("right_tok", split_part(col("bigram"), lit(" "), lit(2)))
+    bi.join(broadcast(uni.select(col("tok").as("left_tok"),
+        col("n_uni").as("n_a"))), "left_tok")
+      .join(broadcast(uni.select(col("tok").as("right_tok"),
+        col("n_uni").as("n_b"))), "right_tok")
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(bTotal))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        (ratio(col("n_ab"), col("n_bigrams")) /
+          (ratio(col("n_a"), col("n_tokens")) *
+            ratio(col("n_b"), col("n_tokens")))).as("lift"))
+      .orderBy(col("n_ab").desc, col("bigram"))
+  }
+
   /** Per-language RELATIVE quality gate: keep documents at or above
     * their own language's median quality — the thresholding move that
     * doesn't starve low-resource languages (a global cutoff drops
@@ -922,7 +956,8 @@ object TextOps {
     "tf_bpe_pairs" -> tfBpePairs,
     "tf_bpe_train" -> tfBpeTrain,
     "tf_bpe_encode" -> tfBpeEncode,
-    "doc_quality_gate" -> docQualityGate)
+    "doc_quality_gate" -> docQualityGate,
+    "tf_bigram_lift" -> tfBigramLift)
 
   // ------------------------------------------------------------------
 
@@ -1312,6 +1347,29 @@ object TextOps {
               AS n_symbols,
             replace(trim(repr), '  ', ' ') AS encoded
           FROM r$BpeMerges ORDER BY word""",
+    "tf_bigram_lift" ->
+      s"""WITH tok AS (
+            SELECT unnest($sqlToks) AS tok FROM documents),
+          uni AS (SELECT tok, COUNT(*) AS n_uni FROM tok GROUP BY tok),
+          nt AS (SELECT COUNT(*) AS n_tokens FROM tok),
+          ba AS (
+            SELECT unnest(g) AS bigram FROM (
+              SELECT ${Hashing.sqlNgrams(sqlToks, 2)} AS g
+              FROM documents) z),
+          bt AS (SELECT COUNT(*) AS n_bigrams FROM ba),
+          bi AS (
+            SELECT bigram, COUNT(*) AS n_ab FROM ba GROUP BY bigram
+            ORDER BY n_ab DESC, bigram LIMIT 20)
+          SELECT bi.bigram, bi.n_ab, ua.n_uni AS n_a, ub.n_uni AS n_b,
+            (CAST(bi.n_ab AS DOUBLE) / CAST(bt.n_bigrams AS DOUBLE))
+              / ((CAST(ua.n_uni AS DOUBLE) / CAST(nt.n_tokens AS DOUBLE))
+                * (CAST(ub.n_uni AS DOUBLE) / CAST(nt.n_tokens AS DOUBLE)))
+              AS lift
+          FROM bi
+          JOIN uni ua ON ua.tok = split_part(bi.bigram, ' ', 1)
+          JOIN uni ub ON ub.tok = split_part(bi.bigram, ' ', 2)
+          CROSS JOIN nt CROSS JOIN bt
+          ORDER BY bi.n_ab DESC, bi.bigram""",
     "doc_quality_gate" ->
       s"""WITH q AS (
             SELECT doc_id, lang,

@@ -50,6 +50,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.toSeq === viaCol.toSeq)
   }
 
+  test("BPE pair counting runs as one SQL string via graft_bigrams") {
+    registerViews()
+    val viaSql = spark.sql(
+      """WITH words AS (
+           SELECT t AS word, COUNT(*) AS freq
+           FROM (SELECT explode(graft_tokens(text)) AS t FROM documents)
+           GROUP BY t),
+         r0 AS (
+           SELECT freq,
+             concat('  ', concat_ws('  ', split(word, '')), '  ') AS repr
+           FROM words),
+         p AS (
+           SELECT g AS gram, SUM(freq) AS c
+           FROM (SELECT freq,
+                   explode(graft_bigrams(split(trim(repr), '  '))) AS g
+                 FROM r0)
+           GROUP BY g)
+         SELECT gram AS pair, split_part(gram, ' ', 1) AS left_sym,
+           split_part(gram, ' ', 2) AS right_sym, c AS n
+         FROM (SELECT gram, c FROM p ORDER BY c DESC, gram LIMIT 20) t
+         ORDER BY n DESC, pair""").collect()
+    val viaCol = SparkEntry.queries("tf_bpe_pairs")(spark, Sf).collect()
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+
   test("custom functions compose with joins and aggregation in SQL") {
     registerViews()
     val r = spark.sql(
