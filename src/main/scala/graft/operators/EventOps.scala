@@ -299,7 +299,57 @@ object EventOps {
       .orderBy("event_type", "next_type")
   }
 
+  /** Exact rolling 7-day active users (WAU) alongside daily actives
+    * (DAU) and the DAU/WAU stickiness ratio. Sliding distinct counts
+    * don't decompose from daily distincts, so the scalable EXACT form
+    * is window-explode: each distinct (user, day) contributes to the
+    * 7 windows ending on day..day+6, deduped per (user, window) — 7×
+    * the distinct-activity relation (already ≪ the event table), all
+    * combinable aggs, no per-window rescans. The approximate
+    * alternative (mergeable HLL sketches per day) is
+    * `ev_approx_stats`' territory; this is the exact tier. */
+  val evRollingWau: Q = (s, d) => {
+    val ud = ev(s, d)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+      .join(days, col("wday") === col("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, "day")
+      .select((col("day") * 86400).as("day_sec"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day_sec")
+  }
+
+  /** Value-band classification as a genuine NON-EQUI range join: the
+    * tiny band table broadcasts and each event lands in its
+    * [lo, hi) band — the join form you need when bands come from data
+    * (dynamic pricing tiers, SLA buckets) and a CASE expression can't
+    * be compiled in. BroadcastNestedLoopJoin against 4 rows ≈ a
+    * 4-way CASE per row; the fact table never shuffles for the join. */
+  val evValueBands: Q = (s, d) => {
+    val bands = s.createDataFrame(Seq(
+      ("micro", 0.0, 50.0), ("small", 50.0, 150.0),
+      ("mid", 150.0, 300.0), ("large", 300.0, 1000.0)))
+      .toDF("band", "lo", "hi")
+    ev(s, d)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"), col("lo"))
+      .agg(count(lit(1)).as("n"),
+        asD(sum(money(col("value")))).as("total_value"))
+      .orderBy("lo")
+  }
+
   val defs: Map[String, Q] = Map(
+    "ev_rolling_wau" -> evRollingWau,
+    "ev_value_bands" -> evValueBands,
     "ev_transitions" -> evTransitions,
     "ev_approx_stats" -> evApproxStats,
     "ev_attribution" -> evAttribution,
@@ -316,6 +366,32 @@ object EventOps {
     "ev_type_stats" -> evTypeStats)
 
   val oracle: Map[String, String] = Map(
+    "ev_rolling_wau" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+             AS day, user_id
+           FROM events),
+         contrib AS (
+           SELECT DISTINCT user_id, day + i AS wday
+           FROM ud, (SELECT unnest(range(0, 7)) AS i) x),
+         wau AS (
+           SELECT c.wday AS day, COUNT(*) AS wau
+           FROM contrib c
+           JOIN (SELECT DISTINCT day FROM ud) dd ON c.wday = dd.day
+           GROUP BY c.wday),
+         dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+         SELECT dau.day * 86400 AS day_sec, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.day
+         ORDER BY day_sec""",
+    "ev_value_bands" ->
+      """WITH bands(band, lo, hi) AS (
+           VALUES ('micro', 0.0, 50.0), ('small', 50.0, 150.0),
+                  ('mid', 150.0, 300.0), ('large', 300.0, 1000.0))
+         SELECT band, lo, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM events JOIN bands ON value >= lo AND value < hi
+         GROUP BY band, lo ORDER BY lo""",
     "ev_transitions" ->
       """WITH seq AS (
            SELECT event_type,

@@ -115,6 +115,25 @@ class CurationOpsSpec extends SparkSpec {
       s"p05/p95 clipping must touch ~10% of coordinates, got $clippedFrac")
   }
 
+  test("ev_rolling_wau: a window always covers at least its own day") {
+    val out = graft.operators.EventOps.evRollingWau(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(wau >= dau, "7-day actives can never be fewer than daily")
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("ev_value_bands partitions matched events disjointly") {
+    val out = graft.operators.EventOps.evValueBands(spark, Sf).collect()
+    assert(out.length === 4, "every band must be populated at sf0.001")
+    val total = spark.read.parquet(s"$Sf/events.parquet").count()
+    assert(out.map(_.getAs[Long]("n")).sum <= total,
+      "half-open [lo, hi) bands can never double-count an event")
+  }
+
   test("doc_sample_temperature is a flattened probability distribution") {
     val out = TextOps.docSampleTemperature(spark, Sf).collect()
     val qSum = out.map(_.getAs[Double]("q_prob")).sum
