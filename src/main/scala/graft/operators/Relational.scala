@@ -540,7 +540,28 @@ object Relational {
       .orderBy("o_orderpriority", "quartile")
   }
 
+  /** Month-over-month order growth: monthly volume/revenue with the
+    * previous month's revenue (lag) and the growth ratio. The lag
+    * window is global but runs over the |months| AGGREGATE (~dozens
+    * of rows), never the fact table — the q15 rule is about
+    * fact-sized global windows; the fact table's only shuffle is the
+    * monthly groupBy. First month's growth is NULL by definition. */
+  val q29MomGrowth: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        asD(sum(price6(col("o_totalprice")))).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .select(col("month"), col("n_orders"), col("revenue"),
+        col("prev_revenue"),
+        (col("revenue") / col("prev_revenue")).as("growth"))
+      .orderBy("month")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q29_mom_growth" -> q29MomGrowth,
     "q0_scan" -> q0Scan,
     "pii_pseudonymize" -> piiPseudonymize,
     "q13_order_count_dist" -> q13OrderCountDist,
@@ -719,6 +740,16 @@ object Relational {
             AS running_revenue
           FROM lineitem WHERE l_suppkey <= 5
           ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q29_mom_growth" ->
+      s"""WITH monthly AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+              COUNT(*) AS n_orders,
+              CAST(SUM(${sqlPrice6("o_totalprice")}) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1)
+          SELECT month, n_orders, revenue,
+            lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+            revenue / lag(revenue, 1) OVER (ORDER BY month) AS growth
+          FROM monthly ORDER BY month""",
     "q28_ntile" ->
       s"""SELECT o_orderpriority, quartile, COUNT(*) AS n,
           MIN(o_totalprice) AS min_price,
