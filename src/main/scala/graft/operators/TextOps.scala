@@ -700,6 +700,53 @@ object TextOps {
       .orderBy("metric")
   }
 
+  /** The REMOVAL step completing the boilerplate family (report →
+    * per-doc fraction → REMOVE): every token covered by at least one
+    * corpus-boilerplate 5-gram occurrence is dropped, the survivors
+    * reassemble the cleaned text in original order, and the
+    * before/after counts quantify what the pass cost. Same df rule as
+    * [[textBoilerplateNgrams]], so the three queries describe one
+    * consistent pass.
+    *
+    * Scale shape: the boilerplate gram set is compact and BROADCAST
+    * onto the per-position occurrence explode; coverage expansion is
+    * a 5-way sequence explode + distinct on (doc, pos); the rebuild
+    * is one per-doc ordered collect (cleaned text ∝ the doc itself —
+    * the output IS the corpus, there is no smaller answer). Tokens
+    * never join against tokens; everything keys on (doc_id, pos). */
+  val textRemoveBoilerplate: Q = (s, d) => {
+    val base = docs(s, d).withColumn("toks", Hashing.tokens(col("text")))
+    val boiler = base.filter(size(col("toks")) >= BoilerplateN)
+      .select(col("doc_id"), explode(array_distinct(
+        Hashing.ngrams(col("toks"), BoilerplateN))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerplateMinDf)
+      .select(col("gram"))
+    val occ = base.select(col("doc_id"),
+      posexplode(Hashing.ngrams(col("toks"), BoilerplateN))
+        .as(Seq("gpos", "gram")))
+    val covered = occ.join(broadcast(boiler), "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + lit(BoilerplateN - 1)))
+          .as("pos"))
+      .distinct()
+    val tokPos = base.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val keptAgg = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("cleaned_text"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("cleaned_text"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"),
+        col("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Collocation scoring without logarithms: lift =
     * p(ab) / (p(a)·p(b)) for the top bigrams — PMI's argument without
     * the `ln` (cross-libm `ln` is not correctly rounded, so exact
@@ -957,7 +1004,8 @@ object TextOps {
     "tf_bpe_train" -> tfBpeTrain,
     "tf_bpe_encode" -> tfBpeEncode,
     "doc_quality_gate" -> docQualityGate,
-    "tf_bigram_lift" -> tfBigramLift)
+    "tf_bigram_lift" -> tfBigramLift,
+    "text_remove_boilerplate" -> textRemoveBoilerplate)
 
   // ------------------------------------------------------------------
 
@@ -1347,6 +1395,47 @@ object TextOps {
               AS n_symbols,
             replace(trim(repr), '  ', ' ') AS encoded
           FROM r$BpeMerges ORDER BY word""",
+    "text_remove_boilerplate" ->
+      s"""WITH base AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          boiler AS (
+            SELECT gram FROM (
+              SELECT gram, COUNT(*) AS df FROM (
+                SELECT doc_id,
+                  unnest(list_distinct(${Hashing.sqlNgrams(
+                    "toks", BoilerplateN)})) AS gram
+                FROM base WHERE length(toks) >= $BoilerplateN) g
+              GROUP BY gram) z
+            WHERE df >= $BoilerplateMinDf),
+          occ AS (
+            SELECT doc_id,
+              unnest(range(0, length(g))) AS gpos, unnest(g) AS gram
+            FROM (SELECT doc_id,
+                    ${Hashing.sqlNgrams("toks", BoilerplateN)} AS g
+                  FROM base) t),
+          covered AS (
+            SELECT DISTINCT o.doc_id, o.gpos + s.i AS pos
+            FROM (SELECT occ.doc_id, occ.gpos
+                  FROM occ JOIN boiler ON occ.gram = boiler.gram) o,
+              (SELECT unnest(range(0, $BoilerplateN)) AS i) s),
+          tokpos AS (
+            SELECT doc_id, unnest(range(0, length(toks))) AS pos,
+              unnest(toks) AS tok
+            FROM base),
+          ka AS (
+            SELECT t.doc_id, COUNT(*) AS n_kept,
+              array_to_string(list(t.tok ORDER BY t.pos), ' ')
+                AS cleaned_text
+            FROM tokpos t
+            LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.doc_id IS NULL
+            GROUP BY t.doc_id)
+          SELECT b.doc_id, CAST(length(b.toks) AS BIGINT) AS n_tokens,
+            CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+            CAST(length(b.toks) - COALESCE(ka.n_kept, 0) AS BIGINT)
+              AS n_removed,
+            COALESCE(ka.cleaned_text, '') AS cleaned_text
+          FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id
+          ORDER BY b.doc_id""",
     "tf_bigram_lift" ->
       s"""WITH tok AS (
             SELECT unnest($sqlToks) AS tok FROM documents),

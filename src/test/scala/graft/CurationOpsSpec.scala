@@ -134,6 +134,35 @@ class CurationOpsSpec extends SparkSpec {
       "half-open [lo, hi) bands can never double-count an event")
   }
 
+  test("text_remove_boilerplate keeps an ordered subsequence per doc") {
+    val out = TextOps.textRemoveBoilerplate(spark, Sf).collect()
+    val orig = spark.read.parquet(s"$Sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    assert(out.length === orig.size)
+    var removedSomething = false
+    out.foreach { r =>
+      val (n, kept, removed) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))
+      assert(kept + removed === n)
+      val cleaned = r.getAs[String]("cleaned_text")
+        .split(" ").filter(_.nonEmpty).toSeq
+      assert(cleaned.length === kept)
+      // subsequence check: cleaned tokens appear in the original in order
+      val src = orig(r.getAs[Long]("doc_id"))
+      var i = 0
+      cleaned.foreach { t =>
+        i = src.indexOf(t, i)
+        assert(i >= 0, s"'$t' out of order vs the original document")
+        i += 1
+      }
+      if (removed > 0) removedSomething = true
+    }
+    assert(removedSomething,
+      "a df>=2 boilerplate set on this corpus must remove something")
+  }
+
   test("doc_sample_temperature is a flattened probability distribution") {
     val out = TextOps.docSampleTemperature(spark, Sf).collect()
     val qSum = out.map(_.getAs[Double]("q_prob")).sum
