@@ -548,9 +548,27 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** LSH bucket-occupancy histogram: how many (band, bucket) cells
+    * hold k documents, with the relative self-join cost k²·n — THE
+    * salting monitor. Candidate generation costs Σ k² over buckets,
+    * so a single hot bucket dominates the join; this report is what
+    * triggers a bucket salt or band-rotation BEFORE the pair join
+    * melts a stage (SURVEY §8 "hot keys"). Two combinable aggs over
+    * the cached index relation — free observability. */
+  val dedupBucketHistogram: Q = (s, d) =>
+    buckets(s, d)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("k"), col("n_buckets"),
+        (col("k") * col("k") * col("n_buckets")).as("join_cost"))
+      .orderBy("k")
+
   val defs: Map[String, Q] = Map(
     "doc_manifest" -> docManifest,
     "doc_split_oov" -> docSplitOov,
+    "dedup_bucket_histogram" -> dedupBucketHistogram,
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
     "dedup_minhash_sig" -> dedupMinhashSig,
@@ -709,6 +727,13 @@ object DedupOps {
     "dedup_components" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
           SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
+    "dedup_bucket_histogram" ->
+      s"""WITH $sqlSignatures, $sqlBuckets
+          SELECT k, COUNT(*) AS n_buckets,
+            CAST(k * k * COUNT(*) AS BIGINT) AS join_cost
+          FROM (SELECT band, bucket, COUNT(*) AS k
+                FROM buckets GROUP BY band, bucket) z
+          GROUP BY k ORDER BY k""",
     "doc_split_oov" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents,
           sp AS (
