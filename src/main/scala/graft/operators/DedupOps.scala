@@ -194,6 +194,49 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Character-level n-gram Jaccard over the LSH candidate pairs —
+    * the typo-tier verifier: word shingles miss near-dups that differ
+    * by in-word edits (OCR noise, stemming, hyphenation), char
+    * 5-grams catch them. Grams are substring windows (codegen'd
+    * `substring`, no custom expression needed), hashed per doc to
+    * 64-bit so the explode-join shuffles hashes, never text; same
+    * intersection-as-equi-join shape as [[dedupJaccard]] — only LSH
+    * candidates are ever compared. */
+  val dedupCharNgram: Q = (s, d) => {
+    val N = 5
+    val bk = buckets(s, d)
+    val pairs = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val grams = docs(s, d)
+      .filter(length(col("text")) >= N)
+      .select(col("doc_id"),
+        explode(array_distinct(hashAll(transform(
+          sequence(lit(1), length(col("text")) - (N - 1)),
+          i => col("text").substr(i, lit(N)))))).as("gh"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(grams.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.gh") === col("gb.gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("ca.n") + col("cb.n") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_inter")).cast("double"))
+          .as("char_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash estimator calibration: per LSH candidate pair, the
     * signature's Jaccard ESTIMATE (fraction of the K lanes that
     * agree — each lane matches with probability = true Jaccard) next
@@ -574,6 +617,7 @@ object DedupOps {
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_char_ngram" -> dedupCharNgram,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_components" -> dedupComponents,
@@ -665,6 +709,36 @@ object DedupOps {
           LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
           JOIN sizes za ON p.doc_a = za.doc_id
           JOIN sizes zb ON p.doc_b = zb.doc_id
+          ORDER BY 1, 2""",
+    "dedup_char_ngram" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id),
+          grams AS (
+            SELECT doc_id, unnest(list_distinct(${sqlHashAll(
+              "list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))")}))
+              AS gh
+            FROM documents WHERE length(text) >= 5),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+          inter AS (
+            SELECT doc_a, doc_b, COUNT(*) AS n_inter
+            FROM pairs
+            JOIN grams ga ON doc_a = ga.doc_id
+            JOIN grams gb ON doc_b = gb.doc_id AND ga.gh = gb.gh
+            GROUP BY doc_a, doc_b)
+          SELECT p.doc_a, p.doc_b,
+            COALESCE(i.n_inter, 0) AS n_inter,
+            ca.n + cb.n - COALESCE(i.n_inter, 0) AS n_union,
+            CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(ca.n + cb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+              AS char_jaccard
+          FROM pairs p
+          LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+          JOIN sizes ca ON p.doc_a = ca.doc_id
+          JOIN sizes cb ON p.doc_b = cb.doc_id
           ORDER BY 1, 2""",
     "dedup_minhash_est" -> {
       val laneSum = (0 until K)

@@ -347,7 +347,39 @@ object EventOps {
       .orderBy("lo")
   }
 
+  /** Windowed funnel conversion: the share of view events followed by
+    * a click from the SAME user within one hour, per day — `ev_funnel`
+    * without its unbounded lookahead. The EXISTS is a LEFT SEMI join
+    * (each view emitted at most once, no click multiplicity) with an
+    * equi key on user and a range predicate on event time — the batch
+    * mirror of the watermarked stream-stream interval join
+    * (`stream_interval_join`), and the join shape that bounds state
+    * when this runs on an unbounded stream. */
+  val evConversionWindow: Q = (s, d) => {
+    val base = ev(s, d).select(col("user_id"), col("event_type"),
+      expr("unix_timestamp(ts)").as("ts_sec"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_sec"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_sec").as("cts"))
+    val converted = views.join(clicks,
+      col("user_id") === col("cu") &&
+        col("cts") >= col("ts_sec") && col("cts") <= col("ts_sec") + 3600,
+      "left_semi")
+    def daily(df: DataFrame, name: String) =
+      df.groupBy((col("ts_sec") - (col("ts_sec") % 86400)).as("day_sec"))
+        .agg(count(lit(1)).as(name))
+    daily(views, "n_views")
+      .join(daily(converted, "n_converted"), Seq("day_sec"), "left")
+      .na.fill(0L, Seq("n_converted"))
+      .select(col("day_sec"), col("n_views"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_views").cast("double"))
+          .as("conversion_rate"))
+      .orderBy("day_sec")
+  }
+
   val defs: Map[String, Q] = Map(
+    "ev_conversion_window" -> evConversionWindow,
     "ev_rolling_wau" -> evRollingWau,
     "ev_value_bands" -> evValueBands,
     "ev_transitions" -> evTransitions,
@@ -366,6 +398,28 @@ object EventOps {
     "ev_type_stats" -> evTypeStats)
 
   val oracle: Map[String, String] = Map(
+    "ev_conversion_window" ->
+      """WITH base AS (
+           SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           FROM events),
+         v AS (SELECT user_id, ts_sec FROM base WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts_sec FROM base WHERE event_type = 'click'),
+         conv AS (
+           SELECT v.user_id, v.ts_sec FROM v WHERE EXISTS (
+             SELECT 1 FROM c
+             WHERE c.user_id = v.user_id
+               AND c.ts_sec >= v.ts_sec AND c.ts_sec <= v.ts_sec + 3600)),
+         dv AS (SELECT ts_sec - ts_sec % 86400 AS day_sec,
+                  COUNT(*) AS n_views FROM v GROUP BY 1),
+         dc AS (SELECT ts_sec - ts_sec % 86400 AS day_sec,
+                  COUNT(*) AS n_converted FROM conv GROUP BY 1)
+         SELECT dv.day_sec, dv.n_views,
+           CAST(COALESCE(dc.n_converted, 0) AS BIGINT) AS n_converted,
+           CAST(COALESCE(dc.n_converted, 0) AS DOUBLE)
+             / CAST(dv.n_views AS DOUBLE) AS conversion_rate
+         FROM dv LEFT JOIN dc ON dv.day_sec = dc.day_sec
+         ORDER BY dv.day_sec""",
     "ev_rolling_wau" ->
       """WITH ud AS (
            SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400
