@@ -211,7 +211,14 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // grams only for docs that are IN some candidate pair — gram cost
+    // ∝ candidates, not corpus (char 5-grams are ~6× denser than word
+    // shingles, so computing them corpus-wide tripled this query's
+    // bench time before this semi-join)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val grams = docs(s, d)
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
       .filter(length(col("text")) >= N)
       .select(col("doc_id"),
         explode(array_distinct(hashAll(transform(
