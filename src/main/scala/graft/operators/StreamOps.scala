@@ -318,6 +318,34 @@ object StreamOps {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Windowed conversion ON THE STREAM: view events kept iff a click
+    * by the same user arrives within one hour —
+    * `ev_conversion_window`'s EXISTS as a watermarked stream-stream
+    * LEFT SEMI interval join. Different state semantics from the
+    * inner interval join: a view is emitted AT MOST ONCE however many
+    * clicks match (no match multiplicity), and state on both sides is
+    * bounded by watermark + range. Output: the converted view events;
+    * the per-day rate is the batch rollup's job. */
+  val streamConversionWindow: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def side(tpe: String, prefix: String) =
+      eventsStream(s, d)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("view", "v").join(side("click", "c"),
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+    runToTable(s, joined, "append")
+      .select(col("v_id").as("view_id"), col("v_user").as("user_id"),
+        unix_timestamp(col("v_ts")).as("view_tsec"))
+      .orderBy("view_id")
+  }
+
   /** Stream-static enrichment join: the purchase stream joined to a
     * STATIC dimension (customer ⋈ nation, both batch reads) — the
     * canonical "enrich events with reference data" pattern. Unlike the
@@ -427,10 +455,26 @@ object StreamOps {
     "stream_session_window" -> streamSessionWindow,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_curation_route" -> streamCurationRoute,
-    "stream_neardup_candidates" -> streamNeardupCandidates)
+    "stream_neardup_candidates" -> streamNeardupCandidates,
+    "stream_conversion_window" -> streamConversionWindow)
 
   val oracle: Map[String, String] = Map(
     "stream_neardup_candidates" -> DedupOps.sqlNeardupCandidates,
+    "stream_conversion_window" ->
+      """WITH base AS (
+           SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           FROM events),
+         v AS (SELECT event_id, user_id, ts_sec FROM base
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts_sec FROM base
+               WHERE event_type = 'click')
+         SELECT v.event_id AS view_id, v.user_id, v.ts_sec AS view_tsec
+         FROM v WHERE EXISTS (
+           SELECT 1 FROM c
+           WHERE c.user_id = v.user_id
+             AND c.ts_sec >= v.ts_sec AND c.ts_sec <= v.ts_sec + 3600)
+         ORDER BY view_id""",
     "stream_curation_route" -> {
       val sqlToks = graft.functions.Hashing.sqlTokens("text")
       s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, dup_ratio,

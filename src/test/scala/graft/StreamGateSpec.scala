@@ -20,6 +20,23 @@ class StreamGateSpec extends SparkSpec {
   private def isNew(c: org.apache.spark.sql.Column) =
     Hashing.charHash(c.cast("string")) % 10 === 7
 
+  test("streaming semi interval join equals the batch EXISTS rollup") {
+    val stream = graft.operators.StreamOps
+      .streamConversionWindow(spark, Sf).collect()
+    val perDay = stream
+      .groupBy(r => r.getAs[Long]("view_tsec") / 86400 * 86400)
+      .view.mapValues(_.length.toLong).toMap
+    val batch = graft.operators.EventOps
+      .evConversionWindow(spark, Sf).collect()
+      .map(r => r.getAs[Long]("day_sec") -> r.getAs[Long]("n_converted"))
+      .filter(_._2 > 0L).toMap
+    assert(perDay === batch,
+      "per-day converted-view counts must match between the streaming " +
+        "semi join and the batch EXISTS")
+    assert(stream.map(_.getAs[Long]("view_id")).distinct.length ===
+      stream.length, "a view converts at most once (semi, not inner)")
+  }
+
   test("ingest gate is stateless and equals its batch mirror") {
     val batchDocs = spark.read.parquet(s"$Sf/documents.parquet")
       .select(col("doc_id"), col("text"))
