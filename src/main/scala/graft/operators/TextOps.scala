@@ -747,6 +747,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix: the labeled lang × heuristic lang
+    * counts with row shares — the evaluation report for
+    * [[textLangid]]'s classifier (which cells dominate tells you
+    * whether to fix the stopword list or the script ranges before
+    * trusting per-language sampling built on the heuristic). One
+    * projection + one combinable agg; the row normalizer windows over
+    * the |langs|² aggregate. */
+  val docLangidConfusion: Q = (s, d) => {
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val heur = when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(col("text").rlike("[àâçéèêëîïôùûüáíóúñ]"), "romance")
+      .when(nStop > 0, "en")
+      .otherwise("unknown")
+    val cells = docs(s, d)
+      .select(col("lang").as("labeled_lang"), heur.as("heur_lang"))
+      .groupBy("labeled_lang", "heur_lang")
+      .agg(count(lit(1)).as("n"))
+    cells.select(col("labeled_lang"), col("heur_lang"), col("n"),
+        (col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("labeled_lang")))
+            .cast("double")).as("row_share"))
+      .orderBy("labeled_lang", "heur_lang")
+  }
+
+  /** Zipf diagnostic: the top-50 tokens with frequency rank and the
+    * rank·count product (roughly constant under Zipf's law — a flat
+    * product column is the healthy-natural-corpus signature, and a
+    * wildly non-flat one flags boilerplate or synthetic text). The
+    * rank window is global but runs over the VOCAB-sized aggregate,
+    * not the corpus (the q15 rule); ties break on token for
+    * determinism. */
+  val tfZipf: Q = (s, d) => {
+    val counts = docs(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok")))
+          .cast("long"))
+      .filter(col("rank") <= 50)
+      .select(col("rank"), col("tok"), col("n"),
+        (col("rank") * col("n")).as("rank_times_n"))
+      .orderBy("rank")
+  }
+
   /** Collocation scoring without logarithms: lift =
     * p(ab) / (p(a)·p(b)) for the top bigrams — PMI's argument without
     * the `ln` (cross-libm `ln` is not correctly rounded, so exact
@@ -1005,7 +1050,9 @@ object TextOps {
     "tf_bpe_encode" -> tfBpeEncode,
     "doc_quality_gate" -> docQualityGate,
     "tf_bigram_lift" -> tfBigramLift,
-    "text_remove_boilerplate" -> textRemoveBoilerplate)
+    "text_remove_boilerplate" -> textRemoveBoilerplate,
+    "doc_langid_confusion" -> docLangidConfusion,
+    "tf_zipf" -> tfZipf)
 
   // ------------------------------------------------------------------
 
@@ -1395,6 +1442,32 @@ object TextOps {
               AS n_symbols,
             replace(trim(repr), '  ', ' ') AS encoded
           FROM r$BpeMerges ORDER BY word""",
+    "doc_langid_confusion" ->
+      s"""WITH cells AS (
+            SELECT lang AS labeled_lang,
+              CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
+                     THEN 'zh'
+                   WHEN regexp_matches(text, '[àâçéèêëîïôùûüáíóúñ]')
+                     THEN 'romance'
+                   WHEN $sqlNStop > 0 THEN 'en'
+                   ELSE 'unknown' END AS heur_lang,
+              COUNT(*) AS n
+            FROM documents GROUP BY 1, 2)
+          SELECT labeled_lang, heur_lang, n,
+            CAST(n AS DOUBLE)
+              / CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS DOUBLE)
+              AS row_share
+          FROM cells ORDER BY labeled_lang, heur_lang""",
+    "tf_zipf" ->
+      s"""SELECT rank, tok, n, CAST(rank * n AS BIGINT) AS rank_times_n
+          FROM (
+            SELECT tok, n,
+              CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT)
+                AS rank
+            FROM (SELECT t AS tok, COUNT(*) AS n FROM (
+                    SELECT unnest($sqlToks) AS t FROM documents) u
+                  GROUP BY t) c) r
+          WHERE rank <= 50 ORDER BY rank""",
     "text_remove_boilerplate" ->
       s"""WITH base AS (SELECT doc_id, $sqlToks AS toks FROM documents),
           boiler AS (
