@@ -233,6 +233,23 @@ class PlanSpec extends SparkSpec {
       "freq-weighted pair counts must map-side combine:\n" + p.take(2000))
   }
 
+  test("windowed conversion runs as an equi semi join, never all-pairs") {
+    val p = physical("ev_conversion_window")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the user equi-key must carry the join; the time range is a " +
+        "post-join condition, not an all-pairs scan")
+  }
+
+  test("rolling WAU never builds a cartesian — windows come from explode") {
+    val p = physical("ev_rolling_wau")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate explode") || p.contains("Generate"),
+      "the 7-window expansion must be a generate, not a join:\n" +
+        p.take(1500))
+  }
+
   test("partition pruning: a filter on the partition column skips files") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val dir = tmpDir("plan-partitioned")
