@@ -27,7 +27,11 @@ class ExactnessSpec extends SparkSpec {
       // carry equal values), and the BPE argmax/transition counts are
       // integer aggs whose ties break on ordered keys
       "doc_quality_gate", "emb_outliers", "tf_bpe_train",
-      "ev_transitions", "emb_winsorize")
+      "ev_transitions", "emb_winsorize",
+      // late round 5: ntile bucket membership under ties, the
+      // three-ratio lift tree, and the window-exploded rolling
+      // distinct are all fixed by ordered keys / integer aggs
+      "q28_ntile", "tf_bigram_lift", "ev_rolling_wau")
 
   Queries.foreach { name =>
     test(s"$name is bit-identical under different shuffle partitionings") {
