@@ -771,6 +771,63 @@ object TextOps {
       .orderBy("labeled_lang", "heur_lang")
   }
 
+  /** Profile size for [[textLangidNgram]] — top trigrams kept per
+    * language. */
+  val LangidProfileSize = 100
+
+  /** N-gram language ID (Cavnar–Trenkle shape): per-language char
+    * TRIGRAM profiles (top [[LangidProfileSize]] by corpus count,
+    * ties → lowest hash) learned from the labeled corpus, then each
+    * document classified to the profile it overlaps most (distinct
+    * trigrams ∩ profile, ties → lexicographically first language;
+    * no overlap with any profile → 'unknown'). This is the "n-gram
+    * heuristic" tier of language ID — script/stopword rules
+    * ([[textLangid]]) are the fallback tier, and
+    * `doc_langid_confusion` evaluates either against labels.
+    *
+    * Scale shape: trigrams are hashed substring windows (codegen'd,
+    * hashes shuffle — never text); profiles are |langs|·K rows and
+    * BROADCAST onto the per-doc distinct-trigram explode; scoring is
+    * one combinable (doc, lang) count + a WindowGroupLimit argmax.
+    * Everything is integer counts — no FP in the decision. */
+  val textLangidNgram: Q = (s, d) => {
+    val N = 3
+    def grams(c: Column): Column =
+      Hashing.hashAll(transform(
+        sequence(lit(1), length(c) - (N - 1)),
+        i => c.substr(i, lit(N))))
+    val docGrams = docs(s, d)
+      .filter(length(col("text")) >= N)
+      .select(col("doc_id"),
+        explode(array_distinct(grams(col("text")))).as("gh"))
+    val allGrams = docs(s, d)
+      .filter(length(col("text")) >= N)
+      .select(col("lang"), explode(grams(col("text"))).as("gh"))
+    val wProf = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("gh"))
+    val profiles = allGrams
+      .groupBy(col("lang"), col("gh"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wProf))
+      .filter(col("rn") <= LangidProfileSize)
+      .select(col("lang").as("cand_lang"), col("gh"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("overlap").desc, col("cand_lang"))
+    val best = docGrams.join(broadcast(profiles), "gh")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("overlap"))
+    docs(s, d).select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(best, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("overlap"))
+      .select(col("doc_id"), col("labeled_lang"),
+        coalesce(col("cand_lang"), lit("unknown")).as("ngram_lang"),
+        col("overlap"))
+      .orderBy("doc_id")
+  }
+
   /** Zipf diagnostic: the top-50 tokens with frequency rank and the
     * rank·count product (roughly constant under Zipf's law — a flat
     * product column is the healthy-natural-corpus signature, and a
@@ -1052,7 +1109,8 @@ object TextOps {
     "tf_bigram_lift" -> tfBigramLift,
     "text_remove_boilerplate" -> textRemoveBoilerplate,
     "doc_langid_confusion" -> docLangidConfusion,
-    "tf_zipf" -> tfZipf)
+    "tf_zipf" -> tfZipf,
+    "text_langid_ngram" -> textLangidNgram)
 
   // ------------------------------------------------------------------
 
@@ -1442,6 +1500,36 @@ object TextOps {
               AS n_symbols,
             replace(trim(repr), '  ', ' ') AS encoded
           FROM r$BpeMerges ORDER BY word""",
+    "text_langid_ngram" -> {
+      val grams =
+        s"""${Hashing.sqlHashAll(
+          "list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))")}"""
+      s"""WITH dg AS (
+            SELECT doc_id, unnest(list_distinct($grams)) AS gh
+            FROM documents WHERE length(text) >= 3),
+          ag AS (
+            SELECT lang, unnest($grams) AS gh
+            FROM documents WHERE length(text) >= 3),
+          prof AS (
+            SELECT lang AS cand_lang, gh FROM (
+              SELECT lang, gh, ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY COUNT(*) DESC, gh) AS rn
+              FROM ag GROUP BY lang, gh) z
+            WHERE rn <= $LangidProfileSize),
+          best AS (
+            SELECT doc_id, cand_lang, overlap FROM (
+              SELECT doc_id, cand_lang, COUNT(*) AS overlap,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY COUNT(*) DESC, cand_lang) AS rn
+              FROM dg JOIN prof ON dg.gh = prof.gh
+              GROUP BY doc_id, cand_lang) z
+            WHERE rn = 1)
+          SELECT d.doc_id, d.lang AS labeled_lang,
+            COALESCE(b.cand_lang, 'unknown') AS ngram_lang,
+            CAST(COALESCE(b.overlap, 0) AS BIGINT) AS overlap
+          FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+          ORDER BY d.doc_id"""
+    },
     "doc_langid_confusion" ->
       s"""WITH cells AS (
             SELECT lang AS labeled_lang,
