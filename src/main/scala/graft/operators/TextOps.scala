@@ -828,6 +828,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Pearson correlations between integer document features
+    * (n_tokens / n_distinct_tokens / n_chars) from EXACT integer
+    * moments: every Σ is a DECIMAL(38,0) sum of exact long products
+    * (overflow-free at any corpus size), and r is one fixed
+    * double-expression tree over the cast moments — the same
+    * correctly-rounded value on both engines. Spark's built-in
+    * `corr` is deliberately NOT used: its one-pass co-moment updates
+    * accumulate doubles in partition order and can't be bit-matched
+    * cross-engine. One scan computes all ten moments; the three
+    * output rows are a stack reshape of the 1-row aggregate. */
+  val corpusCorrelations: Q = (s, d) => {
+    val a = size(toks).cast("long")
+    val b = size(array_distinct(toks)).cast("long")
+    val c = length(col("text")).cast("long")
+    def m(x: Column) = sum(x.cast("decimal(38,0)"))
+    val agg = docs(s, d).agg(
+      count(lit(1)).as("n"),
+      m(a).as("sa"), m(b).as("sb"), m(c).as("sc"),
+      m(a * a).as("saa"), m(b * b).as("sbb"), m(c * c).as("scc"),
+      m(a * b).as("sab"), m(a * c).as("sac"), m(b * c).as("sbc"))
+    def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) = {
+      val n = col("n").cast("double")
+      def D(cn: String) = col(cn).cast("double")
+      (n * D(sxy) - D(sx) * D(sy)) /
+        (sqrt(n * D(sxx) - D(sx) * D(sx)) *
+          sqrt(n * D(syy) - D(sy) * D(sy)))
+    }
+    agg.select(col("n"),
+        r("sa", "sb", "saa", "sbb", "sab").as("r_tokens_distinct"),
+        r("sa", "sc", "saa", "scc", "sac").as("r_tokens_chars"),
+        r("sb", "sc", "sbb", "scc", "sbc").as("r_distinct_chars"))
+      .select(col("n"), expr(
+        """stack(3,
+           'tokens_vs_distinct', r_tokens_distinct,
+           'tokens_vs_chars', r_tokens_chars,
+           'distinct_vs_chars', r_distinct_chars) AS (pair, r)"""))
+      .select(col("pair"), col("n"), col("r"))
+      .orderBy("pair")
+  }
+
   /** Zipf diagnostic: the top-50 tokens with frequency rank and the
     * rank·count product (roughly constant under Zipf's law — a flat
     * product column is the healthy-natural-corpus signature, and a
@@ -1110,7 +1150,8 @@ object TextOps {
     "text_remove_boilerplate" -> textRemoveBoilerplate,
     "doc_langid_confusion" -> docLangidConfusion,
     "tf_zipf" -> tfZipf,
-    "text_langid_ngram" -> textLangidNgram)
+    "text_langid_ngram" -> textLangidNgram,
+    "corpus_correlations" -> corpusCorrelations)
 
   // ------------------------------------------------------------------
 
@@ -1500,6 +1541,33 @@ object TextOps {
               AS n_symbols,
             replace(trim(repr), '  ', ' ') AS encoded
           FROM r$BpeMerges ORDER BY word""",
+    "corpus_correlations" -> {
+      def branch(name: String, sx: String, sy: String,
+          sxx: String, syy: String, sxy: String) = {
+        def D(e: String) = s"CAST($e AS DOUBLE)"
+        s"""SELECT '$name' AS pair, n,
+            (${D("n")} * ${D(sxy)} - ${D(sx)} * ${D(sy)})
+              / (sqrt(${D("n")} * ${D(sxx)} - ${D(sx)} * ${D(sx)})
+                 * sqrt(${D("n")} * ${D(syy)} - ${D(sy)} * ${D(sy)})) AS r
+            FROM m"""
+      }
+      s"""WITH m AS (
+            SELECT COUNT(*) AS n,
+              SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+              SUM(a*a) AS saa, SUM(b*b) AS sbb, SUM(c*c) AS scc,
+              SUM(a*b) AS sab, SUM(a*c) AS sac, SUM(b*c) AS sbc
+            FROM (SELECT CAST(length($sqlToks) AS BIGINT) AS a,
+                    CAST(length(list_distinct($sqlToks)) AS BIGINT) AS b,
+                    CAST(length(text) AS BIGINT) AS c
+                  FROM documents) f)
+          SELECT pair, n, r FROM (
+            ${branch("tokens_vs_distinct", "sa", "sb", "saa", "sbb", "sab")}
+            UNION ALL
+            ${branch("tokens_vs_chars", "sa", "sc", "saa", "scc", "sac")}
+            UNION ALL
+            ${branch("distinct_vs_chars", "sb", "sc", "sbb", "scc", "sbc")}) z
+          ORDER BY pair"""
+    },
     "text_langid_ngram" -> {
       val grams =
         s"""${Hashing.sqlHashAll(

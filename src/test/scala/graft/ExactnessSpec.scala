@@ -31,7 +31,9 @@ class ExactnessSpec extends SparkSpec {
       // late round 5: ntile bucket membership under ties, the
       // three-ratio lift tree, and the window-exploded rolling
       // distinct are all fixed by ordered keys / integer aggs
-      "q28_ntile", "tf_bigram_lift", "ev_rolling_wau")
+      "q28_ntile", "tf_bigram_lift", "ev_rolling_wau",
+      // decimal-exact integer moments are this query's whole point
+      "corpus_correlations")
 
   Queries.foreach { name =>
     test(s"$name is bit-identical under different shuffle partitionings") {
