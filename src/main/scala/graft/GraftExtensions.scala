@@ -62,6 +62,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_tokens",
       "graft_tokens(str) - single-space tokens, empties dropped", 1)(
       es => WhitespaceTokens(es.head))
+    register("graft_char_ngram_hashes",
+      "graft_char_ngram_hashes(str, n) - hashes of every n-char " +
+        "window in one pass (n must be a positive integer literal)", 2)(
+      es => {
+        val n = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, org.apache.spark.sql.types.IntegerType)
+              if v >= 1 => v
+          case other => throw new IllegalArgumentException(
+            s"graft_char_ngram_hashes: n must be a positive INT literal, " +
+              s"got $other")
+        }
+        CharNgramHashes(es.head, n)
+      })
     register("graft_cdc_boundaries",
       "graft_cdc_boundaries(bin) - content-defined chunk boundaries " +
         "(rolling-hash, shift-robust)", 1)(

@@ -241,6 +241,87 @@ case class WhitespaceTokens(child: Expression)
     copy(child = newChild)
 }
 
+/** `charNgramHashes(str, n) -> array<long>`: the [[PolyCharHash]] of
+  * every n-code-point substring window, in ONE pass over the string.
+  * Replaces `charHashAll(transform(sequence(...), i -> substr(i, n)))`
+  * — each `substr` rescans the UTF8 string from the start to find its
+  * code-point offset, making char-n-gram extraction O(len²) per
+  * document (5s of the sf0.1 bench for trigram language ID before
+  * this). Bit-equal to the composed form (fuzz-pinned); fewer than
+  * `n` code points yields an empty array. */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName, (child, HashExprs.isString, "STRING"))
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // decode once into code points, then hash fixed windows
+    val cps = new Array[Int](s.length)
+    var len = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(len) = cp
+      len += 1
+      i += Character.charCount(cp)
+    }
+    if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val out = new Array[Long](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = (h * 31L + cps(i + j).toLong) % Hashing.P
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val cps = ctx.freshName("cps")
+      val len = ctx.freshName("len")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""|String $s = $c.toString();
+          |int[] $cps = new int[$s.length()];
+          |int $len = 0;
+          |int $i = 0;
+          |while ($i < $s.length()) {
+          |  int $s$$cp = $s.codePointAt($i);
+          |  $cps[$len++] = $s$$cp;
+          |  $i += Character.charCount($s$$cp);
+          |}
+          |long[] $out = ($len < $n)
+          |  ? new long[0] : new long[$len - $n + 1];
+          |for ($i = 0; $i <= $len - $n; $i++) {
+          |  long $h = 0L;
+          |  for (int $j = 0; $j < $n; $j++) {
+          |    $h = ($h * 31L + (long) $cps[$i + $j]) % ${Hashing.P}L;
+          |  }
+          |  $out[$i] = $h;
+          |}
+          |${ev.value} =
+          |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+          |""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `wordNgrams(array<string>, n) -> array<string>`: space-joined
   * n-grams of adjacent tokens in one pass — replaces the interpreted
   * `transform(sequence(...), i -> concat_ws(" ", element_at...))`

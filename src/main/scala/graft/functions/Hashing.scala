@@ -75,6 +75,13 @@ object Hashing {
   def hashAll(arr: Column): Column =
     GraftColumn(PolyCharHashArray(GraftColumn.expr(arr)))
 
+  /** Hashes of every n-code-point character window in ONE pass over
+    * the string ([[CharNgramHashes]]) — the O(len) replacement for
+    * `hashAll(transform(..., substr))`, which rescans the string per
+    * window. */
+  def charNgramHashes(c: Column, n: Int): Column =
+    GraftColumn(CharNgramHashes(GraftColumn.expr(c), n))
+
   /** All K min-hash lanes over an array of element hashes, as one
     * ARRAY<BIGINT> column computed in a single pass ([[MinHashSig]] —
     * round 1 traversed the hashes K times). */

@@ -221,9 +221,9 @@ object DedupOps {
       .join(broadcast(members), Seq("doc_id"), "left_semi")
       .filter(length(col("text")) >= N)
       .select(col("doc_id"),
-        explode(array_distinct(hashAll(transform(
-          sequence(lit(1), length(col("text")) - (N - 1)),
-          i => col("text").substr(i, lit(N)))))).as("gh"))
+        explode(array_distinct(
+          graft.functions.Hashing.charNgramHashes(col("text"), N)))
+          .as("gh"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))

@@ -792,10 +792,7 @@ object TextOps {
     * Everything is integer counts — no FP in the decision. */
   val textLangidNgram: Q = (s, d) => {
     val N = 3
-    def grams(c: Column): Column =
-      Hashing.hashAll(transform(
-        sequence(lit(1), length(c) - (N - 1)),
-        i => c.substr(i, lit(N))))
+    def grams(c: Column): Column = Hashing.charNgramHashes(c, N)
     val docGrams = docs(s, d)
       .filter(length(col("text")) >= N)
       .select(col("doc_id"),

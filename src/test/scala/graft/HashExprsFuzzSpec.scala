@@ -66,6 +66,35 @@ class HashExprsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("charNgramHashes: one-pass codegen equals the composed " +
+      "substr-window form and a reference fold") {
+    for (n <- Seq(1, 3, 5)) {
+      val rows = genStrings.toDF("s")
+        .select(col("s"),
+          Hashing.charNgramHashes(col("s"), n).as("fast"),
+          Hashing.hashAll(transform(
+            sequence(lit(1), length(col("s")) - (n - 1)),
+            i => col("s").substr(i, lit(n)))).as("composed"))
+        .collect()
+      rows.foreach { r =>
+        val s = r.getString(0)
+        val cps = s.codePoints().toArray
+        val ref =
+          if (cps.length < n) Seq.empty
+          else cps.sliding(n).map(_.foldLeft(0L)((h, c) =>
+            (h * 31L + c) % P)).toSeq
+        assert(r.getSeq[Long](1) === ref,
+          s"n=$n one-pass mismatch on ${s.take(40)}")
+        // the composed form yields a DESCENDING sequence() for
+        // len(code units) < n (sequence(1, <=0) counts down) — only
+        // compare where the window construction is well-defined
+        if (s.length >= n)
+          assert(r.getSeq[Long](2) === ref,
+            s"n=$n composed-form mismatch on ${s.take(40)}")
+      }
+    }
+  }
+
   test("minhashSig + simhash32: codegen path equals per-lane reference") {
     val r = new Random(0x5EED)
     val arrays = Seq(Seq.empty[Long]) ++
