@@ -378,7 +378,30 @@ object EventOps {
       .orderBy("day_sec")
   }
 
+  /** Weekly traffic heatmap: event counts per (day-of-week,
+    * hour-of-day) cell with corpus share — the capacity-planning /
+    * anomaly-baseline view `ev_hourly_anomaly` scores against. Both
+    * coordinates come from INTEGER epoch arithmetic (epoch day 0 was
+    * a Thursday, so dow = (day + 4) % 7 with 0 = Sunday) — no engine
+    * calendar/locale functions, whose week-start conventions differ
+    * between Spark and DuckDB. One combinable agg; the share divides
+    * by a broadcast scalar total. */
+  val evWeekHeatmap: Q = (s, d) => {
+    val cells = ev(s, d)
+      .select(expr("((unix_timestamp(ts) div 86400) + 4) % 7").as("dow"),
+        expr("(unix_timestamp(ts) % 86400) div 3600").as("hour"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+      .orderBy("dow", "hour")
+  }
+
   val defs: Map[String, Q] = Map(
+    "ev_week_heatmap" -> evWeekHeatmap,
     "ev_conversion_window" -> evConversionWindow,
     "ev_rolling_wau" -> evRollingWau,
     "ev_value_bands" -> evValueBands,
@@ -398,6 +421,17 @@ object EventOps {
     "ev_type_stats" -> evTypeStats)
 
   val oracle: Map[String, String] = Map(
+    "ev_week_heatmap" ->
+      """WITH cells AS (
+           SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
+               AS dow,
+             (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hour,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells)
+         SELECT dow, hour, n,
+           CAST(n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+         FROM cells, t ORDER BY dow, hour""",
     "ev_conversion_window" ->
       """WITH base AS (
            SELECT user_id, event_type,
