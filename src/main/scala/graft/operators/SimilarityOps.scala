@@ -841,11 +841,14 @@ object SimilarityOps {
     val e = emb(s, d)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("cand_id"))
-    val exact = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(e.filter(col("vec_id") >= NQueries)
-        .select(col("vec_id").as("cand_id"),
-          col("embedding").as("ce")))
+    // candidates stream; the NQueries-row query side is broadcast
+    // (same shape as knnBrute) so the planner can never fall back to
+    // CartesianProductExec on misleading selectivity stats
+    val exact = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"))))
       .select(col("query_id"), col("cand_id"),
         sqDist(col("ce"), transform(col("qe"), v => v.cast("double")))
           .as("dist"))
@@ -873,11 +876,12 @@ object SimilarityOps {
     val e = emb(s, d)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("cand_id"))
-    val exact = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(e.filter(col("vec_id") >= NQueries)
-        .select(col("vec_id").as("cand_id"),
-          col("embedding").as("ce")))
+    // broadcast the query side like knnBrute — see annIvfPqRecall
+    val exact = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"))))
       .select(col("query_id"), col("cand_id"),
         sqDist(col("ce"), transform(col("qe"), v => v.cast("double")))
           .as("dist"))

@@ -827,8 +827,11 @@ object TextOps {
 
   /** Pearson correlations between integer document features
     * (n_tokens / n_distinct_tokens / n_chars) from EXACT integer
-    * moments: every Σ is a DECIMAL(38,0) sum of exact long products
-    * (overflow-free at any corpus size), and r is one fixed
+    * moments: every Σ is a DECIMAL(38,0) sum, and every product is
+    * taken AFTER widening both operands to DECIMAL(19,0) — a
+    * long·long product overflows a long past ~3e9 chars/doc, so the
+    * widening (not just the sum type) is what makes the moments
+    * overflow-free at any corpus size — and r is one fixed
     * double-expression tree over the cast moments — the same
     * correctly-rounded value on both engines. Spark's built-in
     * `corr` is deliberately NOT used: its one-pass co-moment updates
@@ -840,11 +843,14 @@ object TextOps {
     val b = size(array_distinct(toks)).cast("long")
     val c = length(col("text")).cast("long")
     def m(x: Column) = sum(x.cast("decimal(38,0)"))
+    // decimal(19,0) holds any long; the product is decimal(38,0) — exact
+    def m2(x: Column, y: Column) =
+      sum(x.cast("decimal(19,0)") * y.cast("decimal(19,0)"))
     val agg = docs(s, d).agg(
       count(lit(1)).as("n"),
       m(a).as("sa"), m(b).as("sb"), m(c).as("sc"),
-      m(a * a).as("saa"), m(b * b).as("sbb"), m(c * c).as("scc"),
-      m(a * b).as("sab"), m(a * c).as("sac"), m(b * c).as("sbc"))
+      m2(a, a).as("saa"), m2(b, b).as("sbb"), m2(c, c).as("scc"),
+      m2(a, b).as("sab"), m2(a, c).as("sac"), m2(b, c).as("sbc"))
     def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) = {
       val n = col("n").cast("double")
       def D(cn: String) = col(cn).cast("double")
@@ -1027,8 +1033,26 @@ object TextOps {
     * untimed warm-up like the other index relations. */
   private val bpeCache = new IndexCache
 
-  /** Drop the cached BPE merge tables (releases executor storage). */
-  def invalidateIndexes(): Unit = bpeCache.invalidate()
+  /** The checkpointed character-level (word, freq, repr) vocab
+    * relation — the single corpus scan behind BOTH the training loop
+    * and `tf_bpe_pairs` / `tf_bpe_encode`. Cached alongside the merge
+    * table so the encode step replays merges over the materialized
+    * vocab instead of re-scanning (and re-shuffling) the corpus. */
+  private val bpeVocabCache = new IndexCache
+
+  private def bpeVocabRepr(s: SparkSession, d: String): DataFrame =
+    bpeVocabCache.getOrBuild(s, d, docsMtime(d)) {
+      bpeVocab(s, d)
+        .withColumn("repr", bpeCharRepr(col("word")))
+        .localCheckpoint()
+    }
+
+  /** Drop the cached BPE merge tables and vocab relations (releases
+    * executor storage). */
+  def invalidateIndexes(): Unit = {
+    bpeCache.invalidate()
+    bpeVocabCache.invalidate()
+  }
 
   /** The trained merge table (step, gram, c): [[BpeMerges]] rounds of
     * count-pairs → argmax (count desc, tie → lexicographically
@@ -1039,10 +1063,7 @@ object TextOps {
     * k-means and connected-components loops. */
   private def bpeMergeTable(s: SparkSession, d: String): DataFrame =
     bpeCache.getOrBuild(s, d, docsMtime(d)) {
-      val vocab0 = bpeVocab(s, d)
-        .withColumn("repr", bpeCharRepr(col("word")))
-        .localCheckpoint()
-      var cur = vocab0
+      var cur = bpeVocabRepr(s, d)
       var merges: DataFrame = null
       for (i <- 1 to BpeMerges) {
         val best = bpePairCounts(cur)
@@ -1057,8 +1078,7 @@ object TextOps {
           .drop("mgram")
       }
       // the merge table's leaves are the per-step checkpoints; the
-      // vocab materialization only fed the (finished) training loop
-      IndexCache.release(vocab0)
+      // vocab relation stays cached (bpeVocabCache) for the encode step
       merges
     }
 
@@ -1066,8 +1086,7 @@ object TextOps {
     * over the character-level vocab — the "what would BPE learn
     * first" diagnostic. */
   val tfBpePairs: Q = (s, d) =>
-    bpePairCounts(
-        bpeVocab(s, d).withColumn("repr", bpeCharRepr(col("word"))))
+    bpePairCounts(bpeVocabRepr(s, d))
       .orderBy(col("c").desc, col("gram"))
       .limit(20)
       .select(col("gram").as("pair"),
@@ -1096,7 +1115,7 @@ object TextOps {
     * is never re-scanned. */
   val tfBpeEncode: Q = (s, d) => {
     val merges = bpeMergeTable(s, d)
-    var cur = bpeVocab(s, d).withColumn("repr", bpeCharRepr(col("word")))
+    var cur = bpeVocabRepr(s, d)
     for (i <- 1 to BpeMerges) {
       cur = cur
         .crossJoin(broadcast(
@@ -1553,9 +1572,9 @@ object TextOps {
               SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
               SUM(a*a) AS saa, SUM(b*b) AS sbb, SUM(c*c) AS scc,
               SUM(a*b) AS sab, SUM(a*c) AS sac, SUM(b*c) AS sbc
-            FROM (SELECT CAST(length($sqlToks) AS BIGINT) AS a,
-                    CAST(length(list_distinct($sqlToks)) AS BIGINT) AS b,
-                    CAST(length(text) AS BIGINT) AS c
+            FROM (SELECT CAST(length($sqlToks) AS HUGEINT) AS a,
+                    CAST(length(list_distinct($sqlToks)) AS HUGEINT) AS b,
+                    CAST(length(text) AS HUGEINT) AS c
                   FROM documents) f)
           SELECT pair, n, r FROM (
             ${branch("tokens_vs_distinct", "sa", "sb", "saa", "sbb", "sab")}

@@ -32,9 +32,11 @@ class CurationOpsSpec extends SparkSpec {
       // upper half (more under ties); a language can never be
       // entirely dropped by its OWN median — the point of the gate
       assert(kept >= rows.length / 2, s"$lang kept $kept/${rows.length}")
-      assert(kept < rows.length || rows.length == 1,
-        s"$lang dropped nothing — median gate must bite when n > 1 " +
-          "unless every score ties")
+      val distinctScores =
+        rows.map(_.getAs[Double]("quality")).distinct.length
+      assert(kept < rows.length || distinctScores == 1,
+        s"$lang dropped nothing — median gate must bite when the " +
+          "language has more than one distinct quality score")
       val med = rows.head.getAs[Double]("lang_median")
       assert(rows.forall(_.getAs[Double]("lang_median") == med),
         s"$lang must see one median")

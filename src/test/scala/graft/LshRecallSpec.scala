@@ -122,6 +122,7 @@ class LshRecallSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     graft.operators.DedupOps.invalidateIndexes()
     graft.operators.SimilarityOps.invalidateIndexes()
+    graft.operators.TextOps.invalidateIndexes()
     val after = SparkEntry.queries("dedup_lsh_pairs")(spark, Sf)
       .as[(Long, Long)].collect().toSeq
     assert(after === before)

@@ -210,6 +210,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("recall gates broadcast the query side — never a cartesian") {
+    // the exact-truth side is a DELIBERATE brute-force over the
+    // NQueries-row query set; the pin is that the tiny side is
+    // broadcast (BroadcastNestedLoopJoin), never CartesianProductExec
+    for (q <- Seq("ann_pq_recall", "ann_ivf_pq_recall")) {
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: query side must broadcast:\n" + p.take(2000))
+    }
+  }
+
   test("ANN upsert probes by bucket equi-join with the batch broadcast") {
     val p = physical("ann_index_upsert")
     assert(!p.contains("CartesianProduct"))
