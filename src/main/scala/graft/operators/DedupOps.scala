@@ -615,7 +615,77 @@ object DedupOps {
         (col("k") * col("k") * col("n_buckets")).as("join_cost"))
       .orderBy("k")
 
+  /** A chunk digest shared by more documents than this is boilerplate
+    * (a header/footer/license block) — that family is detected and
+    * removed by [[TextOps]]'s `text_boilerplate_*` queries, so the
+    * substring tier skips it to keep pair generation bounded: the
+    * per-digest pair count is ≤ [[MaxChunkDf]]²/2, so candidates are
+    * ∝ Σ df² over rare digests, never all-pairs. */
+  val MaxChunkDf = 64
+
+  /** Minimum total shared bytes for a pair to count as a duplicated
+    * passage — 3 expected chunks ([[graft.functions.CdcBoundaries]]
+    * Divisor = 64 bytes), filtering out single-chunk coincidences. */
+  val MinSharedBytes = 3 * graft.functions.CdcBoundaries.Divisor
+
+  /** SUBSTRING-level dedup tier (`text_cdc_dedup`): long passages
+    * duplicated across as few as TWO documents — the cross-doc
+    * quote/mirror case that sits below the boilerplate df-gate
+    * (frequent spans only) and above the doc-level shingle tiers'
+    * resolution (whole-document similarity). Reuses the
+    * content-defined chunker ([[graft.functions.CdcBoundaries]], the
+    * `mm_cdc_*` machinery) on the UTF-8 text bytes: CDC boundaries
+    * re-synchronize past edits, so a shared passage chunks
+    * identically in both documents regardless of what surrounds it.
+    *
+    * Shape for 100 TB: boundary scan + slice + md5 are one narrow
+    * codegen'd pass over the scan partition — text NEVER reaches an
+    * exchange (PlanSpec-pinned); the shuffles carry only (doc_id,
+    * 16-byte digest, length). Pairs are generated per-digest from the
+    * grouped doc list with the [[MaxChunkDf]] cap, the same
+    * Σ bucket² discipline as the LSH tier — no self-join, no
+    * quadratic blow-up on a hot digest. */
+  val textCdcDedup: Q = (s, d) => {
+    val perDoc = docs(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .filter(col("byte_len") > 0)
+      .withColumn("bs", org.apache.spark.sql.GraftColumn(
+        graft.functions.CdcBoundaries(
+          org.apache.spark.sql.GraftColumn.expr(col("payload")))))
+      .withColumn("starts", concat(array(lit(0L)), col("bs")))
+      .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
+      .select(col("doc_id"), col("payload"),
+        posexplode(arrays_zip(col("starts"), col("ends")))
+          .as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"),
+        md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
+          "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"),
+        (col("se.ends") - col("se.starts")).as("chunk_len"))
+      // a chunk repeated WITHIN a doc counts once toward sharing
+      .groupBy(col("doc_id"), col("chunk_md5"))
+      .agg(min(col("chunk_len")).as("chunk_len"))
+    // per-digest sorted doc list → unordered pairs, capped at MaxChunkDf
+    val pairs = perDoc
+      .groupBy(col("chunk_md5"))
+      .agg(min(col("chunk_len")).as("chunk_len"),
+        sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxChunkDf))
+      .select(col("chunk_len"),
+        explode(flatten(transform(col("ds"), (x, i) =>
+          transform(
+            slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+    pairs
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"),
+        sum(col("chunk_len")).as("shared_bytes"))
+      .filter(col("shared_bytes") >= MinSharedBytes)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
+    "text_cdc_dedup" -> textCdcDedup,
     "doc_manifest" -> docManifest,
     "doc_split_oov" -> docSplitOov,
     "dedup_bucket_histogram" -> dedupBucketHistogram,
@@ -672,6 +742,52 @@ object DedupOps {
         ORDER BY x.doc_id, x.band, x.bucket, y.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "text_cdc_dedup" -> {
+      val W = graft.functions.CdcBoundaries.Window
+      val D = graft.functions.CdcBoundaries.Divisor
+      val bl = "CAST(octet_length(encode(text)) AS BIGINT)"
+      // same O(n·W) window-fold boundary mirror as the mm_cdc_* oracles
+      // (MultimodalOps) — ASCII corpus => byte == ascii(char)
+      s"""WITH b AS (
+            SELECT doc_id, text, $bl AS n,
+              list_filter(range($W, $bl),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % ${graft.functions.Hashing.P})
+                     % $D = 0) AS bs
+            FROM documents WHERE $bl > 0),
+          se AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id,
+              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5,
+              ends[i] - starts[i] AS chunk_len
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                      AS i
+                  FROM se) z),
+          pd AS (
+            SELECT doc_id, chunk_md5, MIN(chunk_len) AS chunk_len
+            FROM ch GROUP BY doc_id, chunk_md5),
+          el AS (
+            SELECT chunk_md5, MIN(chunk_len) AS chunk_len
+            FROM pd GROUP BY chunk_md5
+            HAVING COUNT(*) BETWEEN 2 AND $MaxChunkDf)
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+            COUNT(*) AS n_shared_chunks,
+            SUM(e.chunk_len) AS shared_bytes
+          FROM el e
+          JOIN pd x ON x.chunk_md5 = e.chunk_md5
+          JOIN pd y ON y.chunk_md5 = e.chunk_md5 AND x.doc_id < y.doc_id
+          GROUP BY doc_a, doc_b
+          HAVING SUM(e.chunk_len) >= $MinSharedBytes
+          ORDER BY doc_a, doc_b"""
+    },
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY canonical_id""",

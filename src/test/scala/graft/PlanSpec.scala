@@ -210,6 +210,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("substring dedup: text never reaches an exchange — shuffles " +
+      "carry only (doc_id, digest, length)") {
+    val qe = SparkEntry.queries("text_cdc_dedup")(spark, Sf).queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected the digest-group shuffles")
+    for (e <- exchanges; a <- e.output)
+      assert(a.name != "text" && a.name != "payload",
+        s"exchange must not carry document bytes: ${e.output.map(_.name)}")
+  }
+
   test("recall gates broadcast the query side — never a cartesian") {
     // the exact-truth side is a DELIBERATE brute-force over the
     // NQueries-row query set; the pin is that the tiny side is

@@ -1,0 +1,65 @@
+package graft
+
+/** Semantic pins for the substring-level dedup tier (`text_cdc_dedup`):
+  * the cross-doc quote/mirror case — a LONG passage duplicated in
+  * exactly TWO documents — must surface even when everything around
+  * the passage differs (df=2 is below the boilerplate df-gate, and a
+  * few hundred shared bytes inside otherwise-different documents is
+  * below the doc-level shingle tiers' similarity threshold).
+  */
+class SubstrDedupSpec extends SparkSpec {
+  import graft.operators.DedupOps
+
+  /** Deterministic printable-ASCII junk, distinct per seed. */
+  private def junk(seed: Long, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("substr-dedup")
+    rows.map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("a df=2 passage surfaces with re-synchronized chunks despite " +
+      "different surroundings; unrelated docs never pair") {
+    val passage = junk(42L, 600)
+    val dir = writeDocs(Seq(
+      // the shared passage sits at DIFFERENT offsets — fixed-range
+      // chunking would mis-align; CDC re-synchronizes 8 bytes in
+      1L -> (junk(1L, 37) + passage + junk(2L, 200)),
+      2L -> (junk(3L, 411) + passage + junk(4L, 90)),
+      3L -> junk(5L, 700),
+      4L -> junk(6L, 700)))
+    val out = SparkEntry.queries("text_cdc_dedup")(spark, dir).collect()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"expected exactly the df=2 quote pair, got $pairs")
+    val row = out.head
+    assert(row.getAs[Long]("shared_bytes") >= DedupOps.MinSharedBytes)
+    // most of the passage must be recovered: everything between the
+    // first and last interior CDC boundary is shared by construction
+    assert(row.getAs[Long]("shared_bytes") >= 300,
+      s"CDC failed to re-synchronize: only ${row.getAs[Long]("shared_bytes")} shared bytes")
+    assert(row.getAs[Long]("n_shared_chunks") >= 3)
+  }
+
+  test("a boilerplate-frequency chunk (df > MaxChunkDf) is excluded " +
+      "from pair generation") {
+    // 70 docs all carrying the same passage: df=70 > MaxChunkDf=64,
+    // so the substring tier must stay silent (that family belongs to
+    // text_boilerplate_* / its removal pass)
+    val passage = junk(7L, 600)
+    val dir = writeDocs((1L to 70L).map(i =>
+      i -> (junk(100 + i, 50) + passage + junk(200 + i, 50))))
+    val out = SparkEntry.queries("text_cdc_dedup")(spark, dir).collect()
+    assert(out.isEmpty,
+      s"df>cap digests must not generate pairs, got ${out.length} rows")
+  }
+}
