@@ -204,6 +204,124 @@ object MultimodalOps {
         min(col("chunk_len")).as("chunk_len"))
       .orderBy("chunk_md5")
 
+  // ------------------------------------------------------------------
+  // Perceptual near-dup: MinHash-LSH over the CDC chunk-digest SET,
+  // with a SimHash fingerprint as the perceptual distance
+  // ------------------------------------------------------------------
+
+  /** One perceptual index per (session, dataset, mtime) — the media
+    * sibling of [[DedupOps]]'s LSH bucket index (same [[IndexCache]]
+    * discipline: mtime-keyed, superseded entries evicted). */
+  private val nearDupCache = new IndexCache
+
+  /** Drop the persisted perceptual-index relations. */
+  def invalidateIndexes(): Unit = nearDupCache.invalidate()
+
+  private def docsMtime(d: String): Option[Long] =
+    try Some(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis)
+    catch { case _: java.io.IOException => None }
+
+  /** Per-payload ordered CDC chunk-digest array — one narrow
+    * codegen'd pass (boundaries + slices + md5), shared by the
+    * perceptual index and its verification scan. */
+  private def chunkMd5s(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .filter(col("byte_len") > 0)
+      .withColumn("bs", org.apache.spark.sql.GraftColumn(
+        graft.functions.CdcBoundaries(
+          org.apache.spark.sql.GraftColumn.expr(col("payload")))))
+      .withColumn("starts", concat(array(lit(0L)), col("bs")))
+      .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
+      .select(col("doc_id"),
+        expr("transform(arrays_zip(starts, ends), se -> " +
+          "md5(substring(payload, CAST(se.starts + 1 AS INT), " +
+          "CAST(se.ends - se.starts AS INT))))").as("chunk_md5s"))
+
+  /** The perceptual index relation (doc_id, phash, band, bucket):
+    * MinHash band buckets over the payload's CDC chunk-digest set
+    * (the exact [[DedupOps]] LSH layout — K lanes, Bands×RowsPerBand
+    * banding — applied to chunk digests instead of word shingles)
+    * plus a 32-bit SimHash of the same digest multiset as the
+    * perceptual fingerprint. Persisted and mtime-keyed so the pair
+    * self-join scans the cache on both sides. */
+  private def chunkIndex(s: SparkSession, d: String): DataFrame =
+    nearDupCache.getOrBuild(s, d, docsMtime(d)) {
+      import graft.functions.Hashing
+      val hashed = chunkMd5s(graft.sources.Tables.documents(s, d))
+        .select(col("doc_id"),
+          Hashing.hashAll(col("chunk_md5s")).as("chunk_hashes"))
+      val sig = hashed
+        .select(col("doc_id"),
+          Hashing.simhash32(col("chunk_hashes")).as("phash"),
+          Hashing.minhashSig(col("chunk_hashes")).as("sig"))
+        .select(col("doc_id") +: col("phash") +:
+          (0 until Hashing.K).map(i =>
+            col("sig").getItem(i).as(s"mh$i")): _*)
+      val idx = sig
+        .select(col("doc_id"), col("phash"),
+          posexplode(array((0 until Hashing.Bands).map(Hashing.bandBucket): _*))
+            .as(Seq("band", "bucket")))
+        .select(col("doc_id"), col("phash"),
+          col("band").cast("long").as("band"), col("bucket"))
+        .persist()
+      idx.count() // materialize once, before any self-join runs
+      idx
+    }
+
+  /** PERCEPTUAL media near-dup (`mm_near_dup`): payloads sharing most
+    * of their content surface even when the exact digest differs —
+    * the re-encoded/edited-payload case [[mmPayloadDedup]] (whole-file
+    * digest) and [[mmCdcDedup]] (per-chunk store) don't answer
+    * directly. Candidates come from MinHash-LSH band buckets over the
+    * CDC chunk-digest set (shift-robust: an edit re-synchronizes
+    * within one CDC window, so unchanged content contributes the SAME
+    * digests); each candidate pair is then verified with the exact
+    * chunk-set Jaccard and scored with the SimHash hamming distance.
+    *
+    * Scale shape: identical to the proven text LSH tier — the index
+    * is a persisted (band, bucket) relation, candidates ∝ Σ bucket²
+    * (never all-pairs), and the verification chunk sets are computed
+    * ONLY for candidate members (broadcast semi-join, cost ∝
+    * candidates, not corpus). Payload bytes never reach an exchange:
+    * digests, signatures, and buckets are all narrow projections. */
+  val mmNearDup: Q = (s, d) => {
+    val idx = chunkIndex(s, d)
+    val pairs = idx.as("x").join(idx.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val pd = chunkMd5s(graft.sources.Tables.documents(s, d))
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(array_distinct(col("chunk_md5s"))).as("ch"))
+    val sizes = pd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(pd.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(pd.as("cb"),
+        col("doc_b") === col("cb.doc_id") && col("ca.ch") === col("cb.ch"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("za.n") + col("zb.n") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("n_inter")).cast("double"))
+          .as("chunk_jaccard"),
+        expr("bit_count(pa ^ pb)").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact media dedup by CONTENT DIGEST — the only dedup that works
     * on opaque payloads (no tokens to shingle): group on the 128-bit
     * md5 of the bytes, keep the lowest doc as canonical. At 100 TB
@@ -229,7 +347,8 @@ object MultimodalOps {
     "mm_chunk" -> mmChunk,
     "mm_payload_dedup" -> mmPayloadDedup,
     "mm_cdc_chunk" -> mmCdcChunk,
-    "mm_cdc_dedup" -> mmCdcDedup)
+    "mm_cdc_dedup" -> mmCdcDedup,
+    "mm_near_dup" -> mmNearDup)
 
   // the fake-codec geometry exists ONCE as SQL fragments — mm_meta and
   // mm_resize both compose these, so a codec change can't silently
@@ -319,6 +438,80 @@ object MultimodalOps {
             COUNT(DISTINCT doc_id) AS n_docs,
             MIN(chunk_len) AS chunk_len
           FROM ch GROUP BY chunk_md5 ORDER BY chunk_md5"""
+    },
+    "mm_near_dup" -> {
+      import graft.functions.Hashing
+      val W = graft.functions.CdcBoundaries.Window
+      val D = graft.functions.CdcBoundaries.Divisor
+      val sigs = (0 until Hashing.K)
+        .map(i => s"${Hashing.sqlMinhash("chunk_hashes", i)} AS mh$i")
+        .mkString(", ")
+      val bucketsSql = (0 until Hashing.Bands).map(b =>
+        s"""SELECT doc_id, phash, CAST($b AS BIGINT) AS band,
+            ${Hashing.sqlBandBucket(b)} AS bucket FROM sig""")
+        .mkString(" UNION ALL ")
+      s"""WITH b AS (
+            SELECT doc_id, text, $sqlByteLen AS n,
+              list_filter(range($W, $sqlByteLen),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % ${Hashing.P}) % $D = 0)
+                AS bs
+            FROM documents WHERE $sqlByteLen > 0),
+          se AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id, i,
+              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                      AS i
+                  FROM se) z),
+          cl AS (
+            SELECT doc_id,
+              ${Hashing.sqlHashAll("list(chunk_md5 ORDER BY i)")}
+                AS chunk_hashes
+            FROM ch GROUP BY doc_id),
+          sig AS (
+            SELECT doc_id,
+              ${Hashing.sqlSimhash32("chunk_hashes")} AS phash, $sigs
+            FROM cl),
+          buckets AS ($bucketsSql),
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id),
+          pd AS (
+            SELECT DISTINCT doc_id, chunk_md5 FROM ch),
+          szs AS (
+            SELECT doc_id, COUNT(*) AS n FROM pd GROUP BY doc_id),
+          inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+            FROM pairs p
+            JOIN pd ca ON ca.doc_id = p.doc_a
+            JOIN pd cb ON cb.doc_id = p.doc_b
+                       AND ca.chunk_md5 = cb.chunk_md5
+            GROUP BY p.doc_a, p.doc_b)
+          SELECT p.doc_a, p.doc_b,
+            COALESCE(i.n_inter, 0) AS n_inter,
+            za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union,
+            CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+              AS chunk_jaccard,
+            CAST(bit_count(xor(ga.phash, gb.phash)) AS BIGINT) AS hamming
+          FROM pairs p
+          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+          JOIN szs za ON za.doc_id = p.doc_a
+          JOIN szs zb ON zb.doc_id = p.doc_b
+          JOIN sig ga ON ga.doc_id = p.doc_a
+          JOIN sig gb ON gb.doc_id = p.doc_b
+          ORDER BY p.doc_a, p.doc_b"""
     },
     "mm_payload_dedup" ->
       s"""SELECT md5(text) AS payload_md5,

@@ -123,6 +123,7 @@ class LshRecallSpec extends SparkSpec {
     graft.operators.DedupOps.invalidateIndexes()
     graft.operators.SimilarityOps.invalidateIndexes()
     graft.operators.TextOps.invalidateIndexes()
+    graft.operators.MultimodalOps.invalidateIndexes()
     val after = SparkEntry.queries("dedup_lsh_pairs")(spark, Sf)
       .as[(Long, Long)].collect().toSeq
     assert(after === before)

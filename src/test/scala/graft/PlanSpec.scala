@@ -210,20 +210,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("substring dedup: text never reaches an exchange — shuffles " +
-      "carry only (doc_id, digest, length)") {
-    val qe = SparkEntry.queries("text_cdc_dedup")(spark, Sf).queryExecution
-    val plan = qe.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
-      case p => p
+  test("substring dedup + perceptual near-dup: document bytes never " +
+      "reach an exchange — shuffles carry only digests and scalars") {
+    for (q <- Seq("text_cdc_dedup", "mm_near_dup")) {
+      val qe = SparkEntry.queries(q)(spark, Sf).queryExecution
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, s"$q: expected the digest-group shuffles")
+      for (e <- exchanges; a <- e.output)
+        assert(a.name != "text" && a.name != "payload" &&
+            a.name != "chunk_md5s" && a.name != "chunk_hashes",
+          s"$q: exchange must not carry document bytes: " +
+            e.output.map(_.name))
     }
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(exchanges.nonEmpty, "expected the digest-group shuffles")
-    for (e <- exchanges; a <- e.output)
-      assert(a.name != "text" && a.name != "payload",
-        s"exchange must not carry document bytes: ${e.output.map(_.name)}")
   }
 
   test("recall gates broadcast the query side — never a cartesian") {
