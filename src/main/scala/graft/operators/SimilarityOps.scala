@@ -102,8 +102,27 @@ object SimilarityOps {
 
   /** Cosine from a precomputed-norm pair: same expression tree as
     * `dot/(sqrt(dot)·sqrt(dot))` — bit-identical, 3× less work. */
-  private def cosPre(qe: Column, ce: Column, qn: Column, cn: Column): Column =
+  private[graft] def cosPre(
+      qe: Column, ce: Column, qn: Column, cn: Column): Column =
     dot(qe, ce) / (qn * cn)
+
+  /** Stateless per-row probe projection (vec_id, qe, qn, bucket) —
+    * pure expressions only, so it is STREAMING-SAFE: the same
+    * contract [[bucketed]] materializes for the batch index, applied
+    * to incoming vectors on the ingest path
+    * ([[StreamOps]]'s `stream_ann_upsert`). */
+  private[graft] def probeRows(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").as("qe"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("qn"),
+      bucketCol(col("embedding")).as("bucket"))
+
+  /** The static corpus side of the online upsert probe: the persisted
+    * index minus the incoming tag — (cand_id, ce, cn, bucket). */
+  private[graft] def upsertCorpus(
+      s: SparkSession, d: String, isNew: Column => Column): DataFrame =
+    bucketed(s, d).filter(!isNew(col("vec_id")))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("bucket"))
 
   /** SQL mirror of [[dot]]: same element order, same fold. */
   private def sqlDot(a: String, b: String): String =
@@ -1065,6 +1084,27 @@ object SimilarityOps {
     "emb_split_assign" -> embSplitAssign,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_recall" -> annIvfPqRecall)
+
+  /** Batch oracle for [[StreamOps]]'s `stream_ann_upsert`: every
+    * (incoming, same-bucket corpus) hit row with its cosine and the
+    * per-row near-dup flag. Aggregation-free BY DESIGN — the
+    * streaming gate keeps zero state, so it emits hit rows; the
+    * per-vector (count, best-cos, verdict) rollup is
+    * `ann_index_upsert`'s batch job. */
+  private[graft] def sqlAnnUpsertHits: String =
+    s"""WITH wb AS (
+          SELECT vec_id, embedding,
+            ${sqlBucket("embedding")} AS bucket,
+            ${graft.functions.Hashing
+              .sqlCharHash("CAST(vec_id AS VARCHAR)")} % 10 = 7 AS is_new
+          FROM embeddings)
+        SELECT b.vec_id, b.bucket, c.vec_id AS cand_id,
+          ${sqlCosine("b.embedding", "c.embedding")} AS cos,
+          CASE WHEN ${sqlCosine("b.embedding", "c.embedding")} >= 0.35
+               THEN 'near_dup' ELSE 'ok' END AS flag
+        FROM wb b JOIN wb c
+          ON b.bucket = c.bucket AND b.is_new AND NOT c.is_new
+        ORDER BY b.vec_id, cand_id"""
 
   private def sqlBucket(embExpr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -445,7 +445,60 @@ object StreamOps {
       .orderBy("doc_id", "band", "bucket", "cand_id")
   }
 
+  /** readStream over the embeddings parquet (same symlink-dir trick
+    * as [[eventsStream]]) — the vector-ingest stream. */
+  private def embStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = srcDirCache.getOrElseUpdate(s"$d#embeddings", {
+      val t = Files.createTempDirectory("graft-stream-embsrc")
+      t.toFile.deleteOnExit()
+      val link = t.resolve("embeddings.parquet")
+      Files.createSymbolicLink(link, Paths.get(s"$d/embeddings.parquet"))
+      link.toFile.deleteOnExit()
+      t.toString
+    })
+    val schema = Tables.load(s, d, "embeddings").schema
+    s.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Search-before-insert ON INGEST: each incoming vector's bucket +
+    * norm (the same stateless [[SimilarityOps.probeRows]] projection
+    * the batch index materializes — pure expressions,
+    * streaming-safe) probed against the persisted corpus index as a
+    * STREAM-STATIC bucket equi-join, emitting every same-bucket hit
+    * with its exact cosine and the per-row near-dup flag at
+    * `emb_near_dup`'s 0.35 edge threshold. This is
+    * `ann_index_upsert`'s probe composed with the
+    * [[streamNeardupCandidates]] pattern: stateless append mode —
+    * stream-static joins keep NO state store, so the online-index
+    * guard runs unbounded with zero state. Flagged rows are the
+    * quarantine/DLQ signal; the per-vector (count, best-cos, verdict)
+    * rollup stays `ann_index_upsert`'s batch job, exactly as the
+    * lexical gate defers its rollup to `dedup_incremental`.
+    *
+    * At scale the static side IS the persisted bucket index,
+    * re-planned per micro-batch (broadcast when a shard fits,
+    * shuffle-hash on the bucket key otherwise — either way the
+    * streaming side never buffers). */
+  val streamAnnUpsert: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def isNew(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    val corpus = SimilarityOps.upsertCorpus(s, d, isNew)
+    val incoming = SimilarityOps.probeRows(embStream(s, d))
+      .filter(isNew(col("vec_id")))
+    val cos = SimilarityOps.cosPre(
+      col("qe"), col("ce"), col("qn"), col("cn"))
+    val hits = incoming.join(corpus, Seq("bucket"))
+      .select(col("vec_id"), col("bucket"), col("cand_id"),
+        cos.as("cos"),
+        when(cos >= 0.35, "near_dup").otherwise("ok").as("flag"))
+    runToTable(s, hits, "append")
+      .orderBy("vec_id", "cand_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_ann_upsert" -> streamAnnUpsert,
     "stream_hourly" -> streamHourly,
     "stream_static_join" -> streamStaticJoin,
     "stream_dedup_keys" -> streamDedupKeys,
@@ -459,6 +512,7 @@ object StreamOps {
     "stream_conversion_window" -> streamConversionWindow)
 
   val oracle: Map[String, String] = Map(
+    "stream_ann_upsert" -> SimilarityOps.sqlAnnUpsertHits,
     "stream_neardup_candidates" -> DedupOps.sqlNeardupCandidates,
     "stream_conversion_window" ->
       """WITH base AS (

@@ -80,4 +80,42 @@ class StreamGateSpec extends SparkSpec {
       assert(tag(docId) && !tag(candId))
     }
   }
+
+  test("ANN upsert gate is stateless and bit-equal to its batch mirror") {
+    import graft.operators.SimilarityOps
+    val corpus = SimilarityOps.upsertCorpus(spark, Sf, isNew(_))
+
+    val batchEmb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData(batchEmb.as[(Long, Seq[Float])].collect().toSeq: _*)
+    val stream = in.toDF.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    def gate(src: org.apache.spark.sql.DataFrame) = {
+      val cos = SimilarityOps.cosPre(
+        col("qe"), col("ce"), col("qn"), col("cn"))
+      SimilarityOps.probeRows(src)
+        .filter(isNew(col("vec_id")))
+        .join(corpus, Seq("bucket"))
+        .select(col("vec_id"), col("bucket"), col("cand_id"),
+          cos.as("cos"),
+          when(cos >= 0.35, "near_dup").otherwise("ok").as("flag"))
+    }
+    val q = gate(stream).writeStream.format("memory")
+      .queryName("ann_gate_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+      "the ANN upsert gate must not allocate any state store")
+
+    val got = spark.table("ann_gate_spec")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val expected = gate(batchEmb)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.nonEmpty, "sf0.001 must produce at least one probe hit")
+    // bit-equality includes the DOUBLE cosine — the streaming plan
+    // must run the identical expression tree, not a reassociation
+    assert(got === expected)
+  }
 }
