@@ -112,16 +112,21 @@ object DedupOps {
         col("bucket"))
 
   /** SQL CTE mirroring [[signatures]]. */
-  private def sqlSignatures: String = {
+  /** [[sqlSignatures]] over an arbitrary (doc_id, text) source
+    * relation, emitted under `name` — the delta probe mirrors the
+    * signature pipeline over a DERIVED batch, not just `documents`. */
+  private def sqlSignaturesAs(name: String, src: String): String = {
     val sh = sqlHashAll(sqlShingles("toks"))
     val sigs = (0 until K)
       .map(i => s"${sqlMinhash("shingle_hashes", i)} AS mh$i").mkString(", ")
-    s"""sig AS (
+    s"""$name AS (
          SELECT doc_id, $sigs FROM (
            SELECT doc_id, $sh AS shingle_hashes FROM (
-             SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+             SELECT doc_id, ${sqlTokens("text")} AS toks FROM $src)
            WHERE length(toks) >= 3))"""
   }
+
+  private def sqlSignatures: String = sqlSignaturesAs("sig", "documents")
 
   /** The MinHash signature surface itself (oracle-pins the hashing). */
   val dedupMinhashSig: Q = (s, d) =>
@@ -140,11 +145,13 @@ object DedupOps {
       bk
     }
 
-  private def sqlBuckets: String =
+  private def sqlBucketsAs(name: String, sigName: String): String =
     (0 until Bands).map(b =>
       s"""SELECT doc_id, CAST($b AS BIGINT) AS band,
-          ${sqlBandBucket(b)} AS bucket FROM sig""")
-      .mkString("buckets AS (", " UNION ALL ", ")")
+          ${sqlBandBucket(b)} AS bucket FROM $sigName""")
+      .mkString(s"$name AS (", " UNION ALL ", ")")
+
+  private def sqlBuckets: String = sqlBucketsAs("buckets", "sig")
 
   /** LSH candidate pairs: same band bucket, a < b, distinct. */
   val dedupLshPairs: Q = (s, d) => {
@@ -533,6 +540,55 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Hash tag selecting which docs spawn a delta copy in
+    * [[dedupDeltaProbe]] — distinct from `dedup_incremental`'s
+    * is_new tag (7) so the two shapes exercise different rows. */
+  val DeltaTag = 3L
+
+  /** Delta doc ids sit far above the corpus id space. */
+  val DeltaIdOffset = 1000000L
+
+  /** CROSS-RUN delta probe — the daily-ingest shape: tomorrow's batch
+    * (here DERIVED: a prefix-edited re-crawl of every [[DeltaTag]]-
+    * tagged doc, at new ids) probed against the PERSISTED corpus
+    * bucket index WITHOUT rebuilding or extending it. Unlike
+    * `dedup_incremental` (which splits one dataset into corpus/batch
+    * and indexes both), the delta rows here are NOT in the index —
+    * their bucket rows are computed statelessly ([[bucketRows]], the
+    * same projection the streaming gate runs) and equi-joined against
+    * the cached relation, so a daily run costs O(delta), never
+    * O(corpus). [[graft.DeltaProbeSpec]] pins that the probe adds
+    * zero persisted relations — the old index is probed, not rebuilt.
+    *
+    * Per delta doc: candidate count, whether the index recognized its
+    * own original (`self_hit` — the re-crawl link), and the verdict. */
+  val dedupDeltaProbe: Q = (s, d) => {
+    val delta = docs(s, d)
+      .filter(charHash(col("doc_id").cast("string")) % 10 === DeltaTag)
+      .select((col("doc_id") + DeltaIdOffset).as("doc_id"),
+        col("doc_id").as("orig_id"),
+        concat(lit("UPDATE: "), col("text")).as("text"))
+    val cand = bucketRows(delta.select(col("doc_id"), col("text")))
+      .join(buckets(s, d)
+        .select(col("band"), col("bucket"), col("doc_id").as("cand_id")),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("cand_id"))
+      .distinct()
+    val roll = cand.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near_cands"),
+        max(when(col("cand_id") === col("doc_id") - DeltaIdOffset, 1L)
+          .otherwise(0L)).as("self_hit"))
+    delta.select(col("doc_id"), col("orig_id"))
+      .join(roll, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near_cands", "self_hit"))
+      .select(col("doc_id"), col("orig_id"), col("n_near_cands"),
+        col("self_hit"),
+        when(col("self_hit") === 1L, "recognized")
+          .when(col("n_near_cands") > 0L, "near")
+          .otherwise("new").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprint clusters: groups sharing an identical 32-bit
     * simhash (near-identical token multisets), with sizes. */
   val dedupSimhashClusters: Q = (s, d) =>
@@ -702,6 +758,7 @@ object DedupOps {
     "dedup_savings" -> dedupSavings,
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_delta_probe" -> dedupDeltaProbe,
     "dedup_minhash_est" -> dedupMinhashEst,
     "dedup_keep_best" -> dedupKeepBest)
 
@@ -1048,6 +1105,35 @@ object DedupOps {
           LEFT JOIN corpus_texts ct ON t.text = ct.text
           LEFT JOIN nc ON t.doc_id = nc.doc_id
           WHERE t.is_new ORDER BY t.doc_id""",
+    "dedup_delta_probe" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          delta AS (
+            SELECT doc_id + $DeltaIdOffset AS doc_id,
+              doc_id AS orig_id,
+              'UPDATE: ' || text AS text
+            FROM documents
+            WHERE ${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10
+              = $DeltaTag),
+          ${sqlSignaturesAs("dsig", "delta")},
+          ${sqlBucketsAs("dbuckets", "dsig")},
+          cand AS (
+            SELECT DISTINCT x.doc_id, y.doc_id AS cand_id
+            FROM dbuckets x
+            JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket),
+          roll AS (
+            SELECT doc_id, COUNT(*) AS n,
+              MAX(CASE WHEN cand_id = doc_id - $DeltaIdOffset
+                  THEN 1 ELSE 0 END) AS self_hit
+            FROM cand GROUP BY doc_id)
+          SELECT d.doc_id, d.orig_id,
+            CAST(COALESCE(r.n, 0) AS BIGINT) AS n_near_cands,
+            CAST(COALESCE(r.self_hit, 0) AS BIGINT) AS self_hit,
+            CASE WHEN COALESCE(r.self_hit, 0) = 1 THEN 'recognized'
+                 WHEN COALESCE(r.n, 0) > 0 THEN 'near'
+                 ELSE 'new' END AS verdict
+          FROM delta d
+          LEFT JOIN roll r ON d.doc_id = r.doc_id
+          ORDER BY d.doc_id""",
     "dedup_simhash_clusters" ->
       s"""SELECT simhash, MIN(doc_id) AS canonical_id,
           COUNT(*) AS cluster_size
