@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Controlled scale probe: 3x per scale factor, cold-index warm-up so
+# the dedup/ANN/BPE index builds land inside their first timed
+# consumer. Results land in benchdata/probe_<tag>_<rep>.json.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+QUERIES="dedup_lsh_pairs dedup_components kmeans_train emb_components \
+ann_ivf emb_pq_encode tf_bpe_train q1_pricing_summary \
+q2_revenue_by_nation q9_rollup q16_distinct_counts q23_percentiles \
+text_token_count text_remove_boilerplate text_cdc_dedup mm_near_dup \
+mm_cdc_dedup dedup_delta_probe"
+
+# minimal warm-up: one scan per table family, no index builds
+export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
+
+for tag_dir in "sf0.1:/root/testdata/sf0.1" "sf1:benchdata/sf1"; do
+  tag="${tag_dir%%:*}"; dir="${tag_dir#*:}"
+  for rep in 1 2 3; do
+    echo "== $tag rep $rep =="
+    SPARK_GRAFT_SF_DIR="$dir" sbt -batch "runMain graft.Bench $QUERIES" \
+      >/dev/null 2>&1
+    cp bench_result.json "benchdata/probe_${tag}_${rep}.json"
+  done
+done
+echo "done"
