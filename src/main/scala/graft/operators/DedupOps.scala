@@ -702,23 +702,10 @@ object DedupOps {
     * Σ bucket² discipline as the LSH tier — no self-join, no
     * quadratic blow-up on a hot digest. */
   val textCdcDedup: Q = (s, d) => {
-    val perDoc = docs(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .withColumn("byte_len", length(col("payload")).cast("long"))
-      .filter(col("byte_len") > 0)
-      .withColumn("bs", org.apache.spark.sql.GraftColumn(
-        graft.functions.CdcBoundaries(
-          org.apache.spark.sql.GraftColumn.expr(col("payload")))))
-      .withColumn("starts", concat(array(lit(0L)), col("bs")))
-      .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
-      .select(col("doc_id"), col("payload"),
-        posexplode(arrays_zip(col("starts"), col("ends")))
-          .as(Seq("chunk_idx", "se")))
-      .select(col("doc_id"),
-        md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
-          "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"),
-        (col("se.ends") - col("se.starts")).as("chunk_len"))
-      // a chunk repeated WITHIN a doc counts once toward sharing
+    // the persisted chunk store ([[MultimodalOps.chunkStore]]) is the
+    // scan side; a chunk repeated WITHIN a doc counts once toward
+    // sharing
+    val perDoc = MultimodalOps.chunkStore(s, d)
       .groupBy(col("doc_id"), col("chunk_md5"))
       .agg(min(col("chunk_len")).as("chunk_len"))
     // per-digest sorted doc list → unordered pairs, capped at MaxChunkDf

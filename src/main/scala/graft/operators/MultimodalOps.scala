@@ -183,21 +183,7 @@ object MultimodalOps {
     * narrow codegen'd pass, then a single combinable groupBy on the
     * 16-byte digest — payload bytes never shuffle. */
   val mmCdcDedup: Q = (s, d) =>
-    withPayload(graft.sources.Tables.documents(s, d))
-      .withColumn("byte_len", length(col("payload")).cast("long"))
-      .filter(col("byte_len") > 0)
-      .withColumn("bs", org.apache.spark.sql.GraftColumn(
-        graft.functions.CdcBoundaries(
-          org.apache.spark.sql.GraftColumn.expr(col("payload")))))
-      .withColumn("starts", concat(array(lit(0L)), col("bs")))
-      .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
-      .select(col("doc_id"), col("payload"),
-        posexplode(arrays_zip(col("starts"), col("ends")))
-          .as(Seq("chunk_idx", "se")))
-      .select(col("doc_id"),
-        md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
-          "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"),
-        (col("se.ends") - col("se.starts")).as("chunk_len"))
+    chunkStore(s, d)
       .groupBy("chunk_md5")
       .agg(count(lit(1)).as("n_refs"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -214,8 +200,15 @@ object MultimodalOps {
     * discipline: mtime-keyed, superseded entries evicted). */
   private val nearDupCache = new IndexCache
 
-  /** Drop the persisted perceptual-index relations. */
-  def invalidateIndexes(): Unit = nearDupCache.invalidate()
+  /** One persisted CHUNK STORE per (session, dataset, mtime) — see
+    * [[chunkStore]]. */
+  private val chunkCache = new IndexCache
+
+  /** Drop the persisted perceptual-index + chunk-store relations. */
+  def invalidateIndexes(): Unit = {
+    nearDupCache.invalidate()
+    chunkCache.invalidate()
+  }
 
   private def docsMtime(d: String): Option[Long] =
     try Some(java.nio.file.Files.getLastModifiedTime(
@@ -238,6 +231,36 @@ object MultimodalOps {
         expr("transform(arrays_zip(starts, ends), se -> " +
           "md5(substring(payload, CAST(se.starts + 1 AS INT), " +
           "CAST(se.ends - se.starts AS INT))))").as("chunk_md5s"))
+
+  /** The persisted CHUNK STORE (doc_id, chunk_md5, chunk_len): every
+    * CDC chunk occurrence, digested — THE artifact a sub-file dedup
+    * system keeps (backup-dedup model: storage ∝ distinct chunks).
+    * Built in ONE narrow codegen'd pass (boundaries + slice + md5;
+    * payload bytes never leave the scan) and shared by
+    * [[mmCdcDedup]], [[mmNearDup]]'s verification stage, and
+    * [[DedupOps]]'s `text_cdc_dedup` — round 6 initially recomputed
+    * the corpus-wide CDC+md5 scan inside each consumer. */
+  private[graft] def chunkStore(s: SparkSession, d: String): DataFrame =
+    chunkCache.getOrBuild(s, d, docsMtime(d)) {
+      val cs = withPayload(graft.sources.Tables.documents(s, d))
+        .withColumn("byte_len", length(col("payload")).cast("long"))
+        .filter(col("byte_len") > 0)
+        .withColumn("bs", org.apache.spark.sql.GraftColumn(
+          graft.functions.CdcBoundaries(
+            org.apache.spark.sql.GraftColumn.expr(col("payload")))))
+        .withColumn("starts", concat(array(lit(0L)), col("bs")))
+        .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
+        .select(col("doc_id"), col("payload"),
+          posexplode(arrays_zip(col("starts"), col("ends")))
+            .as(Seq("chunk_idx", "se")))
+        .select(col("doc_id"),
+          md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
+            "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"),
+          (col("se.ends") - col("se.starts")).as("chunk_len"))
+        .persist()
+      cs.count() // materialize once
+      cs
+    }
 
   /** The perceptual index relation (doc_id, phash, band, bucket):
     * MinHash band buckets over the payload's CDC chunk-digest set
@@ -288,6 +311,10 @@ object MultimodalOps {
     * digests, signatures, and buckets are all narrow projections. */
   val mmNearDup: Q = (s, d) => {
     val idx = chunkIndex(s, d)
+    // three consumers (members, intersection, final join) — without
+    // the checkpoint the bucket self-join + distinct replays per use;
+    // the relation is candidate-sized (tiny), so materializing it is
+    // the cheap side of the trade at any scale
     val pairs = idx.as("x").join(idx.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
@@ -295,12 +322,16 @@ object MultimodalOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.phash").as("pa"), col("y.phash").as("pb"))
       .distinct()
+      .localCheckpoint()
     val members = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val pd = chunkMd5s(graft.sources.Tables.documents(s, d))
+    // verification sets come from the persisted chunk store, pruned
+    // to candidate members BEFORE the distinct — the shuffles carry
+    // only (member doc_id, digest) rows, cost ∝ candidates
+    val pd = chunkStore(s, d)
       .join(broadcast(members), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        explode(array_distinct(col("chunk_md5s"))).as("ch"))
+      .select(col("doc_id"), col("chunk_md5").as("ch"))
+      .distinct()
     val sizes = pd.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(pd.as("ca"), col("doc_a") === col("ca.doc_id"))
