@@ -232,6 +232,16 @@ object MultimodalOps {
           "md5(substring(payload, CAST(se.starts + 1 AS INT), " +
           "CAST(se.ends - se.starts AS INT))))").as("chunk_md5s"))
 
+  /** Stateless (doc_id, chunk_md5) projection, distinct per doc —
+    * pure expressions only (CDC boundaries + slice + md5 + per-row
+    * array_distinct), so it is STREAMING-SAFE: the ingest-path
+    * counterpart of [[chunkStore]], used by [[StreamOps]]'s
+    * `stream_cdc_candidates`. */
+  private[graft] def chunkDigestRows(df: DataFrame): DataFrame =
+    chunkMd5s(df)
+      .select(col("doc_id"),
+        explode(array_distinct(col("chunk_md5s"))).as("chunk_md5"))
+
   /** The persisted CHUNK STORE (doc_id, chunk_md5, chunk_len): every
     * CDC chunk occurrence, digested — THE artifact a sub-file dedup
     * system keeps (backup-dedup model: storage ∝ distinct chunks).
@@ -387,6 +397,54 @@ object MultimodalOps {
   private val sqlByteLen = "CAST(octet_length(encode(text)) AS BIGINT)"
   private val sqlWidth = s"16 + $sqlByteLen % 64"
   private val sqlHeight = s"16 + ($sqlByteLen * 31) % 64"
+
+  /** Batch oracle for [[StreamOps]]'s `stream_cdc_candidates`:
+    * incoming (is_new) docs' distinct chunk digests joined against
+    * the corpus side's rare (df ≤ MaxChunkDf) digests — the
+    * substring-tier ingest gate, aggregation-free by design. */
+  private[graft] def sqlCdcCandidates: String = {
+    val W = graft.functions.CdcBoundaries.Window
+    val D = graft.functions.CdcBoundaries.Divisor
+    s"""WITH b AS (
+          SELECT doc_id, text, $sqlByteLen AS n,
+            list_filter(range($W, $sqlByteLen),
+              o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(o - $W + 1, o + 1),
+                       j -> CAST(ascii(text[j]) AS BIGINT))),
+                     (h, c) -> (h * 31 + c) % ${graft.functions.Hashing.P})
+                   % $D = 0) AS bs
+          FROM documents WHERE $sqlByteLen > 0),
+        se AS (
+          SELECT doc_id, text,
+            list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+            list_append(bs, n) AS ends
+          FROM b),
+        ch AS (
+          SELECT DISTINCT doc_id,
+            md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+              CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5
+          FROM (SELECT doc_id, text, starts, ends,
+                  unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                    AS i
+                FROM se) z),
+        tagged AS (
+          SELECT doc_id,
+            ${graft.functions.Hashing
+              .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10 = 7 AS is_new
+          FROM documents),
+        corpus AS (
+          SELECT ch.doc_id AS cand_id, ch.chunk_md5
+          FROM ch JOIN tagged t ON ch.doc_id = t.doc_id AND NOT t.is_new),
+        rare AS (
+          SELECT chunk_md5 FROM corpus GROUP BY chunk_md5
+          HAVING COUNT(*) <= ${DedupOps.MaxChunkDf})
+        SELECT x.doc_id, x.chunk_md5, c.cand_id
+        FROM ch x
+        JOIN tagged tx ON x.doc_id = tx.doc_id AND tx.is_new
+        JOIN rare r ON r.chunk_md5 = x.chunk_md5
+        JOIN corpus c ON c.chunk_md5 = x.chunk_md5
+        ORDER BY x.doc_id, x.chunk_md5, c.cand_id"""
+  }
 
   val oracle: Map[String, String] = Map(
     "mm_resize" ->

@@ -497,7 +497,40 @@ object StreamOps {
       .orderBy("vec_id", "cand_id")
   }
 
+  /** Substring-dedup gate ON INGEST: each incoming document's
+    * distinct CDC chunk digests (the stateless
+    * [[MultimodalOps.chunkDigestRows]] projection — pure expressions,
+    * streaming-safe) joined stream-static against the persisted chunk
+    * store's corpus side, df-capped at [[DedupOps.MaxChunkDf]] so
+    * boilerplate-frequency digests never flood the gate (that family
+    * is `text_boilerplate_*`'s job). Completes the per-tier ingest
+    * trio: lexical ([[streamNeardupCandidates]]), embedding
+    * ([[streamAnnUpsert]]), substring (this). Stateless append mode —
+    * zero state store; hit rows are the quarantine signal, and the
+    * pair-level rollup stays `text_cdc_dedup`'s batch job. */
+  val streamCdcCandidates: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def isNew(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    val corpus = MultimodalOps.chunkStore(s, d)
+      .filter(!isNew(col("doc_id")))
+      .select(col("doc_id").as("cand_id"), col("chunk_md5"))
+      .distinct()
+    val rare = corpus.groupBy("chunk_md5")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DedupOps.MaxChunkDf)
+      .select("chunk_md5")
+    val eligible = corpus.join(rare, Seq("chunk_md5"), "left_semi")
+    val incoming = MultimodalOps.chunkDigestRows(docsStream(s, d))
+      .filter(isNew(col("doc_id")))
+    val hits = incoming.join(eligible, Seq("chunk_md5"))
+      .select(col("doc_id"), col("chunk_md5"), col("cand_id"))
+    runToTable(s, hits, "append")
+      .orderBy("doc_id", "chunk_md5", "cand_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_cdc_candidates" -> streamCdcCandidates,
     "stream_ann_upsert" -> streamAnnUpsert,
     "stream_hourly" -> streamHourly,
     "stream_static_join" -> streamStaticJoin,
@@ -512,6 +545,7 @@ object StreamOps {
     "stream_conversion_window" -> streamConversionWindow)
 
   val oracle: Map[String, String] = Map(
+    "stream_cdc_candidates" -> MultimodalOps.sqlCdcCandidates,
     "stream_ann_upsert" -> SimilarityOps.sqlAnnUpsertHits,
     "stream_neardup_candidates" -> DedupOps.sqlNeardupCandidates,
     "stream_conversion_window" ->

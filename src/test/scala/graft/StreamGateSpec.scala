@@ -81,6 +81,42 @@ class StreamGateSpec extends SparkSpec {
     }
   }
 
+  test("substring-dedup gate is stateless and equals its batch mirror") {
+    import graft.operators.MultimodalOps
+    val corpus = MultimodalOps.chunkStore(spark, Sf)
+      .filter(!isNew(col("doc_id")))
+      .select(col("doc_id").as("cand_id"), col("chunk_md5"))
+      .distinct()
+    val rare = corpus.groupBy("chunk_md5")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= graft.operators.DedupOps.MaxChunkDf)
+      .select("chunk_md5")
+    val eligible = corpus.join(rare, Seq("chunk_md5"), "left_semi")
+
+    val batchDocs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val in = MemoryStream[(Long, String)]
+    in.addData(batchDocs.as[(Long, String)].collect().toSeq: _*)
+    def gate(src: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.chunkDigestRows(src)
+        .filter(isNew(col("doc_id")))
+        .join(eligible, Seq("chunk_md5"))
+        .select(col("doc_id"), col("chunk_md5"), col("cand_id"))
+    val q = gate(in.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cdc_gate_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+      "the substring gate must not allocate any state store")
+
+    val got = spark.table("cdc_gate_spec")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val expected = gate(batchDocs)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.nonEmpty, "sf0.001 must produce at least one chunk hit")
+    assert(got === expected)
+  }
+
   test("ANN upsert gate is stateless and bit-equal to its batch mirror") {
     import graft.operators.SimilarityOps
     val corpus = SimilarityOps.upsertCorpus(spark, Sf, isNew(_))
