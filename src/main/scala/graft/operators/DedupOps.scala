@@ -589,6 +589,64 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** REMOVAL pass of the substring tier (`text_cdc_remove`) — the
+    * dedup ladder's payoff on [[textCdcDedup]]'s findings: each CDC
+    * chunk whose digest is shared by 2..[[MaxChunkDf]] distinct docs
+    * is kept ONLY in its canonical (min-id) owner and stripped from
+    * every later doc; unique digests always stay, and digests over
+    * the cap are deliberately left to the boilerplate removal pass
+    * (`text_remove_boilerplate`) — same division of labor as the
+    * detector. Output IS the cleaned corpus (no smaller answer
+    * exists), with per-doc kept/total chunk counts.
+    *
+    * Shape for 100 TB: the ownership relation is two combinable aggs
+    * over the persisted chunk store; the per-doc reassembly shuffles
+    * only (chunk_idx, offset, length) triples — document BYTES stay
+    * in the scan stage until the final doc_id equi-join rebuilds the
+    * kept ranges with one narrow substring projection. */
+  val textCdcRemove: Q = (s, d) => {
+    val chunks = docs(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .filter(col("byte_len") > 0)
+      .withColumn("bs", org.apache.spark.sql.GraftColumn(
+        graft.functions.CdcBoundaries(
+          org.apache.spark.sql.GraftColumn.expr(col("payload")))))
+      .withColumn("starts", concat(array(lit(0L)), col("bs")))
+      .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
+      .select(col("doc_id"), col("payload"),
+        posexplode(arrays_zip(col("starts"), col("ends")))
+          .as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("se.starts").as("cstart"),
+        (col("se.ends") - col("se.starts")).as("clen"),
+        md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
+          "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"))
+    val owners = MultimodalOps.chunkStore(s, d)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("dfd"),
+        min(col("doc_id")).as("owner"))
+      .filter(col("dfd").between(2, MaxChunkDf))
+      .select(col("chunk_md5"), col("owner"))
+    val tagged = chunks.join(owners, Seq("chunk_md5"), "left")
+      .withColumn("keep",
+        col("owner").isNull || col("owner") === col("doc_id"))
+    val roll = tagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("keep"),
+          struct(col("chunk_idx").as("ci"), col("cstart").as("cs"),
+            col("clen").as("cl"))))).as("rs"))
+    docs(s, d).select(col("doc_id"), col("text"))
+      .join(roll, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        expr("array_join(transform(rs, r -> substring(text, " +
+          "CAST(r.cs + 1 AS INT), CAST(r.cl AS INT))), '')")
+          .as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprint clusters: groups sharing an identical 32-bit
     * simhash (near-identical token multisets), with sizes. */
   val dedupSimhashClusters: Q = (s, d) =>
@@ -746,6 +804,7 @@ object DedupOps {
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_incremental" -> dedupIncremental,
     "dedup_delta_probe" -> dedupDeltaProbe,
+    "text_cdc_remove" -> textCdcRemove,
     "dedup_minhash_est" -> dedupMinhashEst,
     "dedup_keep_best" -> dedupKeepBest)
 
@@ -831,6 +890,53 @@ object DedupOps {
           GROUP BY doc_a, doc_b
           HAVING SUM(e.chunk_len) >= $MinSharedBytes
           ORDER BY doc_a, doc_b"""
+    },
+    "text_cdc_remove" -> {
+      val W = graft.functions.CdcBoundaries.Window
+      val D = graft.functions.CdcBoundaries.Divisor
+      val bl = "CAST(octet_length(encode(text)) AS BIGINT)"
+      s"""WITH b AS (
+            SELECT doc_id, text, $bl AS n,
+              list_filter(range($W, $bl),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % ${graft.functions.Hashing.P})
+                     % $D = 0) AS bs
+            FROM documents WHERE $bl > 0),
+          se AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id, i,
+              substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT)) AS txt,
+              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                      AS i
+                  FROM se) z),
+          owners AS (
+            SELECT chunk_md5, MIN(doc_id) AS owner
+            FROM ch GROUP BY chunk_md5
+            HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $MaxChunkDf),
+          tagged AS (
+            SELECT c.doc_id, c.i, c.txt,
+              (o.owner IS NULL OR o.owner = c.doc_id) AS keep
+            FROM ch c LEFT JOIN owners o ON c.chunk_md5 = o.chunk_md5),
+          roll AS (
+            SELECT doc_id,
+              COUNT(*) AS n_chunks,
+              CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+              COALESCE(string_agg(txt, '' ORDER BY i)
+                FILTER (WHERE keep), '') AS clean_text
+            FROM tagged GROUP BY doc_id)
+          SELECT doc_id, n_chunks, n_kept, clean_text,
+            CAST(length(clean_text) AS BIGINT) AS clean_len
+          FROM roll ORDER BY doc_id"""
     },
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

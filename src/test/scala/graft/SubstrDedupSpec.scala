@@ -50,6 +50,34 @@ class SubstrDedupSpec extends SparkSpec {
     assert(row.getAs[Long]("n_shared_chunks") >= 3)
   }
 
+  test("removal pass: the canonical owner keeps the passage, the " +
+      "later doc loses it, untouched docs round-trip byte-for-byte") {
+    val passage = junk(42L, 600)
+    val t1 = junk(1L, 37) + passage + junk(2L, 200)
+    val t2 = junk(3L, 411) + passage + junk(4L, 90)
+    val t3 = junk(5L, 700)
+    val t4 = junk(6L, 700)
+    val dir = writeDocs(Seq(1L -> t1, 2L -> t2, 3L -> t3, 4L -> t4))
+    val out = SparkEntry.queries("text_cdc_remove")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // owner (min id) keeps everything, so it round-trips exactly
+    assert(out(1L).getAs[String]("clean_text") === t1)
+    // the later doc loses the shared interior: strictly shorter, and
+    // a mid-passage window must be gone
+    val clean2 = out(2L).getAs[String]("clean_text")
+    assert(clean2.length < t2.length)
+    assert(!clean2.contains(passage.substring(200, 280)),
+      "mid-passage bytes must be stripped from the non-owner")
+    assert(out(2L).getAs[Long]("n_kept") < out(2L).getAs[Long]("n_chunks"))
+    // docs sharing nothing are untouched
+    assert(out(3L).getAs[String]("clean_text") === t3)
+    assert(out(4L).getAs[String]("clean_text") === t4)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("clean_len") ===
+        r.getAs[String]("clean_text").length.toLong)
+    }
+  }
+
   test("a boilerplate-frequency chunk (df > MaxChunkDf) is excluded " +
       "from pair generation") {
     // 70 docs all carrying the same passage: df=70 > MaxChunkDf=64,
