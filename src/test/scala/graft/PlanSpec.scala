@@ -211,21 +211,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("substring dedup + perceptual near-dup: document bytes never " +
-      "reach an exchange — shuffles carry only digests and scalars") {
-    for (q <- Seq("text_cdc_dedup", "mm_near_dup")) {
+      "reach a hash exchange — shuffles carry only digests and scalars") {
+    // text_cdc_remove's final range exchange carries clean_text by
+    // definition (the ordered output IS the cleaned corpus, exactly
+    // like text_remove_boilerplate) — the pin is on HASH exchanges,
+    // where bytes would mean a join/agg is moving documents around
+    for (q <- Seq("text_cdc_dedup", "mm_near_dup", "text_cdc_remove")) {
       val qe = SparkEntry.queries(q)(spark, Sf).queryExecution
       val plan = qe.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.initialPlan
         case p => p
       }
       val exchanges = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+                .HashPartitioning] => e
       }
       assert(exchanges.nonEmpty, s"$q: expected the digest-group shuffles")
       for (e <- exchanges; a <- e.output)
         assert(a.name != "text" && a.name != "payload" &&
+            a.name != "clean_text" &&
             a.name != "chunk_md5s" && a.name != "chunk_hashes",
-          s"$q: exchange must not carry document bytes: " +
+          s"$q: hash exchange must not carry document bytes: " +
             e.output.map(_.name))
     }
   }
