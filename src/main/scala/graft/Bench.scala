@@ -67,7 +67,10 @@ object Bench {
     // the persisted PQ code relation the three PQ queries share;
     // tf_bpe_train builds the cached BPE merge table tf_bpe_encode
     // consumes; emb_components builds the cached SEMANTIC labeling
-    // emb_split_assign consumes, symmetric with dedup_components)
+    // emb_split_assign consumes, symmetric with dedup_components;
+    // mm_near_dup builds the perceptual index AND the shared CDC
+    // chunk store that mm_cdc_dedup / text_cdc_dedup /
+    // text_cdc_remove / stream_cdc_candidates consume)
     // SPARK_GRAFT_WARMUP_NAMES overrides the list for controlled
     // local probes (e.g. a minimal warm-up so index builds land
     // INSIDE their first timed consumer — the cold-build scaling
