@@ -15,6 +15,11 @@ mm_cdc_dedup dedup_delta_probe"
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 
+if [ ! -d benchdata/sf1 ]; then
+  echo "== generating benchdata/sf1 (10x sf0.1) =="
+  sbt -batch "runMain graft.ScaleData /root/testdata/sf0.1 benchdata/sf1 10"
+fi
+
 for tag_dir in "sf0.1:/root/testdata/sf0.1" "sf1:benchdata/sf1"; do
   tag="${tag_dir%%:*}"; dir="${tag_dir#*:}"
   for rep in 1 2 3; do
