@@ -15,9 +15,14 @@ mm_cdc_dedup dedup_delta_probe"
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 
-if [ ! -d benchdata/sf1 ]; then
+# the sentinel (written only after ScaleData exits cleanly) guards
+# against probing a truncated dataset left by an interrupted run —
+# a bare directory check can't tell the difference
+if [ ! -f benchdata/sf1/.complete ]; then
   echo "== generating benchdata/sf1 (10x sf0.1) =="
+  rm -rf benchdata/sf1
   sbt -batch "runMain graft.ScaleData /root/testdata/sf0.1 benchdata/sf1 10"
+  touch benchdata/sf1/.complete
 fi
 
 for tag_dir in "sf0.1:/root/testdata/sf0.1" "sf1:benchdata/sf1"; do

@@ -73,7 +73,12 @@ object ScaleData {
     }
     replicate("embeddings") { (df, i) =>
       val d = shift(df, i, "vec_id")
-      val rot = i * (graft.operators.SimilarityOps.Dims / math.max(n, 1))
+      // rotation spread over the replica count; i*Dims/n (not
+      // i*(Dims/n)) so n > Dims degrades to distinct-but-repeating
+      // rotations instead of integer-dividing to rot=0 for EVERY
+      // replica — which would mint byte-identical vectors at shifted
+      // ids, the adversarial N-way-dup shape this generator avoids
+      val rot = i * graft.operators.SimilarityOps.Dims / math.max(n, 1)
       if (rot == 0) d
       else d.withColumn("embedding",
         concat(slice(col("embedding"), rot + 1,

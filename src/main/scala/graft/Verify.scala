@@ -16,6 +16,16 @@ object Verify {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Hard determinism guarantee for the gate: no persisted index /
+    // chunk-store relation from a prior in-process caller (a test
+    // suite driving Verify.main, a previous sf dir) can leak into this
+    // run — every mtime-keyed cache rebuilds fresh from the parquet
+    // this run reads. Costs one extra build per index on a cold JVM
+    // (where the caches are empty anyway).
+    operators.DedupOps.invalidateIndexes()
+    operators.SimilarityOps.invalidateIndexes()
+    operators.TextOps.invalidateIndexes()
+    operators.MultimodalOps.invalidateIndexes()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

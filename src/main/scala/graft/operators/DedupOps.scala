@@ -637,12 +637,22 @@ object DedupOps {
         sort_array(collect_list(when(col("keep"),
           struct(col("chunk_idx").as("ci"), col("cstart").as("cs"),
             col("clen").as("cl"))))).as("rs"))
-    docs(s, d).select(col("doc_id"), col("text"))
+    // Reassembly slices the BINARY payload: (cs, cl) are BYTE
+    // offsets (CdcBoundaries runs over UTF-8 bytes), so substring
+    // must address bytes — round 6 sliced the STRING with the same
+    // numbers, silently corrupting any multi-byte document
+    // (SubstrDedupSpec round-trips a non-ASCII doc against this).
+    // Kept byte ranges are folded back together and decoded once; a
+    // chunk boundary can in principle split a multi-byte sequence,
+    // but only at a REMOVED splice point — untouched documents
+    // round-trip byte-for-byte by construction.
+    docs(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .join(roll, Seq("doc_id"))
       .select(col("doc_id"), col("n_chunks"), col("n_kept"),
-        expr("array_join(transform(rs, r -> substring(text, " +
-          "CAST(r.cs + 1 AS INT), CAST(r.cl AS INT))), '')")
-          .as("clean_text"))
+        expr("decode(aggregate(rs, CAST('' AS BINARY), (acc, r) -> " +
+          "concat(acc, substring(payload, CAST(r.cs + 1 AS INT), " +
+          "CAST(r.cl AS INT)))), 'UTF-8')").as("clean_text"))
       .withColumn("clean_len", length(col("clean_text")).cast("long"))
       .orderBy("doc_id")
   }

@@ -2,18 +2,20 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Persisted-index cache keyed by (session, dataset dir, source file
-  * mtime), shared by [[DedupOps]] (LSH buckets) and [[SimilarityOps]]
-  * (ANN bucket+norm index).
+/** Persisted-index cache keyed by (SparkContext, dataset dir, source
+  * file mtime), shared by [[DedupOps]] (LSH buckets) and
+  * [[SimilarityOps]] (ANN bucket+norm index). Context-keyed so
+  * `newSession()` clones reuse the parent's relation (see the note on
+  * the map below).
   *
   * The mtime in the key makes an in-place overwrite of the source
   * parquet rebuild transparently; [[getOrBuild]] additionally EVICTS
   * the superseded entry (unpersist + remove) the moment a new mtime is
-  * seen for the same (session, dir) — round 2 left stale relations
+  * seen for the same (context, dir) — round 2 left stale relations
   * pinned in executor storage until a manual invalidate. Entries whose
-  * session has been stopped are evicted on the same sweep (a stopped
-  * session's persisted blocks are gone anyway; keeping the entry just
-  * pins the dead session object).
+  * context has been stopped are evicted on the same sweep (a stopped
+  * context's persisted blocks are gone anyway; keeping the entry just
+  * pins the dead objects).
   *
   * A FAILED mtime stat (`None`) is a no-op, not an eviction: the
   * caller gets whatever live entry exists for (session, dir) — round
@@ -58,24 +60,36 @@ private[graft] object IndexCache {
 private[graft] final class IndexCache {
   import IndexCache.release
 
+  // Keyed by SparkContext, NOT SparkSession: `newSession()` clones
+  // (e.g. [[StreamOps]]'s replay sessions) share the context and must
+  // REUSE the parent's persisted relation, not rebuild a twin under a
+  // fresh session key. Round 6 keyed by session, so every stream-gate
+  // replay clone re-ran the build closure and published an entry that
+  // no sweep could ever evict (its session never stops and its mtime
+  // never changes) — exactly the interleaving surface flagged against
+  // `text_cdc_dedup`. A cached DataFrame is bound to the session that
+  // built it, but executing it from a sibling session of the same
+  // context is sound: the plan is already analyzed and the blocks
+  // live in context-wide storage (CdcDeterminismSpec pins this).
   private val m = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Long), DataFrame]
+    .empty[(org.apache.spark.SparkContext, String, Long), DataFrame]
 
   def getOrBuild(s: SparkSession, d: String, mtime: Option[Long])
       (build: => DataFrame): DataFrame = {
+    val sc = s.sparkContext
     m.keys.foreach { k =>
       val superseded =
-        mtime.exists(mt => k._1 == s && k._2 == d && k._3 != mt)
-      if (superseded || k._1.sparkContext.isStopped)
+        mtime.exists(mt => (k._1 eq sc) && k._2 == d && k._3 != mt)
+      if (superseded || k._1.isStopped)
         m.remove(k).foreach(release)
     }
     val key = mtime match {
-      case Some(mt) => (s, d, mt)
+      case Some(mt) => (sc, d, mt)
       case None =>
-        // stat failed: reuse the live entry for (s, d) if one exists;
+        // stat failed: reuse the live entry for (sc, d) if one exists;
         // only when nothing is cached do we build under a 0 key (the
         // next successful stat sweeps it as superseded)
-        m.keys.find(k => k._1 == s && k._2 == d).getOrElse((s, d, 0L))
+        m.keys.find(k => (k._1 eq sc) && k._2 == d).getOrElse((sc, d, 0L))
     }
     m.get(key) match {
       case Some(df) => df
@@ -101,5 +115,6 @@ private[graft] final class IndexCache {
   }
 
   /** Test hook: live cache keys. */
-  private[graft] def keys: Set[(SparkSession, String, Long)] = m.keySet.toSet
+  private[graft] def keys
+      : Set[(org.apache.spark.SparkContext, String, Long)] = m.keySet.toSet
 }

@@ -249,7 +249,16 @@ object MultimodalOps {
     * payload bytes never leave the scan) and shared by
     * [[mmCdcDedup]], [[mmNearDup]]'s verification stage, and
     * [[DedupOps]]'s `text_cdc_dedup` — round 6 initially recomputed
-    * the corpus-wide CDC+md5 scan inside each consumer. */
+    * the corpus-wide CDC+md5 scan inside each consumer.
+    *
+    * `localCheckpoint` (eager), not `persist`: the lineage is CUT, so
+    * every consumer — including `newSession()` replay clones and
+    * late-running queries after storage pressure — reads the SAME
+    * immutable materialized blocks; there is no silent-recompute path
+    * at all, and a lost block fails loud instead of quietly re-scanning
+    * (CdcDeterminismSpec runs the whole consumer family against this).
+    * One checkpoint per context: the cache is context-keyed, so replay
+    * clones can never materialize a private twin. */
   private[graft] def chunkStore(s: SparkSession, d: String): DataFrame =
     chunkCache.getOrBuild(s, d, docsMtime(d)) {
       val cs = withPayload(graft.sources.Tables.documents(s, d))
@@ -267,8 +276,7 @@ object MultimodalOps {
           md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
             "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"),
           (col("se.ends") - col("se.starts")).as("chunk_len"))
-        .persist()
-      cs.count() // materialize once
+        .localCheckpoint() // eager: materialize once, cut the lineage
       cs
     }
 

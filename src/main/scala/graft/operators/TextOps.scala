@@ -290,23 +290,31 @@ object TextOps {
     * `decision = 'keep'`.
     *
     * Scale shape: the per-doc scores are one codegen'd projection; the
-    * only shuffle is the exact-dup canonical groupBy (at 100 TB you'd
-    * key it on a 64-bit text fingerprint instead of the text itself to
-    * shrink the shuffle payload — same plan shape). Rule order is
-    * fixed, so the decision is deterministic however the stages are
-    * fused. */
+    * only shuffle is the exact-dup canonical groupBy — keyed on a
+    * 128-bit md5 TEXT FINGERPRINT, never the text itself, so both the
+    * groupBy and the canon join move 16 bytes per row where round 6
+    * moved the whole corpus through the exchange twice (the repo's own
+    * `mm_payload_dedup` discipline, now applied here; PlanSpec pins
+    * that no hash exchange carries `text`). An md5 collision would
+    * need ~2^64 distinct docs to reach even birthday odds — at any
+    * realizable corpus size the fingerprint equality IS text equality,
+    * so the result is bit-identical to the text-keyed oracle. Rule
+    * order is fixed, so the decision is deterministic however the
+    * stages are fused. */
   val docKeepDecision: Q = (s, d) => {
+    val fp = md5(col("text").cast("binary"))
     val canon = docs(s, d)
-      .groupBy(col("text")).agg(min(col("doc_id")).as("canonical_id"))
+      .select(col("doc_id"), fp.as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
     val nTok = size(toks).cast("long")
     val grams = Hashing.ngrams(toks, 3)
     val dupRatio = when(nTok >= 3,
       (size(grams) - size(array_distinct(grams))).cast("double") /
         size(grams).cast("double")).otherwise(0.0)
     docs(s, d)
-      .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
+      .select(col("doc_id"), fp.as("fp"), nTok.as("n_tokens"),
         dupRatio.as("dup_ratio"))
-      .join(canon, "text")
+      .join(canon, "fp")
       .select(col("doc_id"), col("n_tokens"), col("dup_ratio"),
         when(col("doc_id") =!= col("canonical_id"), "exact_dup")
           .when(col("n_tokens") < KeepMinTokens, "too_short")
@@ -324,19 +332,25 @@ object TextOps {
     * per stage); the 4-row reshape is a `stack` on the 1-row result.
     * All-integer until the exact survival divisions. */
   val docFilterFunnel: Q = (s, d) => {
+    // same 16-byte md5 fingerprint keying as [[docKeepDecision]]: the
+    // canon groupBy + join shuffle digests and scalars, never the text
+    val fp = md5(col("text").cast("binary"))
     val canon = docs(s, d)
-      .groupBy(col("text")).agg(min(col("doc_id")).as("canonical_id"))
+      .select(col("doc_id"), fp.as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
     val nTok = size(toks).cast("long")
     val grams = Hashing.ngrams(toks, 3)
     val dupRatio = when(nTok >= 3,
       (size(grams) - size(array_distinct(grams))).cast("double") /
         size(grams).cast("double")).otherwise(0.0)
     val surviveDedup = col("doc_id") === col("canonical_id")
-    val surviveLen = surviveDedup && nTok >= KeepMinTokens
-    val surviveRep = surviveLen && dupRatio <= KeepMaxDupRatio
+    val surviveLen = surviveDedup && col("nt") >= KeepMinTokens
+    val surviveRep = surviveLen && col("dr") <= KeepMaxDupRatio
     def hits(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     docs(s, d)
-      .join(canon, "text")
+      .select(col("doc_id"), fp.as("fp"), nTok.as("nt"),
+        dupRatio.as("dr"))
+      .join(canon, "fp")
       .agg(count(lit(1)).as("n0"), hits(surviveDedup).as("n1"),
         hits(surviveLen).as("n2"), hits(surviveRep).as("n3"))
       .select(expr(

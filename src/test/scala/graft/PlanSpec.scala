@@ -238,6 +238,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("curation gates: the exact-dup canon is fingerprint-keyed — no " +
+      "hash exchange carries the text column") {
+    // round 6 keyed the canon on the text itself, moving the whole
+    // corpus through the exchange twice per gate (the #1 and #2 most
+    // expensive bench queries); the canon now groups and joins on a
+    // 16-byte md5 fingerprint, so document bytes stay in the scan
+    for (q <- Seq("doc_keep_decision", "doc_filter_funnel", "doc_manifest")) {
+      val qe = SparkEntry.queries(q)(spark, Sf).queryExecution
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+                .HashPartitioning] => e
+      }
+      assert(exchanges.nonEmpty, s"$q: expected the canon shuffles")
+      for (e <- exchanges; a <- e.output)
+        assert(a.name != "text",
+          s"$q: hash exchange must not carry document text: " +
+            e.output.map(_.name))
+    }
+  }
+
   test("recall gates broadcast the query side — never a cartesian") {
     // the exact-truth side is a DELIBERATE brute-force over the
     // NQueries-row query set; the pin is that the tiny side is

@@ -78,6 +78,23 @@ class SubstrDedupSpec extends SparkSpec {
     }
   }
 
+  test("non-ASCII documents round-trip byte-for-byte through the " +
+      "removal pass") {
+    // 2-byte (é, ö) and 3-byte (—) UTF-8 sequences: byte offsets and
+    // char offsets diverge, so the round-6 reassembly — which sliced
+    // the STRING with CDC's BYTE offsets — corrupted exactly these
+    // docs; the binary-slice reassembly must round-trip them exactly
+    val t1 = "héllo wörld — çafé übër " * 40
+    val t2 = junk(7L, 700)
+    val dir = writeDocs(Seq(1L -> t1, 2L -> t2))
+    val out = SparkEntry.queries("text_cdc_remove")(spark, dir)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(out(1L) === t1,
+      "untouched non-ASCII doc must round-trip exactly")
+    assert(out(2L) === t2)
+  }
+
   test("a boilerplate-frequency chunk (df > MaxChunkDf) is excluded " +
       "from pair generation") {
     // 70 docs all carrying the same passage: df=70 > MaxChunkDf=64,
