@@ -60,6 +60,7 @@ object DedupOps {
   def invalidateIndexes(): Unit = {
     bucketCache.invalidate()
     componentCache.invalidate()
+    mergedCache.invalidate()
   }
 
   /** Exact dedup: canonical (min) doc per identical text. */
@@ -562,12 +563,18 @@ object DedupOps {
     *
     * Per delta doc: candidate count, whether the index recognized its
     * own original (`self_hit` — the re-crawl link), and the verdict. */
-  val dedupDeltaProbe: Q = (s, d) => {
-    val delta = docs(s, d)
+  /** The derived daily-ingest batch shared by [[dedupDeltaProbe]] and
+    * [[dedupIndexMerge]]: a prefix-edited re-crawl of every
+    * [[DeltaTag]]-tagged doc, at [[DeltaIdOffset]]-shifted ids. */
+  private def deltaBatch(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .filter(charHash(col("doc_id").cast("string")) % 10 === DeltaTag)
       .select((col("doc_id") + DeltaIdOffset).as("doc_id"),
         col("doc_id").as("orig_id"),
         concat(lit("UPDATE: "), col("text")).as("text"))
+
+  val dedupDeltaProbe: Q = (s, d) => {
+    val delta = deltaBatch(s, d)
     val cand = bucketRows(delta.select(col("doc_id"), col("text")))
       .join(buckets(s, d)
         .select(col("band"), col("bucket"), col("doc_id").as("cand_id")),
@@ -588,6 +595,45 @@ object DedupOps {
           .otherwise("new").as("verdict"))
       .orderBy("doc_id")
   }
+
+  /** The merged-index cache ([[dedupIndexMerge]]): per (context, dir,
+    * mtime), the corpus bucket index EXTENDED by the delta batch's
+    * rows. A new mtime atomically supersedes the entry; its release
+    * frees only the appended checkpoint blocks (the corpus side is
+    * [[bucketCache]]'s entry, shared by plan, never private copies). */
+  private val mergedCache = new IndexCache
+
+  /** INDEX MERGE — completes [[dedupDeltaProbe]]'s delta story: the
+    * daily batch's bucket rows are APPENDED to the persisted corpus
+    * index instead of triggering the all-or-nothing mtime rebuild.
+    * Only the delta rows are computed and materialized (an eager
+    * `localCheckpoint` of O(delta) rows); the corpus side of the
+    * published union scans [[buckets]]'s existing cached blocks, so a
+    * daily merge costs O(delta) — IndexMergeSpec pins that exactly
+    * one new persisted relation appears and the old cache entry is
+    * untouched. Publication via [[IndexCache]] is the atomic
+    * supersede: consumers see either the old index or the merged one,
+    * and eviction of a superseded merge frees ONLY the appended
+    * checkpoint blocks ([[IndexCache.release]] unpersists LogicalRDD
+    * leaves; the corpus side is an InMemoryRelation owned by
+    * [[bucketCache]]).
+    *
+    * The oracle rebuilds the index from scratch over corpus ∪ delta —
+    * bit-equality IS the merge ≡ rebuild proof (per-doc bucket rows
+    * depend only on the doc, so append is semantically exact). */
+  val dedupIndexMerge: Q = (s, d) => {
+    mergedBuckets(s, d)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .orderBy("doc_id", "band")
+  }
+
+  private[graft] def mergedBuckets(s: SparkSession, d: String): DataFrame =
+    mergedCache.getOrBuild(s, d, docsMtime(d)) {
+      val deltaBk = bucketRows(
+        deltaBatch(s, d).select(col("doc_id"), col("text")))
+        .localCheckpoint() // eager: materialize ONLY the appended rows
+      buckets(s, d).unionByName(deltaBk)
+    }
 
   /** REMOVAL pass of the substring tier (`text_cdc_remove`) — the
     * dedup ladder's payoff on [[textCdcDedup]]'s findings: each CDC
@@ -814,6 +860,7 @@ object DedupOps {
     "dedup_cross_source" -> dedupCrossSource,
     "dedup_incremental" -> dedupIncremental,
     "dedup_delta_probe" -> dedupDeltaProbe,
+    "dedup_index_merge" -> dedupIndexMerge,
     "text_cdc_remove" -> textCdcRemove,
     "dedup_minhash_est" -> dedupMinhashEst,
     "dedup_keep_best" -> dedupKeepBest)
@@ -1237,6 +1284,24 @@ object DedupOps {
           FROM delta d
           LEFT JOIN roll r ON d.doc_id = r.doc_id
           ORDER BY d.doc_id""",
+    // full REBUILD of the index over corpus ∪ delta: bit-equality
+    // against Spark's append-only merge IS the merge ≡ rebuild proof
+    "dedup_index_merge" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          delta AS (
+            SELECT doc_id + $DeltaIdOffset AS doc_id,
+              doc_id AS orig_id,
+              'UPDATE: ' || text AS text
+            FROM documents
+            WHERE ${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10
+              = $DeltaTag),
+          ${sqlSignaturesAs("dsig", "delta")},
+          ${sqlBucketsAs("dbuckets", "dsig")}
+          SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket FROM buckets
+            UNION ALL
+            SELECT doc_id, band, bucket FROM dbuckets)
+          ORDER BY doc_id, band""",
     "dedup_simhash_clusters" ->
       s"""SELECT simhash, MIN(doc_id) AS canonical_id,
           COUNT(*) AS cluster_size
