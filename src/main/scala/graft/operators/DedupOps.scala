@@ -635,23 +635,18 @@ object DedupOps {
       buckets(s, d).unionByName(deltaBk)
     }
 
-  /** REMOVAL pass of the substring tier (`text_cdc_remove`) — the
-    * dedup ladder's payoff on [[textCdcDedup]]'s findings: each CDC
-    * chunk whose digest is shared by 2..[[MaxChunkDf]] distinct docs
-    * is kept ONLY in its canonical (min-id) owner and stripped from
-    * every later doc; unique digests always stay, and digests over
-    * the cap are deliberately left to the boilerplate removal pass
-    * (`text_remove_boilerplate`) — same division of labor as the
-    * detector. Output IS the cleaned corpus (no smaller answer
-    * exists), with per-doc kept/total chunk counts.
-    *
-    * Shape for 100 TB: the ownership relation is two combinable aggs
-    * over the persisted chunk store; the per-doc reassembly shuffles
-    * only (chunk_idx, offset, length) triples — document BYTES stay
-    * in the scan stage until the final doc_id equi-join rebuilds the
-    * kept ranges with one narrow substring projection. */
-  val textCdcRemove: Q = (s, d) => {
-    val chunks = docs(s, d)
+  /** The strip engine shared by [[textCdcRemove]] (batch, canonical-
+    * owner semantics) and [[StreamOps]]'s `stream_cdc_strip` (ingest,
+    * corpus-always-wins semantics): CDC-chunk `docsWithText`
+    * (doc_id, text) over the UTF-8 bytes, drop every chunk whose
+    * digest appears in `owners` (chunk_md5, owner) under a DIFFERENT
+    * owner, and reassemble the kept byte ranges. Unmatched digests
+    * always stay; an owner equal to the doc itself keeps its copy.
+    * The reassembly shuffles only (chunk_idx, offset, len) triples —
+    * document bytes stay in scan stages (PlanSpec pin). */
+  private[graft] def cdcStripAgainst(docsWithText: DataFrame,
+      owners: DataFrame): DataFrame = {
+    val chunks = docsWithText
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .withColumn("byte_len", length(col("payload")).cast("long"))
       .filter(col("byte_len") > 0)
@@ -668,12 +663,6 @@ object DedupOps {
         (col("se.ends") - col("se.starts")).as("clen"),
         md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
           "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"))
-    val owners = MultimodalOps.chunkStore(s, d)
-      .groupBy(col("chunk_md5"))
-      .agg(countDistinct(col("doc_id")).as("dfd"),
-        min(col("doc_id")).as("owner"))
-      .filter(col("dfd").between(2, MaxChunkDf))
-      .select(col("chunk_md5"), col("owner"))
     val tagged = chunks.join(owners, Seq("chunk_md5"), "left")
       .withColumn("keep",
         col("owner").isNull || col("owner") === col("doc_id"))
@@ -692,7 +681,7 @@ object DedupOps {
     // chunk boundary can in principle split a multi-byte sequence,
     // but only at a REMOVED splice point — untouched documents
     // round-trip byte-for-byte by construction.
-    docs(s, d)
+    docsWithText
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .join(roll, Seq("doc_id"))
       .select(col("doc_id"), col("n_chunks"), col("n_kept"),
@@ -700,6 +689,30 @@ object DedupOps {
           "concat(acc, substring(payload, CAST(r.cs + 1 AS INT), " +
           "CAST(r.cl AS INT)))), 'UTF-8')").as("clean_text"))
       .withColumn("clean_len", length(col("clean_text")).cast("long"))
+  }
+
+  /** REMOVAL pass of the substring tier (`text_cdc_remove`) — the
+    * dedup ladder's payoff on [[textCdcDedup]]'s findings: each CDC
+    * chunk whose digest is shared by 2..[[MaxChunkDf]] distinct docs
+    * is kept ONLY in its canonical (min-id) owner and stripped from
+    * every later doc; unique digests always stay, and digests over
+    * the cap are deliberately left to the boilerplate removal pass
+    * (`text_remove_boilerplate`) — same division of labor as the
+    * detector. Output IS the cleaned corpus (no smaller answer
+    * exists), with per-doc kept/total chunk counts.
+    *
+    * Shape for 100 TB: the ownership relation is two combinable aggs
+    * over the persisted chunk store; the strip/reassembly is
+    * [[cdcStripAgainst]] — shared verbatim with the streaming ingest
+    * gate `stream_cdc_strip`, which runs it per micro-batch. */
+  val textCdcRemove: Q = (s, d) => {
+    val owners = MultimodalOps.chunkStore(s, d)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("dfd"),
+        min(col("doc_id")).as("owner"))
+      .filter(col("dfd").between(2, MaxChunkDf))
+      .select(col("chunk_md5"), col("owner"))
+    cdcStripAgainst(docs(s, d).select(col("doc_id"), col("text")), owners)
       .orderBy("doc_id")
   }
 
@@ -900,6 +913,66 @@ object DedupOps {
         JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
         JOIN tagged ty ON y.doc_id = ty.doc_id AND NOT ty.is_new
         ORDER BY x.doc_id, x.band, x.bucket, y.doc_id"""
+
+  /** Batch oracle for [[StreamOps]]'s `stream_cdc_strip`: incoming
+    * (is_new) docs re-chunked, every chunk whose digest exists on the
+    * corpus side (non-new docs, df ≤ [[MaxChunkDf]]) stripped, kept
+    * chunks reassembled in position order — the within-document E6
+    * route: strip the duplicated passage, admit the rest. */
+  private[graft] def sqlCdcStrip: String = {
+    val W = graft.functions.CdcBoundaries.Window
+    val D = graft.functions.CdcBoundaries.Divisor
+    val bl = "CAST(octet_length(encode(text)) AS BIGINT)"
+    s"""WITH b AS (
+          SELECT doc_id, text, $bl AS n,
+            list_filter(range($W, $bl),
+              o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(o - $W + 1, o + 1),
+                       j -> CAST(ascii(text[j]) AS BIGINT))),
+                     (h, c) -> (h * 31 + c) % ${graft.functions.Hashing.P})
+                   % $D = 0) AS bs
+          FROM documents WHERE $bl > 0),
+        se AS (
+          SELECT doc_id, text,
+            list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+            list_append(bs, n) AS ends
+          FROM b),
+        ch AS (
+          SELECT doc_id, i,
+            substring(text, CAST(starts[i] + 1 AS BIGINT),
+              CAST(ends[i] - starts[i] AS BIGINT)) AS txt,
+            md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+              CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5
+          FROM (SELECT doc_id, text, starts, ends,
+                  unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                    AS i
+                FROM se) z),
+        tagged AS (
+          SELECT doc_id,
+            ${graft.functions.Hashing
+              .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10 = 7 AS is_new
+          FROM documents),
+        corpus AS (
+          SELECT c.chunk_md5
+          FROM ch c JOIN tagged t ON c.doc_id = t.doc_id AND NOT t.is_new
+          GROUP BY c.chunk_md5
+          HAVING COUNT(DISTINCT c.doc_id) <= $MaxChunkDf),
+        strip AS (
+          SELECT c.doc_id, c.i, c.txt, (k.chunk_md5 IS NULL) AS keep
+          FROM ch c
+          JOIN tagged t ON c.doc_id = t.doc_id AND t.is_new
+          LEFT JOIN corpus k ON c.chunk_md5 = k.chunk_md5),
+        roll AS (
+          SELECT doc_id,
+            COUNT(*) AS n_chunks,
+            CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+            COALESCE(string_agg(txt, '' ORDER BY i)
+              FILTER (WHERE keep), '') AS clean_text
+          FROM strip GROUP BY doc_id)
+        SELECT doc_id, n_chunks, n_kept, clean_text,
+          CAST(length(clean_text) AS BIGINT) AS clean_len
+        FROM roll ORDER BY doc_id"""
+  }
 
   val oracle: Map[String, String] = Map(
     "text_cdc_dedup" -> {

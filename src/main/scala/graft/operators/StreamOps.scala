@@ -529,7 +529,56 @@ object StreamOps {
       .orderBy("doc_id", "chunk_md5", "cand_id")
   }
 
+  /** Substring-tier STRIP at the ingest gate — the within-document
+    * E6 classify-and-route: where [[streamCdcCandidates]] only flags
+    * an incoming doc that shares rare chunks with the corpus, this
+    * gate STRIPS the duplicated passages and admits the rest — the
+    * corpus always keeps its copy (owner sentinel −1 never matches an
+    * incoming id), unique content always survives, and df-over-cap
+    * digests stay with the boilerplate pass.
+    *
+    * Execution shape: `foreachBatch` + [[DedupOps.cdcStripAgainst]] —
+    * the per-doc reassembly needs a grouping, but only WITHIN the
+    * micro-batch each doc arrives in (docs arrive whole), so running
+    * the batch strip engine per micro-batch keeps the unbounded-safe
+    * contract: ZERO streaming state store (StreamGateSpec), no
+    * watermark, cross-batch memory strictly the persisted chunk
+    * store. This is exactly the reference's K1 `Output.save` sink
+    * role (reference Services.scala:70-73) carrying a real transform.
+    * At 100 TB the static side is the persisted corpus digest
+    * relation, re-planned per micro-batch like the other gates. */
+  val streamCdcStrip: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def isNew(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    // corpus-owned digests (df-capped): owner -1 = "the corpus", so
+    // every incoming copy of a corpus chunk is stripped
+    val corpusOwned = MultimodalOps.chunkStore(s, d)
+      .filter(!isNew(col("doc_id")))
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") <= DedupOps.MaxChunkDf)
+      .select(col("chunk_md5"), lit(-1L).as("owner"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-strip").toString
+    val q = docsStream(s, d)
+      .filter(isNew(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        DedupOps.cdcStripAgainst(batch, corpusOwned)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        col("clean_text"), col("clean_len"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_cdc_strip" -> streamCdcStrip,
     "stream_cdc_candidates" -> streamCdcCandidates,
     "stream_ann_upsert" -> streamAnnUpsert,
     "stream_hourly" -> streamHourly,
@@ -546,6 +595,7 @@ object StreamOps {
 
   val oracle: Map[String, String] = Map(
     "stream_cdc_candidates" -> MultimodalOps.sqlCdcCandidates,
+    "stream_cdc_strip" -> DedupOps.sqlCdcStrip,
     "stream_ann_upsert" -> SimilarityOps.sqlAnnUpsertHits,
     "stream_neardup_candidates" -> DedupOps.sqlNeardupCandidates,
     "stream_conversion_window" ->

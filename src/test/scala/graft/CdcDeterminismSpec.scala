@@ -27,7 +27,8 @@ class CdcDeterminismSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, Sf).collect().map(_.toString).toSeq
 
   private val Family = Seq("mm_cdc_dedup", "mm_near_dup",
-    "stream_cdc_candidates", "text_cdc_remove", "dedup_delta_probe")
+    "stream_cdc_candidates", "stream_cdc_strip", "text_cdc_remove",
+    "dedup_delta_probe")
 
   test("text_cdc_dedup is byte-identical across repeated consumer-family " +
       "runs, replay-clone interleaving, and forced chunk-store eviction") {

@@ -117,6 +117,51 @@ class StreamGateSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("substring STRIP gate keeps zero streaming state and is " +
+      "byte-equal to its batch mirror") {
+    import graft.operators.MultimodalOps
+    val corpusOwned = MultimodalOps.chunkStore(spark, Sf)
+      .filter(!isNew(col("doc_id")))
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") <= DedupOps.MaxChunkDf)
+      .select(col("chunk_md5"), lit(-1L).as("owner"))
+    val incoming = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(isNew(col("doc_id")))
+    val expected = DedupOps.cdcStripAgainst(incoming, corpusOwned)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(expected.nonEmpty, "sf0.001 must have incoming docs to strip")
+
+    // the deployed gate, end to end (foreachBatch + parquet sink)
+    val got = SparkEntry.queries("stream_cdc_strip")(spark, Sf)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got === expected,
+      "the streaming strip must be byte-equal to the batch strip")
+
+    // statelessness pinned on the same shape driven by MemoryStream:
+    // the grouping lives INSIDE each micro-batch's batch job, never
+    // in a streaming state store
+    val in = MemoryStream[(Long, String)]
+    in.addData(incoming.as[(Long, String)].collect().toSeq: _*)
+    val outDir = tmpDir("strip-gate")
+    val q = in.toDF.toDF("doc_id", "text")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        DedupOps.cdcStripAgainst(b, corpusOwned)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+      "the strip gate must not allocate any state store")
+    val viaMemStream = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        col("clean_text"), col("clean_len"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(viaMemStream === expected)
+  }
+
   test("ANN upsert gate is stateless and bit-equal to its batch mirror") {
     import graft.operators.SimilarityOps
     val corpus = SimilarityOps.upsertCorpus(spark, Sf, isNew(_))
