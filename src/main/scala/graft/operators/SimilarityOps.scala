@@ -87,6 +87,7 @@ object SimilarityOps {
     pqCache.invalidate()
     labelCentCache.invalidate()
     embCompCache.invalidate()
+    annMergedCache.invalidate()
   }
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
@@ -988,6 +989,46 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** The merged-ANN-index cache ([[annIndexMerge]]) — the embedding
+    * side of [[DedupOps]]'s mergedCache: per (context, dir, mtime),
+    * the persisted bucket index EXTENDED by the delta batch's rows;
+    * eviction frees only the appended checkpoint blocks. */
+  private val annMergedCache = new IndexCache
+
+  /** ANN index MERGE — completes [[annIndexUpsert]]'s upsert story
+    * exactly as `dedup_index_merge` completes `dedup_delta_probe`'s:
+    * the vectors the upsert gate verdicts `insert`-worthy must
+    * actually LAND in the index without the all-or-nothing mtime
+    * rebuild. The delta batch (a re-embed of every
+    * [[DedupOps.DeltaTag]]-tagged vector at offset ids —
+    * `dedup_delta_probe`'s derivation convention on the embedding
+    * table) is projected to (vec_id, embedding, label, bucket, norm)
+    * rows and APPENDED: only the O(delta) rows are computed and
+    * materialized (eager `localCheckpoint`); the corpus side of the
+    * published union scans [[bucketed]]'s existing cached blocks
+    * (AnnIndexMergeSpec pins one new persisted relation + untouched
+    * corpus entry). The oracle rebuilds (bucket, norm) from scratch
+    * over corpus ∪ delta — bit-equality, including the DOUBLE norms,
+    * IS the merge ≡ rebuild proof. */
+  val annIndexMerge: Q = (s, d) => {
+    mergedAnnIndex(s, d)
+      .select(col("vec_id"), col("bucket"), col("norm"))
+      .orderBy("vec_id")
+  }
+
+  private[graft] def mergedAnnIndex(s: SparkSession, d: String): DataFrame =
+    annMergedCache.getOrBuild(s, d, embMtime(d)) {
+      val deltaRows = emb(s, d)
+        .filter(graft.functions.Hashing.charHash(
+          col("vec_id").cast("string")) % 10 === DedupOps.DeltaTag)
+        .select((col("vec_id") + DedupOps.DeltaIdOffset).as("vec_id"),
+          col("embedding"), col("label"),
+          bucketCol(col("embedding")).as("bucket"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+        .localCheckpoint() // eager: materialize ONLY the appended rows
+      bucketed(s, d).unionByName(deltaRows)
+    }
+
   /** Embedding QA: each vector's squared distance to its OWN label
     * centroid, flagged against that label's p95 distance — the
     * mislabeled/outlier shortlist fed to human review or re-embedding
@@ -1057,6 +1098,7 @@ object SimilarityOps {
 
   val defs: Map[String, Q] = Map(
     "ann_index_upsert" -> annIndexUpsert,
+    "ann_index_merge" -> annIndexMerge,
     "emb_outliers" -> embOutliers,
     "emb_winsorize" -> embWinsorize,
     "knn_brute" -> knnBrute,
@@ -1304,6 +1346,22 @@ object SimilarityOps {
                  ELSE 'insert' END AS verdict
           FROM wb b LEFT JOIN pr ON b.vec_id = pr.vec_id
           WHERE b.is_new ORDER BY b.vec_id""",
+    // full REBUILD of (bucket, norm) over corpus ∪ delta: bit-equality
+    // against Spark's append-only merge — DOUBLE norms included — IS
+    // the merge ≡ rebuild proof
+    "ann_index_merge" ->
+      s"""WITH allv AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + ${DedupOps.DeltaIdOffset} AS vec_id, embedding
+            FROM embeddings
+            WHERE ${graft.functions.Hashing
+              .sqlCharHash("CAST(vec_id AS VARCHAR)")} % 10
+              = ${DedupOps.DeltaTag})
+          SELECT vec_id,
+            ${sqlBucket("embedding")} AS bucket,
+            sqrt(${sqlDot("embedding", "embedding")}) AS norm
+          FROM allv ORDER BY vec_id""",
     "knn_brute" -> sqlKnnBrute,
     "ann_hard_negatives" -> sqlTopK(
       s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
