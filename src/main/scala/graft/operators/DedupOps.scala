@@ -974,7 +974,13 @@ object DedupOps {
         FROM roll ORDER BY doc_id"""
   }
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracle strings interpolate constants from SIBLING operator
+  // objects (TextOps -> SimilarityOps.Dims, SimilarityOps -> DedupOps
+  // delta constants, DedupOps -> TextOps.oracle), so eager init here
+  // would make the map's value depend on which object the JVM
+  // happened to initialize first (a mid-cycle read sees null). Lazy
+  // defers interpolation past every clinit.
+  lazy val oracle: Map[String, String] = Map(
     "text_cdc_dedup" -> {
       val W = graft.functions.CdcBoundaries.Window
       val D = graft.functions.CdcBoundaries.Divisor

@@ -51,7 +51,13 @@ object EnrichOps {
     "enrich_pipeline" -> enrichPipeline,
     "enrich_dlq_routing" -> dlqRouting)
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracle strings interpolate constants from SIBLING operator
+  // objects (TextOps -> SimilarityOps.Dims, SimilarityOps -> DedupOps
+  // delta constants, DedupOps -> TextOps.oracle), so eager init here
+  // would make the map's value depend on which object the JVM
+  // happened to initialize first (a mid-cycle read sees null). Lazy
+  // defers interpolation past every clinit.
+  lazy val oracle: Map[String, String] = Map(
     "enrich_pipeline" ->
       s"""SELECT doc_id, reverse(text) AS reversed, upper(text) AS uppered,
           ${sqlSortedChars("text")} AS sorted_chars,

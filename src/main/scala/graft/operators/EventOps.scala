@@ -420,7 +420,13 @@ object EventOps {
     "ev_hourly_anomaly" -> evHourlyAnomaly,
     "ev_type_stats" -> evTypeStats)
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracle strings interpolate constants from SIBLING operator
+  // objects (TextOps -> SimilarityOps.Dims, SimilarityOps -> DedupOps
+  // delta constants, DedupOps -> TextOps.oracle), so eager init here
+  // would make the map's value depend on which object the JVM
+  // happened to initialize first (a mid-cycle read sees null). Lazy
+  // defers interpolation past every clinit.
+  lazy val oracle: Map[String, String] = Map(
     "ev_week_heatmap" ->
       """WITH cells AS (
            SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7

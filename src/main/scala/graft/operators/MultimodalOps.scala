@@ -454,7 +454,13 @@ object MultimodalOps {
         ORDER BY x.doc_id, x.chunk_md5, c.cand_id"""
   }
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracle strings interpolate constants from SIBLING operator
+  // objects (TextOps -> SimilarityOps.Dims, SimilarityOps -> DedupOps
+  // delta constants, DedupOps -> TextOps.oracle), so eager init here
+  // would make the map's value depend on which object the JVM
+  // happened to initialize first (a mid-cycle read sees null). Lazy
+  // defers interpolation past every clinit.
+  lazy val oracle: Map[String, String] = Map(
     "mm_resize" ->
       s"""SELECT doc_id,
            $sqlWidth AS width,

@@ -600,7 +600,13 @@ object Relational {
   private val discP = sqlDiscPrice("l_extendedprice", "l_discount")
   private val chargeP = sqlCharge("l_extendedprice", "l_discount", "l_tax")
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracle strings interpolate constants from SIBLING operator
+  // objects (TextOps -> SimilarityOps.Dims, SimilarityOps -> DedupOps
+  // delta constants, DedupOps -> TextOps.oracle), so eager init here
+  // would make the map's value depend on which object the JVM
+  // happened to initialize first (a mid-cycle read sees null). Lazy
+  // defers interpolation past every clinit.
+  lazy val oracle: Map[String, String] = Map(
     "pii_pseudonymize" ->
       s"""SELECT c_custkey,
           ${graft.functions.Hashing.sqlCharHash("c_name")} AS name_token,

@@ -1295,7 +1295,13 @@ object SimilarityOps {
         FROM af qa JOIN af ca ON qa.clabel = ca.clabel
         WHERE qa.vec_id < $NQueries AND ca.vec_id >= $NQueries""", TopK)
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracle strings interpolate constants from SIBLING operator
+  // objects (TextOps -> SimilarityOps.Dims, SimilarityOps -> DedupOps
+  // delta constants, DedupOps -> TextOps.oracle), so eager init here
+  // would make the map's value depend on which object the JVM
+  // happened to initialize first (a mid-cycle read sees null). Lazy
+  // defers interpolation past every clinit.
+  lazy val oracle: Map[String, String] = Map(
     "emb_winsorize" ->
       s"""WITH vals AS (
             SELECT vec_id, idx.i - 1 AS dim,

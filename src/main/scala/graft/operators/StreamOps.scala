@@ -593,7 +593,13 @@ object StreamOps {
     "stream_neardup_candidates" -> streamNeardupCandidates,
     "stream_conversion_window" -> streamConversionWindow)
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracle strings interpolate constants from SIBLING operator
+  // objects (TextOps -> SimilarityOps.Dims, SimilarityOps -> DedupOps
+  // delta constants, DedupOps -> TextOps.oracle), so eager init here
+  // would make the map's value depend on which object the JVM
+  // happened to initialize first (a mid-cycle read sees null). Lazy
+  // defers interpolation past every clinit.
+  lazy val oracle: Map[String, String] = Map(
     "stream_cdc_candidates" -> MultimodalOps.sqlCdcCandidates,
     "stream_cdc_strip" -> DedupOps.sqlCdcStrip,
     "stream_ann_upsert" -> SimilarityOps.sqlAnnUpsertHits,

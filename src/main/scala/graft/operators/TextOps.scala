@@ -1190,7 +1190,13 @@ object TextOps {
   private val sqlNStop =
     s"length(list_filter($sqlToks, t -> list_contains($sqlStopList, t)))"
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracle strings interpolate constants from SIBLING operator
+  // objects (TextOps -> SimilarityOps.Dims, SimilarityOps -> DedupOps
+  // delta constants, DedupOps -> TextOps.oracle), so eager init here
+  // would make the map's value depend on which object the JVM
+  // happened to initialize first (a mid-cycle read sees null). Lazy
+  // defers interpolation past every clinit.
+  lazy val oracle: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
           CAST(length(text) AS BIGINT) AS n_chars_actual,
