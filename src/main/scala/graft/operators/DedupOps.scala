@@ -566,7 +566,7 @@ object DedupOps {
   /** The derived daily-ingest batch shared by [[dedupDeltaProbe]] and
     * [[dedupIndexMerge]]: a prefix-edited re-crawl of every
     * [[DeltaTag]]-tagged doc, at [[DeltaIdOffset]]-shifted ids. */
-  private def deltaBatch(s: SparkSession, d: String): DataFrame =
+  private[graft] def deltaBatch(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .filter(charHash(col("doc_id").cast("string")) % 10 === DeltaTag)
       .select((col("doc_id") + DeltaIdOffset).as("doc_id"),

@@ -208,6 +208,7 @@ object MultimodalOps {
   def invalidateIndexes(): Unit = {
     nearDupCache.invalidate()
     chunkCache.invalidate()
+    chunkMergedCache.invalidate()
   }
 
   private def docsMtime(d: String): Option[Long] =
@@ -261,23 +262,63 @@ object MultimodalOps {
     * clones can never materialize a private twin. */
   private[graft] def chunkStore(s: SparkSession, d: String): DataFrame =
     chunkCache.getOrBuild(s, d, docsMtime(d)) {
-      val cs = withPayload(graft.sources.Tables.documents(s, d))
-        .withColumn("byte_len", length(col("payload")).cast("long"))
-        .filter(col("byte_len") > 0)
-        .withColumn("bs", org.apache.spark.sql.GraftColumn(
-          graft.functions.CdcBoundaries(
-            org.apache.spark.sql.GraftColumn.expr(col("payload")))))
-        .withColumn("starts", concat(array(lit(0L)), col("bs")))
-        .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
-        .select(col("doc_id"), col("payload"),
-          posexplode(arrays_zip(col("starts"), col("ends")))
-            .as(Seq("chunk_idx", "se")))
-        .select(col("doc_id"),
-          md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
-            "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"),
-          (col("se.ends") - col("se.starts")).as("chunk_len"))
+      chunkStoreRows(graft.sources.Tables.documents(s, d))
         .localCheckpoint() // eager: materialize once, cut the lineage
-      cs
+    }
+
+  /** The store-shaped (doc_id, chunk_md5, chunk_len) projection over
+    * an arbitrary (doc_id, text, …) relation — [[chunkStore]]'s build
+    * body, also run over the delta batch by [[mergedChunkStore]]. */
+  private def chunkStoreRows(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .filter(col("byte_len") > 0)
+      .withColumn("bs", org.apache.spark.sql.GraftColumn(
+        graft.functions.CdcBoundaries(
+          org.apache.spark.sql.GraftColumn.expr(col("payload")))))
+      .withColumn("starts", concat(array(lit(0L)), col("bs")))
+      .withColumn("ends", concat(col("bs"), array(col("byte_len"))))
+      .select(col("doc_id"), col("payload"),
+        posexplode(arrays_zip(col("starts"), col("ends")))
+          .as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"),
+        md5(expr("substring(payload, CAST(se.starts + 1 AS INT), " +
+          "CAST(se.ends - se.starts AS INT))")).as("chunk_md5"),
+        (col("se.ends") - col("se.starts")).as("chunk_len"))
+
+  /** The merged-chunk-store cache ([[mmCdcStoreMerge]]) — the
+    * substring-tier sibling of the two bucket-index merge caches. */
+  private val chunkMergedCache = new IndexCache
+
+  /** CHUNK-STORE MERGE (`mm_cdc_store_merge`) — the substring tier's
+    * delta completion, closing the triple: every persisted index
+    * family (lexical LSH buckets → `dedup_index_merge`, ANN buckets →
+    * `ann_index_merge`, CDC chunk store → this) now supports
+    * append-only daily maintenance instead of the all-or-nothing
+    * mtime rebuild. The delta batch ([[DedupOps.deltaBatch]]'s
+    * prefix-edited re-crawl derivation) is chunked+digested by the
+    * same one-pass engine and APPENDED: only O(delta) rows computed
+    * (eager `localCheckpoint`), the corpus side scans the existing
+    * checkpointed store (ChunkStoreMergeSpec pins both). The output
+    * is the per-(doc, digest) occurrence rollup — the dedup-store
+    * bookkeeping view (storage ∝ distinct chunks) — and the oracle
+    * recomputes it from scratch over corpus ∪ delta, so bit-equality
+    * IS the merge ≡ rebuild proof. A "UPDATE: "-prefixed re-crawl
+    * also demonstrates WHY the store merges cheaply: CDC boundaries
+    * re-synchronize 8 bytes past the edit, so a delta doc's digests
+    * overwhelmingly already exist in the store. */
+  val mmCdcStoreMerge: Q = (s, d) =>
+    mergedChunkStore(s, d)
+      .groupBy(col("doc_id"), col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occ"), sum(col("chunk_len")).as("sum_len"))
+      .orderBy("doc_id", "chunk_md5")
+
+  private[graft] def mergedChunkStore(s: SparkSession, d: String): DataFrame =
+    chunkMergedCache.getOrBuild(s, d, docsMtime(d)) {
+      val deltaRows = chunkStoreRows(
+        DedupOps.deltaBatch(s, d).select(col("doc_id"), col("text")))
+        .localCheckpoint() // eager: materialize ONLY the appended rows
+      chunkStore(s, d).unionByName(deltaRows)
     }
 
   /** The perceptual index relation (doc_id, phash, band, bucket):
@@ -397,6 +438,7 @@ object MultimodalOps {
     "mm_payload_dedup" -> mmPayloadDedup,
     "mm_cdc_chunk" -> mmCdcChunk,
     "mm_cdc_dedup" -> mmCdcDedup,
+    "mm_cdc_store_merge" -> mmCdcStoreMerge,
     "mm_near_dup" -> mmNearDup)
 
   // the fake-codec geometry exists ONCE as SQL fragments — mm_meta and
@@ -541,6 +583,49 @@ object MultimodalOps {
             COUNT(DISTINCT doc_id) AS n_docs,
             MIN(chunk_len) AS chunk_len
           FROM ch GROUP BY chunk_md5 ORDER BY chunk_md5"""
+    },
+    // full REBUILD of the chunk store over corpus ∪ delta, rolled up
+    // per (doc, digest): bit-equality against Spark's append-only
+    // merge IS the merge ≡ rebuild proof
+    "mm_cdc_store_merge" -> {
+      val W = graft.functions.CdcBoundaries.Window
+      val D = graft.functions.CdcBoundaries.Divisor
+      val P = graft.functions.Hashing.P
+      s"""WITH docs_all AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + ${DedupOps.DeltaIdOffset} AS doc_id,
+              'UPDATE: ' || text AS text
+            FROM documents
+            WHERE ${graft.functions.Hashing
+              .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10
+              = ${DedupOps.DeltaTag}),
+          b AS (
+            SELECT doc_id, text, CAST($sqlByteLen AS BIGINT) AS n,
+              list_filter(range($W, CAST($sqlByteLen AS BIGINT)),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % $P) % $D = 0) AS bs
+            FROM docs_all WHERE $sqlByteLen > 0),
+          se AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id,
+              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5,
+              ends[i] - starts[i] AS chunk_len
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                      AS i
+                  FROM se) z)
+          SELECT doc_id, chunk_md5, COUNT(*) AS n_occ,
+            CAST(SUM(chunk_len) AS BIGINT) AS sum_len
+          FROM ch GROUP BY doc_id, chunk_md5
+          ORDER BY doc_id, chunk_md5"""
     },
     "mm_near_dup" -> {
       import graft.functions.Hashing

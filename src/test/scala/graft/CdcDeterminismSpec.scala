@@ -28,7 +28,7 @@ class CdcDeterminismSpec extends SparkSpec {
 
   private val Family = Seq("mm_cdc_dedup", "mm_near_dup",
     "stream_cdc_candidates", "stream_cdc_strip", "text_cdc_remove",
-    "dedup_delta_probe")
+    "mm_cdc_store_merge", "dedup_delta_probe")
 
   test("text_cdc_dedup is byte-identical across repeated consumer-family " +
       "runs, replay-clone interleaving, and forced chunk-store eviction") {
