@@ -33,7 +33,11 @@ class ExactnessSpec extends SparkSpec {
       // distinct are all fixed by ordered keys / integer aggs
       "q28_ntile", "tf_bigram_lift", "ev_rolling_wau",
       // decimal-exact integer moments are this query's whole point
-      "corpus_correlations")
+      "corpus_correlations",
+      // round 7: the three index merges — the appended side's DOUBLE
+      // norms (ann) and the per-(doc,digest) integer rollups must not
+      // depend on how corpus and delta rows land in partitions
+      "dedup_index_merge", "ann_index_merge", "mm_cdc_store_merge")
 
   Queries.foreach { name =>
     test(s"$name is bit-identical under different shuffle partitionings") {
