@@ -989,6 +989,74 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** RRF smoothing constant (the standard k=60 from the public
+    * reciprocal-rank-fusion formulation). */
+  val RrfK = 60
+
+  /** HYBRID retrieval with reciprocal-rank fusion (`hybrid_rrf`) —
+    * the RAG-prep shape: per query vector, candidates are recalled by
+    * the ANN bucket probe (candidate-BOUNDED: one bucket equi-join
+    * against the persisted index, never a corpus scan), then each
+    * candidate is scored BOTH ways — vector cosine and lexical
+    * token-set overlap with the query's document (vec_id ≡ doc_id in
+    * this corpus) — and the two rankings are fused with
+    * RRF = 1/(k+r_lex) + 1/(k+r_vec), k=[[RrfK]]. Top-10 per query.
+    *
+    * Scale shape: candidates come only from the index probe (the
+    * tiny query side broadcasts); the lexical overlap is computed for
+    * candidate PAIRS only — the token explode-join is semi-joined to
+    * the candidate set first, so corpus text cost is ∝ candidates,
+    * not ∝ corpus. Ranks are integers; the fused score is the same
+    * two-division expression tree on both engines, and every ordering
+    * carries a cand_id tiebreak — bit-exact through the oracle. */
+  val hybridRrf: Q = (s, d) => {
+    val wb = bucketed(s, d)
+    val q = wb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("bucket"))
+    val c = wb.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("bucket"))
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("cand_id"),
+        cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+    // lexical overlap for candidate pairs only: distinct token rows,
+    // semi-joined down to the ids the probe surfaced
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.Hashing.tokens(col("text"))))
+          .as("tok"))
+    val ids = pairs.select(col("query_id").as("doc_id"))
+      .union(pairs.select(col("cand_id").as("doc_id"))).distinct()
+    val candToks = toks.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val lex = pairs.select("query_id", "cand_id")
+      .join(candToks.select(col("doc_id").as("query_id"), col("tok")),
+        Seq("query_id"))
+      .join(candToks.select(col("doc_id").as("cand_id"), col("tok")),
+        Seq("cand_id", "tok"))
+      .groupBy("query_id", "cand_id")
+      .agg(count(lit(1)).as("n_common"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_common").desc, col("cand_id"))
+    val wVec = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val ranked = pairs.join(lex, Seq("query_id", "cand_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .withColumn("r_lex", row_number().over(wLex))
+      .withColumn("r_vec", row_number().over(wVec))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("r_lex").cast("double")) +
+          lit(1.0) / (lit(60.0) + col("r_vec").cast("double")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("cand_id"))
+    ranked
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("n_common"), col("cos"), col("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The merged-ANN-index cache ([[annIndexMerge]]) — the embedding
     * side of [[DedupOps]]'s mergedCache: per (context, dir, mtime),
     * the persisted bucket index EXTENDED by the delta batch's rows;
@@ -1099,6 +1167,7 @@ object SimilarityOps {
   val defs: Map[String, Q] = Map(
     "ann_index_upsert" -> annIndexUpsert,
     "ann_index_merge" -> annIndexMerge,
+    "hybrid_rrf" -> hybridRrf,
     "emb_outliers" -> embOutliers,
     "emb_winsorize" -> embWinsorize,
     "knn_brute" -> knnBrute,
@@ -1352,6 +1421,55 @@ object SimilarityOps {
                  ELSE 'insert' END AS verdict
           FROM wb b LEFT JOIN pr ON b.vec_id = pr.vec_id
           WHERE b.is_new ORDER BY b.vec_id""",
+    "hybrid_rrf" ->
+      s"""WITH wb AS (
+            SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+            FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+                FROM wb WHERE vec_id < $NQueries),
+          c AS (SELECT vec_id AS cand_id, embedding AS ce, bucket
+                FROM wb WHERE vec_id >= $NQueries),
+          pairs AS (
+            SELECT q.query_id, c.cand_id,
+              ${sqlCosine("q.qe", "c.ce")} AS cos
+            FROM c JOIN q USING (bucket)),
+          toks AS (
+            SELECT doc_id,
+              unnest(list_distinct(${graft.functions.Hashing
+                .sqlTokens("text")})) AS tok
+            FROM documents),
+          lex AS (
+            SELECT p.query_id, p.cand_id, COUNT(*) AS n_common
+            FROM pairs p
+            JOIN toks a ON a.doc_id = p.query_id
+            JOIN toks b ON b.doc_id = p.cand_id AND b.tok = a.tok
+            GROUP BY p.query_id, p.cand_id),
+          ranked AS (
+            SELECT p.query_id, p.cand_id, p.cos,
+              CAST(COALESCE(l.n_common, 0) AS BIGINT) AS n_common,
+              ROW_NUMBER() OVER (PARTITION BY p.query_id
+                ORDER BY COALESCE(l.n_common, 0) DESC, p.cand_id) AS r_lex,
+              ROW_NUMBER() OVER (PARTITION BY p.query_id
+                ORDER BY p.cos DESC, p.cand_id) AS r_vec
+            FROM pairs p
+            LEFT JOIN lex l
+              ON p.query_id = l.query_id AND p.cand_id = l.cand_id),
+          fused AS (
+            SELECT query_id, cand_id, n_common, cos,
+              CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE)
+                + CAST(r_lex AS DOUBLE))
+              + CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE)
+                + CAST(r_vec AS DOUBLE)) AS rrf
+            FROM ranked),
+          topk AS (
+            SELECT query_id, cand_id, n_common, cos, rrf,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf DESC, cand_id) AS rank
+            FROM fused)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+            n_common, cos, rrf
+          FROM topk WHERE rank <= 10
+          ORDER BY query_id, rank""",
     // full REBUILD of (bucket, norm) over corpus ∪ delta: bit-equality
     // against Spark's append-only merge — DOUBLE norms included — IS
     // the merge ≡ rebuild proof

@@ -264,6 +264,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF recalls by bucket equi-join and bounds lexical " +
+      "scoring to probe candidates — no cartesian, no corpus text scan " +
+      "into a wide join") {
+    val p = physical("hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate recall must be the bucket equi-join, not all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 8-row query side must broadcast")
+  }
+
   test("recall gates broadcast the query side — never a cartesian") {
     // the exact-truth side is a DELIBERATE brute-force over the
     // NQueries-row query set; the pin is that the tiny side is
