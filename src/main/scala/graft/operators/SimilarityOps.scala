@@ -305,6 +305,59 @@ object SimilarityOps {
           .otherwise("test").as("split"))
       .orderBy("vec_id")
 
+  /** Lower bound of the semantic-contamination gray zone
+    * ([[embSplitContamination]]) — below the near-dup edge threshold
+    * (0.35), above it pairs are provably same-split by construction. */
+  val EmbContamMin = 0.30
+
+  /** Semantic SPLIT-CONTAMINATION QA (`emb_split_contamination`) —
+    * the embedding-side mirror of the lexical benchmark-decontamination
+    * check: for every eval (val/test) vector, its same-bucket TRAIN
+    * neighbors in the similarity GRAY ZONE [0.30, edge). The split is
+    * component-based over the ≥0.35 near-dup graph, so any same-bucket
+    * pair AT or ABOVE the edge threshold is same-split by
+    * construction — what remains is the band just below it: eval
+    * items semantically close (but not near-dup) to training data,
+    * the generalization-gap shortlist a data team reviews before
+    * trusting eval loss. Rows flag `edge_leak` if a ≥0.35 same-bucket
+    * cross-split pair ever appears — provably impossible while the
+    * split derivation is correct, so the spec asserts zero such rows
+    * (a tripwire on the split logic itself).
+    *
+    * Scale shape: split relation joined once onto the persisted
+    * index, one bucket equi-join (candidates bounded), combinable
+    * rollup + a row_number for the deterministic best-offender pick.
+    * Doubles: cosines from the shared [[cosPre]] tree; best_cos via
+    * rank-1 selection, not a float aggregate. */
+  val embSplitContamination: Q = (s, d) => {
+    val sp = embSplitAssign(s, d).select(col("vec_id"), col("split"))
+    val wb = bucketed(s, d)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
+      .join(sp, Seq("vec_id"))
+    val ev = wb.filter(col("split") =!= "train")
+      .select(col("vec_id"), col("split"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("bucket"))
+    val tr = wb.filter(col("split") === "train")
+      .select(col("vec_id").as("train_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("bucket"))
+    val cos = cosPre(col("qe"), col("ce"), col("qn"), col("cn"))
+    val pairs = ev.join(tr, Seq("bucket"))
+      .select(col("vec_id"), col("split"), col("train_id"), cos.as("cos"))
+      .filter(col("cos") >= EmbContamMin)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("train_id"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_train_hits",
+        count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("split"), col("n_train_hits"),
+        col("cos").as("best_cos"), col("train_id").as("best_train_id"),
+        when(col("cos") >= 0.35, "edge_leak").otherwise("gray")
+          .as("risk"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid vectors — the coarse-quantizer training step
     * an IVF index needs. Element-wise mean via posexplode →
     * (label, dim) aggregation, emitted in LONG FORMAT — one scalar row
@@ -1168,6 +1221,7 @@ object SimilarityOps {
     "ann_index_upsert" -> annIndexUpsert,
     "ann_index_merge" -> annIndexMerge,
     "hybrid_rrf" -> hybridRrf,
+    "emb_split_contamination" -> embSplitContamination,
     "emb_outliers" -> embOutliers,
     "emb_winsorize" -> embWinsorize,
     "knn_brute" -> knnBrute,
@@ -1526,6 +1580,40 @@ object SimilarityOps {
                     "CAST(component_id AS VARCHAR)")} % 10 AS b
                 FROM comp) z
           ORDER BY vec_id""",
+    "emb_split_contamination" ->
+      s"""WITH RECURSIVE $sqlEmbCompCtes,
+          sp AS (
+            SELECT vec_id,
+              CASE WHEN ${graft.functions.Hashing.sqlCharHash(
+                "CAST(component_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+                   WHEN ${graft.functions.Hashing.sqlCharHash(
+                "CAST(component_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM comp),
+          wb AS (
+            SELECT e.vec_id, e.embedding, s.split,
+              ${sqlBucket("embedding")} AS bucket
+            FROM embeddings e JOIN sp s ON e.vec_id = s.vec_id),
+          pairs AS (
+            SELECT ev.vec_id, ev.split, tr.vec_id AS train_id,
+              ${sqlCosine("ev.embedding", "tr.embedding")} AS cos
+            FROM wb ev JOIN wb tr
+              ON ev.bucket = tr.bucket
+                 AND ev.split != 'train' AND tr.split = 'train'
+            WHERE ${sqlCosine("ev.embedding", "tr.embedding")}
+              >= $EmbContamMin),
+          ranked AS (
+            SELECT vec_id, split, train_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, train_id) AS rn,
+              COUNT(*) OVER (PARTITION BY vec_id) AS n_train_hits
+            FROM pairs)
+          SELECT vec_id, split, CAST(n_train_hits AS BIGINT)
+              AS n_train_hits,
+            cos AS best_cos, train_id AS best_train_id,
+            CASE WHEN cos >= 0.35 THEN 'edge_leak' ELSE 'gray' END
+              AS risk
+          FROM ranked WHERE rn = 1 ORDER BY vec_id""",
     "emb_dup_text_verify" ->
       s"""WITH p AS (SELECT * FROM ($sqlEmbNearDup) nd),
           tok AS (
