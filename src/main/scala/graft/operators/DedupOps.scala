@@ -635,6 +635,49 @@ object DedupOps {
       buckets(s, d).unionByName(deltaBk)
     }
 
+  /** Hash tag selecting the takedown/tombstone set for the
+    * deletion-side maintenance queries (`dedup_index_compact`,
+    * `ann_index_compact`, `mm_store_gc`) — distinct from
+    * `dedup_incremental`'s is_new tag (7) and [[DeltaTag]] (3) so the
+    * three derivation conventions exercise disjoint row sets. */
+  val TombTag = 5L
+
+  /** The tombstone predicate over an id column — the shared takedown
+    * list derivation. In production this is a broadcast semi-join
+    * against the (small) takedown table; here the list is DERIVED by
+    * hash tag so the oracle can reproduce it exactly. */
+  private[graft] def tombstoned(id: Column): Column =
+    charHash(id.cast("string")) % 10 === TombTag
+
+  /** INDEX COMPACTION — the DELETION side of index maintenance,
+    * completing the lifecycle the merges left half-done: build
+    * ([[buckets]]) → probe ([[dedupDeltaProbe]]) → append
+    * ([[dedupIndexMerge]]) → REMOVE (this). A takedown/opt-out batch
+    * must leave the index as if the tombstoned docs had never been
+    * crawled — without the all-or-nothing mtime rebuild.
+    *
+    * The compacted index is a logical delete: a narrow FILTER over the
+    * persisted corpus blocks. Deliberately NOT re-materialized — a
+    * checkpoint here would double index storage to delete a few
+    * percent of rows; the filter costs one predicate per cached row at
+    * every consumer, and the periodic physical rewrite (when
+    * tombstones accumulate past a threshold) is exactly the existing
+    * mtime rebuild. At 100 TB the same shape holds: the index is the
+    * small derived relation (bucket ids, not text), the tombstone list
+    * broadcasts, and no document byte is ever re-read to forget one —
+    * CompactionSpec pins zero new persisted relations and zero hash
+    * exchanges below the output sort.
+    *
+    * The oracle rebuilds the index from scratch over
+    * corpus ∖ tombstones — bit-equality IS the compaction ≡ rebuild
+    * proof (per-doc bucket rows depend only on the doc, so dropping a
+    * doc's rows is semantically exact). */
+  val dedupIndexCompact: Q = (s, d) =>
+    buckets(s, d)
+      .filter(!tombstoned(col("doc_id")))
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .orderBy("doc_id", "band")
+
   /** The strip engine shared by [[textCdcRemove]] (batch, canonical-
     * owner semantics) and [[StreamOps]]'s `stream_cdc_strip` (ingest,
     * corpus-always-wins semantics): CDC-chunk `docsWithText`
@@ -874,6 +917,7 @@ object DedupOps {
     "dedup_incremental" -> dedupIncremental,
     "dedup_delta_probe" -> dedupDeltaProbe,
     "dedup_index_merge" -> dedupIndexMerge,
+    "dedup_index_compact" -> dedupIndexCompact,
     "text_cdc_remove" -> textCdcRemove,
     "dedup_minhash_est" -> dedupMinhashEst,
     "dedup_keep_best" -> dedupKeepBest)
@@ -1363,6 +1407,17 @@ object DedupOps {
           FROM delta d
           LEFT JOIN roll r ON d.doc_id = r.doc_id
           ORDER BY d.doc_id""",
+    // full REBUILD of the index over corpus ∖ tombstones: bit-equality
+    // against Spark's filter-compaction IS the compact ≡ rebuild proof
+    "dedup_index_compact" ->
+      s"""WITH kept AS (
+            SELECT doc_id, text FROM documents
+            WHERE ${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10
+              != $TombTag),
+          ${sqlSignaturesAs("sig", "kept")},
+          ${sqlBucketsAs("buckets", "sig")}
+          SELECT doc_id, band, bucket FROM buckets
+          ORDER BY doc_id, band""",
     // full REBUILD of the index over corpus ∪ delta: bit-equality
     // against Spark's append-only merge IS the merge ≡ rebuild proof
     "dedup_index_merge" ->

@@ -321,6 +321,37 @@ object MultimodalOps {
       chunkStore(s, d).unionByName(deltaRows)
     }
 
+  /** CONTENT-ADDRESSED STORE GC (`mm_store_gc`) — the substring
+    * tier's deletion-side maintenance, and the reason chunk-store
+    * deletion is NOT just a row filter: the store is content-
+    * addressed (one physical copy per distinct digest, shared by
+    * every owner), so a takedown batch ([[DedupOps.TombTag]], the
+    * derivation shared with `dedup_index_compact` /
+    * `ann_index_compact`) only frees the bytes of digests whose LAST
+    * surviving owner was tombstoned. This query emits exactly that
+    * physical reclaim list: per digest, the owner count before the
+    * takedown, and the stored byte size being freed.
+    *
+    * Shape at 100 TB: one map-side-combinable groupBy on the digest
+    * over the persisted store — owner counts partially aggregate
+    * before the shuffle, document bytes are never touched (the store
+    * carries digests + lengths only), and the emitted reclaim list is
+    * the small tail of digests with zero survivors. The oracle
+    * recomputes the rollup from scratch over the raw corpus with the
+    * same CDC machinery — bit-equality proves both the chunking reuse
+    * and the survivor accounting. */
+  val mmStoreGc: Q = (s, d) =>
+    chunkStore(s, d)
+      .groupBy(col("chunk_md5"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_owners_before"),
+        countDistinct(when(!DedupOps.tombstoned(col("doc_id")),
+          col("doc_id"))).as("n_owners_after"),
+        max(col("chunk_len")).as("stored_len"))
+      .filter(col("n_owners_after") === 0L)
+      .select(col("chunk_md5"), col("n_owners_before"), col("stored_len"))
+      .orderBy("chunk_md5")
+
   /** The perceptual index relation (doc_id, phash, band, bucket):
     * MinHash band buckets over the payload's CDC chunk-digest set
     * (the exact [[DedupOps]] LSH layout — K lanes, Bands×RowsPerBand
@@ -439,6 +470,7 @@ object MultimodalOps {
     "mm_cdc_chunk" -> mmCdcChunk,
     "mm_cdc_dedup" -> mmCdcDedup,
     "mm_cdc_store_merge" -> mmCdcStoreMerge,
+    "mm_store_gc" -> mmStoreGc,
     "mm_near_dup" -> mmNearDup)
 
   // the fake-codec geometry exists ONCE as SQL fragments — mm_meta and
@@ -583,6 +615,50 @@ object MultimodalOps {
             COUNT(DISTINCT doc_id) AS n_docs,
             MIN(chunk_len) AS chunk_len
           FROM ch GROUP BY chunk_md5 ORDER BY chunk_md5"""
+    },
+    // from-scratch recompute of the per-digest owner rollup over the
+    // raw corpus + the tombstone filter: bit-equality against Spark's
+    // store-side GC proves both the chunking reuse and the survivor
+    // accounting
+    "mm_store_gc" -> {
+      val W = graft.functions.CdcBoundaries.Window
+      val D = graft.functions.CdcBoundaries.Divisor
+      val P = graft.functions.Hashing.P
+      val tomb = s"""${graft.functions.Hashing
+        .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10
+        = ${DedupOps.TombTag}"""
+      s"""WITH b AS (
+            SELECT doc_id, text, CAST($sqlByteLen AS BIGINT) AS n,
+              list_filter(range($W, CAST($sqlByteLen AS BIGINT)),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % $P) % $D = 0) AS bs
+            FROM documents WHERE $sqlByteLen > 0),
+          se AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id,
+              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5,
+              ends[i] - starts[i] AS chunk_len
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                      AS i
+                  FROM se) z),
+          roll AS (
+            SELECT chunk_md5,
+              COUNT(DISTINCT doc_id) AS n_owners_before,
+              COUNT(DISTINCT doc_id) FILTER (WHERE NOT ($tomb))
+                AS n_owners_after,
+              MAX(chunk_len) AS stored_len
+            FROM ch GROUP BY chunk_md5)
+          SELECT chunk_md5, n_owners_before, stored_len
+          FROM roll WHERE n_owners_after = 0
+          ORDER BY chunk_md5"""
     },
     // full REBUILD of the chunk store over corpus ∪ delta, rolled up
     // per (doc, digest): bit-equality against Spark's append-only

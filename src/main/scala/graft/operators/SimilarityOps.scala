@@ -1150,6 +1150,26 @@ object SimilarityOps {
       bucketed(s, d).unionByName(deltaRows)
     }
 
+  /** ANN INDEX COMPACTION — the embedding-side mirror of
+    * `dedup_index_compact`: a takedown batch (the shared
+    * [[DedupOps.TombTag]] derivation) removed from the persisted ANN
+    * index as a logical delete — a narrow filter over [[bucketed]]'s
+    * cached blocks, NOT a re-materialization (a checkpoint would
+    * double index storage to forget a few percent of vectors; the
+    * physical rewrite is the existing mtime rebuild, run when
+    * tombstones accumulate). No embedding is re-read, re-hashed or
+    * re-normed to delete one — the filter touches only cached rows,
+    * and CompactionSpec pins zero new persisted relations.
+    *
+    * The oracle recomputes (bucket, DOUBLE norm) from scratch over
+    * embeddings ∖ tombstones — bit-equality, norms included, IS the
+    * compact ≡ rebuild proof. */
+  val annIndexCompact: Q = (s, d) =>
+    bucketed(s, d)
+      .filter(!DedupOps.tombstoned(col("vec_id")))
+      .select(col("vec_id"), col("bucket"), col("norm"))
+      .orderBy("vec_id")
+
   /** Embedding QA: each vector's squared distance to its OWN label
     * centroid, flagged against that label's p95 distance — the
     * mislabeled/outlier shortlist fed to human review or re-embedding
@@ -1220,6 +1240,7 @@ object SimilarityOps {
   val defs: Map[String, Q] = Map(
     "ann_index_upsert" -> annIndexUpsert,
     "ann_index_merge" -> annIndexMerge,
+    "ann_index_compact" -> annIndexCompact,
     "hybrid_rrf" -> hybridRrf,
     "emb_split_contamination" -> embSplitContamination,
     "emb_outliers" -> embOutliers,
@@ -1524,6 +1545,18 @@ object SimilarityOps {
             n_common, cos, rrf
           FROM topk WHERE rank <= 10
           ORDER BY query_id, rank""",
+    // full REBUILD of (bucket, norm) over embeddings ∖ tombstones:
+    // bit-equality against Spark's filter-compaction — DOUBLE norms
+    // included — IS the compact ≡ rebuild proof
+    "ann_index_compact" ->
+      s"""SELECT vec_id,
+          ${sqlBucket("embedding")} AS bucket,
+          sqrt(${sqlDot("embedding", "embedding")}) AS norm
+          FROM embeddings
+          WHERE ${graft.functions.Hashing
+            .sqlCharHash("CAST(vec_id AS VARCHAR)")} % 10
+            != ${DedupOps.TombTag}
+          ORDER BY vec_id""",
     // full REBUILD of (bucket, norm) over corpus ∪ delta: bit-equality
     // against Spark's append-only merge — DOUBLE norms included — IS
     // the merge ≡ rebuild proof
