@@ -678,6 +678,60 @@ object DedupOps {
       .select(col("doc_id"), col("band"), col("bucket"))
       .orderBy("doc_id", "band")
 
+  /** Hash tag selecting the newly-discovered docs of
+    * [[docSnapshotDiff]]'s tomorrow snapshot — disjoint from
+    * [[DeltaTag]] (re-crawl) and [[TombTag]] (takedown), so one diff
+    * exercises all four statuses. */
+  val AddTag = 1L
+
+  /** SNAPSHOT DIFF (`doc_snapshot_diff`) — the daily corpus audit
+    * that ties the maintenance derivations together: tomorrow's
+    * snapshot is today's corpus with the takedown batch removed
+    * ([[TombTag]]), the re-crawl applied in place ([[DeltaTag]],
+    * "UPDATE: " prefix), and the newly-discovered docs appended
+    * ([[AddTag]], offset ids) — and the diff classifies every logical
+    * doc as removed / changed / added / unchanged with its before and
+    * after fingerprints.
+    *
+    * Shape at 100 TB: both snapshots are projected to
+    * (doc_id, md5, byte_len) BEFORE the full-outer join, so the only
+    * shuffle moves 16-byte digests — never document bytes; the md5s
+    * are computed in the scan stages. This is the diff you run
+    * between daily crawls to decide which downstream indexes need
+    * [[dedupIndexMerge]] (added/changed) vs [[dedupIndexCompact]]
+    * (removed) — fingerprint-level change detection, not byte
+    * comparison. */
+  val docSnapshotDiff: Q = (s, d) => {
+    val base = docs(s, d)
+    val isDelta = charHash(col("doc_id").cast("string")) % 10 === DeltaTag
+    val isAdd = charHash(col("doc_id").cast("string")) % 10 === AddTag
+    val a = base.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("old_md5"),
+      length(col("text").cast("binary")).cast("long").as("old_len"))
+    val bKept = base.filter(!tombstoned(col("doc_id")))
+      .select(col("doc_id"),
+        when(isDelta, concat(lit("UPDATE: "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val bAdded = base.filter(isAdd)
+      .select((col("doc_id") + DeltaIdOffset).as("doc_id"),
+        concat(lit("NEW: "), col("text")).as("text"))
+    val b = bKept.unionByName(bAdded)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("new_md5"),
+        length(col("text").cast("binary")).cast("long").as("new_len"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("new_md5").isNull, "removed")
+          .when(col("old_md5").isNull, "added")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("old_md5"), lit("")).as("old_md5"),
+        coalesce(col("new_md5"), lit("")).as("new_md5"),
+        coalesce(col("old_len"), lit(-1L)).as("old_len"),
+        coalesce(col("new_len"), lit(-1L)).as("new_len"))
+      .orderBy("doc_id")
+  }
+
   /** The strip engine shared by [[textCdcRemove]] (batch, canonical-
     * owner semantics) and [[StreamOps]]'s `stream_cdc_strip` (ingest,
     * corpus-always-wins semantics): CDC-chunk `docsWithText`
@@ -918,6 +972,7 @@ object DedupOps {
     "dedup_delta_probe" -> dedupDeltaProbe,
     "dedup_index_merge" -> dedupIndexMerge,
     "dedup_index_compact" -> dedupIndexCompact,
+    "doc_snapshot_diff" -> docSnapshotDiff,
     "text_cdc_remove" -> textCdcRemove,
     "dedup_minhash_est" -> dedupMinhashEst,
     "dedup_keep_best" -> dedupKeepBest)
@@ -1407,6 +1462,39 @@ object DedupOps {
           FROM delta d
           LEFT JOIN roll r ON d.doc_id = r.doc_id
           ORDER BY d.doc_id""",
+    // the same four-status classification computed by independent SQL
+    // over the same snapshot derivations (takedown / in-place re-crawl
+    // / discovered docs at offset ids)
+    "doc_snapshot_diff" -> {
+      val tag = s"${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10"
+      val bText = s"CASE WHEN $tag = $DeltaTag THEN 'UPDATE: ' || text " +
+        "ELSE text END"
+      s"""WITH a AS (
+            SELECT doc_id, md5(text) AS old_md5,
+              CAST(octet_length(encode(text)) AS BIGINT) AS old_len
+            FROM documents),
+          b AS (
+            SELECT doc_id, md5($bText) AS new_md5,
+              CAST(octet_length(encode($bText)) AS BIGINT) AS new_len
+            FROM documents WHERE $tag != $TombTag
+            UNION ALL
+            SELECT doc_id + $DeltaIdOffset AS doc_id,
+              md5('NEW: ' || text) AS new_md5,
+              CAST(octet_length(encode('NEW: ' || text)) AS BIGINT)
+                AS new_len
+            FROM documents WHERE $tag = $AddTag)
+          SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+            CASE WHEN b.new_md5 IS NULL THEN 'removed'
+                 WHEN a.old_md5 IS NULL THEN 'added'
+                 WHEN a.old_md5 != b.new_md5 THEN 'changed'
+                 ELSE 'unchanged' END AS status,
+            COALESCE(a.old_md5, '') AS old_md5,
+            COALESCE(b.new_md5, '') AS new_md5,
+            COALESCE(a.old_len, CAST(-1 AS BIGINT)) AS old_len,
+            COALESCE(b.new_len, CAST(-1 AS BIGINT)) AS new_len
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+          ORDER BY doc_id"""
+    },
     // full REBUILD of the index over corpus ∖ tombstones: bit-equality
     // against Spark's filter-compaction IS the compact ≡ rebuild proof
     "dedup_index_compact" ->

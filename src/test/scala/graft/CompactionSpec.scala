@@ -68,6 +68,36 @@ class CompactionSpec extends SparkSpec {
     assert(tombIds.nonEmpty && !compacted.exists(t => tombIds(t._1)))
   }
 
+  test("snapshot diff classifies every tag class correctly") {
+    val rows = SparkEntry.queries("doc_snapshot_diff")(spark, Sf).collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .map { case (k, v) => k -> v.length }
+    assert(Set("removed", "changed", "added", "unchanged")
+      .subsetOf(byStatus.keySet), s"saw only: $byStatus")
+
+    val tag = (t: Long) =>
+      graft.sources.Tables.documents(spark, Sf)
+        .filter(charHash(col("doc_id").cast("string")) % 10 === t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (tombs, deltas, adds) =
+      (tag(DedupOps.TombTag), tag(DedupOps.DeltaTag), tag(DedupOps.AddTag))
+    rows.foreach { r =>
+      val (id, st) = (r.getAs[Long]("doc_id"), r.getAs[String]("status"))
+      if (tombs(id)) assert(st == "removed", s"$id: $st")
+      if (deltas(id)) assert(st == "changed", s"$id: $st")
+      if (id >= DedupOps.DeltaIdOffset) {
+        assert(st == "added", s"$id: $st")
+        assert(adds(id - DedupOps.DeltaIdOffset))
+      }
+    }
+    // every changed doc records both fingerprints and a longer after
+    // ("UPDATE: " prefix adds 8 bytes)
+    rows.filter(_.getAs[String]("status") == "changed").foreach { r =>
+      assert(r.getAs[Long]("new_len") == r.getAs[Long]("old_len") + 8)
+      assert(r.getAs[String]("old_md5") != r.getAs[String]("new_md5"))
+    }
+  }
+
   test("store GC reclaims exactly the digests whose every owner is " +
       "tombstoned") {
     val reclaimed = SparkEntry.queries("mm_store_gc")(spark, Sf)

@@ -238,6 +238,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff: both snapshots are reduced to digests before " +
+      "the full-outer join — no exchange carries document bytes") {
+    val qe = SparkEntry.queries("doc_snapshot_diff")(spark, Sf).queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected the diff-join shuffles")
+    for (e <- exchanges; a <- e.output)
+      assert(a.name != "text",
+        s"diff exchange must not carry document text: " +
+          e.output.map(_.name))
+  }
+
   test("curation gates: the exact-dup canon is fingerprint-keyed — no " +
       "hash exchange carries the text column") {
     // round 6 keyed the canon on the text itself, moving the whole
