@@ -347,6 +347,48 @@ object EventOps {
       .orderBy("lo")
   }
 
+  /** MERGEABLE-HISTOGRAM quantile estimation
+    * (`ev_histogram_quantiles`) — the sketch-shaped counterpart to
+    * `q23_percentiles`' exact window rank: ONE map-side-combinable
+    * groupBy folds the fact table into fixed-width value bins (the
+    * histogram is associative and commutative, so partial aggregates
+    * merge freely across partitions, days, or clusters — the property
+    * exact rank-based percentiles lack), and everything after the
+    * shuffle operates on |bins| rows: a cumulative window, then the
+    * first bin whose cumulative count crosses each requested rank.
+    *
+    * At 100 TB this is THE quantile plan: the exact sort-based
+    * percentile needs a total order over the fact table (q23's range
+    * exchange), while the histogram needs one combinable aggregation
+    * and bounds the answer to a bin — with per-day histograms stored,
+    * yesterday's sketch merges into today's by adding counts. All
+    * rank arithmetic is integer (`cum*100 >= p*N`), and the bin
+    * boundaries are exact small-integer products, so the estimate is
+    * deterministic and bit-matches the oracle. */
+  val evHistogramQuantiles: Q = (s, d) => {
+    import s.implicits._
+    val bins = ev(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(floor(col("value") / 10.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
+    val ps = Seq(50L, 90L, 99L).toDF("p")
+    cum.crossJoin(broadcast(ps))
+      .filter(col("cum_n") * lit(100L) >= col("p") * col("n_total"))
+      .groupBy(col("p"))
+      .agg(min(col("bin")).as("est_bin"),
+        max(col("n_total")).as("n_total"))
+      .select(col("p"), col("est_bin"),
+        (col("est_bin").cast("double") * lit(10.0)).as("lo"),
+        (col("est_bin").cast("double") * lit(10.0) + lit(10.0)).as("hi"),
+        col("n_total"))
+      .orderBy("p")
+  }
+
   /** Windowed funnel conversion: the share of view events followed by
     * a click from the SAME user within one hour, per day — `ev_funnel`
     * without its unbounded lookahead. The EXISTS is a LEFT SEMI join
@@ -405,6 +447,7 @@ object EventOps {
     "ev_conversion_window" -> evConversionWindow,
     "ev_rolling_wau" -> evRollingWau,
     "ev_value_bands" -> evValueBands,
+    "ev_histogram_quantiles" -> evHistogramQuantiles,
     "ev_transitions" -> evTransitions,
     "ev_approx_stats" -> evApproxStats,
     "ev_attribution" -> evAttribution,
@@ -486,6 +529,29 @@ object EventOps {
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM events JOIN bands ON value >= lo AND value < hi
          GROUP BY band, lo ORDER BY lo""",
+    "ev_histogram_quantiles" ->
+      """WITH bins AS (
+           SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             COUNT(*) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         cum AS (
+           SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_n,
+             SUM(n) OVER () AS n_total
+           FROM bins),
+         ps(p) AS (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+           (CAST(99 AS BIGINT))),
+         hit AS (
+           SELECT p, MIN(bin) AS est_bin, MAX(n_total) AS n_total
+           FROM cum CROSS JOIN ps
+           WHERE cum_n * 100 >= p * n_total
+           GROUP BY p)
+         SELECT p, est_bin,
+           CAST(est_bin AS DOUBLE) * 10.0 AS lo,
+           CAST(est_bin AS DOUBLE) * 10.0 + 10.0 AS hi,
+           CAST(n_total AS BIGINT) AS n_total
+         FROM hit ORDER BY p""",
     "ev_transitions" ->
       """WITH seq AS (
            SELECT event_type,

@@ -98,6 +98,24 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantile estimate brackets the exact percentile") {
+    val est = SparkEntry.queries("ev_histogram_quantiles")(spark, Sf)
+      .collect()
+      .map(r => r.getAs[Long]("p") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .toMap
+    val values = graft.sources.Tables.events(spark, Sf)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    est.foreach { case (p, (lo, hi)) =>
+      // exact percentile at the same integer rank definition:
+      // smallest value whose rank satisfies rank*100 >= p*N
+      val idx = values.indices.find(i => (i + 1) * 100L >= p * values.length).get
+      val exact = values(idx)
+      assert(exact >= lo && exact < hi,
+        s"p$p exact=$exact outside histogram bin [$lo,$hi)")
+    }
+  }
+
   test("store GC reclaims exactly the digests whose every owner is " +
       "tombstoned") {
     val reclaimed = SparkEntry.queries("mm_store_gc")(spark, Sf)

@@ -238,6 +238,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantiles: the fact table folds through ONE " +
+      "combinable aggregation — partial agg before the shuffle") {
+    val p = physical("ev_histogram_quantiles")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "histogram bins must partially aggregate map-side:\n" + p.take(2000))
+    // the fact table is shuffled exactly once (by bin); everything
+    // downstream operates on |bins| rows
+    val factShuffles = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(bin"))
+    assert(factShuffles <= 1, p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("snapshot diff: both snapshots are reduced to digests before " +
       "the full-outer join — no exchange carries document bytes") {
     val qe = SparkEntry.queries("doc_snapshot_diff")(spark, Sf).queryExecution
