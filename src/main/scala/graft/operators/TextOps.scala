@@ -722,12 +722,22 @@ object TextOps {
     * [[textBoilerplateNgrams]], so the three queries describe one
     * consistent pass.
     *
-    * Scale shape: the boilerplate gram set is compact and BROADCAST
-    * onto the per-position occurrence explode; coverage expansion is
-    * a 5-way sequence explode + distinct on (doc, pos); the rebuild
-    * is one per-doc ordered collect (cleaned text ∝ the doc itself —
-    * the output IS the corpus, there is no smaller answer). Tokens
-    * never join against tokens; everything keys on (doc_id, pos). */
+    * Scale shape: the boilerplate gram set is compact (df-capped:
+    * ≤ total_grams/MinDf entries) and BROADCAST onto the
+    * per-position occurrence explode; coverage expansion is a 5-way
+    * sequence explode rolled straight into per-doc covered-position
+    * ARRAYS — the only hash exchange in the plan moves (doc_id, pos)
+    * int pairs for covered positions, never tokens. The cleaned text
+    * is then rebuilt IN PLACE: the covered-set relation (∝ docs that
+    * contain boilerplate, not ∝ corpus tokens) broadcasts back onto
+    * the base scan and one indexed `filter` drops covered tokens
+    * without the corpus ever leaving its scan stage. Round 6 instead
+    * exploded every corpus token into its own row and pushed them
+    * through TWO wide exchanges (per-position anti-join + ordered
+    * re-collect) — the 3 s bench entry this rewrite removes. If the
+    * covered-set relation ever outgrew the driver, the fallback is a
+    * plain doc_id join (one text exchange — still strictly narrower
+    * than per-token rows). */
   val textRemoveBoilerplate: Q = (s, d) => {
     val base = docs(s, d).withColumn("toks", Hashing.tokens(col("text")))
     val boiler = base.filter(size(col("toks")) >= BoilerplateN)
@@ -743,21 +753,16 @@ object TextOps {
       .select(col("doc_id"),
         explode(sequence(col("gpos"), col("gpos") + lit(BoilerplateN - 1)))
           .as("pos"))
-      .distinct()
-    val tokPos = base.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("pos", "tok")))
-    val keptAgg = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok"))).as("cleaned_text"))
-    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(keptAgg, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("cleaned_text"))
-      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
-        (col("n_tokens") - col("n_kept")).as("n_removed"),
-        col("cleaned_text"))
+      .agg(collect_set(col("pos")).as("cov"))
+    base.join(broadcast(covered), Seq("doc_id"), "left")
+      .withColumn("kept", when(col("cov").isNull, col("toks"))
+        .otherwise(filter(col("toks"),
+          (t, i) => !array_contains(col("cov"), i))))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
       .orderBy("doc_id")
   }
 
