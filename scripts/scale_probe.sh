@@ -11,7 +11,9 @@ q2_revenue_by_nation q9_rollup q16_distinct_counts q23_percentiles \
 text_token_count text_remove_boilerplate text_cdc_dedup mm_near_dup \
 mm_cdc_dedup dedup_delta_probe \
 doc_keep_decision doc_filter_funnel doc_manifest dedup_edit_distance \
-ann_pq_adc dedup_index_merge ann_index_merge mm_cdc_store_merge"
+ann_pq_adc dedup_index_merge ann_index_merge mm_cdc_store_merge \
+dedup_index_compact ann_index_compact mm_store_gc doc_snapshot_diff \
+ev_histogram_quantiles"
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"

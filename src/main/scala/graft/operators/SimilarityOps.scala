@@ -437,6 +437,34 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** RECALL CURVE (`ann_recall_curve`) — the evaluation sweep over
+    * cutoffs that a single recall@k gate can't show: for each
+    * k ∈ {1, 3, 5}, how many of the exact top-k neighbors the LSH
+    * probe returned within its own top k. One truth⋈probe join feeds
+    * every cutoff (the k table is a 3-row broadcast against the
+    * already-tiny pair relation), and all accounting is integer
+    * (n_hits / n_possible), so the sweep is exactly reproducible —
+    * the shape you run after every index-parameter change to see
+    * WHERE on the cutoff curve the quality moved, not just whether
+    * the single-k gate regressed. */
+  val annRecallCurve: Q = (s, d) => {
+    import s.implicits._
+    val b = knnBrute(s, d).select(col("query_id"), col("cand_id"),
+      col("rank").as("t_rank"))
+    val p = annLshProbe(s, d).select(col("query_id").as("p_query"),
+      col("cand_id").as("p_cand"), col("rank").as("p_rank"))
+    val ks = Seq(1L, 3L, 5L).toDF("k")
+    b.join(p, col("query_id") === col("p_query") &&
+        col("cand_id") === col("p_cand"), "left")
+      .crossJoin(broadcast(ks))
+      .filter(col("t_rank") <= col("k"))
+      .groupBy("k")
+      .agg(sum(when(col("p_rank").isNotNull && col("p_rank") <= col("k"),
+          1L).otherwise(0L)).as("n_hits"),
+        count(lit(1)).as("n_possible"))
+      .orderBy("k")
+  }
+
   /** Decimal-exact per-(clabel, dim) means of a (clabel, embedding)
     * relation, in long format — the k-means UPDATE step. Each float
     * element goes through its shortest string into DECIMAL(30,20)
@@ -1260,6 +1288,7 @@ object SimilarityOps {
     "emb_quantize" -> embQuantize,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
+    "ann_recall_curve" -> annRecallCurve,
     "emb_dup_text_verify" -> embDupTextVerify,
     "emb_pq_encode" -> embPqEncode,
     "ann_pq_adc" -> annPqAdc,
@@ -1588,6 +1617,24 @@ object SimilarityOps {
           LEFT JOIN ($sqlAnnLshProbe) p
             ON b.query_id = p.query_id AND b.cand_id = p.cand_id
           GROUP BY b.query_id ORDER BY b.query_id""",
+    "ann_recall_curve" ->
+      s"""WITH b AS (
+            SELECT query_id, cand_id, rank AS t_rank FROM ($sqlKnnBrute)),
+          p AS (
+            SELECT query_id, cand_id, rank AS p_rank
+            FROM ($sqlAnnLshProbe)),
+          ks(k) AS (VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT)),
+            (CAST(5 AS BIGINT))),
+          j AS (
+            SELECT b.query_id, b.t_rank, p.p_rank
+            FROM b LEFT JOIN p
+              ON b.query_id = p.query_id AND b.cand_id = p.cand_id)
+          SELECT k,
+            CAST(SUM(CASE WHEN p_rank IS NOT NULL AND p_rank <= k
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            COUNT(*) AS n_possible
+          FROM j CROSS JOIN ks WHERE t_rank <= k
+          GROUP BY k ORDER BY k""",
     "ann_lsh_buckets" ->
       s"""SELECT ${sqlBucket("embedding")} AS bucket, COUNT(*) AS n,
           MIN(vec_id) AS min_vec

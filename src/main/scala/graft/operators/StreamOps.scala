@@ -577,7 +577,27 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** Streaming mergeable histogram — the stream-side PROOF of
+    * `ev_histogram_quantiles`' central claim: because the fixed-width
+    * histogram is associative and commutative, the SAME one-groupBy
+    * plan runs incrementally over micro-batches (complete mode: the
+    * state is |bins| counters, each batch's partial counts merge in),
+    * and the finite replay must equal the batch histogram bit-for-bit.
+    * This is the sketch that per-day or per-stream shards merge by
+    * addition — the property the exact sort-based percentile lacks,
+    * demonstrated in the execution model that needs it. */
+  val streamHistogram: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val bins = eventsStream(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(floor(col("value") / 10.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, bins, "complete")
+      .orderBy("bin")
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_histogram" -> streamHistogram,
     "stream_cdc_strip" -> streamCdcStrip,
     "stream_cdc_candidates" -> streamCdcCandidates,
     "stream_ann_upsert" -> streamAnnUpsert,
@@ -600,6 +620,9 @@ object StreamOps {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
+    "stream_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS n
+         FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY bin""",
     "stream_cdc_candidates" -> MultimodalOps.sqlCdcCandidates,
     "stream_cdc_strip" -> DedupOps.sqlCdcStrip,
     "stream_ann_upsert" -> SimilarityOps.sqlAnnUpsertHits,

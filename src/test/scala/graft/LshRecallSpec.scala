@@ -130,4 +130,26 @@ class LshRecallSpec extends SparkSpec {
     val ann = SparkEntry.queries("ann_lsh_probe")(spark, Sf).count()
     assert(ann > 0)
   }
+
+  test("recall curve is internally consistent across cutoffs") {
+    val rows = SparkEntry.queries("ann_recall_curve")(spark, Sf)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_possible")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 3L, 5L))
+    rows.foreach { case (k, hits, possible) =>
+      assert(possible ===
+        k * graft.operators.SimilarityOps.NQueries,
+        s"k=$k: every query contributes k truth slots")
+      assert(hits >= 0 && hits <= possible)
+    }
+    // absolute hits can only grow with the cutoff (each k adds slots)
+    assert(rows.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    // consistency with the single-k gate at k=TopK
+    val gateHits = SparkEntry.queries("ann_lsh_recall")(spark, Sf)
+      .collect().map(_.getAs[Long]("n_hits")).sum
+    assert(rows.last._2 === gateHits,
+      "curve@5 must equal the existing recall gate's total hits")
+  }
 }

@@ -37,6 +37,23 @@ class StreamGateSpec extends SparkSpec {
       stream.length, "a view converts at most once (semi, not inner)")
   }
 
+  test("streaming histogram merges micro-batch partials into exactly " +
+      "the batch histogram") {
+    val stream = graft.operators.StreamOps
+      .streamHistogram(spark, Sf).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+    val batch = graft.sources.Tables.events(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .groupBy(org.apache.spark.sql.functions
+        .floor(org.apache.spark.sql.functions.col("value") / 10.0)
+        .cast("long").as("bin"))
+      .count().collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap
+    assert(stream === batch,
+      "the associative histogram must be replay-exact — partial " +
+        "micro-batch counts merge by addition")
+  }
+
   test("ingest gate is stateless and equals its batch mirror") {
     val batchDocs = spark.read.parquet(s"$Sf/documents.parquet")
       .select(col("doc_id"), col("text"))
