@@ -310,6 +310,44 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Verification-tier edit THRESHOLD: a candidate pair more than
+    * this many edits apart is "not a near-dup" — and the banded
+    * verifier stops paying for the exact answer. */
+  val EditThreshold = 64
+
+  /** BANDED edit-distance verification (`dedup_edit_banded`) — the
+    * scale path for the heaviest verifier in the engine. The exact
+    * tier ([[dedupEditDistance]]) runs the full O(len_a·len_b) DP per
+    * candidate pair because it reports the precise distance for every
+    * pair; but the dedup DECISION only needs "within k edits or not",
+    * and the thresholded `levenshtein(a, b, k)` runs the banded
+    * O(max_len·k) DP with early exit — per pair, cost drops from
+    * len² to len·k (len/k ≈ 20× less work at k=64 on ~kB docs, and
+    * far-apart pairs exit earlier still). Same candidate generation,
+    * same join shape; only the per-pair verifier narrows. The oracle
+    * computes the FULL distance and applies the threshold after —
+    * bit-equality proves the banded early-exit path returns exactly
+    * the capped answer, never an approximation of it. */
+  val dedupEditBanded: Q = (s, d) => {
+    val bk = buckets(s, d)
+    val pairs = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val txt = docs(s, d).select(col("doc_id"), col("text"))
+    pairs
+      .join(txt.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(txt.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("da.text"), col("db.text"), EditThreshold)
+          .cast("long").as("edit_dist_capped"))
+      .withColumn("verdict",
+        when(col("edit_dist_capped") >= 0L, "near").otherwise("far"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Connected components over the LSH candidate graph — the step
     * that turns pairwise near-dup candidates into DEDUP CLUSTERS
     * (pick one canonical doc per component; everything else is a
@@ -963,6 +1001,7 @@ object DedupOps {
     "dedup_jaccard" -> dedupJaccard,
     "dedup_char_ngram" -> dedupCharNgram,
     "dedup_edit_distance" -> dedupEditDistance,
+    "dedup_edit_banded" -> dedupEditBanded,
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_components" -> dedupComponents,
     "dedup_split_assign" -> dedupSplitAssign,
@@ -1302,6 +1341,25 @@ object DedupOps {
             1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
               / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
               AS sim
+          FROM pairs p
+          JOIN documents da ON p.doc_a = da.doc_id
+          JOIN documents db ON p.doc_b = db.doc_id
+          ORDER BY doc_a, doc_b""",
+    // FULL distance + post-hoc threshold: bit-equality proves the
+    // banded early-exit verifier returns exactly the capped answer
+    "dedup_edit_banded" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id)
+          SELECT p.doc_a, p.doc_b,
+            CASE WHEN levenshtein(da.text, db.text) <= $EditThreshold
+              THEN CAST(levenshtein(da.text, db.text) AS BIGINT)
+              ELSE CAST(-1 AS BIGINT) END AS edit_dist_capped,
+            CASE WHEN levenshtein(da.text, db.text) <= $EditThreshold
+              THEN 'near' ELSE 'far' END AS verdict
           FROM pairs p
           JOIN documents da ON p.doc_a = da.doc_id
           JOIN documents db ON p.doc_b = db.doc_id
