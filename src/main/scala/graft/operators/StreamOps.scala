@@ -416,6 +416,45 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** TAKEDOWN gate ON INGEST (`stream_takedown_gate`) — the deletion
+    * story's ingest-side closure: a takedown
+    * (`dedup_index_compact`'s [[DedupOps.TombTag]] batch) must
+    * SURVIVE re-crawls, or the next crawl cycle silently resurrects
+    * the removed content under a fresh doc_id. The gate checks each
+    * incoming document's content fingerprint (md5 of the text bytes —
+    * id-independent by construction, which is the point: the
+    * resurrected copy arrives under a NEW id) against the tombstoned
+    * fingerprint set and routes hits to the rejected branch (SURVEY
+    * §2.6 E6 — unrecoverable, not retryable).
+    *
+    * The incoming replay is the resurrection shape itself: byte-
+    * identical re-crawls of every taken-down doc at shifted ids, mixed
+    * with genuinely new discoveries ([[DedupOps.AddTag]]). Stream-
+    * static LEFT join against the (small, broadcast) fingerprint set:
+    * ZERO state store, unbounded-safe, and the fingerprint list is
+    * exactly what a production takedown service exports. */
+  val streamTakedownGate: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def tagOf(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10
+    val tombprints = Tables.documents(s, d)
+      .filter(tagOf(col("doc_id")) === DedupOps.TombTag)
+      .select(md5(col("text").cast("binary")).as("tomb_md5"))
+      .distinct()
+    val incoming = docsStream(s, d)
+      .filter(tagOf(col("doc_id")) === DedupOps.TombTag ||
+        tagOf(col("doc_id")) === DedupOps.AddTag)
+      .select((col("doc_id") + DedupOps.DeltaIdOffset).as("doc_id"),
+        md5(col("text").cast("binary")).as("fp"))
+    val gated = incoming
+      .join(broadcast(tombprints), col("fp") === col("tomb_md5"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(col("tomb_md5").isNotNull, "rejected_takedown")
+          .otherwise("admitted").as("decision"))
+    runToTable(s, gated, "append")
+      .orderBy("doc_id")
+  }
+
   /** Near-dup gate ON INGEST: each incoming document's LSH bucket
     * rows (the same one-pass minhash/band projection the batch index
     * is built from — pure per-row expressions, streaming-safe) joined
@@ -598,6 +637,7 @@ object StreamOps {
 
   val defs: Map[String, Q] = Map(
     "stream_histogram" -> streamHistogram,
+    "stream_takedown_gate" -> streamTakedownGate,
     "stream_cdc_strip" -> streamCdcStrip,
     "stream_cdc_candidates" -> streamCdcCandidates,
     "stream_ann_upsert" -> streamAnnUpsert,
@@ -623,6 +663,23 @@ object StreamOps {
     "stream_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS n
          FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY bin""",
+    "stream_takedown_gate" -> {
+      val tag = s"${graft.functions.Hashing
+        .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10"
+      s"""WITH tombp AS (
+            SELECT DISTINCT md5(text) AS tomb_md5 FROM documents
+            WHERE $tag = ${DedupOps.TombTag}),
+          inc AS (
+            SELECT doc_id + ${DedupOps.DeltaIdOffset} AS doc_id,
+              md5(text) AS fp
+            FROM documents
+            WHERE $tag IN (${DedupOps.TombTag}, ${DedupOps.AddTag}))
+          SELECT i.doc_id, i.fp,
+            CASE WHEN t.tomb_md5 IS NOT NULL THEN 'rejected_takedown'
+                 ELSE 'admitted' END AS decision
+          FROM inc i LEFT JOIN tombp t ON i.fp = t.tomb_md5
+          ORDER BY i.doc_id"""
+    },
     "stream_cdc_candidates" -> MultimodalOps.sqlCdcCandidates,
     "stream_cdc_strip" -> DedupOps.sqlCdcStrip,
     "stream_ann_upsert" -> SimilarityOps.sqlAnnUpsertHits,

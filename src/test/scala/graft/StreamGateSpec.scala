@@ -179,6 +179,34 @@ class StreamGateSpec extends SparkSpec {
     assert(viaMemStream === expected)
   }
 
+  // statelessness is structural: stream-static left joins allocate no
+  // state store (pinned for this join shape by the upsert-gate test)
+  test("takedown gate rejects every byte-identical resurrection") {
+    val rows = graft.operators.StreamOps
+      .streamTakedownGate(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val decisions = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("decision")).toMap
+    import graft.operators.DedupOps
+    val tag = (t: Long) =>
+      graft.sources.Tables.documents(spark, Sf)
+        .filter(graft.functions.Hashing
+          .charHash(col("doc_id").cast("string")) % 10 === t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val tombs = tag(DedupOps.TombTag)
+    assert(tombs.nonEmpty, "the tombstone tag must select docs at sf0.001")
+    // every re-crawl of a taken-down doc is rejected — same bytes,
+    // different id, caught by fingerprint alone
+    tombs.foreach { id =>
+      assert(decisions(id + DedupOps.DeltaIdOffset) == "rejected_takedown",
+        s"resurrected copy of $id must be rejected")
+    }
+    // discoveries are admitted unless they happen to share bytes with
+    // a taken-down doc (exact-dup across tags)
+    assert(rows.count(_.getAs[String]("decision") == "admitted") > 0,
+      "genuinely new docs must pass the gate")
+  }
+
   test("ANN upsert gate is stateless and bit-equal to its batch mirror") {
     import graft.operators.SimilarityOps
     val corpus = SimilarityOps.upsertCorpus(spark, Sf, isNew(_))
