@@ -740,16 +740,20 @@ object TextOps {
     * than per-token rows). */
   val textRemoveBoilerplate: Q = (s, d) => {
     val base = docs(s, d).withColumn("toks", Hashing.tokens(col("text")))
+    // df over 64-bit gram FINGERPRINTS (the `text_boilerplate_fraction`
+    // convention): gram bytes never reach the df shuffle or the
+    // broadcast set — only hashes move
     val boiler = base.filter(size(col("toks")) >= BoilerplateN)
       .select(col("doc_id"), explode(array_distinct(
-        Hashing.ngrams(col("toks"), BoilerplateN))).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+        Hashing.hashAll(Hashing.ngrams(col("toks"), BoilerplateN))))
+        .as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerplateMinDf)
-      .select(col("gram"))
+      .select(col("gh"))
     val occ = base.select(col("doc_id"),
-      posexplode(Hashing.ngrams(col("toks"), BoilerplateN))
-        .as(Seq("gpos", "gram")))
-    val covered = occ.join(broadcast(boiler), "gram")
+      posexplode(Hashing.hashAll(Hashing.ngrams(col("toks"), BoilerplateN)))
+        .as(Seq("gpos", "gh")))
+    val covered = occ.join(broadcast(boiler), "gh")
       .select(col("doc_id"),
         explode(sequence(col("gpos"), col("gpos") + lit(BoilerplateN - 1)))
           .as("pos"))
@@ -1668,24 +1672,25 @@ object TextOps {
     "text_remove_boilerplate" ->
       s"""WITH base AS (SELECT doc_id, $sqlToks AS toks FROM documents),
           boiler AS (
-            SELECT gram FROM (
-              SELECT gram, COUNT(*) AS df FROM (
+            SELECT gh FROM (
+              SELECT gh, COUNT(*) AS df FROM (
                 SELECT doc_id,
-                  unnest(list_distinct(${Hashing.sqlNgrams(
-                    "toks", BoilerplateN)})) AS gram
+                  unnest(list_distinct(${Hashing.sqlHashAll(
+                    Hashing.sqlNgrams("toks", BoilerplateN))})) AS gh
                 FROM base WHERE length(toks) >= $BoilerplateN) g
-              GROUP BY gram) z
+              GROUP BY gh) z
             WHERE df >= $BoilerplateMinDf),
           occ AS (
             SELECT doc_id,
-              unnest(range(0, length(g))) AS gpos, unnest(g) AS gram
+              unnest(range(0, length(g))) AS gpos, unnest(g) AS gh
             FROM (SELECT doc_id,
-                    ${Hashing.sqlNgrams("toks", BoilerplateN)} AS g
+                    ${Hashing.sqlHashAll(
+                      Hashing.sqlNgrams("toks", BoilerplateN))} AS g
                   FROM base) t),
           covered AS (
             SELECT DISTINCT o.doc_id, o.gpos + s.i AS pos
             FROM (SELECT occ.doc_id, occ.gpos
-                  FROM occ JOIN boiler ON occ.gram = boiler.gram) o,
+                  FROM occ JOIN boiler ON occ.gh = boiler.gh) o,
               (SELECT unnest(range(0, $BoilerplateN)) AS i) s),
           tokpos AS (
             SELECT doc_id, unnest(range(0, length(toks))) AS pos,
