@@ -437,6 +437,32 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** FILTERED vector search (`ann_filtered`) — the metadata-predicate
+    * search every modern vector store treats as first-class (tenant
+    * isolation, language restriction, source allowlists): top-k among
+    * candidates matching the query's label. The predicate is folded
+    * INTO the equi-join key — (bucket, label) instead of (bucket) —
+    * not applied as a post-filter: at 100 TB the difference is
+    * scanning the allowed partition of each bucket vs scoring every
+    * same-bucket vector and discarding most of them. With the index
+    * laid out (or bucketed) by (bucket, label), the filter becomes
+    * partition pruning; the cosine is computed only for candidates
+    * that already satisfy the predicate. */
+  val annFiltered: Q = (s, d) => {
+    val wb = bucketed(s, d)
+    val q = wb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("bucket"), col("label"))
+    val c = wb.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("bucket"), col("label"))
+    topK(
+      c.join(broadcast(q), Seq("bucket", "label"))
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos")),
+      TopK)
+  }
+
   /** RECALL CURVE (`ann_recall_curve`) — the evaluation sweep over
     * cutoffs that a single recall@k gate can't show: for each
     * k ∈ {1, 3, 5}, how many of the exact top-k neighbors the LSH
@@ -1289,6 +1315,7 @@ object SimilarityOps {
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
     "ann_recall_curve" -> annRecallCurve,
+    "ann_filtered" -> annFiltered,
     "emb_dup_text_verify" -> embDupTextVerify,
     "emb_pq_encode" -> embPqEncode,
     "ann_pq_adc" -> annPqAdc,
@@ -1617,6 +1644,16 @@ object SimilarityOps {
           LEFT JOIN ($sqlAnnLshProbe) p
             ON b.query_id = p.query_id AND b.cand_id = p.cand_id
           GROUP BY b.query_id ORDER BY b.query_id""",
+    // label equality folded into the candidate join, mirroring the
+    // Spark side's compound (bucket, label) equi-key
+    "ann_filtered" -> sqlTopK(
+      s"""WITH wb AS (SELECT vec_id, embedding, label,
+            ${sqlBucket("embedding")} AS bucket FROM embeddings)
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            ${sqlCosine("q.embedding", "c.embedding")} AS cos
+          FROM wb q JOIN wb c
+            ON q.bucket = c.bucket AND q.label = c.label
+          WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK),
     "ann_recall_curve" ->
       s"""WITH b AS (
             SELECT query_id, cand_id, rank AS t_rank FROM ($sqlKnnBrute)),

@@ -131,6 +131,25 @@ class LshRecallSpec extends SparkSpec {
     assert(ann > 0)
   }
 
+  test("filtered search returns only label-matching candidates") {
+    val emb = graft.sources.Tables.embeddings(spark, Sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = SparkEntry.queries("ann_filtered")(spark, Sf).collect()
+    assert(rows.nonEmpty, "some query must have a same-label neighbor")
+    rows.foreach { r =>
+      val (q, c) = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(emb(q) == emb(c),
+        s"candidate $c (label ${emb(c)}) must match query $q " +
+          s"(label ${emb(q)}) — the predicate is part of the join key")
+    }
+    // ranks are contiguous from 1 within each query
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq ===
+        (1 to g.length).toSeq)
+    }
+  }
+
   test("recall curve is internally consistent across cutoffs") {
     val rows = SparkEntry.queries("ann_recall_curve")(spark, Sf)
       .collect()
