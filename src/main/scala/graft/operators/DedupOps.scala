@@ -770,6 +770,29 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** SNAPSHOT DRIFT (`doc_snapshot_drift`) — the per-source rollup of
+    * [[docSnapshotDiff]]'s classification: how many docs each source
+    * loses (takedowns), re-crawls, and gains between daily snapshots.
+    * This is the relation a drift monitor alarms on — a source whose
+    * removal or churn rate jumps is a crawl regression or a takedown
+    * wave, caught before the training mix silently shifts. ONE
+    * map-side-combinable aggregation over the corpus scan (the tag
+    * classification is a per-row expression; no join, no second pass),
+    * so the monitor costs a single narrow shuffle of |sources| rows. */
+  val docSnapshotDrift: Q = (s, d) => {
+    val t = charHash(col("doc_id").cast("string")) % 10
+    docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(t === TombTag, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(t === DeltaTag, 1L).otherwise(0L)).as("n_changed"),
+        sum(when(t === AddTag, 1L).otherwise(0L)).as("n_added"))
+      .select(col("source"), col("n_before"),
+        (col("n_before") - col("n_removed") + col("n_added"))
+          .as("n_after"),
+        col("n_removed"), col("n_changed"), col("n_added"))
+      .orderBy("source")
+  }
+
   /** The strip engine shared by [[textCdcRemove]] (batch, canonical-
     * owner semantics) and [[StreamOps]]'s `stream_cdc_strip` (ingest,
     * corpus-always-wins semantics): CDC-chunk `docsWithText`
@@ -1012,6 +1035,7 @@ object DedupOps {
     "dedup_index_merge" -> dedupIndexMerge,
     "dedup_index_compact" -> dedupIndexCompact,
     "doc_snapshot_diff" -> docSnapshotDiff,
+    "doc_snapshot_drift" -> docSnapshotDrift,
     "text_cdc_remove" -> textCdcRemove,
     "dedup_minhash_est" -> dedupMinhashEst,
     "dedup_keep_best" -> dedupKeepBest)
@@ -1552,6 +1576,17 @@ object DedupOps {
             COALESCE(b.new_len, CAST(-1 AS BIGINT)) AS new_len
           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
           ORDER BY doc_id"""
+    },
+    "doc_snapshot_drift" -> {
+      val tag = s"${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10"
+      s"""SELECT source, COUNT(*) AS n_before,
+          COUNT(*)
+            - SUM(CASE WHEN $tag = $TombTag THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN $tag = $AddTag THEN 1 ELSE 0 END) AS n_after,
+          SUM(CASE WHEN $tag = $TombTag THEN 1 ELSE 0 END) AS n_removed,
+          SUM(CASE WHEN $tag = $DeltaTag THEN 1 ELSE 0 END) AS n_changed,
+          SUM(CASE WHEN $tag = $AddTag THEN 1 ELSE 0 END) AS n_added
+          FROM documents GROUP BY source ORDER BY source"""
     },
     // full REBUILD of the index over corpus ∖ tombstones: bit-equality
     // against Spark's filter-compaction IS the compact ≡ rebuild proof

@@ -98,6 +98,20 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("snapshot drift totals agree with the per-doc diff") {
+    val drift = SparkEntry.queries("doc_snapshot_drift")(spark, Sf)
+      .collect()
+    val diff = SparkEntry.queries("doc_snapshot_diff")(spark, Sf)
+      .collect().groupBy(_.getAs[String]("status"))
+      .map { case (k, v) => k -> v.length.toLong }
+    def total(c: String) = drift.map(_.getAs[Long](c)).sum
+    assert(total("n_removed") === diff.getOrElse("removed", 0L))
+    assert(total("n_changed") === diff.getOrElse("changed", 0L))
+    assert(total("n_added") === diff.getOrElse("added", 0L))
+    assert(total("n_after") === total("n_before") -
+      total("n_removed") + total("n_added"))
+  }
+
   test("histogram quantile estimate brackets the exact percentile") {
     val est = SparkEntry.queries("ev_histogram_quantiles")(spark, Sf)
       .collect()
