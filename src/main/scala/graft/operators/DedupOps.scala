@@ -1579,13 +1579,19 @@ object DedupOps {
     },
     "doc_snapshot_drift" -> {
       val tag = s"${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10"
+      // every SUM cast to BIGINT: DuckDB SUM(INTEGER) yields HUGEINT,
+      // which must not reach the driver's schema/hash compare
       s"""SELECT source, COUNT(*) AS n_before,
-          COUNT(*)
+          CAST(COUNT(*)
             - SUM(CASE WHEN $tag = $TombTag THEN 1 ELSE 0 END)
-            + SUM(CASE WHEN $tag = $AddTag THEN 1 ELSE 0 END) AS n_after,
-          SUM(CASE WHEN $tag = $TombTag THEN 1 ELSE 0 END) AS n_removed,
-          SUM(CASE WHEN $tag = $DeltaTag THEN 1 ELSE 0 END) AS n_changed,
-          SUM(CASE WHEN $tag = $AddTag THEN 1 ELSE 0 END) AS n_added
+            + SUM(CASE WHEN $tag = $AddTag THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after,
+          CAST(SUM(CASE WHEN $tag = $TombTag THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+          CAST(SUM(CASE WHEN $tag = $DeltaTag THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+          CAST(SUM(CASE WHEN $tag = $AddTag THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_added
           FROM documents GROUP BY source ORDER BY source"""
     },
     // full REBUILD of the index over corpus ∖ tombstones: bit-equality
