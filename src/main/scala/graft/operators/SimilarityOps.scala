@@ -463,6 +463,39 @@ object SimilarityOps {
       TopK)
   }
 
+  /** Recall gate for [[annFiltered]] — same contract as every other
+    * search tier's gate: the bucket-restricted filtered search scored
+    * against the brute-force same-label truth (label equality fused
+    * into the broadcast cross join, exactly the [[annHardNegatives]]
+    * plan with the predicate flipped). A filtered search that
+    * silently loses same-label neighbors to bucket boundaries shows
+    * up here, not in production. */
+  val annFilteredRecall: Q = (s, d) => {
+    val e = bucketed(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("label").cast("long").as("qlabel"))
+    val c = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"), col("label").cast("long").as("clabel"))
+    val truth = topK(
+      c.crossJoin(broadcast(q))
+        .filter(col("clabel") === col("qlabel"))
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos")),
+      TopK)
+    val p = annFiltered(s, d)
+      .select(col("query_id").as("p_query"), col("cand_id").as("p_cand"))
+    truth.join(p, col("query_id") === col("p_query") &&
+        col("cand_id") === col("p_cand"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("p_cand")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK).cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   /** RECALL CURVE (`ann_recall_curve`) — the evaluation sweep over
     * cutoffs that a single recall@k gate can't show: for each
     * k ∈ {1, 3, 5}, how many of the exact top-k neighbors the LSH
@@ -1316,6 +1349,7 @@ object SimilarityOps {
     "ann_lsh_recall" -> annLshRecall,
     "ann_recall_curve" -> annRecallCurve,
     "ann_filtered" -> annFiltered,
+    "ann_filtered_recall" -> annFilteredRecall,
     "emb_dup_text_verify" -> embDupTextVerify,
     "emb_pq_encode" -> embPqEncode,
     "ann_pq_adc" -> annPqAdc,
@@ -1478,6 +1512,22 @@ object SimilarityOps {
         ${sqlCosine("q.embedding", "c.embedding")} AS cos
         FROM embeddings q, embeddings c
         WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK)
+
+  private val sqlAnnFiltered: String = sqlTopK(
+    s"""WITH wb AS (SELECT vec_id, embedding, label,
+          ${sqlBucket("embedding")} AS bucket FROM embeddings)
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlCosine("q.embedding", "c.embedding")} AS cos
+        FROM wb q JOIN wb c
+          ON q.bucket = c.bucket AND q.label = c.label
+        WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK)
+
+  private val sqlFilteredTruth: String = sqlTopK(
+    s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        ${sqlCosine("q.embedding", "c.embedding")} AS cos
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries
+          AND CAST(q.label AS BIGINT) = CAST(c.label AS BIGINT)""", TopK)
 
   private val sqlAnnLshProbe: String = sqlTopK(
     s"""WITH wb AS (SELECT vec_id, embedding,
@@ -1646,14 +1696,15 @@ object SimilarityOps {
           GROUP BY b.query_id ORDER BY b.query_id""",
     // label equality folded into the candidate join, mirroring the
     // Spark side's compound (bucket, label) equi-key
-    "ann_filtered" -> sqlTopK(
-      s"""WITH wb AS (SELECT vec_id, embedding, label,
-            ${sqlBucket("embedding")} AS bucket FROM embeddings)
-          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-            ${sqlCosine("q.embedding", "c.embedding")} AS cos
-          FROM wb q JOIN wb c
-            ON q.bucket = c.bucket AND q.label = c.label
-          WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK),
+    "ann_filtered" -> sqlAnnFiltered,
+    "ann_filtered_recall" ->
+      s"""SELECT b.query_id, COUNT(p.cand_id) AS n_hits,
+          CAST(COUNT(p.cand_id) AS DOUBLE) / CAST($TopK AS DOUBLE)
+            AS recall
+          FROM ($sqlFilteredTruth) b
+          LEFT JOIN ($sqlAnnFiltered) p
+            ON b.query_id = p.query_id AND b.cand_id = p.cand_id
+          GROUP BY b.query_id ORDER BY b.query_id""",
     "ann_recall_curve" ->
       s"""WITH b AS (
             SELECT query_id, cand_id, rank AS t_rank FROM ($sqlKnnBrute)),
