@@ -19,6 +19,25 @@ def load_spark_result(path):
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
     return tbl
 
+def _canon_type(t):
+    import pyarrow as pa
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_canon_type(t.value_type))
+    if pa.types.is_timestamp(t):
+        # unit differences (us vs ns) and tz spelling are representation-
+        # only; decimal-vs-int or int32-vs-int64 are NOT.
+        return pa.timestamp("us", tz="UTC" if t.tz else None)
+    if pa.types.is_struct(t):
+        return pa.struct([(f.name, _canon_type(f.type)) for f in t])
+    return t
+
+def types_compatible(st, dt):
+    return _canon_type(st) == _canon_type(dt)
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -42,6 +61,22 @@ def main():
         dcols = sorted(duck.column_names)
         if scols != dcols:
             print(f"FAIL {name}: columns {scols} vs {dcols}"); n_fail += 1; continue
+        # Type-strict gate: the driver's hash is type-sensitive, so a
+        # value-equal but type-different column (e.g. DuckDB SUM(BIGINT)
+        # -> HUGEINT -> decimal128 vs Spark int64) must fail HERE, not
+        # only in the driver. Compare arrow types per column, modulo
+        # representation-only differences (string/large_string, list/
+        # large_list element sameness, timestamp tz spelling).
+        tbad = []
+        for c in scols:
+            st = spark_tbl.schema.field(c).type
+            dt = duck.schema.field(c).type
+            if not types_compatible(st, dt):
+                tbad.append((c, st, dt))
+        if tbad:
+            for c, st, dt in tbad:
+                print(f"FAIL {name}: column '{c}' arrow type spark={st} vs oracle={dt}")
+            n_fail += 1; continue
         srows = list(zip(*[spark_tbl.column(c).to_pylist() for c in scols]))
         drows = list(zip(*[duck.column(c).to_pylist() for c in dcols]))
         if len(srows) != len(drows):

@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Skew-adversarial probe: the same controlled-bench harness as
+# scale_probe.sh, but over graft.SkewData's hot-key variants of
+# sf0.1 and sf1 (hot LSH cluster / over-cap chunk digest / dominant
+# language / hot event user / duplicated embedding — see SkewData's
+# scaladoc). Compare benchdata/skew_<tag>_<rep>.json against the
+# uniform probe_<tag>_<rep>.json: a query whose skew/uniform ratio
+# explodes is a missing cap or salt.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+QUERIES="dedup_bucket_histogram dedup_lsh_pairs dedup_jaccard \
+dedup_components dedup_index_merge dedup_index_compact \
+dedup_index_rewrite text_cdc_dedup text_cdc_remove mm_store_gc \
+ev_top_users ev_top_users_salted doc_sample_quota doc_keep_decision \
+emb_near_dup ann_lsh_buckets ann_lsh_probe ann_index_merge"
+
+export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
+
+# skew variants derive from the uniform dirs; sf1 needs scale_probe's
+# generated benchdata/sf1 (sentinel-guarded there)
+if [ ! -f benchdata/skew0.1/.complete ]; then
+  echo "== generating benchdata/skew0.1 (skewed sf0.1) =="
+  rm -rf benchdata/skew0.1
+  sbt -batch "runMain graft.SkewData /root/testdata/sf0.1 benchdata/skew0.1"
+  touch benchdata/skew0.1/.complete
+fi
+if [ -f benchdata/sf1/.complete ] && [ ! -f benchdata/skew1/.complete ]; then
+  echo "== generating benchdata/skew1 (skewed sf1) =="
+  rm -rf benchdata/skew1
+  sbt -batch "runMain graft.SkewData benchdata/sf1 benchdata/skew1"
+  touch benchdata/skew1/.complete
+fi
+
+for tag_dir in "skew0.1:benchdata/skew0.1" "skew1:benchdata/skew1"; do
+  tag="${tag_dir%%:*}"; dir="${tag_dir#*:}"
+  [ -f "$dir/.complete" ] || { echo "skip $tag (no dataset)"; continue; }
+  for rep in 1 2 3; do
+    echo "== $tag rep $rep =="
+    SPARK_GRAFT_SF_DIR="$dir" sbt -batch "runMain graft.Bench $QUERIES" \
+      >/dev/null 2>&1
+    cp bench_result.json "benchdata/${tag}_${rep}.json"
+  done
+done
+echo "done"

@@ -61,6 +61,7 @@ object DedupOps {
     bucketCache.invalidate()
     componentCache.invalidate()
     mergedCache.invalidate()
+    rewriteCache.invalidate()
   }
 
   /** Exact dedup: canonical (min) doc per identical text. */
@@ -716,6 +717,51 @@ object DedupOps {
       .select(col("doc_id"), col("band"), col("bucket"))
       .orderBy("doc_id", "band")
 
+  /** The physically-rewritten index — its own (context, dir, mtime)
+    * cache so publication is the same atomic putIfAbsent supersede
+    * every other index family uses; a source overwrite (mtime bump)
+    * evicts it transparently. */
+  private val rewriteCache = new IndexCache
+
+  private[graft] def rewriteCacheKeys = rewriteCache.keys
+
+  /** INDEX REWRITE — the PHYSICAL reclaim [[dedupIndexCompact]]
+    * deliberately defers. The logical delete is right while tombstones
+    * are few (a narrow filter over cached blocks, zero extra storage),
+    * but every consumer pays the predicate on every row forever, and a
+    * tombstone-heavy index carries dead rows in executor storage with
+    * no path to reclaim short of the all-or-nothing mtime rebuild from
+    * the raw corpus. This operator is that missing targeted path:
+    * materialize the SURVIVING rows of the persisted LSH index (one
+    * eager `localCheckpoint` — lineage cut, so the new relation has no
+    * recompute path back to the corpus at all) and publish it through
+    * [[IndexCache]]'s atomic putIfAbsent, exactly the supersede
+    * discipline the merge family uses.
+    *
+    * The input is the INDEX's existing cached blocks, never the
+    * documents parquet — reclaim cost ∝ |index|, not |corpus|
+    * (RewriteSpec pins exactly one new persisted relation, an
+    * untouched corpus-index cache entry, and a rewritten plan with no
+    * file scan). At 100 TB that asymmetry is the point: the index is
+    * the small derived relation (ids and bucket hashes), the corpus is
+    * the 100 TB of text a rewrite must never touch.
+    *
+    * The oracle rebuilds the index from scratch over
+    * corpus ∖ tombstones — identical to `dedup_index_compact`'s, which
+    * is the claim itself: logical delete, physical rewrite, and full
+    * rebuild are three costs for ONE semantic result. */
+  val dedupIndexRewrite: Q = (s, d) =>
+    rewrittenBuckets(s, d)
+      .orderBy("doc_id", "band")
+
+  private[graft] def rewrittenBuckets(s: SparkSession, d: String): DataFrame =
+    rewriteCache.getOrBuild(s, d, docsMtime(d)) {
+      buckets(s, d)
+        .filter(!tombstoned(col("doc_id")))
+        .select(col("doc_id"), col("band"), col("bucket"))
+        .localCheckpoint() // eager: survivors materialized, lineage cut
+    }
+
   /** Hash tag selecting the newly-discovered docs of
     * [[docSnapshotDiff]]'s tomorrow snapshot — disjoint from
     * [[DeltaTag]] (re-crawl) and [[TombTag]] (takedown), so one diff
@@ -1034,6 +1080,7 @@ object DedupOps {
     "dedup_delta_probe" -> dedupDeltaProbe,
     "dedup_index_merge" -> dedupIndexMerge,
     "dedup_index_compact" -> dedupIndexCompact,
+    "dedup_index_rewrite" -> dedupIndexRewrite,
     "doc_snapshot_diff" -> docSnapshotDiff,
     "doc_snapshot_drift" -> docSnapshotDrift,
     "text_cdc_remove" -> textCdcRemove,
@@ -1080,7 +1127,22 @@ object DedupOps {
     * (is_new) docs re-chunked, every chunk whose digest exists on the
     * corpus side (non-new docs, df ≤ [[MaxChunkDf]]) stripped, kept
     * chunks reassembled in position order — the within-document E6
-    * route: strip the duplicated passage, admit the rest. */
+    * route: strip the duplicated passage, admit the rest.
+    *
+    * ADDRESSING INVARIANT (applies to every CDC oracle in this file
+    * and [[MultimodalOps]]'s store oracles): the engine chunks and
+    * slices UTF-8 BYTES (binary substring over `encode`d payloads),
+    * but DuckDB v1.0.0 has no BLOB substring/md5, so these oracles
+    * index CHARACTERS (`text[j]`, character `substring`) at
+    * byte-derived offsets. The two conventions coincide iff the
+    * oracle-gated corpus is pure ASCII — which the generated
+    * `documents` tables are at every SF, and which
+    * AsciiInvariantSpec asserts so a future non-ASCII fixture fails
+    * loudly in the suite rather than silently diverging at the gate.
+    * (The ENGINE itself is byte-correct for arbitrary UTF-8 —
+    * SubstrDedupSpec round-trips a multi-byte doc through
+    * cdcStripAgainst; only the DuckDB side of the comparison needs
+    * the ASCII restriction.) */
   private[graft] def sqlCdcStrip: String = {
     val W = graft.functions.CdcBoundaries.Window
     val D = graft.functions.CdcBoundaries.Divisor
@@ -1181,7 +1243,7 @@ object DedupOps {
             HAVING COUNT(*) BETWEEN 2 AND $MaxChunkDf)
           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
             COUNT(*) AS n_shared_chunks,
-            SUM(e.chunk_len) AS shared_bytes
+            CAST(SUM(e.chunk_len) AS BIGINT) AS shared_bytes
           FROM el e
           JOIN pd x ON x.chunk_md5 = e.chunk_md5
           JOIN pd y ON y.chunk_md5 = e.chunk_md5 AND x.doc_id < y.doc_id
@@ -1597,6 +1659,17 @@ object DedupOps {
     // full REBUILD of the index over corpus ∖ tombstones: bit-equality
     // against Spark's filter-compaction IS the compact ≡ rebuild proof
     "dedup_index_compact" ->
+      s"""WITH kept AS (
+            SELECT doc_id, text FROM documents
+            WHERE ${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10
+              != $TombTag),
+          ${sqlSignaturesAs("sig", "kept")},
+          ${sqlBucketsAs("buckets", "sig")}
+          SELECT doc_id, band, bucket FROM buckets
+          ORDER BY doc_id, band""",
+    // the physical rewrite must be indistinguishable from the logical
+    // delete AND from a full rebuild — same oracle as the compact
+    "dedup_index_rewrite" ->
       s"""WITH kept AS (
             SELECT doc_id, text FROM documents
             WHERE ${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10

@@ -525,7 +525,7 @@ object EventOps {
       """WITH bands(band, lo, hi) AS (
            VALUES ('micro', 0.0, 50.0), ('small', 50.0, 150.0),
                   ('mid', 150.0, 300.0), ('large', 300.0, 1000.0))
-         SELECT band, lo, COUNT(*) AS n,
+         SELECT band, CAST(lo AS DOUBLE) AS lo, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM events JOIN bands ON value >= lo AND value < hi
          GROUP BY band, lo ORDER BY lo""",

@@ -139,7 +139,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     pairs
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
       .orderBy("query_id", "rank")
@@ -886,7 +886,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("cand_id"))
     adcScores(s, d)
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
       .orderBy("query_id", "rank")
@@ -931,7 +931,7 @@ object SimilarityOps {
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("cand_id"),
         sqDist(col("ce"), col("qe")).as("dist"))
-      .withColumn("rank", row_number().over(wr))
+      .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("cand_id"), col("dist"))
       .orderBy("query_id", "rank")
@@ -987,7 +987,7 @@ object SimilarityOps {
         pick(2, "dq").as("d2"), pick(3, "dq").as("d3"))
       .select(col("query_id"), col("cand_id"),
         (col("d0") + col("d1") + col("d2") + col("d3")).as("adc"))
-      .withColumn("rank", row_number().over(wr))
+      .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
       .orderBy("query_id", "rank")
@@ -1185,8 +1185,8 @@ object SimilarityOps {
       .withColumn("r_lex", row_number().over(wLex))
       .withColumn("r_vec", row_number().over(wVec))
       .withColumn("rrf",
-        lit(1.0) / (lit(60.0) + col("r_lex").cast("double")) +
-          lit(1.0) / (lit(60.0) + col("r_vec").cast("double")))
+        lit(1.0) / (lit(RrfK.toDouble) + col("r_lex").cast("double")) +
+          lit(1.0) / (lit(RrfK.toDouble) + col("r_vec").cast("double")))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("cand_id"))
     ranked
@@ -1637,9 +1637,9 @@ object SimilarityOps {
               ON p.query_id = l.query_id AND p.cand_id = l.cand_id),
           fused AS (
             SELECT query_id, cand_id, n_common, cos,
-              CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE)
+              CAST(1 AS DOUBLE) / (CAST($RrfK AS DOUBLE)
                 + CAST(r_lex AS DOUBLE))
-              + CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE)
+              + CAST(1 AS DOUBLE) / (CAST($RrfK AS DOUBLE)
                 + CAST(r_vec AS DOUBLE)) AS rrf
             FROM ranked),
           topk AS (

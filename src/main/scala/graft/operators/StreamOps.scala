@@ -68,6 +68,11 @@ object StreamOps {
     rs
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   private def runToTable(s: SparkSession, df: DataFrame, mode: String)
       : DataFrame = {
     val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
@@ -610,10 +615,30 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
-    s.read.parquet(outDir)
-      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
-        col("clean_text"), col("clean_len"))
-      .orderBy("doc_id")
+    // The temp dir must not outlive this call (Verify/test/bench runs
+    // would otherwise leak a dir per invocation), and an all-filtered
+    // batch writes no part files at all — reading that dir would throw
+    // a schema-inference AnalysisException instead of yielding the
+    // correct empty result. Materialize (eager localCheckpoint cuts
+    // the lineage back to the files), then delete the dir.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chunks", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_kept", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("clean_text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("clean_len", org.apache.spark.sql.types.LongType)))
+    val hasParts = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+    val out =
+      if (!hasParts) s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else s.read.schema(schema).parquet(outDir)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          col("clean_text"), col("clean_len"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    deleteRecursively(new java.io.File(outDir))
+    out
   }
 
   /** Streaming mergeable histogram — the stream-side PROOF of

@@ -178,7 +178,7 @@ object TextOps {
         col("tf").cast("double") *
           ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
             / (col("df").cast("double") + lit(0.5))))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("token"), col("tf"),
         col("df"), col("score"))
@@ -402,7 +402,7 @@ object TextOps {
       .orderBy(Hashing.charHash(col("doc_id").cast("string")), col("doc_id"))
     docs(s, d)
       .select(col("doc_id"), col("lang"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= QuotaPerLang)
       .orderBy("lang", "rk")
   }

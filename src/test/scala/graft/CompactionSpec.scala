@@ -119,7 +119,8 @@ class CompactionSpec extends SparkSpec {
         (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
       .toMap
     val values = graft.sources.Tables.events(spark, Sf)
-      .select("value").collect().map(_.getDouble(0)).sorted
+      .select("value").filter(col("value").isNotNull)
+      .collect().map(_.getDouble(0)).sorted
     est.foreach { case (p, (lo, hi)) =>
       // exact percentile at the same integer rank definition:
       // smallest value whose rank satisfies rank*100 >= p*N

@@ -321,8 +321,9 @@ class CurationOpsSpec extends SparkSpec {
     val ivf = SimilarityOps.annIvfPq(spark, Sf)
     // per query: ranks contiguous from 1, adc non-decreasing
     ivf.collect().groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
-      val sorted = g.sortBy(_.getAs[Int]("rank"))
-      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to g.length),
+      val sorted = g.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to g.length.toLong),
         "ranks must be contiguous from 1")
       val adcs = sorted.map(_.getAs[Double]("adc"))
       assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },

@@ -145,8 +145,8 @@ class LshRecallSpec extends SparkSpec {
     }
     // ranks are contiguous from 1 within each query
     rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
-      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq ===
-        (1 to g.length).toSeq)
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to g.length.toLong).toSeq)
     }
   }
 
