@@ -33,9 +33,15 @@ if [ -f benchdata/sf1/.complete ] && [ ! -f benchdata/skew1/.complete ]; then
   touch benchdata/skew1/.complete
 fi
 
-for tag_dir in "skew0.1:benchdata/skew0.1" "skew1:benchdata/skew1"; do
+# uniform reference runs (same query list, same warmup) so every
+# skew/uniform ratio is apples-to-apples
+for tag_dir in "unif0.1:/root/testdata/sf0.1" "skew0.1:benchdata/skew0.1" \
+    "unif1:benchdata/sf1" "skew1:benchdata/skew1"; do
   tag="${tag_dir%%:*}"; dir="${tag_dir#*:}"
-  [ -f "$dir/.complete" ] || { echo "skip $tag (no dataset)"; continue; }
+  [ -d "$dir" ] || { echo "skip $tag (no dataset)"; continue; }
+  case "$dir" in benchdata/*)
+    [ -f "$dir/.complete" ] || { echo "skip $tag (incomplete)"; continue; } ;;
+  esac
   for rep in 1 2 3; do
     echo "== $tag rep $rep =="
     SPARK_GRAFT_SF_DIR="$dir" sbt -batch "runMain graft.Bench $QUERIES" \

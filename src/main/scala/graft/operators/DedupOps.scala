@@ -155,29 +155,73 @@ object DedupOps {
 
   private def sqlBuckets: String = sqlBucketsAs("buckets", "sig")
 
-  /** LSH candidate pairs: same band bucket, a < b, distinct. */
-  val dedupLshPairs: Q = (s, d) => {
+  /** Oracle mirror of [[lshCandidatePairs]]: candidate pairs with
+    * over-cap ([[MaxBucketOcc]]) cells excluded. Emits the `hotcells`
+    * and `pairs` CTE pair; prepend after a `buckets` CTE. */
+  private def sqlCandPairs: String =
+    s"""hotcells AS (
+            SELECT band, bucket FROM buckets
+            GROUP BY band, bucket HAVING COUNT(*) > $MaxBucketOcc),
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM hotcells h
+              WHERE h.band = x.band AND h.bucket = x.bucket))"""
+
+  /** Bucket-occupancy cap for the PAIR-EMITTING verification tier:
+    * a (band, bucket) cell with more than this many members emits no
+    * candidate pairs. An over-cap cell is a degenerate template/mirror
+    * cluster — the skew probe measured the cost of letting it through
+    * (`dedup_jaccard` 5.2 → 89.8 s, 17×, when 2% of a 50k corpus
+    * collapses into one cluster; super-quadratic in cluster size) —
+    * and pairwise verification is the wrong tool for it anyway: its
+    * members are near-identical by construction, which the O(n)
+    * exact/normalized tier and the STAR-shaped `dedup_components`
+    * (bipartite min-label, unaffected by the cap, measured 1.48×
+    * under the same skew) already handle. `dedup_bucket_histogram` is
+    * the monitor that surfaces over-cap cells; a pair is still
+    * emitted if it co-occurs in ANY under-cap cell of another band.
+    * Far above anything honest data produces (max uniform occupancy
+    * at sf0.1 is 4) — the gated corpora are unaffected; the oracles
+    * mirror the cap so the semantics are pinned, not incidental. */
+  val MaxBucketOcc = 64
+
+  /** The shared candidate-pair generator every pairwise verifier
+    * consumes: same band bucket, a < b, distinct, over-cap cells
+    * excluded ([[MaxBucketOcc]]). The hot-cell list is almost always
+    * empty/tiny, so the exclusion is a broadcast anti-join — the only
+    * added cost is one integer-only count over the persisted index. */
+  private[graft] def lshCandidatePairs(s: SparkSession, d: String)
+      : DataFrame = {
     val bk = buckets(s, d)
-    bk.as("x").join(bk.as("y"),
+    val hot = bk.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > MaxBucketOcc)
+      .select(col("band"), col("bucket"))
+    val x = bk.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    // capping one side suffices: the equi-join keeps pairs within a
+    // cell, and x carries no rows of any over-cap cell
+    x.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** LSH candidate pairs: same band bucket, a < b, distinct,
+    * [[MaxBucketOcc]]-capped cells. */
+  val dedupLshPairs: Q = (s, d) =>
+    lshCandidatePairs(s, d)
+      .orderBy("doc_a", "doc_b")
 
   /** LSH candidates verified with exact shingle-set Jaccard, computed
     * by explode-join (set-intersection as a token equi-join, never
     * materializing per-pair set products). */
   val dedupJaccard: Q = (s, d) => {
-    val bk = buckets(s, d)
-    val pairs = bk.as("x").join(bk.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = lshCandidatePairs(s, d)
     val sh = docs(s, d)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
@@ -213,13 +257,7 @@ object DedupOps {
     * candidates are ever compared. */
   val dedupCharNgram: Q = (s, d) => {
     val N = 5
-    val bk = buckets(s, d)
-    val pairs = bk.as("x").join(bk.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = lshCandidatePairs(s, d)
     // grams only for docs that are IN some candidate pair — gram cost
     // ∝ candidates, not corpus (char 5-grams are ~6× denser than word
     // shingles, so computing them corpus-wide tripled this query's
@@ -289,13 +327,7 @@ object DedupOps {
     * exact division. Cost is O(|pair| · len²) on LSH candidates only —
     * never all pairs. */
   val dedupEditDistance: Q = (s, d) => {
-    val bk = buckets(s, d)
-    val pairs = bk.as("x").join(bk.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = lshCandidatePairs(s, d)
     val txt = docs(s, d).select(col("doc_id"), col("text"))
     pairs
       .join(txt.as("da"), col("doc_a") === col("da.doc_id"))
@@ -330,13 +362,7 @@ object DedupOps {
     * bit-equality proves the banded early-exit path returns exactly
     * the capped answer, never an approximation of it. */
   val dedupEditBanded: Q = (s, d) => {
-    val bk = buckets(s, d)
-    val pairs = bk.as("x").join(bk.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = lshCandidatePairs(s, d)
     val txt = docs(s, d).select(col("doc_id"), col("text"))
     pairs
       .join(txt.as("da"), col("doc_a") === col("da.doc_id"))
@@ -514,13 +540,7 @@ object DedupOps {
     * counts the pairs that are verbatim copies. Cost ∝ LSH candidate
     * pairs (never all pairs) + two doc-metadata equi-joins. */
   val dedupCrossSource: Q = (s, d) => {
-    val bk = buckets(s, d)
-    val pairs = bk.as("x").join(bk.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = lshCandidatePairs(s, d)
     val ds = docs(s, d).select(col("doc_id"), col("source"), col("text"))
     pairs
       .join(ds.as("da"), col("doc_a") === col("da.doc_id"))
@@ -1309,19 +1329,13 @@ object DedupOps {
     "dedup_minhash_sig" ->
       s"""WITH $sqlSignatures SELECT * FROM sig ORDER BY doc_id""",
     "dedup_lsh_pairs" ->
-      s"""WITH $sqlSignatures, $sqlBuckets
-          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-          FROM buckets x JOIN buckets y
-            ON x.band = y.band AND x.bucket = y.bucket
-               AND x.doc_id < y.doc_id
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          $sqlCandPairs
+          SELECT doc_a, doc_b FROM pairs
           ORDER BY doc_a, doc_b""",
     "dedup_jaccard" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
-          pairs AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM buckets x JOIN buckets y
-              ON x.band = y.band AND x.bucket = y.bucket
-                 AND x.doc_id < y.doc_id),
+          $sqlCandPairs,
           sh AS (
             SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
             FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
@@ -1345,11 +1359,7 @@ object DedupOps {
           ORDER BY 1, 2""",
     "dedup_char_ngram" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
-          pairs AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM buckets x JOIN buckets y
-              ON x.band = y.band AND x.bucket = y.bucket
-                 AND x.doc_id < y.doc_id),
+          $sqlCandPairs,
           grams AS (
             SELECT doc_id, unnest(list_distinct(${sqlHashAll(
               "list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))")}))
@@ -1378,11 +1388,7 @@ object DedupOps {
         .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH $sqlSignatures, $sqlBuckets,
-          pairs AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM buckets x JOIN buckets y
-              ON x.band = y.band AND x.bucket = y.bucket
-                 AND x.doc_id < y.doc_id),
+          $sqlCandPairs,
           sh AS (
             SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
             FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
@@ -1415,11 +1421,7 @@ object DedupOps {
     },
     "dedup_edit_distance" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
-          pairs AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM buckets x JOIN buckets y
-              ON x.band = y.band AND x.bucket = y.bucket
-                 AND x.doc_id < y.doc_id)
+          $sqlCandPairs
           SELECT p.doc_a, p.doc_b,
             CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
             CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
@@ -1435,11 +1437,7 @@ object DedupOps {
     // banded early-exit verifier returns exactly the capped answer
     "dedup_edit_banded" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
-          pairs AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM buckets x JOIN buckets y
-              ON x.band = y.band AND x.bucket = y.bucket
-                 AND x.doc_id < y.doc_id)
+          $sqlCandPairs
           SELECT p.doc_a, p.doc_b,
             CASE WHEN levenshtein(da.text, db.text) <= $EditThreshold
               THEN CAST(levenshtein(da.text, db.text) AS BIGINT)
@@ -1536,11 +1534,7 @@ object DedupOps {
           WHERE rn = 1 ORDER BY component_id""",
     "dedup_cross_source" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
-          pairs AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM buckets x JOIN buckets y
-              ON x.band = y.band AND x.bucket = y.bucket
-                 AND x.doc_id < y.doc_id)
+          $sqlCandPairs
           SELECT least(da.source, db.source) AS source_a,
             greatest(da.source, db.source) AS source_b,
             COUNT(*) AS n_pairs,
