@@ -228,13 +228,45 @@ object SimilarityOps {
       3)
   }
 
+  /** Per-vector exact-duplicate canonicalization: canon_id = the min
+    * vec_id among byte-identical embeddings, with the group size. The
+    * vector-side mirror of the lexical design where the O(n) exact
+    * tier owns identical content BEFORE any pairwise machinery runs:
+    * a re-ingested/mirrored embedding batch (the skew probe's
+    * 10%-identical shape) otherwise turns every bucket self-join
+    * quadratic in the dup-group size. One window pass; honest corpora
+    * have no identical vectors, so this is a no-op passthrough there
+    * (all three testdata SFs verified duplicate-free). */
+  private[graft] def canonVecs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("embedding"))
+    emb(s, d)
+      .select(col("vec_id"),
+        min(col("vec_id")).over(w).as("canon_id"),
+        count(lit(1)).over(w).as("grp_sz"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space analogue
     * of MinHash dedup. Candidates come from the LSH bucket equi-join
     * (never the O(n²) cross product), then the exact cosine filters at
     * the threshold. At 100 TB this is the standard near-dup sweep:
-    * per-bucket self-join cost ∝ Σ bucket², tunable via [[Planes]]. */
-  val embNearDup: Q = (s, d) => {
-    val wb = bucketed(s, d)
+    * per-bucket self-join cost ∝ Σ bucket², tunable via [[Planes]] —
+    * and, since round 8, ∝ Σ DISTINCT-embedding bucket²: pairs are
+    * emitted between [[canonVecs]] canonical representatives only
+    * (exact duplicates contribute nothing pairwise; they inherit
+    * cluster membership through their canonical in `emb_components`).
+    * Skew-probe motivation: 10% byte-identical vectors made this
+    * join's hot bucket quadratic; with the collapse the hot group
+    * costs one canonical row. */
+  val embNearDup: Q = (s, d) =>
+    embNearDupPairs(s, d)
+      .orderBy("vec_a", "vec_b")
+
+  private[graft] def embNearDupPairs(s: SparkSession, d: String)
+      : DataFrame = {
+    val reps = canonVecs(s, d)
+      .filter(col("vec_id") === col("canon_id"))
+      .select(col("vec_id"))
+    val wb = bucketed(s, d).join(reps, Seq("vec_id"), "left_semi")
     wb.as("x").join(wb.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -242,7 +274,6 @@ object SimilarityOps {
         cosPre(col("x.embedding"), col("y.embedding"),
           col("x.norm"), col("y.norm")).as("cos"))
       .filter(col("cos") >= 0.35)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** SEMANTIC dedup clusters: connected components over the VERIFIED
@@ -263,14 +294,29 @@ object SimilarityOps {
 
   private def embComponentsRel(s: SparkSession, d: String): DataFrame =
     embCompCache.getOrBuild(s, d, embMtime(d)) {
-      val pairs = embNearDup(s, d).select(col("vec_a"), col("vec_b"))
+      val pairs = embNearDupPairs(s, d).select(col("vec_a"), col("vec_b"))
       // bipartite encoding: pair i = a bucket holding exactly its two
       // endpoints; the synthetic bucket id (a << 32 | b) is unique per
-      // pair and never collides (vec ids are < 2^31)
+      // pair and never collides (vec ids are < 2^31). Near-dup pairs
+      // link CANONICAL representatives only, so exact-duplicate
+      // groups additionally contribute one bucket per group (band 1,
+      // keyed by canon_id — disjoint from the band-0 pair buckets):
+      // every member reaches its canonical in O(group), never O(group²)
+      val dupGroups = canonVecs(s, d)
+        .filter(col("grp_sz") > 1)
+        .select(col("vec_id").as("doc_id"), lit(1L).as("band"),
+          col("canon_id").as("bucket"))
+      // one eager materialization: the membership lineage now carries
+      // the canon window + rep semi-join + pair join, and the
+      // propagation loop re-executes its input several times per
+      // iteration — without the cut, every iteration re-runs the
+      // whole pair pipeline (measured 29 s vs 3 s at skewed sf1)
       val membership = pairs
         .select(explode(array(col("vec_a"), col("vec_b"))).as("doc_id"),
           lit(0L).as("band"),
           (col("vec_a") * lit(4294967296L) + col("vec_b")).as("bucket"))
+        .unionByName(dupGroups)
+        .localCheckpoint()
       val labels = DedupOps.propagateMinLabels(membership)
       val singletons = emb(s, d).select(col("vec_id").as("doc_id"))
         .join(labels, Seq("doc_id"), "left_anti")
@@ -280,6 +326,7 @@ object SimilarityOps {
       // lexical component cache)
       val all = labels.union(singletons).localCheckpoint()
       IndexCache.release(labels)
+      IndexCache.release(membership)
       all
     }
 
@@ -1481,9 +1528,18 @@ object SimilarityOps {
           FROM ($candJoin) pairs) ranked
         WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** Mirror of [[canonVecs]] + the representative filter: pairs run
+    * between min-id canonical representatives of byte-identical
+    * embeddings only. */
   private val sqlEmbNearDup: String =
-    s"""WITH wb AS (SELECT vec_id, embedding,
-          ${sqlBucket("embedding")} AS bucket FROM embeddings)
+    s"""WITH cv AS (
+          SELECT vec_id,
+            MIN(vec_id) OVER (PARTITION BY embedding) AS canon_id
+          FROM embeddings),
+        wb AS (SELECT e.vec_id, e.embedding,
+          ${sqlBucket("e.embedding")} AS bucket
+          FROM embeddings e JOIN cv ON e.vec_id = cv.vec_id
+          WHERE cv.vec_id = cv.canon_id)
         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
           ${sqlCosine("x.embedding", "y.embedding")} AS cos
         FROM wb x JOIN wb y
@@ -1492,13 +1548,23 @@ object SimilarityOps {
         ORDER BY vec_a, vec_b"""
 
   /** Recursive-CTE mirror of [[embComponentsRel]] (comp = min
-    * reachable vec_id over the verified near-dup graph), WITH-ready —
-    * shared by the emb_components and emb_split_assign oracles. */
+    * reachable vec_id over the verified near-dup graph, plus the
+    * exact-duplicate member→canonical edges), WITH-ready — shared by
+    * the emb_components and emb_split_assign oracles. */
   private def sqlEmbCompCtes: String =
     s"""p AS (SELECT vec_a, vec_b FROM ($sqlEmbNearDup) nd),
+        cvg AS (
+          SELECT vec_id,
+            MIN(vec_id) OVER (PARTITION BY embedding) AS canon_id
+          FROM embeddings),
+        dupe AS (
+          SELECT vec_id AS src, canon_id AS dst FROM cvg
+          WHERE vec_id <> canon_id),
         edges AS (
           SELECT vec_a AS src, vec_b AS dst FROM p
-          UNION SELECT vec_b, vec_a FROM p),
+          UNION SELECT vec_b, vec_a FROM p
+          UNION SELECT src, dst FROM dupe
+          UNION SELECT dst, src FROM dupe),
         reach AS (
           SELECT vec_id AS src, vec_id AS dst FROM embeddings
           UNION

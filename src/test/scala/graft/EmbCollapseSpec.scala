@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** The exact-duplicate collapse contract of the vector pair tier
+  * ([[SimilarityOps.canonVecs]]): a group of byte-identical embeddings
+  * (the skew probe's 10%-identical shape) must emit NO pairwise work
+  * among its members — `emb_near_dup` pairs canonical representatives
+  * only — while `emb_components` still places every member of the
+  * group in ONE component (membership flows through the canonical in
+  * O(group), never O(group²)).
+  */
+class EmbCollapseSpec extends SparkSpec {
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(SimilarityOps.Dims)(r.nextFloat() * 2f - 1f)
+  }
+
+  private def writeEmb(rows: Seq[(Long, Array[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("emb-collapse")
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("identical-embedding group emits no member pairs; near-dups of " +
+      "the canonical still pair; components links the whole group") {
+    val shared = vec(7)
+    // 30-member identical group at ids 100..129
+    val dupGroup = (0L until 30L).map(i => (100L + i, shared.clone(), 1))
+    // a genuine near-dup of the shared vector (same direction, tiny
+    // perturbation on one dim → same LSH bucket, cos ≈ 1)
+    val near = shared.clone(); near(0) = near(0) + 1e-4f
+    val fill = (0L until 20L).map(i => (500L + i, vec(1000 + i.toInt), 2))
+    val dir = writeEmb(dupGroup ++ Seq((50L, near, 1)) ++ fill)
+
+    SimilarityOps.invalidateIndexes()
+    val pairs = SparkEntry.queries("emb_near_dup")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    // no pair between two members of the identical group…
+    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L && b < 130L },
+      s"identical group leaked member pairs: ${pairs.take(5).toSeq}")
+    // …but the canonical (min id 100) still pairs with the near-dup
+    assert(pairs.contains((50L, 100L)),
+      s"canonical must still pair with genuine near-dups, saw: ${pairs.toSeq}")
+
+    val comp = SparkEntry.queries("emb_components")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("component_id"))
+      .toMap
+    // the whole identical group + the near-dup land in one component
+    val clusterComps = ((100L until 130L) ++ Seq(50L)).map(comp).toSet
+    assert(clusterComps.size === 1,
+      s"dup group + near-dup must form one component, saw: $clusterComps")
+    // fillers stay singletons
+    assert((500L until 520L).forall(id => comp(id) == id))
+    SimilarityOps.invalidateIndexes()
+  }
+}
