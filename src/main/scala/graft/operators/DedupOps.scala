@@ -782,6 +782,26 @@ object DedupOps {
         .localCheckpoint() // eager: survivors materialized, lineage cut
     }
 
+  /** INDEX TOMBSTONE STATS — the monitor that gives the index
+    * lifecycle its REWRITE TRIGGER. The logical delete is free but
+    * accumulates dead rows; the physical rewrite reclaims them but
+    * costs a full index materialization — the policy needs a number:
+    * per band, total rows, tombstoned rows, and the live fraction.
+    * When `live_frac` dips below the operator's threshold (a policy
+    * knob, not engine logic), run `dedup_index_rewrite`. One
+    * map-side-combinable groupBy over the persisted index — ints
+    * only, no document byte touched; the division is the only double
+    * and both engines compute it from the same two BIGINTs. */
+  val dedupIndexStats: Q = (s, d) =>
+    buckets(s, d)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(tombstoned(col("doc_id")), 1L).otherwise(0L)).as("n_tomb"))
+      .select(col("band"), col("n_rows"), col("n_tomb"),
+        ((col("n_rows") - col("n_tomb")).cast("double")
+          / col("n_rows").cast("double")).as("live_frac"))
+      .orderBy("band")
+
   /** Hash tag selecting the newly-discovered docs of
     * [[docSnapshotDiff]]'s tomorrow snapshot — disjoint from
     * [[DeltaTag]] (re-crawl) and [[TombTag]] (takedown), so one diff
@@ -1101,6 +1121,7 @@ object DedupOps {
     "dedup_index_merge" -> dedupIndexMerge,
     "dedup_index_compact" -> dedupIndexCompact,
     "dedup_index_rewrite" -> dedupIndexRewrite,
+    "dedup_index_stats" -> dedupIndexStats,
     "doc_snapshot_diff" -> docSnapshotDiff,
     "doc_snapshot_drift" -> docSnapshotDrift,
     "text_cdc_remove" -> textCdcRemove,
@@ -1661,6 +1682,20 @@ object DedupOps {
           ${sqlBucketsAs("buckets", "sig")}
           SELECT doc_id, band, bucket FROM buckets
           ORDER BY doc_id, band""",
+    // the rewrite-trigger monitor: per band, live fraction of the
+    // index under the current tombstone set
+    "dedup_index_stats" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          st AS (
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) FILTER (
+                WHERE ${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10
+                  = $TombTag) AS BIGINT) AS n_tomb
+            FROM buckets GROUP BY band)
+          SELECT band, n_rows, n_tomb,
+            CAST(n_rows - n_tomb AS DOUBLE) / CAST(n_rows AS DOUBLE)
+              AS live_frac
+          FROM st ORDER BY band""",
     // the physical rewrite must be indistinguishable from the logical
     // delete AND from a full rebuild — same oracle as the compact
     "dedup_index_rewrite" ->

@@ -209,6 +209,7 @@ object MultimodalOps {
     nearDupCache.invalidate()
     chunkCache.invalidate()
     chunkMergedCache.invalidate()
+    storeRewriteCache.invalidate()
   }
 
   private def docsMtime(d: String): Option[Long] =
@@ -352,6 +353,39 @@ object MultimodalOps {
       .select(col("chunk_md5"), col("n_owners_before"), col("stored_len"))
       .orderBy("chunk_md5")
 
+  /** The physically-rewritten chunk store — substring-tier mirror of
+    * `dedup_index_rewrite`, same atomic-supersede publication. */
+  private val storeRewriteCache = new IndexCache
+
+  private[graft] def storeRewriteCacheKeys = storeRewriteCache.keys
+
+  /** CHUNK-STORE REWRITE — the physical pass that applies
+    * [[mmStoreGc]]'s verdicts: the GC emits the reclaim LIST (digests
+    * whose last owner was tombstoned); this operator materializes the
+    * store that remains — every (doc, digest) ownership row of a
+    * surviving owner, rolled up with its reference count — from the
+    * store's own cached blocks (one eager `localCheckpoint`, lineage
+    * cut), published through [[IndexCache]]'s atomic putIfAbsent. The
+    * documents parquet is never re-read and no payload byte moves:
+    * reclaim ∝ |store rows| (16-byte digests + ints), never |corpus|.
+    * Every GC'd digest is absent by construction (its owners were all
+    * tombstoned), so the oracle — the from-scratch per-(doc, digest)
+    * rollup over corpus ∖ tombstones — proves rewrite ≡ GC ∘ rebuild
+    * in one equality. */
+  val mmStoreRewrite: Q = (s, d) =>
+    rewrittenChunkStore(s, d)
+      .orderBy("doc_id", "chunk_md5")
+
+  private[graft] def rewrittenChunkStore(s: SparkSession, d: String)
+      : DataFrame =
+    storeRewriteCache.getOrBuild(s, d, docsMtime(d)) {
+      chunkStore(s, d)
+        .filter(!DedupOps.tombstoned(col("doc_id")))
+        .groupBy(col("doc_id"), col("chunk_md5"))
+        .agg(count(lit(1)).as("n_refs"), min(col("chunk_len")).as("chunk_len"))
+        .localCheckpoint() // eager: survivors materialized, lineage cut
+    }
+
   /** The perceptual index relation (doc_id, phash, band, bucket):
     * MinHash band buckets over the payload's CDC chunk-digest set
     * (the exact [[DedupOps]] LSH layout — K lanes, Bands×RowsPerBand
@@ -471,6 +505,7 @@ object MultimodalOps {
     "mm_cdc_dedup" -> mmCdcDedup,
     "mm_cdc_store_merge" -> mmCdcStoreMerge,
     "mm_store_gc" -> mmStoreGc,
+    "mm_store_rewrite" -> mmStoreRewrite,
     "mm_near_dup" -> mmNearDup)
 
   // the fake-codec geometry exists ONCE as SQL fragments — mm_meta and
@@ -659,6 +694,46 @@ object MultimodalOps {
           SELECT chunk_md5, n_owners_before, stored_len
           FROM roll WHERE n_owners_after = 0
           ORDER BY chunk_md5"""
+    },
+    // the physical rewrite must equal the from-scratch per-(doc,
+    // digest) rollup over corpus ∖ tombstones — every GC'd digest is
+    // absent by construction, so this one equality proves
+    // rewrite ≡ GC ∘ rebuild
+    "mm_store_rewrite" -> {
+      val W = graft.functions.CdcBoundaries.Window
+      val D = graft.functions.CdcBoundaries.Divisor
+      val P = graft.functions.Hashing.P
+      s"""WITH b AS (
+            SELECT doc_id, text, CAST($sqlByteLen AS BIGINT) AS n,
+              list_filter(range($W, CAST($sqlByteLen AS BIGINT)),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % $P) % $D = 0) AS bs
+            FROM documents
+            WHERE $sqlByteLen > 0
+              AND ${graft.functions.Hashing
+                .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10
+                != ${DedupOps.TombTag}),
+          se AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id,
+              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5,
+              ends[i] - starts[i] AS chunk_len
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                      AS i
+                  FROM se) z)
+          SELECT doc_id, chunk_md5,
+            CAST(COUNT(*) AS BIGINT) AS n_refs,
+            MIN(chunk_len) AS chunk_len
+          FROM ch GROUP BY doc_id, chunk_md5
+          ORDER BY doc_id, chunk_md5"""
     },
     // full REBUILD of the chunk store over corpus ∪ delta, rolled up
     // per (doc, digest): bit-equality against Spark's append-only

@@ -88,6 +88,7 @@ object SimilarityOps {
     labelCentCache.invalidate()
     embCompCache.invalidate()
     annMergedCache.invalidate()
+    annRewriteCache.invalidate()
   }
 
   private def bucketed(s: SparkSession, d: String): DataFrame =
@@ -1304,6 +1305,37 @@ object SimilarityOps {
       .select(col("vec_id"), col("bucket"), col("norm"))
       .orderBy("vec_id")
 
+  /** The physically-rewritten ANN index — embedding-side mirror of
+    * `dedup_index_rewrite`, same atomic-supersede publication. */
+  private val annRewriteCache = new IndexCache
+
+  private[graft] def annRewriteCacheKeys = annRewriteCache.keys
+
+  /** ANN INDEX REWRITE — the targeted physical reclaim between
+    * `ann_index_compact`'s logical delete and the all-or-nothing
+    * mtime rebuild: materialize the SURVIVING rows of the persisted
+    * ANN index — vectors, buckets, and norms, since a serving index
+    * stores all three — from the index's own cached blocks (one eager
+    * `localCheckpoint`, lineage cut), published through
+    * [[IndexCache]]'s atomic putIfAbsent. The embeddings parquet is
+    * never re-read: reclaim ∝ |index|, not |corpus| — at 100 TB the
+    * rewrite is a narrow executor-storage pass while the rebuild
+    * would re-scan and re-hash every vector. Oracle identical to the
+    * compact's (rebuild over corpus ∖ tombstones): one semantic
+    * result, three costs. */
+  val annIndexRewrite: Q = (s, d) =>
+    rewrittenAnnIndex(s, d)
+      .select(col("vec_id"), col("bucket"), col("norm"))
+      .orderBy("vec_id")
+
+  private[graft] def rewrittenAnnIndex(s: SparkSession, d: String)
+      : DataFrame =
+    annRewriteCache.getOrBuild(s, d, embMtime(d)) {
+      bucketed(s, d)
+        .filter(!DedupOps.tombstoned(col("vec_id")))
+        .localCheckpoint() // eager: survivors materialized, lineage cut
+    }
+
   /** Embedding QA: each vector's squared distance to its OWN label
     * centroid, flagged against that label's p95 distance — the
     * mislabeled/outlier shortlist fed to human review or re-embedding
@@ -1375,6 +1407,7 @@ object SimilarityOps {
     "ann_index_upsert" -> annIndexUpsert,
     "ann_index_merge" -> annIndexMerge,
     "ann_index_compact" -> annIndexCompact,
+    "ann_index_rewrite" -> annIndexRewrite,
     "hybrid_rrf" -> hybridRrf,
     "emb_split_contamination" -> embSplitContamination,
     "emb_outliers" -> embOutliers,
@@ -1721,6 +1754,17 @@ object SimilarityOps {
     // bit-equality against Spark's filter-compaction — DOUBLE norms
     // included — IS the compact ≡ rebuild proof
     "ann_index_compact" ->
+      s"""SELECT vec_id,
+          ${sqlBucket("embedding")} AS bucket,
+          sqrt(${sqlDot("embedding", "embedding")}) AS norm
+          FROM embeddings
+          WHERE ${graft.functions.Hashing
+            .sqlCharHash("CAST(vec_id AS VARCHAR)")} % 10
+            != ${DedupOps.TombTag}
+          ORDER BY vec_id""",
+    // the physical rewrite must be indistinguishable from the logical
+    // delete AND from a full rebuild — same oracle as the compact
+    "ann_index_rewrite" ->
       s"""SELECT vec_id,
           ${sqlBucket("embedding")} AS bucket,
           sqrt(${sqlDot("embedding", "embedding")}) AS norm

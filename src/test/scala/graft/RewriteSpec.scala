@@ -66,6 +66,51 @@ class RewriteSpec extends SparkSpec {
       "physical rewrite must equal a full rebuild over corpus ∖ tombstones")
   }
 
+  test("ANN and chunk-store rewrites share the contract: one new " +
+      "persisted relation each, no file scan, equality with their " +
+      "compact/GC-complement") {
+    graft.operators.SimilarityOps.invalidateIndexes()
+    graft.operators.MultimodalOps.invalidateIndexes()
+    // warm both indexes through ordinary consumers
+    assert(SparkEntry.queries("ann_lsh_buckets")(spark, Sf).count() >= 0)
+    assert(SparkEntry.queries("mm_cdc_dedup")(spark, Sf).count() >= 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    val ann = SparkEntry.queries("ann_index_rewrite")(spark, Sf)
+    val store = SparkEntry.queries("mm_store_rewrite")(spark, Sf)
+    assert(ann.count() > 0 && store.count() > 0)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size === 2,
+      s"one survivors' checkpoint per rewrite, saw new: $added")
+    Seq(ann, store).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+        "rewritten relation must have no recompute path to the corpus")
+    }
+
+    // ANN rewrite ≡ logical delete (projected to the compact's columns)
+    val annT = ann.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("bucket"), r.getAs[Double]("norm"))).sorted.toSeq
+    val compactT = SparkEntry.queries("ann_index_compact")(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("bucket"), r.getAs[Double]("norm"))).sorted.toSeq
+    assert(annT === compactT)
+
+    // store rewrite: no tombstoned owner survives, and every GC'd
+    // digest is gone from the rewritten store
+    val survivors = store.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("chunk_md5")))
+    val tombIds = graft.sources.Tables.documents(spark, Sf)
+      .filter(charHash(col("doc_id").cast("string")) % 10
+        === DedupOps.TombTag)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty && !survivors.exists(t => tombIds(t._1)))
+    val gcd = SparkEntry.queries("mm_store_gc")(spark, Sf)
+      .collect().map(_.getAs[String]("chunk_md5")).toSet
+    assert(gcd.nonEmpty && !survivors.exists(t => gcd(t._2)),
+      "every GC'd digest must be absent from the rewritten store")
+  }
+
   test("a second rewrite call reuses the published relation — no new " +
       "materialization") {
     // (depends on the first test having populated the cache; re-warm
