@@ -11,9 +11,11 @@ cd "$(dirname "$0")/.."
 
 QUERIES="dedup_bucket_histogram dedup_lsh_pairs dedup_jaccard \
 dedup_components dedup_index_merge dedup_index_compact \
-dedup_index_rewrite text_cdc_dedup text_cdc_remove mm_store_gc \
+dedup_index_rewrite dedup_index_stats text_cdc_dedup text_cdc_remove \
+mm_store_gc mm_store_rewrite \
 ev_top_users ev_top_users_salted doc_sample_quota doc_keep_decision \
-emb_near_dup ann_lsh_buckets ann_lsh_probe ann_index_merge"
+emb_near_dup emb_components ann_lsh_buckets ann_lsh_probe \
+ann_index_merge ann_index_rewrite dedup_edit_banded"
 
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"

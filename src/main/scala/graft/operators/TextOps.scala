@@ -397,6 +397,41 @@ object TextOps {
     * the same top-k plan PlanSpec pins for knn), so the cap never
     * buffers a whole language's partition. */
   val QuotaPerLang = 120
+  /** UNIGRAM-FREQUENCY quality score — the exact-arithmetic stand-in
+    * for perplexity filtering (the pass that drops OCR soup and
+    * gibberish whose tokens the corpus has barely seen): per document,
+    * the corpus-wide frequency of its tokens — total, mean (the single
+    * double division), the rarest token's count, and the rarest token
+    * itself as the audit trail. Low `avg_tf` or `min_tf` = 1 marks
+    * token-soup / heavy-OOV docs; a real-LM perplexity variant swaps
+    * the count relation for a broadcast logprob table but keeps this
+    * exact plan shape. All accounting is integer (token-wise counts
+    * summed as BIGINT); the mean is one division both engines compute
+    * from the same two BIGINTs — no float accumulation order to
+    * diverge on. At 100 TB: the token-count relation is the only
+    * combinable shuffle; the per-doc rollup joins exploded tokens
+    * against the count table — broadcast when the vocab is small,
+    * (token, count) pairs otherwise, never document text. */
+  val docUnigramScore: Q = (s, d) => {
+    val tf = docs(s, d)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"))
+    val dt = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+    dt.join(tf, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("min_tf"),
+        min(struct(col("tf"), col("token"))).as("rare"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+        (col("sum_tf").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_tf"),
+        col("min_tf"), col("rare.token").as("rarest_token"))
+      .orderBy("doc_id")
+  }
+
   val docSampleQuota: Q = (s, d) => {
     val w = Window.partitionBy(col("lang"))
       .orderBy(Hashing.charHash(col("doc_id").cast("string")), col("doc_id"))
@@ -1165,6 +1200,7 @@ object TextOps {
     "text_repetition" -> textRepetition,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_quota" -> docSampleQuota,
+    "doc_unigram_score" -> docUnigramScore,
     "doc_mix_epochs" -> docMixEpochs,
     "doc_source_stats" -> docSourceStats,
     "tf_top_tokens" -> tfTopTokens,
@@ -1348,6 +1384,25 @@ object TextOps {
             FROM (SELECT unnest($sqlToks) AS token FROM documents) t
             GROUP BY token) z
           GROUP BY occurrences ORDER BY occurrences""",
+    // rarest_token ties break lexicographically on both sides: Spark
+    // min(struct(tf, token)) ≡ conditional MIN at the windowed min tf
+    "doc_unigram_score" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS token
+            FROM documents),
+          tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+                 FROM tok GROUP BY token),
+          j AS (
+            SELECT t.doc_id, t.token, f.tf,
+              MIN(f.tf) OVER (PARTITION BY t.doc_id) AS mtf
+            FROM tok t JOIN tf f ON t.token = f.token)
+          SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(SUM(tf) AS BIGINT) AS sum_tf,
+            CAST(SUM(tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tf,
+            MIN(tf) AS min_tf,
+            MIN(CASE WHEN tf = mtf THEN token END) AS rarest_token
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
     "doc_train_order" ->
       s"""WITH t AS (
             SELECT doc_id,
