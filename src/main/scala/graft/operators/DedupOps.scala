@@ -62,6 +62,7 @@ object DedupOps {
     componentCache.invalidate()
     mergedCache.invalidate()
     rewriteCache.invalidate()
+    hotCellCache.invalidate()
   }
 
   /** Exact dedup: canonical (min) doc per identical text. */
@@ -188,19 +189,33 @@ object DedupOps {
     * mirror the cap so the semantics are pinned, not incidental. */
   val MaxBucketOcc = 64
 
+  /** The over-cap cell list, materialized once per (context, dir,
+    * mtime) — seven pair consumers share it, and it is almost always
+    * empty (a handful of rows under adversarial skew), so the
+    * checkpoint is a few ints. */
+  private val hotCellCache = new IndexCache
+
+  private[graft] def hotCells(s: SparkSession, d: String): DataFrame =
+    hotCellCache.getOrBuild(s, d, docsMtime(d)) {
+      buckets(s, d)
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > MaxBucketOcc)
+        .select(col("band"), col("bucket"))
+        .localCheckpoint()
+    }
+
   /** The shared candidate-pair generator every pairwise verifier
     * consumes: same band bucket, a < b, distinct, over-cap cells
     * excluded ([[MaxBucketOcc]]). The hot-cell list is almost always
     * empty/tiny, so the exclusion is a broadcast anti-join — the only
-    * added cost is one integer-only count over the persisted index. */
+    * added cost is one integer-only count over the persisted index,
+    * itself cached ([[hotCells]]). */
   private[graft] def lshCandidatePairs(s: SparkSession, d: String)
       : DataFrame = {
     val bk = buckets(s, d)
-    val hot = bk.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > MaxBucketOcc)
-      .select(col("band"), col("bucket"))
-    val x = bk.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val x = bk.join(broadcast(hotCells(s, d)), Seq("band", "bucket"),
+      "left_anti")
     // capping one side suffices: the equi-join keeps pairs within a
     // cell, and x carries no rows of any over-cap cell
     x.as("x").join(bk.as("y"),

@@ -356,4 +356,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("name_token")).toSeq ===
       again.map(_.getAs[Long]("name_token")).toSeq)
   }
+
+  test("doc_unigram_score agrees with a brute-force frequency rollup") {
+    import graft.functions.Hashing
+    val rows = SparkEntry.queries("doc_unigram_score")(spark, Sf).collect()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+    val tf = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(rows.length === docs.count(_._2.nonEmpty))
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val toks = byId(r.getAs[Long]("doc_id"))
+      val freqs = toks.map(tf)
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("sum_tf") === freqs.sum)
+      assert(r.getAs[Long]("min_tf") === freqs.min)
+      assert(r.getAs[Double]("avg_tf") ===
+        freqs.sum.toDouble / toks.length.toDouble)
+      // rarest token = lexicographically smallest among min-tf tokens
+      val expect = toks.filter(t => tf(t) == freqs.min).min
+      assert(r.getAs[String]("rarest_token") === expect)
+    }
+  }
 }
