@@ -647,6 +647,69 @@ object DedupOps {
         col("doc_id").as("orig_id"),
         concat(lit("UPDATE: "), col("text")).as("text"))
 
+  /** INCREMENTAL CONNECTED COMPONENTS (`dedup_components_delta`) —
+    * the daily-ingest completion of the clustering tier: the delta
+    * batch must land in the component structure without re-running
+    * label propagation over the full corpus graph. The classic
+    * coarsened-graph trick: every EXISTING component collapses to one
+    * synthetic bucket (band [[CompBand]], keyed by its component id)
+    * over its members — corpus-internal connectivity becomes depth-1
+    * — and the only LSH cells re-materialized are the ones the delta
+    * TOUCHES (a semi-join of the cached corpus index against the
+    * delta's bucket rows). Propagation then converges in O(new-edge
+    * diameter) steps over |delta| + |touched| + |corpus-membership|
+    * rows, not the full candidate graph: at 100 TB the daily cost is
+    * proportional to the day's crawl, while a transitive merge of two
+    * old mega-clusters through a delta doc still resolves exactly
+    * (the collapsed buckets chain through the new doc).
+    *
+    * The oracle re-runs the RECURSIVE CC from scratch over
+    * corpus ∪ delta — bit-equality is the incremental ≡ full-rebuild
+    * proof, including min-id labels across merged components. */
+  val CompBand = 4L // outside bucketRows' band range 0..Bands-1
+
+  val dedupComponentsDelta: Q = (s, d) => {
+    val deltaBk = bucketRows(deltaBatch(s, d)
+      .select(col("doc_id"), col("text")))
+    val comp = components(s, d)
+    // blast radius: corpus rows in delta-touched LSH cells → the
+    // components those rows belong to → ALL members of those
+    // components. Only this set enters the propagation loop; the
+    // untouched corpus passes through label-unchanged below. A delta
+    // doc can only change a corpus label by reaching it through a
+    // shared cell, so the radius is exact, not a heuristic.
+    val touched = buckets(s, d)
+      .join(deltaBk.select(col("band"), col("bucket")).distinct(),
+        Seq("band", "bucket"), "left_semi")
+    val activeComps = comp
+      .join(touched.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+      .select(col("comp")).distinct()
+    val activeMembers = comp
+      .join(activeComps, Seq("comp"), "left_semi")
+    val membership = deltaBk
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .unionByName(touched)
+      .unionByName(activeMembers
+        .select(col("doc_id"), lit(CompBand).as("band"),
+          col("comp").as("bucket")))
+      .localCheckpoint()
+    val labels = propagateMinLabels(membership)
+    // a delta doc too short for a signature has no membership row —
+    // its own singleton component, exactly as the full rebuild seeds it
+    val lonelyDelta = deltaBatch(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("comp"))
+    val unchanged = comp.join(labels, Seq("doc_id"), "left_anti")
+    val out = labels.unionByName(lonelyDelta).unionByName(unchanged)
+      .select(col("doc_id"), col("comp").as("component_id"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    IndexCache.release(labels)
+    IndexCache.release(membership)
+    out
+  }
+
   val dedupDeltaProbe: Q = (s, d) => {
     val delta = deltaBatch(s, d)
     val cand = bucketRows(delta.select(col("doc_id"), col("text")))
@@ -1137,6 +1200,7 @@ object DedupOps {
     "dedup_index_compact" -> dedupIndexCompact,
     "dedup_index_rewrite" -> dedupIndexRewrite,
     "dedup_index_stats" -> dedupIndexStats,
+    "dedup_components_delta" -> dedupComponentsDelta,
     "doc_snapshot_diff" -> docSnapshotDiff,
     "doc_snapshot_drift" -> docSnapshotDrift,
     "text_cdc_remove" -> textCdcRemove,
@@ -1697,6 +1761,36 @@ object DedupOps {
           ${sqlBucketsAs("buckets", "sig")}
           SELECT doc_id, band, bucket FROM buckets
           ORDER BY doc_id, band""",
+    // full RECURSIVE rebuild of the component labeling over
+    // corpus ∪ delta: bit-equality against the coarsened-graph
+    // incremental pass IS the incremental ≡ rebuild proof
+    "dedup_components_delta" ->
+      s"""WITH RECURSIVE docs_all AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + $DeltaIdOffset AS doc_id,
+              'UPDATE: ' || text AS text
+            FROM documents
+            WHERE ${sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10
+              = $DeltaTag),
+          ${sqlSignaturesAs("sig", "docs_all")},
+          ${sqlBucketsAs("buckets", "sig")},
+          cpairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cpairs
+            UNION SELECT doc_b, doc_a FROM cpairs),
+          reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM docs_all
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          comp AS (
+            SELECT src AS doc_id, MIN(dst) AS component_id
+            FROM reach GROUP BY src)
+          SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
     // the rewrite-trigger monitor: per band, live fraction of the
     // index under the current tombstone set
     "dedup_index_stats" ->

@@ -1305,6 +1305,23 @@ object SimilarityOps {
       .select(col("vec_id"), col("bucket"), col("norm"))
       .orderBy("vec_id")
 
+  /** ANN INDEX TOMBSTONE STATS — the embedding-side rewrite trigger,
+    * per label rather than per band because vector takedowns arrive
+    * per tenant/class: rows, tombstoned rows, live fraction from one
+    * combinable int groupBy over the persisted index. When a label's
+    * `live_frac` dips below the policy threshold, run
+    * `ann_index_rewrite`. */
+  val annIndexStats: Q = (s, d) =>
+    bucketed(s, d)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(DedupOps.tombstoned(col("vec_id")), 1L).otherwise(0L))
+          .as("n_tomb"))
+      .select(col("label"), col("n_rows"), col("n_tomb"),
+        ((col("n_rows") - col("n_tomb")).cast("double")
+          / col("n_rows").cast("double")).as("live_frac"))
+      .orderBy("label")
+
   /** The physically-rewritten ANN index — embedding-side mirror of
     * `dedup_index_rewrite`, same atomic-supersede publication. */
   private val annRewriteCache = new IndexCache
@@ -1408,6 +1425,7 @@ object SimilarityOps {
     "ann_index_merge" -> annIndexMerge,
     "ann_index_compact" -> annIndexCompact,
     "ann_index_rewrite" -> annIndexRewrite,
+    "ann_index_stats" -> annIndexStats,
     "hybrid_rrf" -> hybridRrf,
     "emb_split_contamination" -> embSplitContamination,
     "emb_outliers" -> embOutliers,
@@ -1762,6 +1780,20 @@ object SimilarityOps {
             .sqlCharHash("CAST(vec_id AS VARCHAR)")} % 10
             != ${DedupOps.TombTag}
           ORDER BY vec_id""",
+    // the per-label rewrite-trigger monitor
+    "ann_index_stats" ->
+      s"""WITH st AS (
+            SELECT CAST(label AS BIGINT) AS label,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) FILTER (
+                WHERE ${graft.functions.Hashing
+                  .sqlCharHash("CAST(vec_id AS VARCHAR)")} % 10
+                  = ${DedupOps.TombTag}) AS BIGINT) AS n_tomb
+            FROM embeddings GROUP BY 1)
+          SELECT label, n_rows, n_tomb,
+            CAST(n_rows - n_tomb AS DOUBLE) / CAST(n_rows AS DOUBLE)
+              AS live_frac
+          FROM st ORDER BY label""",
     // the physical rewrite must be indistinguishable from the logical
     // delete AND from a full rebuild — same oracle as the compact
     "ann_index_rewrite" ->
