@@ -641,6 +641,73 @@ object StreamOps {
     out
   }
 
+  /** Unigram-frequency quality gate ON INGEST — the streaming mirror
+    * of `doc_unigram_score`'s filtering role: each incoming (is_new)
+    * document is scored against the CORPUS token-frequency relation
+    * (the static side — in production, yesterday's published count
+    * table) and routed admitted / quarantined by its OOV fraction:
+    * more than 25% never-seen tokens marks OCR soup, encoding junk,
+    * or an unknown language the batch tiers would waste work on (E6
+    * classify-and-route at the gate, like the other ingest gates).
+    * All accounting integer: n_oov·4 > n_tokens is the threshold, no
+    * division.
+    *
+    * Execution shape: `foreachBatch` + the batch scoring engine — the
+    * per-doc rollup groups only WITHIN the micro-batch each doc
+    * arrives in (docs arrive whole), so zero streaming state store,
+    * no watermark; cross-batch memory is strictly the static count
+    * relation, re-planned per micro-batch like every other gate. */
+  val streamUnigramGate: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def isNew(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    val corpusTf = Tables.documents(s, d)
+      .filter(!isNew(col("doc_id")))
+      .select(explode(graft.functions.Hashing.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-unigram-gate").toString
+    val q = docsStream(s, d)
+      .filter(isNew(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dt = batch.select(col("doc_id"),
+          explode(graft.functions.Hashing.tokens(col("text")))
+            .as("token"))
+        dt.join(corpusTf, Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("tf").isNull, 1L).otherwise(0L)).as("n_oov"),
+            min(col("tf")).as("mkt"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            coalesce(col("mkt"), lit(0L)).as("min_known_tf"),
+            when(col("n_oov") * 4 > col("n_tokens"), "quarantined_oov")
+              .otherwise("admitted").as("decision"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_oov", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("min_known_tf", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("decision", org.apache.spark.sql.types.StringType)))
+    val hasParts = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+    val out =
+      if (!hasParts) s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else s.read.schema(schema).parquet(outDir)
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    deleteRecursively(new java.io.File(outDir))
+    out
+  }
+
   /** Streaming mergeable histogram — the stream-side PROOF of
     * `ev_histogram_quantiles`' central claim: because the fixed-width
     * histogram is associative and commutative, the SAME one-groupBy
@@ -663,6 +730,7 @@ object StreamOps {
   val defs: Map[String, Q] = Map(
     "stream_histogram" -> streamHistogram,
     "stream_takedown_gate" -> streamTakedownGate,
+    "stream_unigram_gate" -> streamUnigramGate,
     "stream_cdc_strip" -> streamCdcStrip,
     "stream_cdc_candidates" -> streamCdcCandidates,
     "stream_ann_upsert" -> streamAnnUpsert,
@@ -704,6 +772,31 @@ object StreamOps {
                  ELSE 'admitted' END AS decision
           FROM inc i LEFT JOIN tombp t ON i.fp = t.tomb_md5
           ORDER BY i.doc_id"""
+    },
+    "stream_unigram_gate" -> {
+      val tag = s"${graft.functions.Hashing
+        .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10"
+      val toks = graft.functions.Hashing.sqlTokens("text")
+      s"""WITH tagged AS (
+            SELECT doc_id, text, $tag = 7 AS is_new FROM documents),
+          ctf AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT unnest($toks) AS token
+                  FROM tagged WHERE NOT is_new) z
+            GROUP BY token),
+          dt AS (
+            SELECT doc_id, unnest($toks) AS token
+            FROM tagged WHERE is_new),
+          j AS (
+            SELECT dt.doc_id, ctf.tf
+            FROM dt LEFT JOIN ctf ON dt.token = ctf.token)
+          SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) FILTER (WHERE tf IS NULL) AS BIGINT) AS n_oov,
+            COALESCE(MIN(tf), CAST(0 AS BIGINT)) AS min_known_tf,
+            CASE WHEN COUNT(*) FILTER (WHERE tf IS NULL) * 4 > COUNT(*)
+              THEN 'quarantined_oov' ELSE 'admitted' END AS decision
+          FROM j GROUP BY doc_id ORDER BY doc_id"""
     },
     "stream_cdc_candidates" -> MultimodalOps.sqlCdcCandidates,
     "stream_cdc_strip" -> DedupOps.sqlCdcStrip,

@@ -179,6 +179,38 @@ class StreamGateSpec extends SparkSpec {
     assert(viaMemStream === expected)
   }
 
+  test("unigram gate quarantines OOV-heavy docs and admits the rest, " +
+      "equal to its batch mirror") {
+    import graft.functions.Hashing
+    val gated = SparkEntry.queries("stream_unigram_gate")(spark, Sf)
+      .collect()
+    assert(gated.nonEmpty)
+    // batch mirror: score is_new docs against the non-new tf table
+    val corpusTf = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(!isNew(col("doc_id")))
+      .select(explode(Hashing.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val incoming = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(isNew(col("doc_id")))
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+      .filter(_._2.nonEmpty).toMap
+    assert(gated.length === incoming.size)
+    gated.foreach { r =>
+      val toks = incoming(r.getAs[Long]("doc_id"))
+      val oov = toks.count(t => !corpusTf.contains(t)).toLong
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("n_oov") === oov)
+      val expectDecision =
+        if (oov * 4 > toks.length) "quarantined_oov" else "admitted"
+      assert(r.getAs[String]("decision") === expectDecision)
+    }
+    // both routes occur on the fixture (the gate must actually gate)
+    val decisions = gated.map(_.getAs[String]("decision")).toSet
+    assert(decisions.contains("admitted"))
+  }
+
   // statelessness is structural: stream-static left joins allocate no
   // state store (pinned for this join shape by the upsert-gate test)
   test("takedown gate rejects every byte-identical resurrection") {
