@@ -57,6 +57,14 @@ def main():
             duck = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        # rows are compared IN ORDER, so a multi-row oracle without a
+        # final ORDER BY can only pass by accident — fail loudly
+        # (single-row aggregates are trivially order-safe)
+        if duck.num_rows > 1 and "order by" not in sql.lower():
+            print(f"FAIL {name}: {duck.num_rows}-row oracle has no "
+                  "ORDER BY (row-order compare would be nondeterministic)")
+            n_fail += 1
+            continue
         scols = sorted(spark_tbl.column_names)
         dcols = sorted(duck.column_names)
         if scols != dcols:
