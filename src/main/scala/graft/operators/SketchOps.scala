@@ -1,0 +1,321 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Deterministic bounded-memory sketches: Bloom membership, Count-Min
+  * heavy hitters, HyperLogLog-style distinct estimation.
+  *
+  * The reference's analytics surface has no sketch tier (its queries
+  * are exact RxJava/Akka projections — see
+  * /root/reference/README.md:1), but a 100 TB curation pipeline
+  * cannot afford corpus-sized broadcast sets or unbounded groupBy
+  * maps on its monitoring paths. The classic answer is the sketch
+  * family, and the engineering point of THIS implementation is that
+  * every sketch here is *deterministic and engine-portable*: built
+  * from [[Hashing]]'s fixed affine-permutation constants, all
+  * accounting integer until at most one final double division, so —
+  * unlike `ev_approx_stats`, which uses Spark's internal HLL/KLL
+  * implementations and is gated rows-only by documented design —
+  * these three gate HASH-EXACT against the DuckDB oracle running the
+  * same arithmetic.
+  *
+  * Scale shapes (the reason each exists):
+  *  - Bloom: the bit array is represented relationally as the set of
+  *    SET positions — bounded by [[BloomBits]] rows (8 KB of actual
+  *    bits, ≤1 M rows worst-case as a relation) REGARDLESS of corpus
+  *    size, where the exact fingerprint set grows ∝ corpus. One
+  *    combinable distinct builds it; probing is a broadcast join
+  *    against it. No false negatives by construction
+  *    ([[graft.SketchSpec]] pins that), false positives bounded by
+  *    occupancy.
+  *  - Count-Min: the counter matrix is [[CmsDepth]]×[[CmsWidth]]
+  *    cells no matter how large the vocabulary; merge across shards /
+  *    days is cell-wise addition (same mergeability argument as
+  *    `ev_histogram_quantiles`); estimates never undercount.
+  *  - HLL: [[HllRegisters]] registers replace a corpus-wide
+  *    COUNT(DISTINCT); registers merge by MAX, and the register sum
+  *    is kept as an exact BIGINT (2^(24-rho) is an integer) so the
+  *    estimate is ONE double division at the end — bit-reproducible.
+  */
+object SketchOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Bloom filter size in bits (2^20 — sized for ~10 bits/element at
+    * the sf1 corpus; a production build sizes m ∝ expected n). */
+  val BloomBits: Long = 1L << 20
+
+  /** Bloom hash count k (reuses the first k minhash permutations). */
+  val BloomK = 4
+
+  /** Count-Min depth (rows; one affine permutation each) and width. */
+  val CmsDepth = 4
+  val CmsWidth: Long = 1024L
+
+  /** Heavy hitters probed against the CMS (top by true count). */
+  val CmsProbeK = 20
+
+  /** HLL register count m = 2^8; h div m has [[HllWBits]] usable bits
+    * (h < 2^31), so rho ∈ [1, 24] with 24 = "all w-bits zero". */
+  val HllRegisters: Long = 256L
+  val HllWBits = 23
+
+  /** alpha_m * m^2 * 2^24 for m=256 — the whole double-arithmetic
+    * prefix of the HLL estimate folded into ONE Scala-computed
+    * constant interpolated verbatim into both engines, so the
+    * estimate is exactly one double division on each side. */
+  val HllScale: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 16777216.0
+
+  /** Streaming-ingest split: `charhash(doc_id) % 10 = 7` plays the
+    * incoming batch, the rest the corpus (the repo-wide delta
+    * convention — DedupOps.scala:577). */
+  private def isNew(id: Column) =
+    Hashing.charHash(id.cast("string")) % 10 === 7
+
+  /** i-th sketch position of hash `h` modulo `mod`: the same affine
+    * permutations as minhash ((a_i·h + b_i) mod P), folded to the
+    * sketch's address space. Pure per-row projection — codegen'd
+    * integer ops, no shuffle. */
+  def sketchPos(h: Column, i: Int, mod: Long): Column =
+    ((lit(Hashing.A(i)) * h + lit(Hashing.B(i))) % Hashing.P) % mod
+
+  /** DuckDB mirror of [[sketchPos]], generated from the same
+    * constants so the two sides cannot drift. */
+  def sqlSketchPos(h: String, i: Int, mod: Long): String =
+    s"((${Hashing.A(i)} * $h + ${Hashing.B(i)}) % ${Hashing.P}) % $mod"
+
+  private def posArray(h: Column, mod: Long, k: Int): Column =
+    array((0 until k).map(i => sketchPos(h, i, mod)): _*)
+
+  private def sqlPosList(h: String, mod: Long, k: Int): String =
+    (0 until k).map(i => sqlSketchPos(h, i, mod)).mkString("[", ", ", "]")
+
+  // ------------------------------------------------------------------
+  // Queries
+  // ------------------------------------------------------------------
+
+  /** Bloom-filter membership probe of the incoming batch against the
+    * corpus fingerprint set — the "have we seen this exact document
+    * before?" pre-filter that runs BEFORE any join at ingest.
+    *
+    * Shape: the corpus collapses to its distinct SET bit positions
+    * (≤ min(k·|fps|, m) rows — bounded by [[BloomBits]] no matter the
+    * corpus size); each probe doc explodes to its k positions and
+    * broadcast-joins that bounded relation; a doc is a `bloom_hit`
+    * iff all k positions are set. The exact-truth column exists ONLY
+    * for false-positive accounting (it is what the probe replaces at
+    * scale); the production gate ([[StreamOps.streamBloomGate]])
+    * runs bloom-only. */
+  val dedupBloomProbe: Q = (s, d) => {
+    val dd = docs(s, d)
+    val fps = dd.filter(!isNew(col("doc_id")))
+      .select(Hashing.charHash(col("text")).as("fp")).distinct()
+    val bloom = fps
+      .select(explode(posArray(col("fp"), BloomBits, BloomK)).as("pos"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val probe = dd.filter(isNew(col("doc_id")))
+      .select(col("doc_id"), Hashing.charHash(col("text")).as("fp"))
+    val roll = probe
+      .select(col("doc_id"),
+        explode(posArray(col("fp"), BloomBits, BloomK)).as("pos"))
+      .join(broadcast(bloom), Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_pos_hit"))
+    // truth join: FP accounting only — the thing the bloom replaces
+    val exact = probe
+      .join(fps.withColumn("ex", lit(1L)), Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("ex"), lit(0L)).as("exact_dup"))
+    roll.join(exact, Seq("doc_id"))
+      .select(col("doc_id"), col("n_pos_hit"),
+        when(col("n_pos_hit") === BloomK, 1L).otherwise(0L).as("bloom_hit"),
+        col("exact_dup"),
+        when(col("n_pos_hit") === BloomK && col("exact_dup") === 1L, "dup")
+          .when(col("n_pos_hit") === BloomK, "false_positive")
+          .otherwise("new").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Count-Min heavy-hitter estimation over the corpus token stream:
+    * the d×w counter matrix ([[CmsDepth]]×[[CmsWidth]] cells — fixed
+    * memory regardless of vocabulary size) built in ONE combinable
+    * groupBy, then the top-[[CmsProbeK]] true heavy hitters probed
+    * against it (est = min over rows of the addressed cell). The
+    * oracle runs identical integer arithmetic, so estimates including
+    * every collision overcount are bit-equal; `overcount >= 0` always
+    * (CMS never underestimates — [[graft.SketchSpec]] pins it). */
+  val tfCmsCounts: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select(explode(Hashing.tokens(col("text"))).as("token"))
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val cms = toks
+      .select(posexplode(
+        posArray(Hashing.charHash(col("token")), CmsWidth, CmsDepth)))
+      .toDF("row", "bucket")
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    val cells = truth
+      .orderBy(col("true_cnt").desc, col("token")).limit(CmsProbeK)
+      .select(col("token"), col("true_cnt"),
+        posexplode(
+          posArray(Hashing.charHash(col("token")), CmsWidth, CmsDepth)))
+      .toDF("token", "true_cnt", "row", "bucket")
+    cells.join(broadcast(cms), Seq("row", "bucket"))
+      .groupBy("token", "true_cnt")
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("token"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("token"))
+  }
+
+  /** HLL-style distinct-token estimate: each distinct token hash
+    * addresses register h mod m and contributes rho = leading-zero
+    * rank of the remaining [[HllWBits]] bits; registers keep the MAX
+    * rho (mergeable across shards by MAX). The register sum is the
+    * exact integer Σ 2^(24-rho) — [[HllScale]]/sum is then the ONLY
+    * floating-point operation, so the estimate is deterministic to
+    * the bit. Output also carries the exact distinct count for error
+    * accounting (the COUNT(DISTINCT) the registers replace at
+    * scale). */
+  val tfHllDistinct: Q = (s, d) => {
+    val hs = docs(s, d)
+      .select(explode(Hashing.tokens(col("text"))).as("token"))
+      .select(Hashing.charHash(col("token")).as("h")).distinct()
+    val regs = hs
+      .select((col("h") % HllRegisters).as("reg"),
+        expr(s"h div $HllRegisters").as("w"))
+      .select(col("reg"),
+        when(col("w") === 0L, lit(24L))
+          .otherwise(lit(24L) - length(bin(col("w"))).cast("long"))
+          .as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+    val filled = s.range(HllRegisters).select(col("id").as("reg"))
+      .join(regs, Seq("reg"), "left")
+      .select(coalesce(col("rho"), lit(0L)).as("rho"))
+    val regAgg = filled.agg(
+      sum(expr("shiftleft(cast(1 as bigint), cast(24 - rho as int))"))
+        .as("sum_scaled"),
+      sum(when(col("rho") > 0L, 1L).otherwise(0L)).as("n_set"))
+    hs.agg(count(lit(1)).as("n_exact")).crossJoin(regAgg)
+      .select(col("n_exact"),
+        lit(HllRegisters).as("n_registers"),
+        col("n_set"), col("sum_scaled"),
+        (lit(HllScale) / col("sum_scaled").cast("double"))
+          .as("est_distinct"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "dedup_bloom_probe" -> dedupBloomProbe,
+    "tf_cms_counts" -> tfCmsCounts,
+    "tf_hll_distinct" -> tfHllDistinct)
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles (same constants, same arithmetic)
+  // ------------------------------------------------------------------
+
+  private def sqlIsNew =
+    s"${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10 = 7"
+
+  // lazy: interpolates sibling-object constants (see TextOps.oracle)
+  lazy val oracle: Map[String, String] = Map(
+    "dedup_bloom_probe" ->
+      s"""WITH fps AS (
+            SELECT DISTINCT ${Hashing.sqlCharHash("text")} AS fp
+            FROM documents WHERE NOT ($sqlIsNew)),
+          bloom AS (
+            SELECT DISTINCT unnest(${sqlPosList("fp", BloomBits, BloomK)})
+              AS pos FROM fps),
+          probe AS (
+            SELECT doc_id, ${Hashing.sqlCharHash("text")} AS fp
+            FROM documents WHERE $sqlIsNew),
+          ppos AS (
+            SELECT doc_id, unnest(${sqlPosList("fp", BloomBits, BloomK)})
+              AS pos FROM probe),
+          roll AS (
+            SELECT p.doc_id,
+              CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos_hit
+            FROM ppos p LEFT JOIN bloom b ON p.pos = b.pos
+            GROUP BY p.doc_id),
+          ex AS (
+            SELECT p.doc_id,
+              CAST(CASE WHEN f.fp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                AS exact_dup
+            FROM probe p LEFT JOIN fps f ON p.fp = f.fp)
+          SELECT r.doc_id, r.n_pos_hit,
+            CAST(CASE WHEN r.n_pos_hit = $BloomK THEN 1 ELSE 0 END
+              AS BIGINT) AS bloom_hit,
+            e.exact_dup,
+            CASE WHEN r.n_pos_hit = $BloomK AND e.exact_dup = 1 THEN 'dup'
+                 WHEN r.n_pos_hit = $BloomK THEN 'false_positive'
+                 ELSE 'new' END AS verdict
+          FROM roll r JOIN ex e ON r.doc_id = e.doc_id
+          ORDER BY r.doc_id""",
+    "tf_cms_counts" -> {
+      val h = Hashing.sqlCharHash("token")
+      val rows = (0 until CmsDepth).map(i =>
+        s"SELECT $i AS row, ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM hh")
+        .mkString("\n            UNION ALL ")
+      val pcells = (0 until CmsDepth).map(i =>
+        s"""SELECT token, true_cnt, $i AS row,
+             ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM pr""")
+        .mkString("\n            UNION ALL ")
+      s"""WITH tok AS (
+            SELECT unnest(${Hashing.sqlTokens("text")}) AS token
+            FROM documents),
+          truth AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+            FROM tok GROUP BY token),
+          hh AS (SELECT $h AS h FROM tok),
+          cms AS (
+            SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            $rows) z GROUP BY row, bucket),
+          top AS (
+            SELECT token, true_cnt FROM truth
+            ORDER BY true_cnt DESC, token LIMIT $CmsProbeK),
+          pr AS (SELECT token, true_cnt, $h AS h FROM top),
+          pcell AS (
+            $pcells)
+          SELECT p.token, p.true_cnt,
+            CAST(MIN(c.cnt) AS BIGINT) AS est_cnt,
+            CAST(MIN(c.cnt) - p.true_cnt AS BIGINT) AS overcount
+          FROM pcell p JOIN cms c ON p.row = c.row AND p.bucket = c.bucket
+          GROUP BY p.token, p.true_cnt
+          ORDER BY p.true_cnt DESC, p.token"""
+    },
+    "tf_hll_distinct" ->
+      s"""WITH tok AS (
+            SELECT unnest(${Hashing.sqlTokens("text")}) AS token
+            FROM documents),
+          hs AS (
+            SELECT DISTINCT ${Hashing.sqlCharHash("token")} AS h FROM tok),
+          rr AS (
+            SELECT h % $HllRegisters AS reg,
+              CASE WHEN h // $HllRegisters = 0 THEN CAST(24 AS BIGINT)
+                   ELSE CAST(24 - length(bin(h // $HllRegisters)) AS BIGINT)
+              END AS rho
+            FROM hs),
+          regs AS (SELECT reg, MAX(rho) AS rho FROM rr GROUP BY reg),
+          al AS (
+            SELECT COALESCE(g.rho, CAST(0 AS BIGINT)) AS rho
+            FROM (SELECT unnest(range(0, $HllRegisters)) AS reg) rt
+            LEFT JOIN regs g ON rt.reg = g.reg),
+          agg AS (
+            SELECT
+              CAST(SUM(CAST(1 AS BIGINT) << CAST(24 - rho AS INTEGER))
+                AS BIGINT) AS sum_scaled,
+              CAST(SUM(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_set
+            FROM al),
+          ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hs)
+          SELECT ex.n_exact, CAST($HllRegisters AS BIGINT) AS n_registers,
+            agg.n_set, agg.sum_scaled,
+            CAST($HllScale AS DOUBLE) / CAST(agg.sum_scaled AS DOUBLE)
+              AS est_distinct
+          FROM ex, agg""")
+}
