@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{DedupOps, EnrichOps, EventOps, MultimodalOps,
-  Relational, SimilarityOps, StreamOps, TextOps}
+  Relational, SimilarityOps, SketchOps, StreamOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,10 +21,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ EventOps.defs ++ EnrichOps.defs ++ TextOps.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs ++
-      StreamOps.defs
+      StreamOps.defs ++ SketchOps.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ EventOps.oracle ++ EnrichOps.oracle ++
       TextOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
-      MultimodalOps.oracle ++ StreamOps.oracle
+      MultimodalOps.oracle ++ StreamOps.oracle ++ SketchOps.oracle
 }

@@ -19,7 +19,7 @@ class OperatorSmokeSpec extends SparkSpec {
     import graft.operators._
     val maps = Seq(Relational.defs, EventOps.defs, EnrichOps.defs,
       TextOps.defs, DedupOps.defs, SimilarityOps.defs, MultimodalOps.defs,
-      StreamOps.defs)
+      StreamOps.defs, SketchOps.defs)
     val total = maps.map(_.size).sum
     assert(total === SparkEntry.queries.size,
       "a duplicate query name across modules would silently shadow one " +

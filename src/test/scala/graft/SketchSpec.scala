@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.operators.SketchOps
+
+/** Pins the structural guarantees each sketch claims in its Scaladoc:
+  * Bloom has no false negatives, Count-Min never undercounts, and the
+  * HLL estimate lands within the standard-error envelope of the exact
+  * distinct count. Value-level parity with DuckDB is the oracle gate;
+  * these are the properties that make the sketches *sketches*. */
+class SketchSpec extends SparkSpec {
+
+  test("bloom probe: no false negatives, verdict consistent") {
+    val rows = SketchOps.dedupBloomProbe(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nPos = r.getAs[Long]("n_pos_hit")
+      val hit = r.getAs[Long]("bloom_hit")
+      val exact = r.getAs[Long]("exact_dup")
+      val verdict = r.getAs[String]("verdict")
+      // an exact duplicate's fingerprint set every one of its k bits
+      // when the corpus was built — the filter CANNOT miss it
+      if (exact == 1L) assert(hit == 1L,
+        s"false negative on ${r.getAs[Any]("doc_id")}")
+      assert(nPos >= 0L && nPos <= SketchOps.BloomK)
+      assert(verdict == (
+        if (hit == 1L && exact == 1L) "dup"
+        else if (hit == 1L) "false_positive" else "new"))
+    }
+  }
+
+  test("cms counts: estimates never undercount; exact for isolated rows") {
+    val rows = SketchOps.tfCmsCounts(spark, Sf).collect()
+    assert(rows.length == SketchOps.CmsProbeK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"CMS undercounted ${r.getAs[String]("token")}")
+      assert(r.getAs[Long]("est_cnt") ==
+        r.getAs[Long]("true_cnt") + r.getAs[Long]("overcount"))
+    }
+  }
+
+  test("hll estimate within 3 standard errors of the exact count") {
+    val r = SketchOps.tfHllDistinct(spark, Sf).collect().head
+    val exact = r.getAs[Long]("n_exact").toDouble
+    val est = r.getAs[Double]("est_distinct")
+    // HLL standard error = 1.04/sqrt(m); allow 3 sigma. (No bias
+    // correction is applied for the mid-range regime the corpus sits
+    // in, so keep the envelope honest rather than tight.)
+    val sigma = 1.04 / math.sqrt(SketchOps.HllRegisters.toDouble)
+    assert(exact > 0)
+    assert(math.abs(est - exact) / exact <= 3 * sigma,
+      s"est=$est exact=$exact rel=${math.abs(est - exact) / exact}")
+  }
+
+  test("register relation is bounded by m regardless of corpus size") {
+    // the scale contract: the sketch side of each query collapses to a
+    // fixed-size relation before any join. Recompute the register
+    // relation the query builds and check its cardinality bound.
+    val hs = graft.sources.Tables.documents(spark, Sf)
+      .select(explode(Hashing.tokens(col("text"))).as("token"))
+      .select(Hashing.charHash(col("token")).as("h")).distinct()
+    val regs = hs.groupBy((col("h") % SketchOps.HllRegisters).as("reg"))
+      .count()
+    assert(regs.count() <= SketchOps.HllRegisters)
+  }
+}
