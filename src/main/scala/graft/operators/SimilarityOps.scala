@@ -239,7 +239,16 @@ object SimilarityOps {
     * have no identical vectors, so this is a no-op passthrough there
     * (all three testdata SFs verified duplicate-free). */
   private[graft] def canonVecs(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("embedding"))
+    // Partition the window by a 16-byte md5 fingerprint of the vector
+    // rather than the raw 128-byte float array — the same canon
+    // discipline the text side adopted in round 7 (document text never
+    // keys an exchange). Spark's float->string cast is shortest
+    // round-trip, so the comma-joined serialization is injective and
+    // two vectors share a fingerprint iff they are element-identical
+    // (up to md5 collision, the repo-wide accepted canon risk).
+    val fp = md5(concat_ws(",",
+      transform(col("embedding"), v => v.cast("string"))).cast("binary"))
+    val w = Window.partitionBy(fp)
     emb(s, d)
       .select(col("vec_id"),
         min(col("vec_id")).over(w).as("canon_id"),

@@ -72,6 +72,24 @@ object SketchOps {
   val HllScale: Double =
     0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 16777216.0
 
+  /** Small-range (linear-counting) correction table: entry V is
+    * m·ln(m/V) for V = number of EMPTY registers, V ∈ [1, m]; entry 0
+    * is unused (V = 0 means every register is set and the raw
+    * estimator applies). Flajolet et al. apply linear counting when
+    * raw_est ≤ 2.5·m and V > 0 — without it the raw estimator is
+    * several× high at small n (the sf0.001 fixture has 31 distinct
+    * tokens against m = 256). The whole table is precomputed HERE as
+    * Scala doubles and interpolated verbatim into both engines
+    * (typedLit array on the Spark side, a list literal in the DuckDB
+    * oracle), so no cross-libm `ln` can make the two sides drift —
+    * the repo-wide bit-exactness discipline. */
+  val HllLinearCount: Seq[Double] =
+    0.0 +: (1 to HllRegisters.toInt).map(v =>
+      HllRegisters.toDouble * math.log(HllRegisters.toDouble / v))
+
+  /** Raw-estimate threshold below which linear counting applies. */
+  val HllSmallRange: Double = 2.5 * HllRegisters
+
   /** Streaming-ingest split: `charhash(doc_id) % 10 = 7` plays the
     * incoming batch, the rest the corpus (the repo-wide delta
     * convention — DedupOps.scala:577). */
@@ -206,6 +224,14 @@ object SketchOps {
         lit(HllRegisters).as("n_registers"),
         col("n_set"), col("sum_scaled"),
         (lit(HllScale) / col("sum_scaled").cast("double"))
+          .as("est_raw"))
+      .select(col("n_exact"), col("n_registers"), col("n_set"),
+        col("sum_scaled"), col("est_raw"),
+        when(col("est_raw") <= lit(HllSmallRange) &&
+            (lit(HllRegisters) - col("n_set")) > 0L,
+          element_at(typedLit(HllLinearCount),
+            (lit(HllRegisters) - col("n_set") + 1L).cast("int")))
+          .otherwise(col("est_raw"))
           .as("est_distinct"))
   }
 
@@ -312,10 +338,27 @@ object SketchOps {
               CAST(SUM(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_set
             FROM al),
-          ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hs)
-          SELECT ex.n_exact, CAST($HllRegisters AS BIGINT) AS n_registers,
-            agg.n_set, agg.sum_scaled,
-            CAST($HllScale AS DOUBLE) / CAST(agg.sum_scaled AS DOUBLE)
-              AS est_distinct
-          FROM ex, agg""")
+          ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hs),
+          fin AS (
+            SELECT ex.n_exact,
+              CAST($HllRegisters AS BIGINT) AS n_registers,
+              agg.n_set, agg.sum_scaled,
+              CAST($HllScale AS DOUBLE) / CAST(agg.sum_scaled AS DOUBLE)
+                AS est_raw
+            FROM ex, agg)
+          SELECT n_exact, n_registers, n_set, sum_scaled, est_raw,
+            CASE WHEN est_raw <= $HllSmallRange
+                   AND (n_registers - n_set) > 0
+              THEN (${
+                // each element as a STRING cast to DOUBLE: a bare
+                // numeric list literal unifies to DECIMAL(20,16) in
+                // DuckDB, whose decimal->double conversion is 1 ulp
+                // off the string->double parse (scaled-int division vs
+                // correctly-rounded parse) — the string cast round-trips
+                // Scala's shortest-repr toString exactly
+                HllLinearCount.map(v => s"'$v'::DOUBLE")
+                  .mkString("[", ", ", "]")})
+                     [CAST(n_registers - n_set + 1 AS INTEGER)]
+              ELSE est_raw END AS est_distinct
+          FROM fin""")
 }

@@ -36,8 +36,10 @@ object StreamOps {
   private val srcDirCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** readStream over the events parquet with the same nanos→micros
-    * timestamp rebuild as the batch loader. The file stream source
+  /** readStream over the events parquet with the same schema-dispatched
+    * timestamp rebuild as the batch loader ([[Tables.events]]): legacy
+    * nanos-as-BIGINT files get the integer-division micros rebuild,
+    * native TIMESTAMP files a plain cast. The file stream source
     * needs a *directory*, so the single parquet file is exposed via a
     * symlink in a temp dir (zero-copy). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
@@ -50,9 +52,16 @@ object StreamOps {
       link.toFile.deleteOnExit()
       t.toString
     })
-    val schema = Tables.load(s, d, "events").schema
-    s.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the RAW file schema (pre-conversion), so the stream reader sees
+    // exactly what is in the parquet footer
+    val raw = Tables.load(s, d, "events")
+    val stream = s.readStream.schema(raw.schema).parquet(dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Isolated session for a finite oracle replay: `newSession()`

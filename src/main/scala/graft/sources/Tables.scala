@@ -28,16 +28,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in-file, which Spark's parquet
-    * reader rejects outright. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * [[graft.GraftSession]]); the raw nanos are then converted to a
-    * proper microsecond timestamp with *integer* division — `/` on
-    * Columns is double division and int64 nanos (~1.7e18) exceed
-    * double's 2^53 exact range. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events.ts` has shipped in two encodings across testdata
+    * generations, so dispatch on the read schema rather than assuming:
+    *
+    *  - TIMESTAMP(NANOS) in-file — Spark's parquet reader rejects it
+    *    unless `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *    [[graft.GraftSession]]), which surfaces it as a LONG of raw
+    *    nanos. Convert with *integer* division (`div`) — `/` on
+    *    Columns is double division and int64 nanos (~1.7e18) exceed
+    *    double's 2^53 exact range.
+    *  - TIMESTAMP(MICROS) in-file — read natively as TimestampNTZ (or
+    *    Timestamp with int96/ltz metadata); just cast to the session
+    *    TimestampType. The session timezone is pinned to UTC, so the
+    *    NTZ→LTZ cast is an identity on the underlying micros. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -62,4 +62,31 @@ class EmbCollapseSpec extends SparkSpec {
     assert((500L until 520L).forall(id => comp(id) == id))
     SimilarityOps.invalidateIndexes()
   }
+
+  test("canon window keys its exchange on the md5 fingerprint, " +
+      "never a raw float array") {
+    // Round-9 discipline fix: canonVecs partitions its window by a
+    // 16-byte md5 of the vector, not the 128-byte array itself —
+    // mirroring the text side's round-7 canon. The pin is general: no
+    // hash exchange anywhere in the near-dup plan may key on an
+    // array-typed expression.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    SimilarityOps.invalidateIndexes()
+    val qe = SparkEntry.queries("emb_near_dup")(spark, Sf).queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val keyed = plan.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }.collect { case h: HashPartitioning => h }
+    assert(keyed.nonEmpty, "expected hash exchanges in the near-dup plan")
+    for (h <- keyed; e <- h.expressions)
+      assert(!e.dataType.isInstanceOf[ArrayType],
+        s"hash exchange keyed on an array-typed expression: $h")
+    SimilarityOps.invalidateIndexes()
+  }
 }
