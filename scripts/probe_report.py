@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Derive the scale/skew probe ratios from benchdata/*.json.
+
+Reads the raw per-rep bench JSONs the probes leave behind
+(probe_<sf>_<rep>.json from scale_probe.sh, <unif|skew><sf>_<rep>.json
+from skew_probe.sh), takes the per-query MIN across reps (the probes'
+convention), and prints:
+
+  - scale: sf0.1 -> sf1 per-query and total ratios (10x rows)
+  - skew: skew/uniform per-query and total ratios at each sf
+
+Also writes benchdata/probe_summary.json with the same numbers, so the
+committed artifacts carry their own derivation. A query timed at -1.0
+in any rep (errored) is reported as such and excluded from totals.
+"""
+import json, os, sys, glob
+
+BD = os.path.join(os.path.dirname(__file__), "..", "benchdata")
+
+
+def best(tag):
+    """Per-query min across reps for benchdata/<tag>_<rep>.json."""
+    reps = sorted(glob.glob(os.path.join(BD, f"{tag}_*.json")))
+    out, errored = {}, set()
+    for p in reps:
+        with open(p) as f:
+            qs = json.load(f)["queries"]
+        for q, v in qs.items():
+            if v < 0:
+                errored.add(q)
+            elif q not in out or v < out[q]:
+                out[q] = v
+    return out, errored, len(reps)
+
+
+def ratio_table(name, base, num):
+    (b, berr, bn), (n, nerr, nn) = base, num
+    common = sorted(set(b) & set(n))
+    rows = [(q, b[q], n[q], n[q] / b[q] if b[q] > 0 else float("nan"))
+            for q in common]
+    tb, tn = sum(b[q] for q in common), sum(n[q] for q in common)
+    print(f"\n== {name} ({bn}/{nn} reps, {len(common)} queries) ==")
+    for q, vb, vn, r in sorted(rows, key=lambda r: -r[3]):
+        print(f"  {q:32s} {vb:8.2f} -> {vn:8.2f}  {r:5.2f}x")
+    total = tn / tb if tb > 0 else float("nan")
+    print(f"  {'TOTAL':32s} {tb:8.2f} -> {tn:8.2f}  {total:5.2f}x")
+    for q in sorted(berr | nerr):
+        print(f"  ERRORED (-1.0 in some rep): {q}")
+    return {"queries": {q: {"base": vb, "probe": vn, "ratio": r}
+                        for q, vb, vn, r in rows},
+            "total_base": tb, "total_probe": tn, "total_ratio": total,
+            "errored": sorted(berr | nerr)}
+
+
+def main():
+    summary = {}
+    pairs = [
+        ("scale sf0.1->sf1", "probe_sf0.1", "probe_sf1", "scale"),
+        ("skew/unif @ sf0.1", "unif0.1", "skew0.1", "skew0.1"),
+        ("skew/unif @ sf1", "unif1", "skew1", "skew1"),
+    ]
+    for name, base_tag, num_tag, key in pairs:
+        base, num = best(base_tag), best(num_tag)
+        if not base[0] or not num[0]:
+            print(f"\n== {name}: missing data ({base_tag} or {num_tag}) ==")
+            continue
+        summary[key] = ratio_table(name, base, num)
+    with open(os.path.join(BD, "probe_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"\nwrote {os.path.join(BD, 'probe_summary.json')}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -235,10 +235,85 @@ object SketchOps {
           .as("est_distinct"))
   }
 
+  /** Shard count for the HLL mergeability demonstration. */
+  val HllShards: Long = 4L
+
+  /** The HLL *mergeability* contract, oracle-gated: build per-shard
+    * register vectors over a 4-way hash split of the corpus, merge
+    * them by per-register MAX, and estimate from the merged vector —
+    * the distributed plan a 1000-executor deployment actually runs
+    * (each executor sketches its shard; the driver merges m-sized
+    * vectors, never token streams). The output carries the merged
+    * estimate AND the single-pass global estimate ([[tfHllDistinct]]'s
+    * arithmetic) with an exact-equality flag: MAX is associative and
+    * register addressing is shard-independent, so the two register
+    * vectors are IDENTICAL — not approximately, bit-for-bit, and both
+    * engines prove it. */
+  val tfHllMerge: Q = (s, d) => {
+    val hs = docs(s, d)
+      .select(col("doc_id"),
+        explode(Hashing.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), Hashing.charHash(col("token")).as("h"))
+    // shard by DOCUMENT (the physical unit a scan task holds), not by
+    // token hash — the merge claim is only interesting when the same
+    // token can appear in several shards
+    val sharded = hs
+      .select((Hashing.charHash(col("doc_id").cast("string")) % HllShards)
+        .as("shard"), col("h"))
+      .distinct() // distinct (shard, h): per-shard distinct token hashes
+      .select(col("shard"), (col("h") % HllRegisters).as("reg"),
+        expr(s"h div $HllRegisters").as("w"))
+      .select(col("shard"), col("reg"),
+        when(col("w") === 0L, lit(24L))
+          .otherwise(lit(24L) - length(bin(col("w"))).cast("long"))
+          .as("rho"))
+      .groupBy("shard", "reg").agg(max(col("rho")).as("rho"))
+    // the merge: per-register MAX across the shard vectors
+    val merged = sharded.groupBy("reg").agg(max(col("rho")).as("rho"))
+    def regSum(regs: DataFrame): DataFrame =
+      s.range(HllRegisters).select(col("id").as("reg"))
+        .join(regs, Seq("reg"), "left")
+        .select(coalesce(col("rho"), lit(0L)).as("rho"))
+        .agg(
+          sum(expr("shiftleft(cast(1 as bigint), cast(24 - rho as int))"))
+            .as("sum_scaled"),
+          sum(when(col("rho") > 0L, 1L).otherwise(0L)).as("n_set"))
+    def est(pfx: String)(agg: DataFrame): DataFrame = agg.select(
+      col("sum_scaled").as(s"${pfx}_sum_scaled"),
+      col("n_set").as(s"${pfx}_n_set"),
+      when((lit(HllScale) / col("sum_scaled").cast("double"))
+            <= lit(HllSmallRange) &&
+          (lit(HllRegisters) - col("n_set")) > 0L,
+        element_at(typedLit(HllLinearCount),
+          (lit(HllRegisters) - col("n_set") + 1L).cast("int")))
+        .otherwise(lit(HllScale) / col("sum_scaled").cast("double"))
+        .as(s"${pfx}_est"))
+    val global = hs.select(col("h")).distinct()
+      .select((col("h") % HllRegisters).as("reg"),
+        expr(s"h div $HllRegisters").as("w"))
+      .select(col("reg"),
+        when(col("w") === 0L, lit(24L))
+          .otherwise(lit(24L) - length(bin(col("w"))).cast("long"))
+          .as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+    val nShards = sharded.select(col("shard")).distinct()
+      .agg(count(lit(1)).as("n_shards"))
+    nShards
+      .crossJoin(est("merged")(regSum(merged)))
+      .crossJoin(est("global")(regSum(global)))
+      .select(col("n_shards"),
+        col("merged_sum_scaled"), col("merged_n_set"), col("merged_est"),
+        col("global_est"),
+        (col("merged_sum_scaled") === col("global_sum_scaled") &&
+          col("merged_n_set") === col("global_n_set"))
+          .cast("long").as("registers_identical"))
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_bloom_probe" -> dedupBloomProbe,
     "tf_cms_counts" -> tfCmsCounts,
-    "tf_hll_distinct" -> tfHllDistinct)
+    "tf_hll_distinct" -> tfHllDistinct,
+    "tf_hll_merge" -> tfHllMerge)
 
   // ------------------------------------------------------------------
   // DuckDB oracles (same constants, same arithmetic)
@@ -246,6 +321,29 @@ object SketchOps {
 
   private def sqlIsNew =
     s"${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10 = 7"
+
+  /** [[HllLinearCount]] as a DuckDB list literal. Each element is a
+    * STRING cast to DOUBLE: a bare numeric list literal unifies to
+    * DECIMAL(20,16) in DuckDB, whose decimal->double conversion is
+    * 1 ulp off the string->double parse (scaled-int division vs a
+    * correctly-rounded parse) — the string cast round-trips Scala's
+    * shortest-repr toString exactly. */
+  private def sqlHllTable: String =
+    HllLinearCount.map(v => s"'$v'::DOUBLE").mkString("[", ", ", "]")
+
+  /** The per-register rho projection shared by the HLL oracles. */
+  private def sqlRho(h: String): String =
+    s"""CASE WHEN $h // $HllRegisters = 0 THEN CAST(24 AS BIGINT)
+             ELSE CAST(24 - length(bin($h // $HllRegisters)) AS BIGINT)
+        END"""
+
+  /** Corrected-estimate expression over (sum_scaled, n_set) columns. */
+  private def sqlHllEst(sum: String, nset: String): String =
+    s"""CASE WHEN CAST($HllScale AS DOUBLE) / CAST($sum AS DOUBLE)
+               <= $HllSmallRange
+             AND ($HllRegisters - $nset) > 0
+        THEN ($sqlHllTable)[CAST($HllRegisters - $nset + 1 AS INTEGER)]
+        ELSE CAST($HllScale AS DOUBLE) / CAST($sum AS DOUBLE) END"""
 
   // lazy: interpolates sibling-object constants (see TextOps.oracle)
   lazy val oracle: Map[String, String] = Map(
@@ -349,16 +447,57 @@ object SketchOps {
           SELECT n_exact, n_registers, n_set, sum_scaled, est_raw,
             CASE WHEN est_raw <= $HllSmallRange
                    AND (n_registers - n_set) > 0
-              THEN (${
-                // each element as a STRING cast to DOUBLE: a bare
-                // numeric list literal unifies to DECIMAL(20,16) in
-                // DuckDB, whose decimal->double conversion is 1 ulp
-                // off the string->double parse (scaled-int division vs
-                // correctly-rounded parse) — the string cast round-trips
-                // Scala's shortest-repr toString exactly
-                HllLinearCount.map(v => s"'$v'::DOUBLE")
-                  .mkString("[", ", ", "]")})
+              THEN ($sqlHllTable)
                      [CAST(n_registers - n_set + 1 AS INTEGER)]
               ELSE est_raw END AS est_distinct
-          FROM fin""")
+          FROM fin""",
+    "tf_hll_merge" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS token
+            FROM documents),
+          hs AS (
+            SELECT doc_id, ${Hashing.sqlCharHash("token")} AS h FROM tok),
+          sh AS (
+            SELECT DISTINCT
+              ${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")}
+                % $HllShards AS shard, h
+            FROM hs),
+          sregs AS (
+            SELECT shard, h % $HllRegisters AS reg,
+              MAX(${sqlRho("h")}) AS rho
+            FROM sh GROUP BY shard, h % $HllRegisters),
+          merged AS (SELECT reg, MAX(rho) AS rho FROM sregs GROUP BY reg),
+          gregs AS (
+            SELECT h % $HllRegisters AS reg, MAX(${sqlRho("h")}) AS rho
+            FROM (SELECT DISTINCT h FROM hs) z GROUP BY h % $HllRegisters),
+          m_agg AS (
+            SELECT
+              CAST(SUM(CAST(1 AS BIGINT)
+                << CAST(24 - COALESCE(g.rho, 0) AS INTEGER)) AS BIGINT)
+                AS sum_scaled,
+              CAST(SUM(CASE WHEN COALESCE(g.rho, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_set
+            FROM (SELECT unnest(range(0, $HllRegisters)) AS reg) rt
+            LEFT JOIN merged g ON rt.reg = g.reg),
+          g_agg AS (
+            SELECT
+              CAST(SUM(CAST(1 AS BIGINT)
+                << CAST(24 - COALESCE(g.rho, 0) AS INTEGER)) AS BIGINT)
+                AS sum_scaled,
+              CAST(SUM(CASE WHEN COALESCE(g.rho, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_set
+            FROM (SELECT unnest(range(0, $HllRegisters)) AS reg) rt
+            LEFT JOIN gregs g ON rt.reg = g.reg),
+          ns AS (
+            SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+            FROM sh)
+          SELECT ns.n_shards,
+            m_agg.sum_scaled AS merged_sum_scaled,
+            m_agg.n_set AS merged_n_set,
+            ${sqlHllEst("m_agg.sum_scaled", "m_agg.n_set")} AS merged_est,
+            ${sqlHllEst("g_agg.sum_scaled", "g_agg.n_set")} AS global_est,
+            CAST(CASE WHEN m_agg.sum_scaled = g_agg.sum_scaled
+                       AND m_agg.n_set = g_agg.n_set
+                 THEN 1 ELSE 0 END AS BIGINT) AS registers_identical
+          FROM ns, m_agg, g_agg""")
 }

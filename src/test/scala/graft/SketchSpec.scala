@@ -57,6 +57,19 @@ class SketchSpec extends SparkSpec {
       s"est=$est exact=$exact rel=${math.abs(est - exact) / exact}")
   }
 
+  test("sharded HLL merge: merged registers are bit-identical to the " +
+      "global build, so the estimates agree exactly") {
+    val m = SketchOps.tfHllMerge(spark, Sf).collect().head
+    assert(m.getAs[Long]("n_shards") >= 2L,
+      "fixture must actually split into multiple shards")
+    assert(m.getAs[Long]("registers_identical") == 1L)
+    assert(m.getAs[Double]("merged_est") == m.getAs[Double]("global_est"))
+    // and the merged estimate IS the single-pass query's estimate
+    val single = SketchOps.tfHllDistinct(spark, Sf).collect().head
+    assert(m.getAs[Double]("merged_est") ==
+      single.getAs[Double]("est_distinct"))
+  }
+
   test("register relation is bounded by m regardless of corpus size") {
     // the scale contract: the sketch side of each query collapses to a
     // fixed-size relation before any join. Recompute the register
