@@ -200,11 +200,16 @@ object SketchOps {
     * the bit. Output also carries the exact distinct count for error
     * accounting (the COUNT(DISTINCT) the registers replace at
     * scale). */
-  val tfHllDistinct: Q = (s, d) => {
-    val hs = docs(s, d)
+  /** The (reg, rho) register relation of a documents relation —
+    * bounded by m rows regardless of corpus size. Shared by the
+    * batch queries and the streaming monitor
+    * ([[graft.operators.StreamOps]] `stream_hll_monitor`): any split
+    * of the corpus yields per-split register relations that merge by
+    * per-register MAX into exactly the global one. */
+  private[graft] def hllRegs(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(explode(Hashing.tokens(col("text"))).as("token"))
       .select(Hashing.charHash(col("token")).as("h")).distinct()
-    val regs = hs
       .select((col("h") % HllRegisters).as("reg"),
         expr(s"h div $HllRegisters").as("w"))
       .select(col("reg"),
@@ -212,27 +217,41 @@ object SketchOps {
           .otherwise(lit(24L) - length(bin(col("w"))).cast("long"))
           .as("rho"))
       .groupBy("reg").agg(max(col("rho")).as("rho"))
-    val filled = s.range(HllRegisters).select(col("id").as("reg"))
+
+  /** One-row (n_registers, n_set, sum_scaled, est_raw, est_distinct)
+    * summary of a (reg, rho) register relation — the exact integer
+    * register sum, the single double division, and the small-range
+    * correction, all shared with the oracles' arithmetic. */
+  private[graft] def hllSummary(s: SparkSession, regs: DataFrame)
+      : DataFrame =
+    s.range(HllRegisters).select(col("id").as("reg"))
       .join(regs, Seq("reg"), "left")
       .select(coalesce(col("rho"), lit(0L)).as("rho"))
-    val regAgg = filled.agg(
-      sum(expr("shiftleft(cast(1 as bigint), cast(24 - rho as int))"))
-        .as("sum_scaled"),
-      sum(when(col("rho") > 0L, 1L).otherwise(0L)).as("n_set"))
-    hs.agg(count(lit(1)).as("n_exact")).crossJoin(regAgg)
-      .select(col("n_exact"),
-        lit(HllRegisters).as("n_registers"),
+      .agg(
+        sum(expr("shiftleft(cast(1 as bigint), cast(24 - rho as int))"))
+          .as("sum_scaled"),
+        sum(when(col("rho") > 0L, 1L).otherwise(0L)).as("n_set"))
+      .select(lit(HllRegisters).as("n_registers"),
         col("n_set"), col("sum_scaled"),
         (lit(HllScale) / col("sum_scaled").cast("double"))
           .as("est_raw"))
-      .select(col("n_exact"), col("n_registers"), col("n_set"),
-        col("sum_scaled"), col("est_raw"),
+      .select(col("n_registers"), col("n_set"), col("sum_scaled"),
+        col("est_raw"),
         when(col("est_raw") <= lit(HllSmallRange) &&
             (lit(HllRegisters) - col("n_set")) > 0L,
           element_at(typedLit(HllLinearCount),
             (lit(HllRegisters) - col("n_set") + 1L).cast("int")))
           .otherwise(col("est_raw"))
           .as("est_distinct"))
+
+  val tfHllDistinct: Q = (s, d) => {
+    val hs = docs(s, d)
+      .select(explode(Hashing.tokens(col("text"))).as("token"))
+      .select(Hashing.charHash(col("token")).as("h")).distinct()
+    hs.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hllSummary(s, hllRegs(docs(s, d))))
+      .select(col("n_exact"), col("n_registers"), col("n_set"),
+        col("sum_scaled"), col("est_raw"), col("est_distinct"))
   }
 
   /** Shard count for the HLL mergeability demonstration. */
@@ -336,6 +355,40 @@ object SketchOps {
     s"""CASE WHEN $h // $HllRegisters = 0 THEN CAST(24 AS BIGINT)
              ELSE CAST(24 - length(bin($h // $HllRegisters)) AS BIGINT)
         END"""
+
+  /** The oracle for the STREAMING register monitor
+    * (`stream_hll_monitor` in [[graft.operators.StreamOps]]): the
+    * batch single-pass arithmetic over the whole corpus, WITHOUT the
+    * exact distinct count — the monitor's entire point is that the
+    * stream never stores the distinct token set, so its output carries
+    * only what m registers can answer. Register MAX-merge across
+    * micro-batches is exact, which is why a streaming replay can gate
+    * HASH-EXACT against this batch SQL. Owned here because every
+    * constant it interpolates is this object's. */
+  private[graft] def sqlHllMonitorOracle: String =
+    s"""WITH tok AS (
+          SELECT unnest(${Hashing.sqlTokens("text")}) AS token
+          FROM documents),
+        hs AS (
+          SELECT DISTINCT ${Hashing.sqlCharHash("token")} AS h FROM tok),
+        regs AS (
+          SELECT h % $HllRegisters AS reg, MAX(${sqlRho("h")}) AS rho
+          FROM hs GROUP BY h % $HllRegisters),
+        agg AS (
+          SELECT
+            CAST(SUM(CAST(1 AS BIGINT)
+              << CAST(24 - COALESCE(g.rho, 0) AS INTEGER)) AS BIGINT)
+              AS sum_scaled,
+            CAST(SUM(CASE WHEN COALESCE(g.rho, 0) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_set
+          FROM (SELECT unnest(range(0, $HllRegisters)) AS reg) rt
+          LEFT JOIN regs g ON rt.reg = g.reg)
+        SELECT CAST($HllRegisters AS BIGINT) AS n_registers,
+          n_set, sum_scaled,
+          CAST($HllScale AS DOUBLE) / CAST(sum_scaled AS DOUBLE)
+            AS est_raw,
+          ${sqlHllEst("sum_scaled", "n_set")} AS est_distinct
+        FROM agg"""
 
   /** Corrected-estimate expression over (sum_scaled, n_set) columns. */
   private def sqlHllEst(sum: String, nset: String): String =

@@ -736,7 +736,51 @@ object StreamOps {
       .orderBy("bin")
   }
 
+  /** Streaming HLL distinct-token monitor — the sketch tier's ingest
+    * path, and the stream-side PROOF of the register-merge contract
+    * `tf_hll_merge` establishes for shards: each micro-batch computes
+    * its OWN bounded (reg, rho) register relation with the batch
+    * arithmetic ([[SketchOps.hllRegs]]), and the monitor folds it into
+    * an m-entry driver-side accumulator by per-register MAX — the
+    * merge is exact, so the finite replay's final estimate is
+    * bit-equal to the batch single-pass build and gates HASH-EXACT
+    * against the batch oracle.
+    *
+    * Scale shape: per batch, the only thing that crosses to the
+    * driver is ≤ m = [[SketchOps.HllRegisters]] integer pairs — the
+    * monitor never stores token hashes, which is its entire point
+    * (the corpus-wide distinct set this replaces is unbounded). In
+    * production the same fold runs per-executor then per-shard, and
+    * days merge with the same MAX. Zero streaming state store: the
+    * cross-batch memory IS the register vector. */
+  val streamHllMonitor: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val merged = new Array[Long](SketchOps.HllRegisters.toInt)
+    val q = docsStream(s, d)
+      .select(col("text"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val regs = SketchOps.hllRegs(batch).collect()
+        merged.synchronized {
+          regs.foreach { r =>
+            val reg = r.getAs[Long]("reg").toInt
+            val rho = r.getAs[Long]("rho")
+            if (rho > merged(reg)) merged(reg) = rho
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import s.implicits._
+    val regDf = merged.toIndexedSeq.zipWithIndex
+      .collect { case (rho, reg) if rho > 0L => (reg.toLong, rho) }
+      .toDF("reg", "rho")
+    SketchOps.hllSummary(s, regDf)
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_hll_monitor" -> streamHllMonitor,
     "stream_histogram" -> streamHistogram,
     "stream_takedown_gate" -> streamTakedownGate,
     "stream_unigram_gate" -> streamUnigramGate,
@@ -762,6 +806,7 @@ object StreamOps {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
+    "stream_hll_monitor" -> SketchOps.sqlHllMonitorOracle,
     "stream_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS n
          FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY bin""",

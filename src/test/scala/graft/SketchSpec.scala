@@ -70,6 +70,30 @@ class SketchSpec extends SparkSpec {
       single.getAs[Double]("est_distinct"))
   }
 
+  test("streaming HLL monitor: the finite replay's estimate is " +
+      "bit-equal to the batch single-pass build") {
+    val m = SparkEntry.queries("stream_hll_monitor")(spark, Sf)
+      .collect().head
+    val b = SketchOps.tfHllDistinct(spark, Sf).collect().head
+    for (c <- Seq("n_registers", "n_set", "sum_scaled"))
+      assert(m.getAs[Long](c) == b.getAs[Long](c), c)
+    assert(m.getAs[Double]("est_distinct") ==
+      b.getAs[Double]("est_distinct"))
+  }
+
+  test("register relations of arbitrary corpus slices MAX-merge into " +
+      "exactly the global registers (the monitor's per-batch fold)") {
+    val dd = graft.sources.Tables.documents(spark, Sf)
+    val slices = (0 until 3).map(i =>
+      SketchOps.hllRegs(dd.filter(col("doc_id") % 3 === i)))
+    val merged = slices.reduce(_ unionByName _)
+      .groupBy("reg").agg(max(col("rho")).as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val global = SketchOps.hllRegs(dd)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == global)
+  }
+
   test("register relation is bounded by m regardless of corpus size") {
     // the scale contract: the sketch side of each query collapses to a
     // fixed-size relation before any join. Recompute the register
