@@ -108,8 +108,46 @@ object SketchOps {
   def sqlSketchPos(h: String, i: Int, mod: Long): String =
     s"((${Hashing.A(i)} * $h + ${Hashing.B(i)}) % ${Hashing.P}) % $mod"
 
-  private def posArray(h: Column, mod: Long, k: Int): Column =
+  private[graft] def posArray(h: Column, mod: Long, k: Int): Column =
     array((0 until k).map(i => sketchPos(h, i, mod)): _*)
+
+  /** The corpus-side Bloom relation (distinct SET positions of the
+    * non-incoming docs' text fingerprints) — shared by the batch
+    * probe and the streaming gate. Bounded by [[BloomBits]] rows. */
+  private[graft] def bloomPositions(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(!isNew(col("doc_id")))
+      .select(Hashing.charHash(col("text")).as("fp")).distinct()
+      .select(explode(posArray(col("fp"), BloomBits, BloomK)).as("pos"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+
+  /** Oracle for the STREAMING bloom gate (`stream_bloom_gate` in
+    * [[graft.operators.StreamOps]]): the bloom-only probe — no truth
+    * join, because the gate's entire point is deciding from the
+    * bounded bit relation alone. Owned here with the constants. */
+  private[graft] def sqlBloomGateOracle: String =
+    s"""WITH fps AS (
+          SELECT DISTINCT ${Hashing.sqlCharHash("text")} AS fp
+          FROM documents WHERE NOT ($sqlIsNew)),
+        bloom AS (
+          SELECT DISTINCT unnest(${sqlPosList("fp", BloomBits, BloomK)})
+            AS pos FROM fps),
+        probe AS (
+          SELECT doc_id, ${Hashing.sqlCharHash("text")} AS fp
+          FROM documents WHERE $sqlIsNew),
+        ppos AS (
+          SELECT doc_id, unnest(${sqlPosList("fp", BloomBits, BloomK)})
+            AS pos FROM probe),
+        roll AS (
+          SELECT p.doc_id,
+            CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos_hit
+          FROM ppos p LEFT JOIN bloom b ON p.pos = b.pos
+          GROUP BY p.doc_id)
+        SELECT doc_id, n_pos_hit,
+          CASE WHEN n_pos_hit = $BloomK THEN 'route_exact_tier'
+               ELSE 'admitted_new' END AS decision
+        FROM roll ORDER BY doc_id"""
 
   private def sqlPosList(h: String, mod: Long, k: Int): String =
     (0 until k).map(i => sqlSketchPos(h, i, mod)).mkString("[", ", ", "]")
@@ -134,10 +172,7 @@ object SketchOps {
     val dd = docs(s, d)
     val fps = dd.filter(!isNew(col("doc_id")))
       .select(Hashing.charHash(col("text")).as("fp")).distinct()
-    val bloom = fps
-      .select(explode(posArray(col("fp"), BloomBits, BloomK)).as("pos"))
-      .distinct()
-      .withColumn("hit", lit(1L))
+    val bloom = bloomPositions(s, d)
     val probe = dd.filter(isNew(col("doc_id")))
       .select(col("doc_id"), Hashing.charHash(col("text")).as("fp"))
     val roll = probe

@@ -736,6 +736,70 @@ object StreamOps {
       .orderBy("bin")
   }
 
+  /** Streaming Bloom pre-filter ON INGEST — the production gate the
+    * batch probe (`dedup_bloom_probe`) exists to feed: each incoming
+    * document's k bit positions are checked against the CORPUS bloom
+    * relation (static side, bounded by [[SketchOps.BloomBits]] rows
+    * regardless of corpus size), and docs whose k bits are all set
+    * route to the exact-dedup tier while the rest are admitted as new
+    * WITHOUT any corpus-sized join. No false negatives by
+    * construction (a true duplicate set its own bits when the corpus
+    * was built), so 'admitted_new' is always safe; false positives
+    * cost one wasted exact-tier check, bounded by occupancy.
+    *
+    * Deliberately bloom-ONLY — no truth join — because deciding from
+    * the bounded bit relation alone is the gate's entire point at
+    * 100 TB. Stateless foreachBatch like the other ingest gates: the
+    * cross-batch memory is the static bloom relation, zero streaming
+    * state store. */
+  val streamBloomGate: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def isNew(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    val bloom = SketchOps.bloomPositions(s, d)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-bloom-gate").toString
+    val q = docsStream(s, d)
+      .filter(isNew(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(col("doc_id"),
+            explode(SketchOps.posArray(
+              graft.functions.Hashing.charHash(col("text")),
+              SketchOps.BloomBits, SketchOps.BloomK)).as("pos"))
+          .join(broadcast(bloom), Seq("pos"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_pos_hit"))
+          .select(col("doc_id"), col("n_pos_hit"),
+            when(col("n_pos_hit") === SketchOps.BloomK,
+              "route_exact_tier")
+              .otherwise("admitted_new").as("decision"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_pos_hit",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("decision",
+        org.apache.spark.sql.types.StringType)))
+    val hasParts = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+    val out =
+      if (!hasParts) s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else s.read.schema(schema).parquet(outDir)
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    deleteRecursively(new java.io.File(outDir))
+    out
+  }
+
   /** Streaming HLL distinct-token monitor — the sketch tier's ingest
     * path, and the stream-side PROOF of the register-merge contract
     * `tf_hll_merge` establishes for shards: each micro-batch computes
@@ -780,6 +844,7 @@ object StreamOps {
   }
 
   val defs: Map[String, Q] = Map(
+    "stream_bloom_gate" -> streamBloomGate,
     "stream_hll_monitor" -> streamHllMonitor,
     "stream_histogram" -> streamHistogram,
     "stream_takedown_gate" -> streamTakedownGate,
@@ -806,6 +871,7 @@ object StreamOps {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
+    "stream_bloom_gate" -> SketchOps.sqlBloomGateOracle,
     "stream_hll_monitor" -> SketchOps.sqlHllMonitorOracle,
     "stream_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS n

@@ -70,6 +70,27 @@ class SketchSpec extends SparkSpec {
       single.getAs[Double]("est_distinct"))
   }
 
+  test("streaming bloom gate: decisions agree with the batch probe's " +
+      "bloom columns; exact duplicates always route to the exact tier") {
+    val gate = SparkEntry.queries("stream_bloom_gate")(spark, Sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pos_hit"), r.getAs[String]("decision"))).toMap
+    val probe = SketchOps.dedupBloomProbe(spark, Sf).collect()
+    assert(gate.nonEmpty && gate.size == probe.length)
+    probe.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nph, dec) = gate(id)
+      assert(nph == r.getAs[Long]("n_pos_hit"), s"doc $id")
+      assert(dec == (if (r.getAs[Long]("bloom_hit") == 1L)
+        "route_exact_tier" else "admitted_new"), s"doc $id")
+      // the no-false-negative contract, streamed: a true exact dup
+      // can NEVER be admitted as new
+      if (r.getAs[Long]("exact_dup") == 1L)
+        assert(dec == "route_exact_tier", s"false negative on doc $id")
+    }
+  }
+
   test("streaming HLL monitor: the finite replay's estimate is " +
       "bit-equal to the batch single-pass build") {
     val m = SparkEntry.queries("stream_hll_monitor")(spark, Sf)
