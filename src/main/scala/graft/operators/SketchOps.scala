@@ -363,9 +363,52 @@ object SketchOps {
           .cast("long").as("registers_identical"))
   }
 
+  /** The CMS *mergeability* contract, oracle-gated — the additive
+    * sibling of [[tfHllMerge]]'s MAX-merge: per-shard d×w counter
+    * matrices over the same 4-way doc-hash split, merged by CELL-WISE
+    * ADDITION. A token instance lands in exactly one shard, addition
+    * is associative, and cell addressing is shard-independent, so the
+    * merged matrix is BIT-IDENTICAL to the single-pass global build —
+    * the property that lets per-day / per-executor matrices roll up
+    * into weekly corpus counts without ever re-reading a token
+    * stream. Output: shard count, merged-matrix stats, and a
+    * full-outer cell-by-cell equality rollup both engines compute. */
+  val tfCmsMerge: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("token"))
+    val cells = toks.select(
+        (Hashing.charHash(col("doc_id").cast("string")) % HllShards)
+          .as("shard"),
+        posexplode(
+          posArray(Hashing.charHash(col("token")), CmsWidth, CmsDepth)))
+      .toDF("shard", "row", "bucket")
+    val sharded = cells.groupBy("shard", "row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val merged = sharded.groupBy("row", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+    val global = toks.select(
+        posexplode(
+          posArray(Hashing.charHash(col("token")), CmsWidth, CmsDepth)))
+      .toDF("row", "bucket")
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    val diff = merged.as("m")
+      .join(global.as("g"), Seq("row", "bucket"), "full")
+      .select(when(coalesce(col("m.cnt"), lit(-1L)) ===
+          coalesce(col("g.cnt"), lit(-2L)), 0L).otherwise(1L).as("bad"))
+      .agg(sum(col("bad")).as("n_diff"))
+    val nSh = sharded.select(col("shard")).distinct()
+      .agg(count(lit(1)).as("n_shards"))
+    val mstats = merged.agg(count(lit(1)).as("n_cells"),
+      sum(col("cnt")).as("sum_count"))
+    nSh.crossJoin(mstats).crossJoin(diff)
+      .select(col("n_shards"), col("n_cells"), col("sum_count"),
+        (col("n_diff") === 0L).cast("long").as("cells_identical"))
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_bloom_probe" -> dedupBloomProbe,
     "tf_cms_counts" -> tfCmsCounts,
+    "tf_cms_merge" -> tfCmsMerge,
     "tf_hll_distinct" -> tfHllDistinct,
     "tf_hll_merge" -> tfHllMerge)
 
@@ -539,6 +582,54 @@ object SketchOps {
                      [CAST(n_registers - n_set + 1 AS INTEGER)]
               ELSE est_raw END AS est_distinct
           FROM fin""",
+    "tf_cms_merge" -> {
+      val h = Hashing.sqlCharHash("token")
+      val shardedCells = (0 until CmsDepth).map(i =>
+        s"""SELECT shard, $i AS row,
+             ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM hh""")
+        .mkString("\n            UNION ALL ")
+      val globalCells = (0 until CmsDepth).map(i =>
+        s"""SELECT $i AS row,
+             ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM hh""")
+        .mkString("\n            UNION ALL ")
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS token
+            FROM documents),
+          hh AS (
+            SELECT ${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")}
+              % $HllShards AS shard, $h AS h
+            FROM tok),
+          scells AS (
+            $shardedCells),
+          sharded AS (
+            SELECT shard, row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM scells GROUP BY shard, row, bucket),
+          merged AS (
+            SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM sharded GROUP BY row, bucket),
+          gcells AS (
+            $globalCells),
+          gmat AS (
+            SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM gcells GROUP BY row, bucket),
+          diff AS (
+            SELECT CAST(SUM(CASE WHEN COALESCE(m.cnt, -1)
+                = COALESCE(g.cnt, -2) THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_diff
+            FROM merged m FULL JOIN gmat g
+              ON m.row = g.row AND m.bucket = g.bucket),
+          ns AS (
+            SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+            FROM sharded),
+          mstats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+              CAST(SUM(cnt) AS BIGINT) AS sum_count
+            FROM merged)
+          SELECT ns.n_shards, mstats.n_cells, mstats.sum_count,
+            CAST(CASE WHEN diff.n_diff = 0 THEN 1 ELSE 0 END AS BIGINT)
+              AS cells_identical
+          FROM ns, mstats, diff"""
+    },
     "tf_hll_merge" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS token

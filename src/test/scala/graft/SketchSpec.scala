@@ -70,6 +70,16 @@ class SketchSpec extends SparkSpec {
       single.getAs[Double]("est_distinct"))
   }
 
+  test("sharded CMS merge: cell-wise addition reproduces the global " +
+      "matrix bit-for-bit") {
+    val m = SketchOps.tfCmsMerge(spark, Sf).collect().head
+    assert(m.getAs[Long]("n_shards") >= 2L,
+      "fixture must actually split into multiple shards")
+    assert(m.getAs[Long]("cells_identical") == 1L)
+    // every token instance lands in exactly CmsDepth cells
+    assert(m.getAs[Long]("sum_count") % SketchOps.CmsDepth == 0L)
+  }
+
   test("streaming bloom gate: decisions agree with the batch probe's " +
       "bloom columns; exact duplicates always route to the exact tier") {
     val gate = SparkEntry.queries("stream_bloom_gate")(spark, Sf)
