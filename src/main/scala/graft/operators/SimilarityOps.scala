@@ -245,9 +245,12 @@ object SimilarityOps {
     // keys an exchange). Spark's float->string cast is shortest
     // round-trip, so the comma-joined serialization is injective and
     // two vectors share a fingerprint iff they are element-identical
-    // (up to md5 collision, the repo-wide accepted canon risk).
+    // (up to md5 collision, the repo-wide accepted canon risk). Null
+    // elements get an explicit sentinel: concat_ws SKIPS nulls, which
+    // would otherwise let [x, null] collide with [x].
     val fp = md5(concat_ws(",",
-      transform(col("embedding"), v => v.cast("string"))).cast("binary"))
+      transform(col("embedding"),
+        v => coalesce(v.cast("string"), lit("null")))).cast("binary"))
     val w = Window.partitionBy(fp)
     emb(s, d)
       .select(col("vec_id"),
