@@ -19,7 +19,12 @@ BD = os.path.join(os.path.dirname(__file__), "..", "benchdata")
 
 
 def best(tag):
-    """Per-query min across reps for benchdata/<tag>_<rep>.json."""
+    """Per-query min across reps for benchdata/<tag>_<rep>.json.
+
+    A query that errored (-1.0) in ANY rep is excluded from `out`
+    entirely — a min over fewer reps is not comparable to the other
+    side's 3-rep min, and the docstring's 'excluded from totals'
+    promise must hold even for partial failures."""
     reps = sorted(glob.glob(os.path.join(BD, f"{tag}_*.json")))
     out, errored = {}, set()
     for p in reps:
@@ -30,6 +35,8 @@ def best(tag):
                 errored.add(q)
             elif q not in out or v < out[q]:
                 out[q] = v
+    for q in errored:
+        out.pop(q, None)
     return out, errored, len(reps)
 
 

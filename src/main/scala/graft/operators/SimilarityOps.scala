@@ -244,13 +244,24 @@ object SimilarityOps {
     // discipline the text side adopted in round 7 (document text never
     // keys an exchange). Spark's float->string cast is shortest
     // round-trip, so the comma-joined serialization is injective and
-    // two vectors share a fingerprint iff they are element-identical
-    // (up to md5 collision, the repo-wide accepted canon risk). Null
-    // elements get an explicit sentinel: concat_ws SKIPS nulls, which
-    // would otherwise let [x, null] collide with [x].
-    val fp = md5(concat_ws(",",
-      transform(col("embedding"),
-        v => coalesce(v.cast("string"), lit("null")))).cast("binary"))
+    // two vectors share a fingerprint iff they are element-equal, with
+    // three deliberate normalizations matching the old raw-array
+    // window's grouping semantics (up to md5 collision, the repo-wide
+    // accepted canon risk):
+    //  - null ELEMENTS get a "null" sentinel (concat_ws SKIPS nulls,
+    //    which would otherwise let [x, null] collide with [x]; no
+    //    float ever formats as "null");
+    //  - -0.0 is normalized to 0.0 by adding +0.0f BEFORE formatting
+    //    (IEEE: -0.0 + 0.0 = +0.0) — Spark's window partitioning
+    //    normalizes signed zeros in keys, so the fingerprint must too;
+    //  - a NULL embedding gets its own sentinel fingerprint, distinct
+    //    from the empty array's md5("") (transform(NULL) is NULL and
+    //    concat_ws would silently merge the two groups).
+    val fp = when(col("embedding").isNull, lit("<null-embedding>"))
+      .otherwise(md5(concat_ws(",",
+        transform(col("embedding"),
+          v => coalesce((v + lit(0.0f)).cast("string"), lit("null"))))
+        .cast("binary")))
     val w = Window.partitionBy(fp)
     emb(s, d)
       .select(col("vec_id"),

@@ -93,7 +93,7 @@ object SketchOps {
   /** Streaming-ingest split: `charhash(doc_id) % 10 = 7` plays the
     * incoming batch, the rest the corpus (the repo-wide delta
     * convention — DedupOps.scala:577). */
-  private def isNew(id: Column) =
+  private[graft] def isNew(id: Column) =
     Hashing.charHash(id.cast("string")) % 10 === 7
 
   /** i-th sketch position of hash `h` modulo `mod`: the same affine
@@ -226,15 +226,23 @@ object SketchOps {
       .orderBy(col("true_cnt").desc, col("token"))
   }
 
-  /** HLL-style distinct-token estimate: each distinct token hash
-    * addresses register h mod m and contributes rho = leading-zero
-    * rank of the remaining [[HllWBits]] bits; registers keep the MAX
-    * rho (mergeable across shards by MAX). The register sum is the
-    * exact integer Σ 2^(24-rho) — [[HllScale]]/sum is then the ONLY
-    * floating-point operation, so the estimate is deterministic to
-    * the bit. Output also carries the exact distinct count for error
-    * accounting (the COUNT(DISTINCT) the registers replace at
-    * scale). */
+  /** (reg, rho) projection of a relation of distinct hashes `h`,
+    * optionally keeping grouping columns — the ONLY Scala copy of the
+    * register-addressing / leading-zero-rank formula (each distinct
+    * hash addresses register h mod m and contributes rho = 24 minus
+    * the bit length of the remaining [[HllWBits]]-bit word; rho = 24
+    * when the word is all zeros). Every register builder (single-pass,
+    * per-shard, streaming micro-batch) goes through here, so the
+    * formula cannot drift between the paths that must be bit-equal. */
+  private def regRhoOf(hashes: DataFrame, keep: String*): DataFrame =
+    hashes
+      .select(keep.map(col) :+ (col("h") % HllRegisters).as("reg") :+
+        expr(s"h div $HllRegisters").as("w"): _*)
+      .select(keep.map(col) :+ col("reg") :+
+        when(col("w") === 0L, lit(24L))
+          .otherwise(lit(24L) - length(bin(col("w"))).cast("long"))
+          .as("rho"): _*)
+
   /** The (reg, rho) register relation of a documents relation —
     * bounded by m rows regardless of corpus size. Shared by the
     * batch queries and the streaming monitor
@@ -242,15 +250,9 @@ object SketchOps {
     * of the corpus yields per-split register relations that merge by
     * per-register MAX into exactly the global one. */
   private[graft] def hllRegs(docsDf: DataFrame): DataFrame =
-    docsDf
+    regRhoOf(docsDf
       .select(explode(Hashing.tokens(col("text"))).as("token"))
-      .select(Hashing.charHash(col("token")).as("h")).distinct()
-      .select((col("h") % HllRegisters).as("reg"),
-        expr(s"h div $HllRegisters").as("w"))
-      .select(col("reg"),
-        when(col("w") === 0L, lit(24L))
-          .otherwise(lit(24L) - length(bin(col("w"))).cast("long"))
-          .as("rho"))
+      .select(Hashing.charHash(col("token")).as("h")).distinct())
       .groupBy("reg").agg(max(col("rho")).as("rho"))
 
   /** One-row (n_registers, n_set, sum_scaled, est_raw, est_distinct)
@@ -279,6 +281,13 @@ object SketchOps {
           .otherwise(col("est_raw"))
           .as("est_distinct"))
 
+  /** HLL-style distinct-token estimate ([[hllRegs]] + [[hllSummary]]):
+    * registers keep the MAX rho, the register sum is the exact integer
+    * Σ 2^(24-rho), and [[HllScale]]/sum plus the [[HllLinearCount]]
+    * small-range correction are the only floating-point operations —
+    * deterministic to the bit on both engines. Output also carries the
+    * exact distinct count for error accounting (the COUNT(DISTINCT)
+    * the registers replace at scale). */
   val tfHllDistinct: Q = (s, d) => {
     val hs = docs(s, d)
       .select(explode(Hashing.tokens(col("text"))).as("token"))
@@ -310,56 +319,43 @@ object SketchOps {
       .select(col("doc_id"), Hashing.charHash(col("token")).as("h"))
     // shard by DOCUMENT (the physical unit a scan task holds), not by
     // token hash — the merge claim is only interesting when the same
-    // token can appear in several shards
-    val sharded = hs
-      .select((Hashing.charHash(col("doc_id").cast("string")) % HllShards)
-        .as("shard"), col("h"))
-      .distinct() // distinct (shard, h): per-shard distinct token hashes
-      .select(col("shard"), (col("h") % HllRegisters).as("reg"),
-        expr(s"h div $HllRegisters").as("w"))
-      .select(col("shard"), col("reg"),
-        when(col("w") === 0L, lit(24L))
-          .otherwise(lit(24L) - length(bin(col("w"))).cast("long"))
-          .as("rho"))
+    // token can appear in several shards. Same (reg, rho) projection
+    // as every other register builder ([[regRhoOf]]).
+    val sharded = regRhoOf(
+      hs.select(
+          (Hashing.charHash(col("doc_id").cast("string")) % HllShards)
+            .as("shard"), col("h"))
+        .distinct(), // distinct (shard, h): per-shard distinct hashes
+      "shard")
       .groupBy("shard", "reg").agg(max(col("rho")).as("rho"))
     // the merge: per-register MAX across the shard vectors
     val merged = sharded.groupBy("reg").agg(max(col("rho")).as("rho"))
-    def regSum(regs: DataFrame): DataFrame =
-      s.range(HllRegisters).select(col("id").as("reg"))
-        .join(regs, Seq("reg"), "left")
-        .select(coalesce(col("rho"), lit(0L)).as("rho"))
-        .agg(
-          sum(expr("shiftleft(cast(1 as bigint), cast(24 - rho as int))"))
-            .as("sum_scaled"),
-          sum(when(col("rho") > 0L, 1L).otherwise(0L)).as("n_set"))
-    def est(pfx: String)(agg: DataFrame): DataFrame = agg.select(
-      col("sum_scaled").as(s"${pfx}_sum_scaled"),
-      col("n_set").as(s"${pfx}_n_set"),
-      when((lit(HllScale) / col("sum_scaled").cast("double"))
-            <= lit(HllSmallRange) &&
-          (lit(HllRegisters) - col("n_set")) > 0L,
-        element_at(typedLit(HllLinearCount),
-          (lit(HllRegisters) - col("n_set") + 1L).cast("int")))
-        .otherwise(lit(HllScale) / col("sum_scaled").cast("double"))
-        .as(s"${pfx}_est"))
-    val global = hs.select(col("h")).distinct()
-      .select((col("h") % HllRegisters).as("reg"),
-        expr(s"h div $HllRegisters").as("w"))
-      .select(col("reg"),
-        when(col("w") === 0L, lit(24L))
-          .otherwise(lit(24L) - length(bin(col("w"))).cast("long"))
-          .as("rho"))
-      .groupBy("reg").agg(max(col("rho")).as("rho"))
+    val global = hllRegs(docs(s, d))
+    // [[hllSummary]] IS the single-pass estimate arithmetic — reused
+    // verbatim for both sides, only the columns are prefixed
+    def pfx(p: String, regs: DataFrame): DataFrame =
+      hllSummary(s, regs).select(
+        col("sum_scaled").as(s"${p}_sum_scaled"),
+        col("n_set").as(s"${p}_n_set"),
+        col("est_distinct").as(s"${p}_est"))
+    // the bit-for-bit claim is proven at REGISTER level: a full outer
+    // join on reg (an addressing bug that permuted rho values across
+    // registers would fool a sum/n_set comparison)
+    val regDiff = merged.as("m")
+      .join(global.as("g"), Seq("reg"), "full")
+      .select(when(coalesce(col("m.rho"), lit(-1L)) ===
+          coalesce(col("g.rho"), lit(-2L)), 0L).otherwise(1L).as("bad"))
+      .agg(sum(col("bad")).as("n_reg_diff"))
     val nShards = sharded.select(col("shard")).distinct()
       .agg(count(lit(1)).as("n_shards"))
     nShards
-      .crossJoin(est("merged")(regSum(merged)))
-      .crossJoin(est("global")(regSum(global)))
+      .crossJoin(pfx("merged", merged))
+      .crossJoin(pfx("global", global))
+      .crossJoin(regDiff)
       .select(col("n_shards"),
         col("merged_sum_scaled"), col("merged_n_set"), col("merged_est"),
         col("global_est"),
-        (col("merged_sum_scaled") === col("global_sum_scaled") &&
-          col("merged_n_set") === col("global_n_set"))
+        (coalesce(col("n_reg_diff"), lit(0L)) === 0L)
           .cast("long").as("registers_identical"))
   }
 
@@ -402,7 +398,8 @@ object SketchOps {
       sum(col("cnt")).as("sum_count"))
     nSh.crossJoin(mstats).crossJoin(diff)
       .select(col("n_shards"), col("n_cells"), col("sum_count"),
-        (col("n_diff") === 0L).cast("long").as("cells_identical"))
+        (coalesce(col("n_diff"), lit(0L)) === 0L)
+          .cast("long").as("cells_identical"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -626,8 +623,8 @@ object SketchOps {
               CAST(SUM(cnt) AS BIGINT) AS sum_count
             FROM merged)
           SELECT ns.n_shards, mstats.n_cells, mstats.sum_count,
-            CAST(CASE WHEN diff.n_diff = 0 THEN 1 ELSE 0 END AS BIGINT)
-              AS cells_identical
+            CAST(CASE WHEN COALESCE(diff.n_diff, 0) = 0
+              THEN 1 ELSE 0 END AS BIGINT) AS cells_identical
           FROM ns, mstats, diff"""
     },
     "tf_hll_merge" ->
@@ -669,14 +666,18 @@ object SketchOps {
             LEFT JOIN gregs g ON rt.reg = g.reg),
           ns AS (
             SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
-            FROM sh)
+            FROM sh),
+          rdiff AS (
+            SELECT CAST(SUM(CASE WHEN COALESCE(m.rho, -1)
+                = COALESCE(g.rho, -2) THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_reg_diff
+            FROM merged m FULL JOIN gregs g ON m.reg = g.reg)
           SELECT ns.n_shards,
             m_agg.sum_scaled AS merged_sum_scaled,
             m_agg.n_set AS merged_n_set,
             ${sqlHllEst("m_agg.sum_scaled", "m_agg.n_set")} AS merged_est,
             ${sqlHllEst("g_agg.sum_scaled", "g_agg.n_set")} AS global_est,
-            CAST(CASE WHEN m_agg.sum_scaled = g_agg.sum_scaled
-                       AND m_agg.n_set = g_agg.n_set
-                 THEN 1 ELSE 0 END AS BIGINT) AS registers_identical
-          FROM ns, m_agg, g_agg""")
+            CAST(CASE WHEN COALESCE(rdiff.n_reg_diff, 0) = 0
+              THEN 1 ELSE 0 END AS BIGINT) AS registers_identical
+          FROM ns, m_agg, g_agg, rdiff""")
 }

@@ -754,13 +754,11 @@ object StreamOps {
     * state store. */
   val streamBloomGate: Q = (s0, d) => {
     val s = replaySession(s0)
-    def isNew(id: Column) =
-      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
     val bloom = SketchOps.bloomPositions(s, d)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-bloom-gate").toString
     val q = docsStream(s, d)
-      .filter(isNew(col("doc_id")))
+      .filter(SketchOps.isNew(col("doc_id")))
       .select(col("doc_id"), col("text"))
       .writeStream.trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
