@@ -70,6 +70,36 @@ class SketchSpec extends SparkSpec {
       single.getAs[Double]("est_distinct"))
   }
 
+  test("hll estimator accuracy sweep: small-range correction and raw " +
+      "regime both land within the error envelope across cardinalities") {
+    // An indexing bug in the correction table (e.g. off-by-one in V)
+    // would keep the oracle gate green — both engines share the
+    // table — but not this envelope. Spans the linear-counting regime
+    // (n << m), the switchover (raw_est ~ 2.5m = 640), and the raw
+    // regime.
+    import spark.implicits._
+    for (n <- Seq(1, 5, 31, 150, 400, 700, 1500, 4000)) {
+      // content-diverse tokens: sequential `tok$i` strings hash too
+      // regularly through the polynomial char hash (they spread over
+      // MORE registers than uniform hashing would), which violates
+      // the i.i.d. assumption the error envelope is derived from —
+      // a Weyl-sequence hex suffix restores hash-like diversity
+      val doc = (1 to n)
+        .map(i => java.lang.Long.toHexString(i * 0x9e3779b97f4a7c15L))
+        .mkString(" ")
+      val df = Seq((1L, doc)).toDF("doc_id", "text")
+      val r = SketchOps.hllSummary(spark, SketchOps.hllRegs(df))
+        .collect().head
+      val est = r.getAs[Double]("est_distinct")
+      // 3 sigma (sigma = 1.04/sqrt(256) = 6.5%) plus a small floor
+      // for integer-granularity effects at tiny n
+      val tol = 3 * 1.04 / math.sqrt(SketchOps.HllRegisters.toDouble) +
+        (if (n < 10) 0.25 else 0.0)
+      assert(math.abs(est - n) / n <= tol,
+        s"n=$n est=$est rel=${math.abs(est - n) / n}")
+    }
+  }
+
   test("sharded CMS merge: cell-wise addition reproduces the global " +
       "matrix bit-for-bit") {
     val m = SketchOps.tfCmsMerge(spark, Sf).collect().head
