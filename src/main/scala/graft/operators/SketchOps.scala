@@ -121,6 +121,27 @@ object SketchOps {
       .distinct()
       .withColumn("hit", lit(1L))
 
+  /** Oracle for the STREAMING CMS monitor (`stream_cms_monitor` in
+    * [[graft.operators.StreamOps]]): the batch cell matrix, ordered —
+    * the stream's addition-merged matrix must equal it CELL-FOR-CELL,
+    * which is the strongest possible statement of the additive-merge
+    * contract (the whole relation is the proof, not a summary). */
+  private[graft] def sqlCmsMatrixOracle: String = {
+    val h = Hashing.sqlCharHash("token")
+    val rows = (0 until CmsDepth).map(i =>
+      s"SELECT $i AS row, ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM hh")
+      .mkString("\n            UNION ALL ")
+    s"""WITH tok AS (
+          SELECT unnest(${Hashing.sqlTokens("text")}) AS token
+          FROM documents),
+        hh AS (SELECT $h AS h FROM tok),
+        cells AS (
+          $rows)
+        SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY row, bucket
+        ORDER BY row, bucket"""
+  }
+
   /** Oracle for the STREAMING bloom gate (`stream_bloom_gate` in
     * [[graft.operators.StreamOps]]): the bloom-only probe — no truth
     * join, because the gate's entire point is deciding from the
@@ -203,15 +224,25 @@ object SketchOps {
     * oracle runs identical integer arithmetic, so estimates including
     * every collision overcount are bit-equal; `overcount >= 0` always
     * (CMS never underestimates — [[graft.SketchSpec]] pins it). */
-  val tfCmsCounts: Q = (s, d) => {
-    val toks = docs(s, d)
+  /** The (row, bucket, cnt) Count-Min cell matrix of a documents
+    * relation — ≤ [[CmsDepth]]·[[CmsWidth]] rows regardless of corpus
+    * size. Shared by the batch probe and the streaming monitor
+    * ([[graft.operators.StreamOps]] `stream_cms_monitor`): any split
+    * of the corpus yields per-split matrices that merge by cell-wise
+    * ADDITION into exactly the global one. */
+  private[graft] def cmsMatrix(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(explode(Hashing.tokens(col("text"))).as("token"))
-    val truth = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
-    val cms = toks
       .select(posexplode(
         posArray(Hashing.charHash(col("token")), CmsWidth, CmsDepth)))
       .toDF("row", "bucket")
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+
+  val tfCmsCounts: Q = (s, d) => {
+    val toks = docs(s, d)
+      .select(explode(Hashing.tokens(col("text"))).as("token"))
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val cms = cmsMatrix(docs(s, d))
     val cells = truth
       .orderBy(col("true_cnt").desc, col("token")).limit(CmsProbeK)
       .select(col("token"), col("true_cnt"),

@@ -798,6 +798,47 @@ object StreamOps {
     out
   }
 
+  /** Streaming Count-Min monitor — the ADDITIVE sibling of
+    * [[streamHllMonitor]], completing the sketch tier's streaming
+    * proofs (histogram: addition; HLL: register MAX; CMS: cell
+    * addition): each micro-batch computes its own bounded cell matrix
+    * ([[SketchOps.cmsMatrix]], ≤ d·w rows) and the monitor folds it
+    * into a d×w driver-side accumulator by cell-wise addition. A
+    * token instance lands in exactly one batch and addition is
+    * associative, so the final matrix is CELL-FOR-CELL equal to the
+    * batch single-pass build — and the query returns the whole merged
+    * matrix, so the oracle equality proves the contract over every
+    * cell, not a summary. Per batch, only ≤ d·w integer triples cross
+    * to the driver; token hashes are never stored. */
+  val streamCmsMonitor: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val depth = SketchOps.CmsDepth
+    val width = SketchOps.CmsWidth.toInt
+    val merged = new Array[Long](depth * width)
+    val q = docsStream(s, d)
+      .select(col("text"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cells = SketchOps.cmsMatrix(batch).collect()
+        merged.synchronized {
+          cells.foreach { r =>
+            val row = r.getAs[Int]("row")
+            val bucket = r.getAs[Long]("bucket").toInt
+            merged(row * width + bucket) += r.getAs[Long]("cnt")
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import s.implicits._
+    merged.toIndexedSeq.zipWithIndex
+      .collect { case (cnt, i) if cnt > 0L =>
+        (i / width, (i % width).toLong, cnt) }
+      .toDF("row", "bucket", "cnt")
+      .orderBy("row", "bucket")
+  }
+
   /** Streaming HLL distinct-token monitor — the sketch tier's ingest
     * path, and the stream-side PROOF of the register-merge contract
     * `tf_hll_merge` establishes for shards: each micro-batch computes
@@ -843,6 +884,7 @@ object StreamOps {
 
   val defs: Map[String, Q] = Map(
     "stream_bloom_gate" -> streamBloomGate,
+    "stream_cms_monitor" -> streamCmsMonitor,
     "stream_hll_monitor" -> streamHllMonitor,
     "stream_histogram" -> streamHistogram,
     "stream_takedown_gate" -> streamTakedownGate,
@@ -870,6 +912,7 @@ object StreamOps {
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
     "stream_bloom_gate" -> SketchOps.sqlBloomGateOracle,
+    "stream_cms_monitor" -> SketchOps.sqlCmsMatrixOracle,
     "stream_hll_monitor" -> SketchOps.sqlHllMonitorOracle,
     "stream_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS n

@@ -131,6 +131,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS monitor: the addition-merged matrix equals the " +
+      "batch single-pass matrix cell-for-cell") {
+    val stream = SparkEntry.queries("stream_cms_monitor")(spark, Sf)
+      .collect()
+      .map(r => (r.getAs[Int]("row"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    val batch = SketchOps
+      .cmsMatrix(graft.sources.Tables.documents(spark, Sf))
+      .collect()
+      .map(r => (r.getAs[Int]("row"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming HLL monitor: the finite replay's estimate is " +
       "bit-equal to the batch single-pass build") {
     val m = SparkEntry.queries("stream_hll_monitor")(spark, Sf)
