@@ -126,21 +126,34 @@ object SketchOps {
     * the stream's addition-merged matrix must equal it CELL-FOR-CELL,
     * which is the strongest possible statement of the additive-merge
     * contract (the whole relation is the proof, not a summary). */
-  private[graft] def sqlCmsMatrixOracle: String = {
-    val h = Hashing.sqlCharHash("token")
-    val rows = (0 until CmsDepth).map(i =>
-      s"SELECT $i AS row, ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM hh")
+  /** Per-depth-row CMS cell projection (UNION ALL over [[CmsDepth]])
+    * for a CTE holding hash column `h` — the ONLY SQL copy of the
+    * cell addressing, shared by every CMS oracle (matrix monitor,
+    * heavy-hitter probe, shard merge). `extra` prefixes pass-through
+    * columns. */
+  private def sqlCmsCells(from: String, extra: String = ""): String = {
+    val pre = if (extra.isEmpty) "" else s"$extra, "
+    (0 until CmsDepth).map(i =>
+      s"SELECT $pre$i AS row, " +
+        s"${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM $from")
       .mkString("\n            UNION ALL ")
+  }
+
+  /** Oracle for the STREAMING CMS monitor (`stream_cms_monitor` in
+    * [[graft.operators.StreamOps]]): the batch cell matrix, ordered —
+    * the stream's addition-merged matrix must equal it CELL-FOR-CELL,
+    * which is the strongest possible statement of the additive-merge
+    * contract (the whole relation is the proof, not a summary). */
+  private[graft] def sqlCmsMatrixOracle: String =
     s"""WITH tok AS (
           SELECT unnest(${Hashing.sqlTokens("text")}) AS token
           FROM documents),
-        hh AS (SELECT $h AS h FROM tok),
+        hh AS (SELECT ${Hashing.sqlCharHash("token")} AS h FROM tok),
         cells AS (
-          $rows)
+          ${sqlCmsCells("hh")})
         SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM cells GROUP BY row, bucket
         ORDER BY row, bucket"""
-  }
 
   /** Oracle for the STREAMING bloom gate (`stream_bloom_gate` in
     * [[graft.operators.StreamOps]]): the bloom-only probe — no truth
@@ -216,14 +229,6 @@ object SketchOps {
       .orderBy("doc_id")
   }
 
-  /** Count-Min heavy-hitter estimation over the corpus token stream:
-    * the d×w counter matrix ([[CmsDepth]]×[[CmsWidth]] cells — fixed
-    * memory regardless of vocabulary size) built in ONE combinable
-    * groupBy, then the top-[[CmsProbeK]] true heavy hitters probed
-    * against it (est = min over rows of the addressed cell). The
-    * oracle runs identical integer arithmetic, so estimates including
-    * every collision overcount are bit-equal; `overcount >= 0` always
-    * (CMS never underestimates — [[graft.SketchSpec]] pins it). */
   /** The (row, bucket, cnt) Count-Min cell matrix of a documents
     * relation — ≤ [[CmsDepth]]·[[CmsWidth]] rows regardless of corpus
     * size. Shared by the batch probe and the streaming monitor
@@ -238,6 +243,14 @@ object SketchOps {
       .toDF("row", "bucket")
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Count-Min heavy-hitter estimation over the corpus token stream:
+    * the d×w counter matrix ([[cmsMatrix]] — fixed memory regardless
+    * of vocabulary size) built in ONE combinable groupBy, then the
+    * top-[[CmsProbeK]] true heavy hitters probed against it (est =
+    * min over rows of the addressed cell). The oracle runs identical
+    * integer arithmetic, so estimates including every collision
+    * overcount are bit-equal; `overcount >= 0` always (CMS never
+    * underestimates — [[graft.SketchSpec]] pins it). */
   val tfCmsCounts: Q = (s, d) => {
     val toks = docs(s, d)
       .select(explode(Hashing.tokens(col("text"))).as("token"))
@@ -413,11 +426,7 @@ object SketchOps {
       .agg(count(lit(1)).as("cnt"))
     val merged = sharded.groupBy("row", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
-    val global = toks.select(
-        posexplode(
-          posArray(Hashing.charHash(col("token")), CmsWidth, CmsDepth)))
-      .toDF("row", "bucket")
-      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    val global = cmsMatrix(docs(s, d))
     val diff = merged.as("m")
       .join(global.as("g"), Seq("row", "bucket"), "full")
       .select(when(coalesce(col("m.cnt"), lit(-1L)) ===
@@ -541,13 +550,8 @@ object SketchOps {
           ORDER BY r.doc_id""",
     "tf_cms_counts" -> {
       val h = Hashing.sqlCharHash("token")
-      val rows = (0 until CmsDepth).map(i =>
-        s"SELECT $i AS row, ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM hh")
-        .mkString("\n            UNION ALL ")
-      val pcells = (0 until CmsDepth).map(i =>
-        s"""SELECT token, true_cnt, $i AS row,
-             ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM pr""")
-        .mkString("\n            UNION ALL ")
+      val rows = sqlCmsCells("hh")
+      val pcells = sqlCmsCells("pr", "token, true_cnt")
       s"""WITH tok AS (
             SELECT unnest(${Hashing.sqlTokens("text")}) AS token
             FROM documents),
@@ -612,14 +616,8 @@ object SketchOps {
           FROM fin""",
     "tf_cms_merge" -> {
       val h = Hashing.sqlCharHash("token")
-      val shardedCells = (0 until CmsDepth).map(i =>
-        s"""SELECT shard, $i AS row,
-             ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM hh""")
-        .mkString("\n            UNION ALL ")
-      val globalCells = (0 until CmsDepth).map(i =>
-        s"""SELECT $i AS row,
-             ${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM hh""")
-        .mkString("\n            UNION ALL ")
+      val shardedCells = sqlCmsCells("hh", "shard")
+      val globalCells = sqlCmsCells("hh")
       s"""WITH tok AS (
             SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS token
             FROM documents),

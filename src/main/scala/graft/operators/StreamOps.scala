@@ -815,16 +815,24 @@ object StreamOps {
     val depth = SketchOps.CmsDepth
     val width = SketchOps.CmsWidth.toInt
     val merged = new Array[Long](depth * width)
+    // foreachBatch is at-least-once: a re-executed micro-batch must
+    // not double-count its cells. Addition is NOT idempotent (unlike
+    // streamHllMonitor's MAX fold, which absorbs replays for free),
+    // so the fold tracks applied batch ids — the production pattern
+    // for any additive sink.
+    val applied = scala.collection.mutable.Set.empty[Long]
     val q = docsStream(s, d)
       .select(col("text"))
       .writeStream.trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cells = SketchOps.cmsMatrix(batch).collect()
         merged.synchronized {
-          cells.foreach { r =>
-            val row = r.getAs[Int]("row")
-            val bucket = r.getAs[Long]("bucket").toInt
-            merged(row * width + bucket) += r.getAs[Long]("cnt")
+          if (applied.add(batchId)) {
+            cells.foreach { r =>
+              val row = r.getAs[Int]("row")
+              val bucket = r.getAs[Long]("bucket").toInt
+              merged(row * width + bucket) += r.getAs[Long]("cnt")
+            }
           }
         }
         ()
