@@ -442,7 +442,109 @@ object EventOps {
       .orderBy("dow", "hour")
   }
 
+  /** AS-OF (point-in-time) join: each click matched to the MOST
+    * RECENT view by the same user at-or-before the click — the
+    * feature-store lookup shape ("the feature value as of the label's
+    * timestamp") that naive SQL needs a correlated MAX subquery or a
+    * theta join for. Spark has no asof-join operator, so this is the
+    * composition that replaces it: tag both sides, union, ONE shuffle
+    * on the equi key, and a running `last(..., ignoreNulls)` ordered
+    * by (time, side) — views sort before clicks at equal timestamps,
+    * giving the <=-semantics DuckDB's native ASOF JOIN implements.
+    * Per-row state is O(1) (the last view seen), so a partition
+    * streams through the sort with no pair enumeration and no
+    * BroadcastNestedLoop/Cartesian fallback anywhere in the plan
+    * ([[graft.AsofRangeSpec]] pins both the plan and equality with a
+    * naive per-click theta-join mirror). At 100 TB the single
+    * user-keyed exchange is the whole cost — contrast a range join,
+    * which Spark plans as a nested loop. Clicks with no prior view
+    * keep the -1 sentinel (left-join semantics, null-free output). */
+  val evAsofJoin: Q = (s, d) => {
+    val base = ev(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("unix_timestamp(ts)").as("ts_sec"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_sec").as("t"),
+        lit(0L).as("kind"), lit(-1L).as("event_id"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_sec").as("t"),
+        lit(1L).as("kind"), col("event_id"))
+    val ordered = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("view_ts_sec",
+        last(when(col("kind") === 0L, col("t")), ignoreNulls = true)
+          .over(ordered))
+      .filter(col("kind") === 1L)
+      .select(col("event_id"), col("user_id"),
+        col("t").as("click_ts_sec"),
+        coalesce(col("view_ts_sec"), lit(-1L)).as("view_ts_sec"),
+        coalesce(col("t") - col("view_ts_sec"), lit(-1L)).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  /** Large-to-large interval-overlap join WITHOUT pair enumeration:
+    * per (user, day) "active window" [first event, last event], count
+    * how many OTHER same-day windows each window overlaps — the
+    * concurrency analysis behind capacity planning and ad-delivery
+    * pacing. A window overlaps w iff start <= w.end AND end >=
+    * w.start, so the count collapses to rank arithmetic over two
+    * sorted endpoint multisets:
+    *
+    *   n_concurrent(w) = |{x: start_x <= end_w}|
+    *                   − |{x: end_x < start_w}| − 1
+    *
+    * (the subtracted set is contained in the first, and w itself
+    * contributes exactly the −1). Each count is a union of endpoint
+    * rows with probe rows and ONE running sum ordered so that ties
+    * resolve to the closed-interval semantics (starts before probes
+    * for <=; probes before ends for <). Cost is two day-partitioned
+    * sorts — O(n log n), ZERO pairs materialized — where both the
+    * naive theta join and a bucket-explode scheme go quadratic in the
+    * windows-per-day (the oracle RUNS that quadratic join; DuckDB's
+    * IEJoin makes it feasible at gate scale). Windows never span days
+    * (day = epoch-day of the event), so `day` is the natural
+    * partition key a 1000-executor sort distributes on. */
+  val evOverlapCount: Q = (s, d) => {
+    val win = ev(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("ts_sec"))
+      .groupBy(col("user_id"), expr("ts_sec div 86400").as("day"))
+      .agg(min(col("ts_sec")).as("s"), max(col("ts_sec")).as("e"))
+    // |{x: start_x <= end_w}|: starts (probe=0) sort BEFORE probes at
+    // equal v, so a start equal to the probed end is counted (<=)
+    val startsLe = win.select(col("day"), col("s").as("v"),
+        lit(0L).as("probe"), lit(-1L).as("user_id"))
+      .unionByName(win.select(col("day"), col("e").as("v"),
+        lit(1L).as("probe"), col("user_id")))
+      .withColumn("n_starts_le",
+        sum(lit(1L) - col("probe")).over(Window.partitionBy(col("day"))
+          .orderBy(col("v"), col("probe"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("probe") === 1L)
+      .select(col("day"), col("user_id"), col("n_starts_le"))
+    // |{x: end_x < start_w}|: probes (is_end=0) sort BEFORE ends at
+    // equal v, so an end equal to the probed start is NOT counted (<)
+    val endsLt = win.select(col("day"), col("e").as("v"),
+        lit(1L).as("is_end"), lit(-1L).as("user_id"))
+      .unionByName(win.select(col("day"), col("s").as("v"),
+        lit(0L).as("is_end"), col("user_id")))
+      .withColumn("n_ends_lt",
+        sum(col("is_end")).over(Window.partitionBy(col("day"))
+          .orderBy(col("v"), col("is_end"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("is_end") === 0L)
+      .select(col("day"), col("user_id"), col("n_ends_lt"))
+    win.join(startsLe, Seq("day", "user_id"))
+      .join(endsLt, Seq("day", "user_id"))
+      .select(col("user_id"), (col("day") * 86400L).as("day_sec"),
+        col("s"), col("e"),
+        (col("n_starts_le") - col("n_ends_lt") - 1L).as("n_concurrent"))
+      .orderBy("day_sec", "user_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "ev_asof_join" -> evAsofJoin,
+    "ev_overlap_count" -> evOverlapCount,
     "ev_week_heatmap" -> evWeekHeatmap,
     "ev_conversion_window" -> evConversionWindow,
     "ev_rolling_wau" -> evRollingWau,
@@ -470,6 +572,36 @@ object EventOps {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
+    "ev_asof_join" ->
+      """WITH base AS (
+           SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           FROM events),
+         c AS (SELECT event_id, user_id, ts_sec FROM base
+               WHERE event_type = 'click'),
+         v AS (SELECT user_id, ts_sec FROM base
+               WHERE event_type = 'view')
+         SELECT c.event_id, c.user_id, c.ts_sec AS click_ts_sec,
+           CAST(COALESCE(v.ts_sec, -1) AS BIGINT) AS view_ts_sec,
+           CAST(COALESCE(c.ts_sec - v.ts_sec, -1) AS BIGINT) AS gap_sec
+         FROM c ASOF LEFT JOIN v
+           ON c.user_id = v.user_id AND v.ts_sec <= c.ts_sec
+         ORDER BY c.event_id""",
+    "ev_overlap_count" ->
+      """WITH base AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           FROM events),
+         w AS (
+           SELECT user_id, ts_sec // 86400 AS day,
+             MIN(ts_sec) AS s, MAX(ts_sec) AS e
+           FROM base GROUP BY user_id, ts_sec // 86400)
+         SELECT a.user_id, CAST(a.day * 86400 AS BIGINT) AS day_sec,
+           a.s, a.e, CAST(COUNT(b.user_id) AS BIGINT) AS n_concurrent
+         FROM w a LEFT JOIN w b
+           ON a.day = b.day AND b.s <= a.e AND b.e >= a.s
+             AND b.user_id <> a.user_id
+         GROUP BY a.user_id, a.day, a.s, a.e
+         ORDER BY day_sec, a.user_id""",
     "ev_week_heatmap" ->
       """WITH cells AS (
            SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
