@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -442,8 +443,180 @@ object SketchOps {
           .cast("long").as("cells_identical"))
   }
 
+  // ------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct sketch — the set-OPERATION sketch
+  // ------------------------------------------------------------------
+
+  /** KMV sample size k. */
+  val KmvK = 256
+
+  /** (k−1)·P — the exact integer numerator of the KMV estimator,
+    * computed ONCE here and interpolated into both engines (it is
+    * exactly representable in double: 255·(2^31−1) < 2^39), so the
+    * estimate is one double division on each side. */
+  val KmvScaleNum: Long = (KmvK - 1).toLong * Hashing.P
+
+  /** The KMV estimate over (n_sample, kth_min) columns: exact when the
+    * universe fits the sample, else (k−1)·P / h_(k) — the classic
+    * k-minimum-values estimator with the hash space [0, P) as the
+    * unit interval. */
+  private def kmvEst(nSample: Column, kth: Column): Column =
+    when(nSample < KmvK, nSample.cast("double"))
+      .otherwise(lit(KmvScaleNum.toDouble) / kth.cast("double"))
+
+  /** Distinct 3-word-shingle hashes of a documents relation — the KMV
+    * universe. Token vocabulary is a closed 31-word pool at every SF
+    * (the HLL fixture note), so the SHINGLE space is the first
+    * text-derived universe that genuinely exceeds the sample size —
+    * ~16k distinct at sf0.01 — and it is the same universe the
+    * minhash/LSH tier signatures, making KMV the cardinality
+    * companion of that machinery. */
+  private[graft] def shingleHashes(docsDf: DataFrame): DataFrame =
+    docsDf.select(Hashing.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(Hashing.hashAll(Hashing.shingles(col("tk"))))
+        .as("h"))
+      .distinct()
+
+  /** The k smallest distinct hashes. `orderBy().limit()` plans as
+    * TakeOrderedAndProject — per-partition bounded heaps merged once,
+    * never a global sort — which IS the distributed KMV build. */
+  private[graft] def kmvSample(hs: DataFrame): DataFrame =
+    hs.orderBy(col("h")).limit(KmvK)
+
+  /** One-row (n_sample, kth_min, est) summary of a k-min sample. */
+  private[graft] def kmvSummary(sample: DataFrame): DataFrame =
+    sample.agg(count(lit(1)).as("n_sample"), max(col("h")).as("kth_min"))
+      .select(col("n_sample"), col("kth_min"),
+        kmvEst(col("n_sample"), col("kth_min")).as("est_distinct"))
+
+  /** KMV distinct-count estimate over the corpus shingle space — the
+    * bounded-memory stand-in for COUNT(DISTINCT shingle), and the
+    * third distinct-estimation tier next to HLL (smaller state, no
+    * set operations) and the exact count (unbounded state): KMV keeps
+    * k actual hash VALUES, which is what buys the set-operation
+    * support `dedup_kmv_overlap` exercises. Exact count carried for
+    * error accounting. */
+  val dedupKmvDistinct: Q = (s, d) => {
+    val hs = shingleHashes(docs(s, d))
+    hs.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(kmvSummary(kmvSample(hs)))
+      .select(col("n_exact"), lit(KmvK.toLong).as("k"),
+        col("n_sample"), col("kth_min"), col("est_distinct"))
+  }
+
+  /** The KMV *mergeability* contract, oracle-gated (the sibling of
+    * [[tfHllMerge]]'s MAX-merge and [[tfCmsMerge]]'s addition-merge):
+    * per-shard k-min samples over a 4-way doc-hash split, merged by
+    * taking the k smallest distinct of the sample union. Any global
+    * top-k hash is in its own shard's top-k, so the merged sample is
+    * BIT-IDENTICAL to the single-pass global build — proven at RANK
+    * level by a full outer join on sample rank (a bug that kept the
+    * right multiset in the wrong order would fool a count/max
+    * comparison). At scale: executors ship k-value integer lists,
+    * never shingle streams. */
+  val dedupKmvMerge: Q = (s, d) => {
+    val perShard = docs(s, d)
+      .select((Hashing.charHash(col("doc_id").cast("string")) % HllShards)
+          .as("shard"),
+        Hashing.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("shard"),
+        explode(Hashing.hashAll(Hashing.shingles(col("tk")))).as("h"))
+      .distinct()
+    val shardSamples = perShard
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"))))
+      .filter(col("rk") <= KmvK)
+      .select(col("shard"), col("h"))
+    val merged = kmvSample(shardSamples.select(col("h")).distinct())
+    val global = kmvSample(shingleHashes(docs(s, d)))
+    // rank-indexed equality: both samples sorted, compared rank-for-
+    // rank (k rows — the unpartitioned window is bounded by k)
+    def ranked(df: DataFrame, hName: String) =
+      df.select(col("h").as(hName))
+        .withColumn("rk", row_number().over(Window.orderBy(col(hName))))
+    val diff = ranked(merged, "mh")
+      .join(ranked(global, "gh"), Seq("rk"), "full")
+      .select(when(coalesce(col("mh"), lit(-1L)) ===
+          coalesce(col("gh"), lit(-2L)), 0L).otherwise(1L).as("bad"))
+      .agg(sum(col("bad")).as("n_rank_diff"))
+    val nSh = shardSamples.select(col("shard")).distinct()
+      .agg(count(lit(1)).as("n_shards"))
+    nSh.crossJoin(kmvSummary(merged)
+        .select(col("n_sample").as("merged_n_sample"),
+          col("kth_min").as("merged_kth"),
+          col("est_distinct").as("merged_est")))
+      .crossJoin(kmvSummary(global)
+        .select(col("est_distinct").as("global_est")))
+      .crossJoin(diff)
+      .select(col("n_shards"), col("merged_n_sample"), col("merged_kth"),
+        col("merged_est"), col("global_est"),
+        (coalesce(col("n_rank_diff"), lit(0L)) === 0L)
+          .cast("long").as("sample_identical"))
+  }
+
+  /** Cross-corpus OVERLAP estimation from two KMV sketches — the set
+    * operation HLL registers cannot answer and the reason KMV exists
+    * in this tier: estimate the shingle-space Jaccard and
+    * intersection between two halves of the corpus (sources split by
+    * hash) from two k-value samples, never comparing the full sets.
+    * The union sample is the k smallest of the two samples' union
+    * (exactly the global union's k smallest, by the merge lemma), and
+    * within it membership in each side's SAMPLE equals membership in
+    * the side's full SET (any union-sample hash is under both sides'
+    * kth thresholds), so ρ = |both| / |union sample| is a true
+    * Jaccard estimate and ρ·est(union) estimates the intersection.
+    * Exact values carried for error accounting — at 100 TB the exact
+    * side is the corpus-sized join this sketch replaces; per-source
+    * vocabulary overlap is the contamination / near-duplicate-source
+    * signal (`dedup_cross_source`'s question, answered in O(k)). */
+  val dedupKmvOverlap: Q = (s, d) => {
+    def side(g: Int): DataFrame =
+      shingleHashes(docs(s, d)
+        .filter(Hashing.charHash(col("source")) % 2 === g))
+    val ha = side(0)
+    val hb = side(1)
+    val sa = kmvSample(ha)
+    val sb = kmvSample(hb)
+    val su = kmvSample(sa.union(sb).distinct())
+    val flags = su
+      .join(sa.withColumn("ina", lit(1L)), Seq("h"), "left")
+      .join(sb.withColumn("inb", lit(1L)), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_union_sample"), max(col("h")).as("kth_u"),
+        sum(when(col("ina") === 1L && col("inb") === 1L, 1L)
+          .otherwise(0L)).as("n_both"))
+    val exact = ha.union(hb).distinct()
+      .agg(count(lit(1)).as("exact_union"))
+      .crossJoin(ha.join(hb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("exact_intersection")))
+    ha.agg(count(lit(1)).as("n_a_exact"))
+      .crossJoin(hb.agg(count(lit(1)).as("n_b_exact")))
+      .crossJoin(kmvSummary(sa).select(col("est_distinct").as("est_a")))
+      .crossJoin(kmvSummary(sb).select(col("est_distinct").as("est_b")))
+      .crossJoin(flags)
+      .crossJoin(exact)
+      .select(col("n_a_exact"), col("n_b_exact"), col("est_a"),
+        col("est_b"), col("n_union_sample"), col("n_both"),
+        kmvEst(col("n_union_sample"), col("kth_u")).as("est_union"),
+        (col("n_both").cast("double") /
+          col("n_union_sample").cast("double")).as("est_jaccard"),
+        col("exact_union"), col("exact_intersection"),
+        (col("exact_intersection").cast("double") /
+          col("exact_union").cast("double")).as("exact_jaccard"))
+      .select(col("n_a_exact"), col("n_b_exact"), col("est_a"),
+        col("est_b"), col("n_union_sample"), col("n_both"),
+        col("est_union"), col("est_jaccard"),
+        (col("est_jaccard") * col("est_union")).as("est_intersection"),
+        col("exact_union"), col("exact_intersection"),
+        col("exact_jaccard"))
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_bloom_probe" -> dedupBloomProbe,
+    "dedup_kmv_distinct" -> dedupKmvDistinct,
+    "dedup_kmv_merge" -> dedupKmvMerge,
+    "dedup_kmv_overlap" -> dedupKmvOverlap,
     "tf_cms_counts" -> tfCmsCounts,
     "tf_cms_merge" -> tfCmsMerge,
     "tf_hll_distinct" -> tfHllDistinct,
@@ -513,8 +686,109 @@ object SketchOps {
         THEN ($sqlHllTable)[CAST($HllRegisters - $nset + 1 AS INTEGER)]
         ELSE CAST($HllScale AS DOUBLE) / CAST($sum AS DOUBLE) END"""
 
+  /** KMV estimate expression over (n, kth) SQL columns — mirror of
+    * [[kmvEst]], interpolating the same [[KmvScaleNum]]. */
+  private def sqlKmvEst(n: String, kth: String): String =
+    s"""CASE WHEN $n < $KmvK THEN CAST($n AS DOUBLE)
+        ELSE CAST($KmvScaleNum AS DOUBLE) / CAST($kth AS DOUBLE) END"""
+
+  /** The (tagged) shingle-hash projection: one row per shingle hash
+    * with a pass-through expression, shared by every KMV oracle. */
+  private def sqlShingleRows(tag: String): String =
+    s"""tok AS (SELECT doc_id, source,
+          ${Hashing.sqlTokens("text")} AS tk FROM documents),
+        shl AS (SELECT $tag AS tag,
+          unnest(${Hashing.sqlHashAll(Hashing.sqlShingles("tk"))}) AS h
+          FROM tok WHERE length(tk) >= 3)"""
+
   // lazy: interpolates sibling-object constants (see TextOps.oracle)
   lazy val oracle: Map[String, String] = Map(
+    "dedup_kmv_distinct" ->
+      s"""WITH ${sqlShingleRows("0")},
+            hs AS (SELECT DISTINCT h FROM shl),
+            samp AS (SELECT h FROM hs ORDER BY h LIMIT $KmvK),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+                      MAX(h) AS kth_min FROM samp),
+            ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hs)
+          SELECT ex.n_exact, CAST($KmvK AS BIGINT) AS k, agg.n_sample,
+            agg.kth_min,
+            ${sqlKmvEst("agg.n_sample", "agg.kth_min")} AS est_distinct
+          FROM ex, agg""",
+    "dedup_kmv_merge" ->
+      s"""WITH ${sqlShingleRows(
+              Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)") +
+                s" % $HllShards")},
+            shs AS (SELECT DISTINCT tag AS shard, h FROM shl),
+            ss AS (SELECT shard, h FROM (
+                     SELECT shard, h, row_number()
+                       OVER (PARTITION BY shard ORDER BY h) AS rk
+                     FROM shs) r WHERE rk <= $KmvK),
+            merged AS (SELECT DISTINCT h FROM ss ORDER BY h LIMIT $KmvK),
+            hs AS (SELECT DISTINCT h FROM shl),
+            gsamp AS (SELECT h FROM hs ORDER BY h LIMIT $KmvK),
+            mr AS (SELECT h AS mh, row_number() OVER (ORDER BY h) AS rk
+                   FROM merged),
+            gr AS (SELECT h AS gh, row_number() OVER (ORDER BY h) AS rk
+                   FROM gsamp),
+            diff AS (SELECT CAST(SUM(CASE WHEN COALESCE(mh, -1) =
+                       COALESCE(gh, -2) THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_rank_diff
+                     FROM mr FULL OUTER JOIN gr ON mr.rk = gr.rk),
+            ns AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT)
+                     AS n_shards FROM ss),
+            ma AS (SELECT CAST(COUNT(*) AS BIGINT) AS merged_n_sample,
+                     MAX(h) AS merged_kth FROM merged),
+            ga AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn, MAX(h) AS gk
+                   FROM gsamp)
+          SELECT ns.n_shards, ma.merged_n_sample, ma.merged_kth,
+            ${sqlKmvEst("ma.merged_n_sample", "ma.merged_kth")}
+              AS merged_est,
+            ${sqlKmvEst("ga.gn", "ga.gk")} AS global_est,
+            CAST(CASE WHEN diff.n_rank_diff = 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS sample_identical
+          FROM ns, ma, ga, diff""",
+    "dedup_kmv_overlap" ->
+      s"""WITH ${sqlShingleRows(Hashing.sqlCharHash("source") + " % 2")},
+            ha AS (SELECT DISTINCT h FROM shl WHERE tag = 0),
+            hb AS (SELECT DISTINCT h FROM shl WHERE tag = 1),
+            sa AS (SELECT h FROM ha ORDER BY h LIMIT $KmvK),
+            sb AS (SELECT h FROM hb ORDER BY h LIMIT $KmvK),
+            su AS (SELECT DISTINCT h FROM (
+                     SELECT h FROM sa UNION ALL SELECT h FROM sb) u
+                   ORDER BY h LIMIT $KmvK),
+            fl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+                     MAX(su.h) AS kth_u,
+                     CAST(SUM(CASE WHEN sa.h IS NOT NULL
+                         AND sb.h IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_both
+                   FROM su LEFT JOIN sa ON su.h = sa.h
+                     LEFT JOIN sb ON su.h = sb.h),
+            ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a_exact FROM ha),
+            eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b_exact FROM hb),
+            aa AS (SELECT CAST(COUNT(*) AS BIGINT) AS na, MAX(h) AS ka
+                   FROM sa),
+            bb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, MAX(h) AS kb
+                   FROM sb),
+            eu AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union FROM (
+                     SELECT h FROM ha UNION SELECT h FROM hb) u2),
+            ei AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+                   FROM ha WHERE h IN (SELECT h FROM hb)),
+            pre AS (SELECT ea.n_a_exact, eb.n_b_exact,
+                ${sqlKmvEst("aa.na", "aa.ka")} AS est_a,
+                ${sqlKmvEst("bb.nb", "bb.kb")} AS est_b,
+                fl.n_union_sample, fl.n_both,
+                ${sqlKmvEst("fl.n_union_sample", "fl.kth_u")} AS est_union,
+                CAST(fl.n_both AS DOUBLE)
+                  / CAST(fl.n_union_sample AS DOUBLE) AS est_jaccard,
+                eu.exact_union, ei.exact_intersection,
+                CAST(ei.exact_intersection AS DOUBLE)
+                  / CAST(eu.exact_union AS DOUBLE) AS exact_jaccard
+              FROM ea, eb, aa, bb, fl, eu, ei)
+          SELECT n_a_exact, n_b_exact, est_a, est_b, n_union_sample,
+            n_both, est_union, est_jaccard,
+            est_jaccard * est_union AS est_intersection,
+            exact_union, exact_intersection, exact_jaccard
+          FROM pre""",
     "dedup_bloom_probe" ->
       s"""WITH fps AS (
             SELECT DISTINCT ${Hashing.sqlCharHash("text")} AS fp
