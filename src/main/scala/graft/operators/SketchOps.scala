@@ -701,6 +701,24 @@ object SketchOps {
           unnest(${Hashing.sqlHashAll(Hashing.sqlShingles("tk"))}) AS h
           FROM tok WHERE length(tk) >= 3)"""
 
+  /** Oracle for the STREAMING KMV monitor (`stream_kmv_monitor` in
+    * [[graft.operators.StreamOps]]): the batch single-pass k-min
+    * sample arithmetic WITHOUT the exact distinct count — the
+    * monitor's point is that the stream keeps k hash values, never
+    * the distinct shingle set. The k-min union-merge across
+    * micro-batches is exact AND idempotent (set union + keep-k-min
+    * absorbs batch replays for free), which is why the finite replay
+    * gates HASH-EXACT against this batch SQL. */
+  private[graft] def sqlKmvMonitorOracle: String =
+    s"""WITH ${sqlShingleRows("0")},
+          hs AS (SELECT DISTINCT h FROM shl),
+          samp AS (SELECT h FROM hs ORDER BY h LIMIT $KmvK),
+          agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+                    MAX(h) AS kth_min FROM samp)
+        SELECT n_sample, kth_min,
+          ${sqlKmvEst("n_sample", "kth_min")} AS est_distinct
+        FROM agg"""
+
   // lazy: interpolates sibling-object constants (see TextOps.oracle)
   lazy val oracle: Map[String, String] = Map(
     "dedup_kmv_distinct" ->

@@ -890,10 +890,48 @@ object StreamOps {
     SketchOps.hllSummary(s, regDf)
   }
 
+  /** Streaming KMV monitor — the k-minimum-values sibling of
+    * [[streamHllMonitor]]: each micro-batch computes its OWN k-min
+    * distinct shingle-hash sample with the batch arithmetic
+    * ([[SketchOps.kmvSample]] over [[SketchOps.shingleHashes]]), and
+    * the monitor folds it into a driver-side sorted set by set-union
+    * + keep-k-smallest. The merge is exact (any global top-k hash is
+    * in its batch's top-k — the same lemma `dedup_kmv_merge` proves
+    * for shards) AND idempotent (a replayed batch re-unions the same
+    * values), so the finite replay gates HASH-EXACT against the
+    * batch single-pass oracle. Per batch, ≤ k = [[SketchOps.KmvK]]
+    * BIGINTs cross to the driver; no shingle stream is ever stored,
+    * and — unlike the HLL registers — the retained VALUES keep the
+    * overlap/intersection estimates (`dedup_kmv_overlap`) computable
+    * against any other corpus's sketch at any time. Zero streaming
+    * state store: the cross-batch memory IS the k-value list. */
+  val streamKmvMonitor: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val merged = scala.collection.mutable.SortedSet.empty[Long]
+    val q = docsStream(s, d)
+      .select(col("text"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val mins = SketchOps.kmvSample(SketchOps.shingleHashes(batch))
+          .collect().map(_.getLong(0))
+        merged.synchronized {
+          mins.foreach(merged.add)
+          while (merged.size > SketchOps.KmvK)
+            merged.remove(merged.last)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import s.implicits._
+    SketchOps.kmvSummary(merged.toSeq.toDF("h"))
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_bloom_gate" -> streamBloomGate,
     "stream_cms_monitor" -> streamCmsMonitor,
     "stream_hll_monitor" -> streamHllMonitor,
+    "stream_kmv_monitor" -> streamKmvMonitor,
     "stream_histogram" -> streamHistogram,
     "stream_takedown_gate" -> streamTakedownGate,
     "stream_unigram_gate" -> streamUnigramGate,
@@ -922,6 +960,7 @@ object StreamOps {
     "stream_bloom_gate" -> SketchOps.sqlBloomGateOracle,
     "stream_cms_monitor" -> SketchOps.sqlCmsMatrixOracle,
     "stream_hll_monitor" -> SketchOps.sqlHllMonitorOracle,
+    "stream_kmv_monitor" -> SketchOps.sqlKmvMonitorOracle,
     "stream_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS n
          FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY bin""",

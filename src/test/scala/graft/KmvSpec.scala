@@ -95,6 +95,16 @@ class KmvSpec extends SparkSpec {
       estJ * r.getAs[Double]("est_union"))
   }
 
+  test("streaming KMV monitor: the finite replay's sample summary is " +
+      "bit-equal to the batch single-pass build") {
+    val m = graft.operators.StreamOps.streamKmvMonitor(spark, Sf)
+      .collect().head
+    val b = SketchOps.kmvSummary(SketchOps.kmvSample(
+      SketchOps.shingleHashes(
+        graft.sources.Tables.documents(spark, Sf)))).collect().head
+    assert(m.toSeq == b.toSeq, s"stream=$m batch=$b")
+  }
+
   test("union-sample membership in a side's SAMPLE equals membership " +
       "in the side's full SET (the lemma the overlap estimate rests on)") {
     def side(g: Int) = SketchOps.shingleHashes(
