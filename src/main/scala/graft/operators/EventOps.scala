@@ -495,47 +495,52 @@ object EventOps {
     *                   − |{x: end_x < start_w}| − 1
     *
     * (the subtracted set is contained in the first, and w itself
-    * contributes exactly the −1). Each count is a union of endpoint
-    * rows with probe rows and ONE running sum ordered so that ties
-    * resolve to the closed-interval semantics (starts before probes
-    * for <=; probes before ends for <). Cost is two day-partitioned
-    * sorts — O(n log n), ZERO pairs materialized — where both the
-    * naive theta join and a bucket-explode scheme go quadratic in the
-    * windows-per-day (the oracle RUNS that quadratic join; DuckDB's
-    * IEJoin makes it feasible at gate scale). Windows never span days
-    * (day = epoch-day of the event), so `day` is the natural
-    * partition key a 1000-executor sort distributes on. */
+    * contributes exactly the −1). Both counts ride ONE day-partitioned
+    * sorted pass: every window emits four tagged endpoint rows —
+    * start (kind 0), start-probe (1), end-probe (2), end (3) — and
+    * the tag IS the tie-break that encodes closed-interval semantics:
+    * starts (0) sort before end-probes (2), so a start equal to the
+    * probed end counts (<=); start-probes (1) sort before ends (3),
+    * so an end equal to the probed start does not (<). Two running
+    * sums over the same sort give both counts. Cost is one
+    * O(n log n) sort of 4 rows/window, ZERO pairs materialized —
+    * where both the naive theta join and a bucket-explode scheme go
+    * quadratic in the windows-per-day (the oracle RUNS that quadratic
+    * join; DuckDB's IEJoin makes it feasible at gate scale). Windows
+    * never span days (day = epoch-day of the event), so `day` is the
+    * natural partition key a 1000-executor sort distributes on. */
   val evOverlapCount: Q = (s, d) => {
     val win = ev(s, d)
       .select(col("user_id"), expr("unix_timestamp(ts)").as("ts_sec"))
       .groupBy(col("user_id"), expr("ts_sec div 86400").as("day"))
       .agg(min(col("ts_sec")).as("s"), max(col("ts_sec")).as("e"))
-    // |{x: start_x <= end_w}|: starts (probe=0) sort BEFORE probes at
-    // equal v, so a start equal to the probed end is counted (<=)
-    val startsLe = win.select(col("day"), col("s").as("v"),
-        lit(0L).as("probe"), lit(-1L).as("user_id"))
-      .unionByName(win.select(col("day"), col("e").as("v"),
-        lit(1L).as("probe"), col("user_id")))
-      .withColumn("n_starts_le",
-        sum(lit(1L) - col("probe")).over(Window.partitionBy(col("day"))
-          .orderBy(col("v"), col("probe"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("probe") === 1L)
-      .select(col("day"), col("user_id"), col("n_starts_le"))
-    // |{x: end_x < start_w}|: probes (is_end=0) sort BEFORE ends at
-    // equal v, so an end equal to the probed start is NOT counted (<)
-    val endsLt = win.select(col("day"), col("e").as("v"),
-        lit(1L).as("is_end"), lit(-1L).as("user_id"))
-      .unionByName(win.select(col("day"), col("s").as("v"),
-        lit(0L).as("is_end"), col("user_id")))
-      .withColumn("n_ends_lt",
-        sum(col("is_end")).over(Window.partitionBy(col("day"))
-          .orderBy(col("v"), col("is_end"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("is_end") === 0L)
-      .select(col("day"), col("user_id"), col("n_ends_lt"))
-    win.join(startsLe, Seq("day", "user_id"))
-      .join(endsLt, Seq("day", "user_id"))
+    def tagged(v: String, kind: Long, probe: Boolean) =
+      win.select(col("day"), col(v).as("v"), lit(kind).as("kind"),
+        (if (probe) col("user_id") else lit(-1L)).as("user_id"))
+    val ordered = Window.partitionBy(col("day"))
+      .orderBy(col("v"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = tagged("s", 0L, probe = false)
+      .unionByName(tagged("s", 1L, probe = true))
+      .unionByName(tagged("e", 2L, probe = true))
+      .unionByName(tagged("e", 3L, probe = false))
+      // one select, same window spec => ONE Window node (withColumn
+      // chaining would stack two nodes over the shared sort)
+      .select(col("day"), col("kind"), col("user_id"),
+        sum(when(col("kind") === 0L, 1L).otherwise(0L))
+          .over(ordered).as("n_s"),
+        sum(when(col("kind") === 3L, 1L).otherwise(0L))
+          .over(ordered).as("n_e"))
+    // both probe readings fold back to one row per window in a single
+    // aggregate — branching into two filtered projections would make
+    // Catalyst'S column pruning re-derive the whole union+window per
+    // branch (two sorts again, which defeats the point)
+    val probes = counted
+      .filter(col("kind") === 1L || col("kind") === 2L)
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(when(col("kind") === 2L, col("n_s"))).as("n_starts_le"),
+        max(when(col("kind") === 1L, col("n_e"))).as("n_ends_lt"))
+    win.join(probes, Seq("day", "user_id"))
       .select(col("user_id"), (col("day") * 86400L).as("day_sec"),
         col("s"), col("e"),
         (col("n_starts_le") - col("n_ends_lt") - 1L).as("n_concurrent"))

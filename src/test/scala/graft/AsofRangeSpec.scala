@@ -97,10 +97,15 @@ class AsofRangeSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
-  test("overlap count plan: no join node enumerates pairs") {
+  test("overlap count plan: no join node enumerates pairs, and both " +
+      "running counts ride ONE day-partitioned window pass") {
     val p = physical(EventOps.evOverlapCount(spark, Sf))
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "overlap counting must be rank arithmetic, not a theta join")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1,
+      s"expected the two endpoint counts to share one sorted window " +
+        s"pass, saw $windows Window nodes")
   }
 }
