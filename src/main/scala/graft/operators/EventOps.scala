@@ -483,6 +483,66 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Time-bucket width (seconds) for the salted as-of variant. */
+  val AsofBucketSec = 86400L
+
+  /** Hot-key-safe AS-OF join — identical semantics (and oracle) to
+    * [[evAsofJoin]], different plan: the plain composition sorts each
+    * user's whole history in ONE task, which is unbounded when a
+    * single key dominates (the skew probe's 20%-one-user shape; at
+    * 100 TB a hot key is a stuck executor). The classic fix is
+    * salting the running scan by TIME BUCKET with a boundary handoff:
+    *
+    *  1. local pass, keyed (user, day-bucket): the same union+window
+    *     running-last-view — parallel across a hot user's buckets;
+    *  2. per-(user, bucket) summary = most recent view in the bucket
+    *     (one combinable aggregate, \|users\|·\|buckets\| rows — the
+    *     SMALL relation);
+    *  3. carry pass over the summary only: running max over earlier
+    *     buckets per user (a per-user window over bucket counts, not
+    *     events);
+    *  4. a click's match = coalesce(in-bucket last view, carried
+    *     max) — joined back on the same (user, bucket) key.
+    *
+    * The only per-user sequential scan left runs over the summary
+    * relation (rows = active buckets), never over events.
+    * [[graft.AsofRangeSpec]] pins row-for-row equality with
+    * [[evAsofJoin]]. */
+  val evAsofBucketed: Q = (s, d) => {
+    val base = ev(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("unix_timestamp(ts)").as("ts_sec"))
+    val uni = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_sec").as("t"),
+        lit(0L).as("kind"), lit(-1L).as("event_id"))
+      .unionByName(base.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_sec").as("t"),
+          lit(1L).as("kind"), col("event_id")))
+      .withColumn("bucket", expr(s"t div $AsofBucketSec"))
+    val localW = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = uni.withColumn("local_view_ts",
+      last(when(col("kind") === 0L, col("t")), ignoreNulls = true)
+        .over(localW))
+    val carry = uni
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(max(when(col("kind") === 0L, col("t")))
+        .as("bucket_last_view"))
+      .withColumn("carry_prev",
+        max(col("bucket_last_view")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("user_id"), col("bucket"), col("carry_prev"))
+    val v = coalesce(col("local_view_ts"), col("carry_prev"))
+    local.filter(col("kind") === 1L)
+      .join(carry, Seq("user_id", "bucket"))
+      .select(col("event_id"), col("user_id"),
+        col("t").as("click_ts_sec"),
+        coalesce(v, lit(-1L)).as("view_ts_sec"),
+        coalesce(col("t") - v, lit(-1L)).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
   /** Large-to-large interval-overlap join WITHOUT pair enumeration:
     * per (user, day) "active window" [first event, last event], count
     * how many OTHER same-day windows each window overlaps — the
@@ -549,6 +609,7 @@ object EventOps {
 
   val defs: Map[String, Q] = Map(
     "ev_asof_join" -> evAsofJoin,
+    "ev_asof_bucketed" -> evAsofBucketed,
     "ev_overlap_count" -> evOverlapCount,
     "ev_week_heatmap" -> evWeekHeatmap,
     "ev_conversion_window" -> evConversionWindow,
@@ -576,22 +637,28 @@ object EventOps {
   // would make the map's value depend on which object the JVM
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
+  /** The asof oracle — shared verbatim by `ev_asof_join` and
+    * `ev_asof_bucketed`: one semantic result, two plan costs (the
+    * compact/rewrite convention). */
+  private val sqlAsof: String =
+    """WITH base AS (
+         SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events),
+       c AS (SELECT event_id, user_id, ts_sec FROM base
+             WHERE event_type = 'click'),
+       v AS (SELECT user_id, ts_sec FROM base
+             WHERE event_type = 'view')
+       SELECT c.event_id, c.user_id, c.ts_sec AS click_ts_sec,
+         CAST(COALESCE(v.ts_sec, -1) AS BIGINT) AS view_ts_sec,
+         CAST(COALESCE(c.ts_sec - v.ts_sec, -1) AS BIGINT) AS gap_sec
+       FROM c ASOF LEFT JOIN v
+         ON c.user_id = v.user_id AND v.ts_sec <= c.ts_sec
+       ORDER BY c.event_id"""
+
   lazy val oracle: Map[String, String] = Map(
-    "ev_asof_join" ->
-      """WITH base AS (
-           SELECT event_id, user_id, event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
-           FROM events),
-         c AS (SELECT event_id, user_id, ts_sec FROM base
-               WHERE event_type = 'click'),
-         v AS (SELECT user_id, ts_sec FROM base
-               WHERE event_type = 'view')
-         SELECT c.event_id, c.user_id, c.ts_sec AS click_ts_sec,
-           CAST(COALESCE(v.ts_sec, -1) AS BIGINT) AS view_ts_sec,
-           CAST(COALESCE(c.ts_sec - v.ts_sec, -1) AS BIGINT) AS gap_sec
-         FROM c ASOF LEFT JOIN v
-           ON c.user_id = v.user_id AND v.ts_sec <= c.ts_sec
-         ORDER BY c.event_id""",
+    "ev_asof_join" -> sqlAsof,
+    "ev_asof_bucketed" -> sqlAsof,
     "ev_overlap_count" ->
       """WITH base AS (
            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec

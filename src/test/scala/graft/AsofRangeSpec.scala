@@ -68,6 +68,39 @@ class AsofRangeSpec extends SparkSpec {
       "asof must not join at all — the union carries both sides")
   }
 
+  test("bucketed asof equals the plain asof row for row") {
+    assert(rows(EventOps.evAsofBucketed(spark, Sf)) ===
+      rows(EventOps.evAsofJoin(spark, Sf)))
+  }
+
+  test("bucketed asof: the carry handoff is actually exercised") {
+    // at least one click must be matched to a view from an EARLIER
+    // bucket (local_view_ts null, carry non-null) or the boundary
+    // logic is untested by the fixture
+    val base = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("ts_sec"))
+    val crossBucket = EventOps.evAsofBucketed(spark, Sf)
+      .filter(col("view_ts_sec") =!= -1L &&
+        expr(s"click_ts_sec div ${EventOps.AsofBucketSec}") =!=
+          expr(s"view_ts_sec div ${EventOps.AsofBucketSec}"))
+    assert(crossBucket.count() > 0,
+      "fixture no longer exercises the cross-bucket carry handoff")
+  }
+
+  test("bucketed asof plan: the event-sized window partitions by " +
+      "(user, bucket), never by user alone") {
+    val p = physical(EventOps.evAsofBucketed(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val eventWindows = p.linesIterator.filter(_.contains("Window ["))
+      .filter(_.contains("local_view_ts")).toSeq
+    assert(eventWindows.nonEmpty, p.take(2000))
+    assert(eventWindows.forall(_.contains("bucket")),
+      "the running scan over events must be salted by time bucket:\n" +
+        eventWindows.mkString("\n"))
+  }
+
   test("overlap count equals the naive pair-enumerating mirror") {
     val win = graft.sources.Tables.events(spark, Sf)
       .select(col("user_id"), expr("unix_timestamp(ts)").as("ts_sec"))
