@@ -612,7 +612,58 @@ object SketchOps {
         col("exact_jaccard"))
   }
 
+  /** GROUP-BY HLL — per-SOURCE distinct-shingle estimation in one
+    * pass: the per-tenant / per-domain vocabulary monitor a 100 TB
+    * curation pipeline runs daily, and the proof that the sketch tier
+    * COMPOSES with grouping (m registers per group, the same MAX-merge
+    * contract per group; state = |groups|·m integers regardless of
+    * corpus size, where the exact COUNT(DISTINCT) per group is
+    * unbounded). The shingle universe (not the closed 31-token vocab)
+    * is where per-source cardinality genuinely varies — ~800/source
+    * at sf0.01, spanning the linear-counting/raw switchover.
+    *
+    * Arithmetic note: the per-group register sum is computed as
+    * Σ_set 2^(24−rho) + (m − n_set)·2^24 — integer-identical to
+    * [[hllSummary]]'s scaffold join over all m registers, without
+    * materializing |groups|·m scaffold rows. Exact counts carried for
+    * error accounting. */
+  val tfHllBySource: Q = (s, d) => {
+    val hs = docs(s, d)
+      .select(col("source"), Hashing.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"),
+        explode(Hashing.hashAll(Hashing.shingles(col("tk")))).as("h"))
+      .distinct()
+    val regs = regRhoOf(hs, "source")
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("rho"))
+    val summary = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_set"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(24 - rho as int))"))
+          .as("sum_set"))
+      .select(col("source"), col("n_set"),
+        (col("sum_set") +
+          (lit(HllRegisters) - col("n_set")) * lit(1L << 24))
+          .as("sum_scaled"))
+      .select(col("source"), col("n_set"), col("sum_scaled"),
+        (lit(HllScale) / col("sum_scaled").cast("double")).as("est_raw"))
+      .select(col("source"), col("n_set"), col("sum_scaled"),
+        col("est_raw"),
+        when(col("est_raw") <= lit(HllSmallRange) &&
+            (lit(HllRegisters) - col("n_set")) > 0L,
+          element_at(typedLit(HllLinearCount),
+            (lit(HllRegisters) - col("n_set") + 1L).cast("int")))
+          .otherwise(col("est_raw"))
+          .as("est_distinct"))
+    val exact = hs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(summary, Seq("source"))
+      .select(col("source"), col("n_exact"), col("n_set"),
+        col("sum_scaled"), col("est_raw"), col("est_distinct"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "tf_hll_by_source" -> tfHllBySource,
     "dedup_bloom_probe" -> dedupBloomProbe,
     "dedup_kmv_distinct" -> dedupKmvDistinct,
     "dedup_kmv_merge" -> dedupKmvMerge,
@@ -721,6 +772,29 @@ object SketchOps {
 
   // lazy: interpolates sibling-object constants (see TextOps.oracle)
   lazy val oracle: Map[String, String] = Map(
+    "tf_hll_by_source" ->
+      s"""WITH ${sqlShingleRows("source")},
+            hs AS (SELECT DISTINCT tag AS source, h FROM shl),
+            regs AS (SELECT source, h % $HllRegisters AS reg,
+                       MAX(${sqlRho("h")}) AS rho
+                     FROM hs GROUP BY source, h % $HllRegisters),
+            agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_set,
+                      CAST(SUM(CAST(1 AS BIGINT)
+                        << CAST(24 - rho AS INTEGER)) AS BIGINT)
+                        AS sum_set
+                    FROM regs GROUP BY source),
+            summ AS (SELECT source, n_set,
+                       CAST(sum_set + ($HllRegisters - n_set) * 16777216
+                         AS BIGINT) AS sum_scaled
+                     FROM agg),
+            ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+                   FROM hs GROUP BY source)
+          SELECT ex.source, ex.n_exact, summ.n_set, summ.sum_scaled,
+            CAST($HllScale AS DOUBLE) / CAST(summ.sum_scaled AS DOUBLE)
+              AS est_raw,
+            ${sqlHllEst("summ.sum_scaled", "summ.n_set")} AS est_distinct
+          FROM ex JOIN summ ON ex.source = summ.source
+          ORDER BY ex.source""",
     "dedup_kmv_distinct" ->
       s"""WITH ${sqlShingleRows("0")},
             hs AS (SELECT DISTINCT h FROM shl),

@@ -100,6 +100,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("group-by HLL: every per-source estimate lands in the 3-sigma " +
+      "envelope (the grouped sketch is as sound as the global one)") {
+    val rows = SketchOps.tfHllBySource(spark, Sf).collect()
+    assert(rows.length > 1, "fixture must have multiple sources")
+    val tol = 3 * 1.04 / math.sqrt(SketchOps.HllRegisters.toDouble) + 0.05
+    rows.foreach { r =>
+      val (n, est) =
+        (r.getAs[Long]("n_exact"), r.getAs[Double]("est_distinct"))
+      assert(n > 0L)
+      assert(math.abs(est - n) / n <= tol,
+        s"${r.getAs[String]("source")}: n=$n est=$est " +
+          s"rel=${math.abs(est - n) / n}")
+    }
+  }
+
   test("sharded CMS merge: cell-wise addition reproduces the global " +
       "matrix bit-for-bit") {
     val m = SketchOps.tfCmsMerge(spark, Sf).collect().head
