@@ -36,6 +36,16 @@ fi
 for tag_dir in "sf0.1:/root/testdata/sf0.1" "sf1:benchdata/sf1"; do
   tag="${tag_dir%%:*}"; dir="${tag_dir#*:}"
   for rep in 1 2 3; do
+    # resumable: a rep is done only if its cached JSON covers the
+    # CURRENT query list (a grown list re-measures; delete the
+    # benchdata JSONs to force a full re-measure on new hardware)
+    if [ -f "benchdata/probe_${tag}_${rep}.json" ] && \
+        python3 -c "import json,sys; d=json.load(open(sys.argv[1])); \
+sys.exit(0 if set(sys.argv[2:]) <= set(d.get('queries',{})) else 1)" \
+        "benchdata/probe_${tag}_${rep}.json" $QUERIES; then
+      echo "== $tag rep $rep (resumed from cache) =="
+      continue
+    fi
     echo "== $tag rep $rep =="
     SPARK_GRAFT_SF_DIR="$dir" sbt -batch "runMain graft.Bench $QUERIES" \
       >/dev/null 2>&1

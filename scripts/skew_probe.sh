@@ -47,6 +47,15 @@ for tag_dir in "unif0.1:/root/testdata/sf0.1" "skew0.1:benchdata/skew0.1" \
     [ -f "$dir/.complete" ] || { echo "skip $tag (incomplete)"; continue; } ;;
   esac
   for rep in 1 2 3; do
+    # resumable: a rep is done only if its cached JSON covers the
+    # CURRENT query list (a grown list re-measures)
+    if [ -f "benchdata/${tag}_${rep}.json" ] && \
+        python3 -c "import json,sys; d=json.load(open(sys.argv[1])); \
+sys.exit(0 if set(sys.argv[2:]) <= set(d.get('queries',{})) else 1)" \
+        "benchdata/${tag}_${rep}.json" $QUERIES; then
+      echo "== $tag rep $rep (resumed from cache) =="
+      continue
+    fi
     echo "== $tag rep $rep =="
     SPARK_GRAFT_SF_DIR="$dir" sbt -batch "runMain graft.Bench $QUERIES" \
       >/dev/null 2>&1
