@@ -389,6 +389,71 @@ object EventOps {
       .orderBy("p")
   }
 
+  /** Shard count for the histogram mergeability demonstration —
+    * mirrors the sketch tier's 4-way convention
+    * ([[graft.operators.SketchOps.HllShards]]). */
+  val HistShards: Long = 4L
+
+  /** The mergeable-histogram *distributed contract*, oracle-gated —
+    * [[evHistogramQuantiles]] claims its bins "merge freely across
+    * partitions, days, or clusters"; this query PROVES it the way
+    * `tf_hll_merge`/`tf_cms_merge` prove theirs: per-shard bin counts
+    * over a 4-way `event_id` split, merged by PER-BIN ADDITION. An
+    * event lands in exactly one shard, addition is associative, and
+    * bin addressing (`floor(value/10)`) is shard-independent, so the
+    * merged histogram is BIT-IDENTICAL to the single-pass global
+    * build — proven at BIN level by a full-outer equality rollup (a
+    * bug that shifted counts between bins would fool a total-sum
+    * comparison). The quantile estimates are then read off the MERGED
+    * histogram with [[evHistogramQuantiles]]'s integer-rank
+    * arithmetic, so the output pins the whole production path:
+    * per-day/per-executor histograms roll up by addition and
+    * yesterday's sketch answers today's percentile question without
+    * re-reading a single event. */
+  val evHistogramMerge: Q = (s, d) => {
+    import s.implicits._
+    val binned = ev(s, d)
+      .filter(col("value").isNotNull)
+      .select((col("event_id") % HistShards).as("shard"),
+        floor(col("value") / 10.0).cast("long").as("bin"))
+    val sharded = binned.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n"))
+    // the merge: per-bin ADDITION across the shard histograms
+    val merged = sharded.groupBy("bin").agg(sum(col("n")).as("n"))
+    val global = ev(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(floor(col("value") / 10.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val diff = merged.as("m")
+      .join(global.as("g"), Seq("bin"), "full")
+      .select(when(coalesce(col("m.n"), lit(-1L)) ===
+          coalesce(col("g.n"), lit(-2L)), 0L).otherwise(1L).as("bad"))
+      .agg(sum(col("bad")).as("n_diff"))
+    // quantiles off the MERGED histogram — same integer-rank
+    // arithmetic as [[evHistogramQuantiles]]
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
+    val ps = Seq(50L, 90L, 99L).toDF("p")
+    val quants = cum.crossJoin(broadcast(ps))
+      .filter(col("cum_n") * lit(100L) >= col("p") * col("n_total"))
+      .groupBy(col("p")).agg(min(col("bin")).as("est_bin"))
+      .agg(max(when(col("p") === 50L, col("est_bin"))).as("p50_bin"),
+        max(when(col("p") === 90L, col("est_bin"))).as("p90_bin"),
+        max(when(col("p") === 99L, col("est_bin"))).as("p99_bin"))
+    val nSh = sharded.select(col("shard")).distinct()
+      .agg(count(lit(1)).as("n_shards"))
+    val mstats = merged.agg(count(lit(1)).as("n_bins"),
+      sum(col("n")).as("n_total"))
+    nSh.crossJoin(mstats).crossJoin(quants).crossJoin(diff)
+      .select(col("n_shards"), col("n_bins"), col("n_total"),
+        col("p50_bin"), col("p90_bin"), col("p99_bin"),
+        (coalesce(col("n_diff"), lit(0L)) === 0L)
+          .cast("long").as("bins_identical"))
+  }
+
   /** Windowed funnel conversion: the share of view events followed by
     * a click from the SAME user within one hour, per day — `ev_funnel`
     * without its unbounded lookahead. The EXISTS is a LEFT SEMI join
@@ -616,6 +681,7 @@ object EventOps {
     "ev_rolling_wau" -> evRollingWau,
     "ev_value_bands" -> evValueBands,
     "ev_histogram_quantiles" -> evHistogramQuantiles,
+    "ev_histogram_merge" -> evHistogramMerge,
     "ev_transitions" -> evTransitions,
     "ev_approx_stats" -> evApproxStats,
     "ev_attribution" -> evAttribution,
@@ -637,10 +703,11 @@ object EventOps {
   // would make the map's value depend on which object the JVM
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
-  /** The asof oracle — shared verbatim by `ev_asof_join` and
-    * `ev_asof_bucketed`: one semantic result, two plan costs (the
-    * compact/rewrite convention). */
-  private val sqlAsof: String =
+  /** The asof oracle — shared verbatim by `ev_asof_join`,
+    * `ev_asof_bucketed`, and the streaming lookup `stream_asof`
+    * ([[graft.operators.StreamOps.streamAsof]]): one semantic result,
+    * three plan costs (the compact/rewrite convention). */
+  private[graft] val sqlAsof: String =
     """WITH base AS (
          SELECT event_id, user_id, event_type,
            CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
@@ -756,6 +823,54 @@ object EventOps {
            CAST(est_bin AS DOUBLE) * 10.0 + 10.0 AS hi,
            CAST(n_total AS BIGINT) AS n_total
          FROM hit ORDER BY p""",
+    "ev_histogram_merge" ->
+      s"""WITH binned AS (
+           SELECT event_id % $HistShards AS shard,
+             CAST(floor(value / 10.0) AS BIGINT) AS bin
+           FROM events WHERE value IS NOT NULL),
+         sharded AS (
+           SELECT shard, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+         merged AS (
+           SELECT bin, CAST(SUM(n) AS BIGINT) AS n
+           FROM sharded GROUP BY bin),
+         global AS (
+           SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             COUNT(*) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         diff AS (
+           SELECT CAST(SUM(CASE WHEN COALESCE(m.n, -1) = COALESCE(g.n, -2)
+             THEN 0 ELSE 1 END) AS BIGINT) AS n_diff
+           FROM merged m FULL JOIN global g ON m.bin = g.bin),
+         cum AS (
+           SELECT bin,
+             SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_n,
+             SUM(n) OVER () AS n_total
+           FROM merged),
+         ps(p) AS (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+           (CAST(99 AS BIGINT))),
+         hit AS (
+           SELECT p, MIN(bin) AS est_bin
+           FROM cum CROSS JOIN ps
+           WHERE cum_n * 100 >= p * n_total
+           GROUP BY p),
+         quants AS (
+           SELECT
+             MAX(CASE WHEN p = 50 THEN est_bin END) AS p50_bin,
+             MAX(CASE WHEN p = 90 THEN est_bin END) AS p90_bin,
+             MAX(CASE WHEN p = 99 THEN est_bin END) AS p99_bin
+           FROM hit),
+         nsh AS (
+           SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+           FROM sharded),
+         mstats AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(n) AS BIGINT) AS n_total
+           FROM merged)
+         SELECT n_shards, n_bins, n_total, p50_bin, p90_bin, p99_bin,
+           CAST(CASE WHEN COALESCE(n_diff, 0) = 0 THEN 1 ELSE 0 END
+             AS BIGINT) AS bins_identical
+         FROM nsh CROSS JOIN mstats CROSS JOIN quants CROSS JOIN diff""",
     "ev_transitions" ->
       """WITH seq AS (
            SELECT event_type,

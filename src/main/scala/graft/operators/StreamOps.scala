@@ -386,6 +386,80 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** Streaming AS-OF feature lookup — the online form of
+    * [[graft.operators.EventOps.evAsofJoin]], and the shape an online
+    * feature store actually serves: clicks ARRIVE as a stream, the
+    * view history is a STATIC (batch-published) relation, and each
+    * click is answered with the most recent same-user view
+    * at-or-before its timestamp. Spark's stream-static join cannot
+    * express the argmax ("latest ≤ t") without post-join state, so
+    * the batch as-of engine runs INSIDE `foreachBatch` (the
+    * `stream_cdc_strip` discipline — zero streaming state): per
+    * micro-batch, the static side is first SEMI-JOINED down to the
+    * batch's users (per-batch cost ∝ history of touched users, never
+    * |history| — the lookup a 100 TB view archive demands), then the
+    * one-shuffle union/window as-of pass runs on that slice. Each
+    * click's answer depends only on the static side, so the result is
+    * batch-size invariant and the finite replay gates HASH-EXACT
+    * against the batch asof oracle (DuckDB native ASOF JOIN). */
+  val streamAsof: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val views = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("t"),
+        lit(0L).as("kind"), lit(-1L).as("event_id"))
+      .localCheckpoint(true) // publish the static side once
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-asof").toString
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val q = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("t"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val clicks = batch.select(col("user_id"), col("t"),
+          lit(1L).as("kind"), col("event_id"))
+        val touched = views.join(
+          clicks.select(col("user_id")).distinct(),
+          Seq("user_id"), "left_semi")
+        touched.unionByName(clicks)
+          .withColumn("view_t",
+            last(when(col("kind") === 0L, col("t")), ignoreNulls = true)
+              .over(ordered))
+          .filter(col("kind") === 1L)
+          .select(col("event_id"), col("user_id"),
+            col("t").as("click_ts_sec"),
+            coalesce(col("view_t"), lit(-1L)).as("view_ts_sec"),
+            coalesce(col("t") - col("view_t"), lit(-1L)).as("gap_sec"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("click_ts_sec", LongType),
+      StructField("view_ts_sec", LongType),
+      StructField("gap_sec", LongType)))
+    val hasParts = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+    val out =
+      if (!hasParts) s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else s.read.schema(schema).parquet(outDir)
+        .orderBy("event_id")
+        .localCheckpoint(true)
+    deleteRecursively(new java.io.File(outDir))
+    out
+  }
+
   /** readStream over the documents parquet (same symlink-dir trick as
     * [[eventsStream]]) — the corpus-ingest stream. */
   private def docsStream(s: SparkSession, d: String): DataFrame = {
@@ -940,6 +1014,7 @@ object StreamOps {
     "stream_ann_upsert" -> streamAnnUpsert,
     "stream_hourly" -> streamHourly,
     "stream_static_join" -> streamStaticJoin,
+    "stream_asof" -> streamAsof,
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_hourly_wm" -> streamHourlyWm,
     "stream_dedup_wm" -> streamDedupWm,
@@ -1051,6 +1126,7 @@ object StreamOps {
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE e.event_type = 'purchase'
          ORDER BY e.event_id""",
+    "stream_asof" -> EventOps.sqlAsof,
     "stream_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
           event_type, COUNT(*) AS n,

@@ -141,4 +141,13 @@ class AsofRangeSpec extends SparkSpec {
       s"expected the two endpoint counts to share one sorted window " +
         s"pass, saw $windows Window nodes")
   }
+
+  test("streaming asof lookup: the finite replay equals the batch " +
+      "asof join row-for-row") {
+    // each click's answer depends only on the STATIC view history, so
+    // the foreachBatch engine must be batch-size invariant — any
+    // cross-batch dependence would diverge from the one-shot batch run
+    assert(rows(graft.operators.StreamOps.streamAsof(spark, Sf)) ===
+      rows(EventOps.evAsofJoin(spark, Sf)))
+  }
 }

@@ -70,6 +70,24 @@ class SketchSpec extends SparkSpec {
       single.getAs[Double]("est_distinct"))
   }
 
+  test("sharded histogram merge: per-bin addition reproduces the global " +
+      "build and the merged quantiles equal the single-pass estimates") {
+    val m = graft.operators.EventOps.evHistogramMerge(spark, Sf)
+      .collect().head
+    assert(m.getAs[Long]("n_shards") >= 2L,
+      "fixture must actually split into multiple shards")
+    assert(m.getAs[Long]("bins_identical") == 1L)
+    // the merged-histogram quantile bins must BE the single-pass
+    // query's bins — same integer-rank arithmetic over the same counts
+    val single = graft.operators.EventOps
+      .evHistogramQuantiles(spark, Sf).collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("est_bin")).toMap
+    assert(m.getAs[Long]("p50_bin") == single(50L))
+    assert(m.getAs[Long]("p90_bin") == single(90L))
+    assert(m.getAs[Long]("p99_bin") == single(99L))
+    assert(m.getAs[Long]("n_total") > 0L)
+  }
+
   test("hll estimator accuracy sweep: small-range correction and raw " +
       "regime both land within the error envelope across cardinalities") {
     // An indexing bug in the correction table (e.g. off-by-one in V)
