@@ -505,6 +505,86 @@ object SketchOps {
         col("n_sample"), col("kth_min"), col("est_distinct"))
   }
 
+  /** Per-source-PAIR overlap matrix from per-source KMV samples
+    * (`dedup_kmv_matrix`) — the cross-source contamination screen a
+    * multi-source training corpus runs before mixing: which source
+    * pairs share content, estimated WITHOUT ever joining two full
+    * shingle sets. One pass builds a k-min sample per source (a rank
+    * filter inside the single source-keyed shuffle), then every pair
+    * estimate is computed from samples alone — `dedup_kmv_overlap`'s
+    * union-sample lemma applied to all |S|·(|S|−1)/2 pairs at once:
+    * the k smallest of (sample_a ∪ sample_b) IS a KMV sample of
+    * A ∪ B, and membership flags against each side's sample give ρ =
+    * |both|/|union sample|, so est_jaccard = ρ and est_intersection =
+    * ρ·est_union. At 100 TB the full corpus is touched ONCE (per-source
+    * sampling); the pairwise stage manipulates |S|²·k BIGINTs — for a
+    * thousand sources that is ~10⁸ integers, independent of corpus
+    * size, where exact pairwise Jaccard would re-shuffle the corpus
+    * |S| times. Per-source exact distinct counts ride along for error
+    * accounting (one cheap groupBy); per-PAIR exacts are deliberately
+    * absent — computing them is the quadratic work the sketch
+    * replaces (the fixture-level accuracy envelope lives in
+    * [[graft.KmvSpec]]). */
+  val dedupKmvMatrix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val srcHs = docs(s, d)
+      .select(col("source"), Hashing.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"),
+        explode(Hashing.hashAll(Hashing.shingles(col("tk")))).as("h"))
+      .distinct()
+    val wSrc = Window.partitionBy("source").orderBy("h")
+    val samples = srcHs
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= KmvK).drop("rn")
+    val sums = srcHs.groupBy("source")
+      .agg(count(lit(1)).as("n_exact"))
+      .join(samples.groupBy("source")
+        .agg(count(lit(1)).as("n_sample"), max(col("h")).as("kth")),
+        Seq("source"))
+      .select(col("source"), col("n_exact"),
+        kmvEst(col("n_sample"), col("kth")).as("est"))
+    val srcs = srcHs.select("source").distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    // per-pair sample membership: the a-side and b-side samples of
+    // each pair, de-duplicated per hash with side flags
+    val memA = pairs.join(samples.withColumnRenamed("source", "source_a"),
+        Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(1L).as("ina"), lit(0L).as("inb"))
+    val memB = pairs.join(samples.withColumnRenamed("source", "source_b"),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(0L).as("ina"), lit(1L).as("inb"))
+    val mem = memA.unionByName(memB)
+      .groupBy("source_a", "source_b", "h")
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val wPair = Window.partitionBy("source_a", "source_b").orderBy("h")
+    val agg = mem.withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= KmvK)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_union_sample"), max(col("h")).as("kth_u"),
+        sum(col("ina") * col("inb")).as("n_both"))
+    agg
+      .join(broadcast(sums.select(col("source").as("source_a"),
+        col("n_exact").as("n_a_exact"), col("est").as("est_a"))),
+        Seq("source_a"))
+      .join(broadcast(sums.select(col("source").as("source_b"),
+        col("n_exact").as("n_b_exact"), col("est").as("est_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a_exact"), col("n_b_exact"), col("est_a"), col("est_b"),
+        col("n_union_sample"), col("n_both"),
+        kmvEst(col("n_union_sample"), col("kth_u")).as("est_union"),
+        (col("n_both").cast("double") /
+          col("n_union_sample").cast("double")).as("est_jaccard"))
+      .withColumn("est_intersection",
+        col("est_jaccard") * col("est_union"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** The KMV *mergeability* contract, oracle-gated (the sibling of
     * [[tfHllMerge]]'s MAX-merge and [[tfCmsMerge]]'s addition-merge):
     * per-shard k-min samples over a 4-way doc-hash split, merged by
@@ -668,6 +748,7 @@ object SketchOps {
     "dedup_kmv_distinct" -> dedupKmvDistinct,
     "dedup_kmv_merge" -> dedupKmvMerge,
     "dedup_kmv_overlap" -> dedupKmvOverlap,
+    "dedup_kmv_matrix" -> dedupKmvMatrix,
     "tf_cms_counts" -> tfCmsCounts,
     "tf_cms_merge" -> tfCmsMerge,
     "tf_hll_distinct" -> tfHllDistinct,
@@ -881,6 +962,66 @@ object SketchOps {
             est_jaccard * est_union AS est_intersection,
             exact_union, exact_intersection, exact_jaccard
           FROM pre""",
+    "dedup_kmv_matrix" ->
+      s"""WITH ${sqlShingleRows("source")},
+            sh AS (SELECT DISTINCT tag AS source, h FROM shl),
+            samp AS (
+              SELECT source, h FROM (
+                SELECT source, h, row_number() OVER
+                  (PARTITION BY source ORDER BY h) AS rn
+                FROM sh) z
+              WHERE rn <= $KmvK),
+            sums AS (
+              SELECT e.source, e.n_exact,
+                ${sqlKmvEst("s.n_sample", "s.kth")} AS est
+              FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+                    FROM sh GROUP BY source) e
+              JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sample,
+                      MAX(h) AS kth
+                    FROM samp GROUP BY source) s
+                ON e.source = s.source),
+            srcs AS (SELECT DISTINCT source FROM sh),
+            pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b
+              FROM srcs a, srcs b WHERE a.source < b.source),
+            mem AS (
+              SELECT source_a, source_b, h,
+                MAX(ina) AS ina, MAX(inb) AS inb
+              FROM (
+                SELECT p.source_a, p.source_b, s.h,
+                  CAST(1 AS BIGINT) AS ina, CAST(0 AS BIGINT) AS inb
+                FROM pairs p JOIN samp s ON s.source = p.source_a
+                UNION ALL
+                SELECT p.source_a, p.source_b, s.h,
+                  CAST(0 AS BIGINT) AS ina, CAST(1 AS BIGINT) AS inb
+                FROM pairs p JOIN samp s ON s.source = p.source_b) u
+              GROUP BY 1, 2, 3),
+            agg AS (
+              SELECT source_a, source_b,
+                CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+                MAX(h) AS kth_u,
+                CAST(SUM(ina * inb) AS BIGINT) AS n_both
+              FROM (
+                SELECT *, row_number() OVER
+                  (PARTITION BY source_a, source_b ORDER BY h) AS rn
+                FROM mem) z
+              WHERE rn <= $KmvK
+              GROUP BY 1, 2),
+            pre AS (
+              SELECT a.source_a, a.source_b,
+                sa.n_exact AS n_a_exact, sb.n_exact AS n_b_exact,
+                sa.est AS est_a, sb.est AS est_b,
+                a.n_union_sample, a.n_both,
+                ${sqlKmvEst("a.n_union_sample", "a.kth_u")} AS est_union,
+                CAST(a.n_both AS DOUBLE)
+                  / CAST(a.n_union_sample AS DOUBLE) AS est_jaccard
+              FROM agg a
+              JOIN sums sa ON a.source_a = sa.source
+              JOIN sums sb ON a.source_b = sb.source)
+          SELECT source_a, source_b, n_a_exact, n_b_exact, est_a, est_b,
+            n_union_sample, n_both, est_union, est_jaccard,
+            est_jaccard * est_union AS est_intersection
+          FROM pre ORDER BY source_a, source_b""",
     "dedup_bloom_probe" ->
       s"""WITH fps AS (
             SELECT DISTINCT ${Hashing.sqlCharHash("text")} AS fp

@@ -95,6 +95,52 @@ class KmvSpec extends SparkSpec {
       estJ * r.getAs[Double]("est_union"))
   }
 
+  test("pairwise matrix: every source pair present, estimates land " +
+      "inside the envelope of the brute-force exact jaccard") {
+    val m = SketchOps.dedupKmvMatrix(spark, Sf).cache()
+    val srcHs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("source"),
+        graft.functions.Hashing.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"), explode(graft.functions.Hashing
+        .hashAll(graft.functions.Hashing.shingles(col("tk")))).as("h"))
+      .distinct().cache()
+    try {
+      val nSrc = srcHs.select("source").distinct().count()
+      assert(m.count() === nSrc * (nSrc - 1) / 2,
+        "matrix must cover every unordered source pair exactly once")
+      // the quadratic mirror the sketch replaces — affordable here
+      val exact = srcHs.as("a").join(srcHs.as("b"), Seq("h"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val checked = m
+        .join(exact, Seq("source_a", "source_b"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .select(col("est_jaccard"), col("n_inter"),
+          (col("n_a_exact") + col("n_b_exact") - col("n_inter"))
+            .as("n_union"))
+        .collect()
+      assert(checked.nonEmpty)
+      assert(checked.exists(_.getAs[Long]("n_inter") > 0L),
+        "fixture sources must genuinely share shingles")
+      for (r <- checked) {
+        val exactJ = r.getAs[Long]("n_inter").toDouble /
+          r.getAs[Long]("n_union").toDouble
+        val estJ = r.getAs[Double]("est_jaccard")
+        // binomial envelope as in the two-side overlap test, plus
+        // union-estimate error folded in
+        assert(math.abs(estJ - exactJ) <= 0.1,
+          s"estJ=$estJ exactJ=$exactJ")
+      }
+      // internal consistency across every pair
+      val bad = m.filter(col("est_intersection") =!=
+        col("est_jaccard") * col("est_union")).count()
+      assert(bad === 0L)
+    } finally { m.unpersist(); srcHs.unpersist() }
+  }
+
   test("streaming KMV monitor: the finite replay's sample summary is " +
       "bit-equal to the batch single-pass build") {
     val m = graft.operators.StreamOps.streamKmvMonitor(spark, Sf)
