@@ -389,6 +389,53 @@ object EventOps {
       .orderBy("p")
   }
 
+  /** Per-GROUP histogram quantiles (`ev_histogram_by_type`) — the
+    * per-tenant/per-endpoint percentile monitor, and the proof the
+    * mergeable-histogram tier composes with grouping the way
+    * `tf_hll_by_source` proves it for HLL registers: ONE combinable
+    * groupBy folds the fact table into (group, bin) counts, then all
+    * rank arithmetic — a per-group cumulative window and the integer
+    * rank cross — runs on |groups|·|bins| rows. State is
+    * |groups|·|bins| integers where exact per-group percentiles need
+    * a per-group total order over the facts; per-day per-group
+    * histograms roll up by addition ([[evHistogramMerge]]'s
+    * contract), so yesterday's sketch answers today's per-tenant p99.
+    * Exact per-group extremes (min/max/count) ride along for error
+    * accounting — each is combinable, none needs a sort. */
+  val evHistogramByType: Q = (s, d) => {
+    import s.implicits._
+    val bins = ev(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        floor(col("value") / 10.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("n_total",
+        sum(col("n")).over(Window.partitionBy("event_type")))
+    val ps = Seq(50L, 90L, 99L).toDF("p")
+    val quants = cum.crossJoin(broadcast(ps))
+      .filter(col("cum_n") * lit(100L) >= col("p") * col("n_total"))
+      .groupBy(col("event_type"), col("p"))
+      .agg(min(col("bin")).as("est_bin"))
+      .groupBy("event_type")
+      .agg(max(when(col("p") === 50L, col("est_bin"))).as("p50_bin"),
+        max(when(col("p") === 90L, col("est_bin"))).as("p90_bin"),
+        max(when(col("p") === 99L, col("est_bin"))).as("p99_bin"))
+    val exacts = ev(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        floor(min(col("value")) / 10.0).cast("long").as("min_bin"),
+        floor(max(col("value")) / 10.0).cast("long").as("max_bin"))
+    exacts.join(quants, Seq("event_type"))
+      .select(col("event_type"), col("n_total"), col("min_bin"),
+        col("max_bin"), col("p50_bin"), col("p90_bin"), col("p99_bin"))
+      .orderBy("event_type")
+  }
+
   /** Shard count for the histogram mergeability demonstration —
     * mirrors the sketch tier's 4-way convention
     * ([[graft.operators.SketchOps.HllShards]]). */
@@ -682,6 +729,7 @@ object EventOps {
     "ev_value_bands" -> evValueBands,
     "ev_histogram_quantiles" -> evHistogramQuantiles,
     "ev_histogram_merge" -> evHistogramMerge,
+    "ev_histogram_by_type" -> evHistogramByType,
     "ev_transitions" -> evTransitions,
     "ev_approx_stats" -> evApproxStats,
     "ev_attribution" -> evAttribution,
@@ -871,6 +919,39 @@ object EventOps {
            CAST(CASE WHEN COALESCE(n_diff, 0) = 0 THEN 1 ELSE 0 END
              AS BIGINT) AS bins_identical
          FROM nsh CROSS JOIN mstats CROSS JOIN quants CROSS JOIN diff""",
+    "ev_histogram_by_type" ->
+      """WITH bins AS (
+           SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             COUNT(*) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, bin,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             SUM(n) OVER (PARTITION BY event_type) AS n_total
+           FROM bins),
+         ps(p) AS (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+           (CAST(99 AS BIGINT))),
+         hit AS (
+           SELECT event_type, p, MIN(bin) AS est_bin
+           FROM cum CROSS JOIN ps
+           WHERE cum_n * 100 >= p * n_total
+           GROUP BY 1, 2),
+         quants AS (
+           SELECT event_type,
+             MAX(CASE WHEN p = 50 THEN est_bin END) AS p50_bin,
+             MAX(CASE WHEN p = 90 THEN est_bin END) AS p90_bin,
+             MAX(CASE WHEN p = 99 THEN est_bin END) AS p99_bin
+           FROM hit GROUP BY event_type),
+         exacts AS (
+           SELECT event_type, COUNT(*) AS n_total,
+             CAST(floor(MIN(value) / 10.0) AS BIGINT) AS min_bin,
+             CAST(floor(MAX(value) / 10.0) AS BIGINT) AS max_bin
+           FROM events WHERE value IS NOT NULL GROUP BY event_type)
+         SELECT e.event_type, e.n_total, e.min_bin, e.max_bin,
+           q.p50_bin, q.p90_bin, q.p99_bin
+         FROM exacts e JOIN quants q ON e.event_type = q.event_type
+         ORDER BY e.event_type""",
     "ev_transitions" ->
       """WITH seq AS (
            SELECT event_type,

@@ -88,6 +88,35 @@ class SketchSpec extends SparkSpec {
     assert(m.getAs[Long]("n_total") > 0L)
   }
 
+  test("per-type histogram quantiles: each estimated bin CONTAINS the " +
+      "exact rank-based percentile value") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.EventOps.evHistogramByType(spark, Sf)
+      .collect()
+    assert(out.length > 1, "fixture must have multiple event types")
+    // the exact mirror: per-type sorted values, integer rank pick —
+    // the plan the histogram replaces at scale
+    val vals = graft.sources.Tables.events(spark, Sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Double]("value")).sorted }
+    for (r <- out; (p, binCol) <- Seq(
+        50 -> "p50_bin", 90 -> "p90_bin", 99 -> "p99_bin")) {
+      val sorted = vals(r.getAs[String]("event_type"))
+      // smallest index i with (i+1)*100 >= p*n — the cum_n*100 >= p*N
+      // rank definition both engines run
+      val idx = sorted.indices
+        .find(i => (i + 1L) * 100L >= p.toLong * sorted.length).get
+      val exact = sorted(idx)
+      val bin = r.getAs[Long](binCol)
+      assert(bin * 10.0 <= exact && exact < bin * 10.0 + 10.0,
+        s"type=${r.getAs[String]("event_type")} p=$p bin=$bin " +
+          s"does not contain exact percentile $exact")
+    }
+  }
+
   test("hll estimator accuracy sweep: small-range correction and raw " +
       "regime both land within the error envelope across cardinalities") {
     // An indexing bug in the correction table (e.g. off-by-one in V)
