@@ -223,7 +223,7 @@ object StreamOps {
       }
       st.foreach { x =>
         val deadline = (x.end_sec + SessionGapSec) * 1000L
-        if (deadline < state.getCurrentWatermarkMs) {
+        if (deadline < state.getCurrentWatermarkMs()) {
           // the watermark already sits past this session's deadline (a
           // large cross-batch event-time jump): emit NOW. Round 3
           // deferred via a wm+1 timeout, which never fires if the
@@ -241,7 +241,7 @@ object StreamOps {
           // watermark timeout throws, and eviction is strict `<` so
           // wm must advance anyway before the session counts closed)
           state.setTimeoutTimestamp(
-            math.max(deadline, state.getCurrentWatermarkMs + 1L))
+            math.max(deadline, state.getCurrentWatermarkMs() + 1L))
         }
       }
       out.iterator

@@ -238,6 +238,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("kmv matrix: no hash exchange carries document text — the " +
+      "corpus reduces to (source, hash) scan-side") {
+    val qe = SparkEntry.queries("dedup_kmv_matrix")(spark, Sf)
+      .queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+              .HashPartitioning] => e
+    }
+    assert(exchanges.nonEmpty, "expected the source-keyed shuffles")
+    for (e <- exchanges; a <- e.output)
+      assert(a.name != "text" && a.name != "tk",
+        s"hash exchange must not carry document bytes: " +
+          e.output.map(_.name))
+  }
+
   test("histogram quantiles: the fact table folds through ONE " +
       "combinable aggregation — partial agg before the shuffle") {
     val p = physical("ev_histogram_quantiles")
