@@ -534,9 +534,14 @@ object SketchOps {
         explode(Hashing.hashAll(Hashing.shingles(col("tk")))).as("h"))
       .distinct()
     val wSrc = Window.partitionBy("source").orderBy("h")
+    // materialize the |S|·k-row sample relation EAGERLY: it feeds the
+    // per-source summaries and BOTH sides of every pair, and without
+    // the checkpoint each consumer re-runs the corpus shingle scan —
+    // the cost the sketch exists to pay exactly once
     val samples = srcHs
       .withColumn("rn", row_number().over(wSrc))
       .filter(col("rn") <= KmvK).drop("rn")
+      .localCheckpoint(true)
     val sums = srcHs.groupBy("source")
       .agg(count(lit(1)).as("n_exact"))
       .join(samples.groupBy("source")
@@ -544,7 +549,10 @@ object SketchOps {
         Seq("source"))
       .select(col("source"), col("n_exact"),
         kmvEst(col("n_sample"), col("kth")).as("est"))
-    val srcs = srcHs.select("source").distinct()
+    // every non-empty source contributes >= 1 sample row, so the
+    // source list derives from the checkpointed samples — no third
+    // corpus scan
+    val srcs = samples.select("source").distinct()
     val pairs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
       .filter(col("source_a") < col("source_b"))
