@@ -365,23 +365,47 @@ object EventOps {
     * rank arithmetic is integer (`cum*100 >= p*N`), and the bin
     * boundaries are exact small-integer products, so the estimate is
     * deterministic and bit-matches the oracle. */
-  val evHistogramQuantiles: Q = (s, d) => {
+  /** The integer-rank quantile readout shared by all three histogram
+    * queries: over a (groupCols..., bin, n) histogram relation, per
+    * group and requested percentile the FIRST bin whose cumulative
+    * count crosses the rank (`cum_n·100 >= p·n_total` — all integer,
+    * so both engines agree to the bit). Factored so the three
+    * consumers cannot drift — [[graft.SketchSpec]]'s merge test pins
+    * the single-pass and merged readouts EQUAL, which this makes
+    * structural. Returns (groupCols..., p, est_bin, n_total). */
+  private def histRankPick(s: SparkSession, bins: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
     import s.implicits._
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val wCum = part.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("n_total", sum(col("n")).over(part))
+    val ps = Seq(50L, 90L, 99L).toDF("p")
+    cum.crossJoin(broadcast(ps))
+      .filter(col("cum_n") * lit(100L) >= col("p") * col("n_total"))
+      .groupBy((groupCols :+ "p").map(col): _*)
+      .agg(min(col("bin")).as("est_bin"),
+        max(col("n_total")).as("n_total"))
+  }
+
+  /** [[histRankPick]] pivoted to one row per group with
+    * p50/p90/p99 bin columns. */
+  private def histQuantPivot(s: SparkSession, bins: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    histRankPick(s, bins, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(when(col("p") === 50L, col("est_bin"))).as("p50_bin"),
+        max(when(col("p") === 90L, col("est_bin"))).as("p90_bin"),
+        max(when(col("p") === 99L, col("est_bin"))).as("p99_bin"))
+
+  val evHistogramQuantiles: Q = (s, d) => {
     val bins = ev(s, d)
       .filter(col("value").isNotNull)
       .groupBy(floor(col("value") / 10.0).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"))
-    val wCum = Window.orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bins
-      .withColumn("cum_n", sum(col("n")).over(wCum))
-      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
-    val ps = Seq(50L, 90L, 99L).toDF("p")
-    cum.crossJoin(broadcast(ps))
-      .filter(col("cum_n") * lit(100L) >= col("p") * col("n_total"))
-      .groupBy(col("p"))
-      .agg(min(col("bin")).as("est_bin"),
-        max(col("n_total")).as("n_total"))
+    histRankPick(s, bins, Nil)
       .select(col("p"), col("est_bin"),
         (col("est_bin").cast("double") * lit(10.0)).as("lo"),
         (col("est_bin").cast("double") * lit(10.0) + lit(10.0)).as("hi"),
@@ -400,36 +424,23 @@ object EventOps {
     * a per-group total order over the facts; per-day per-group
     * histograms roll up by addition ([[evHistogramMerge]]'s
     * contract), so yesterday's sketch answers today's per-tenant p99.
-    * Exact per-group extremes (min/max/count) ride along for error
-    * accounting — each is combinable, none needs a sort. */
+    * Per-group count and extreme bins ride along for error
+    * accounting, derived from the SAME bins relation (floor is
+    * monotone, so min(bin) = floor(min(value)/10)) — the fact table
+    * is scanned exactly once. */
   val evHistogramByType: Q = (s, d) => {
-    import s.implicits._
     val bins = ev(s, d)
       .filter(col("value").isNotNull)
       .groupBy(col("event_type"),
         floor(col("value") / 10.0).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"))
-    val wCum = Window.partitionBy("event_type").orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bins
-      .withColumn("cum_n", sum(col("n")).over(wCum))
-      .withColumn("n_total",
-        sum(col("n")).over(Window.partitionBy("event_type")))
-    val ps = Seq(50L, 90L, 99L).toDF("p")
-    val quants = cum.crossJoin(broadcast(ps))
-      .filter(col("cum_n") * lit(100L) >= col("p") * col("n_total"))
-      .groupBy(col("event_type"), col("p"))
-      .agg(min(col("bin")).as("est_bin"))
-      .groupBy("event_type")
-      .agg(max(when(col("p") === 50L, col("est_bin"))).as("p50_bin"),
-        max(when(col("p") === 90L, col("est_bin"))).as("p90_bin"),
-        max(when(col("p") === 99L, col("est_bin"))).as("p99_bin"))
-    val exacts = ev(s, d)
-      .filter(col("value").isNotNull)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_total"),
-        floor(min(col("value")) / 10.0).cast("long").as("min_bin"),
-        floor(max(col("value")) / 10.0).cast("long").as("max_bin"))
+    val quants = histQuantPivot(s, bins, Seq("event_type"))
+    // derived from the SAME bins relation — floor is monotone, so
+    // min(bin) IS floor(min(value)/10); the fact table is scanned once
+    val exacts = bins.groupBy("event_type")
+      .agg(sum(col("n")).as("n_total"),
+        min(col("bin")).as("min_bin"),
+        max(col("bin")).as("max_bin"))
     exacts.join(quants, Seq("event_type"))
       .select(col("event_type"), col("n_total"), col("min_bin"),
         col("max_bin"), col("p50_bin"), col("p90_bin"), col("p99_bin"))
@@ -458,7 +469,6 @@ object EventOps {
     * yesterday's sketch answers today's percentile question without
     * re-reading a single event. */
   val evHistogramMerge: Q = (s, d) => {
-    import s.implicits._
     val binned = ev(s, d)
       .filter(col("value").isNotNull)
       .select((col("event_id") % HistShards).as("shard"),
@@ -476,20 +486,8 @@ object EventOps {
       .select(when(coalesce(col("m.n"), lit(-1L)) ===
           coalesce(col("g.n"), lit(-2L)), 0L).otherwise(1L).as("bad"))
       .agg(sum(col("bad")).as("n_diff"))
-    // quantiles off the MERGED histogram — same integer-rank
-    // arithmetic as [[evHistogramQuantiles]]
-    val wCum = Window.orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = merged
-      .withColumn("cum_n", sum(col("n")).over(wCum))
-      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
-    val ps = Seq(50L, 90L, 99L).toDF("p")
-    val quants = cum.crossJoin(broadcast(ps))
-      .filter(col("cum_n") * lit(100L) >= col("p") * col("n_total"))
-      .groupBy(col("p")).agg(min(col("bin")).as("est_bin"))
-      .agg(max(when(col("p") === 50L, col("est_bin"))).as("p50_bin"),
-        max(when(col("p") === 90L, col("est_bin"))).as("p90_bin"),
-        max(when(col("p") === 99L, col("est_bin"))).as("p99_bin"))
+    // quantiles off the MERGED histogram — the shared readout
+    val quants = histQuantPivot(s, merged, Nil)
     val nSh = sharded.select(col("shard")).distinct()
       .agg(count(lit(1)).as("n_shards"))
     val mstats = merged.agg(count(lit(1)).as("n_bins"),
@@ -944,10 +942,9 @@ object EventOps {
              MAX(CASE WHEN p = 99 THEN est_bin END) AS p99_bin
            FROM hit GROUP BY event_type),
          exacts AS (
-           SELECT event_type, COUNT(*) AS n_total,
-             CAST(floor(MIN(value) / 10.0) AS BIGINT) AS min_bin,
-             CAST(floor(MAX(value) / 10.0) AS BIGINT) AS max_bin
-           FROM events WHERE value IS NOT NULL GROUP BY event_type)
+           SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total,
+             MIN(bin) AS min_bin, MAX(bin) AS max_bin
+           FROM bins GROUP BY event_type)
          SELECT e.event_type, e.n_total, e.min_bin, e.max_bin,
            q.p50_bin, q.p90_bin, q.p99_bin
          FROM exacts e JOIN quants q ON e.event_type = q.event_type

@@ -478,11 +478,36 @@ object SketchOps {
         .as("h"))
       .distinct()
 
+  /** Distinct (key, shingle-hash) rows — the KEYED sibling of
+    * [[shingleHashes]], shared by the per-source HLL and KMV tiers so
+    * the shingle definition (tokenizer, the >= 3 guard, the hash)
+    * cannot silently drift between sketch families. */
+  private[graft] def keyedShingleHashes(docsDf: DataFrame, key: String)
+      : DataFrame =
+    docsDf.select(col(key), Hashing.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col(key),
+        explode(Hashing.hashAll(Hashing.shingles(col("tk")))).as("h"))
+      .distinct()
+
   /** The k smallest distinct hashes. `orderBy().limit()` plans as
     * TakeOrderedAndProject — per-partition bounded heaps merged once,
     * never a global sort — which IS the distributed KMV build. */
   private[graft] def kmvSample(hs: DataFrame): DataFrame =
     hs.orderBy(col("h")).limit(KmvK)
+
+  /** Per-KEY k-min samples over a (key, h) relation: a rank filter
+    * inside the one key-partitioned window pass. Exposed UN-materialized
+    * so [[graft.PlanSpec]] can pin the sample-build stage's exchanges
+    * text-free — `dedup_kmv_matrix` checkpoints this relation, which
+    * truncates the lineage its own plan shows. */
+  private[graft] def keyedKmvSamples(keyedHs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = keyedHs.columns.head
+    val w = Window.partitionBy(key).orderBy("h")
+    keyedHs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK).drop("rn")
+  }
 
   /** One-row (n_sample, kth_min, est) summary of a k-min sample. */
   private[graft] def kmvSummary(sample: DataFrame): DataFrame =
@@ -527,21 +552,12 @@ object SketchOps {
     * [[graft.KmvSpec]]). */
   val dedupKmvMatrix: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val srcHs = docs(s, d)
-      .select(col("source"), Hashing.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("source"),
-        explode(Hashing.hashAll(Hashing.shingles(col("tk")))).as("h"))
-      .distinct()
-    val wSrc = Window.partitionBy("source").orderBy("h")
+    val srcHs = keyedShingleHashes(docs(s, d), "source")
     // materialize the |S|·k-row sample relation EAGERLY: it feeds the
     // per-source summaries and BOTH sides of every pair, and without
     // the checkpoint each consumer re-runs the corpus shingle scan —
     // the cost the sketch exists to pay exactly once
-    val samples = srcHs
-      .withColumn("rn", row_number().over(wSrc))
-      .filter(col("rn") <= KmvK).drop("rn")
-      .localCheckpoint(true)
+    val samples = keyedKmvSamples(srcHs).localCheckpoint(true)
     val sums = srcHs.groupBy("source")
       .agg(count(lit(1)).as("n_exact"))
       .join(samples.groupBy("source")
@@ -716,12 +732,7 @@ object SketchOps {
     * materializing |groups|·m scaffold rows. Exact counts carried for
     * error accounting. */
   val tfHllBySource: Q = (s, d) => {
-    val hs = docs(s, d)
-      .select(col("source"), Hashing.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("source"),
-        explode(Hashing.hashAll(Hashing.shingles(col("tk")))).as("h"))
-      .distinct()
+    val hs = keyedShingleHashes(docs(s, d), "source")
     val regs = regRhoOf(hs, "source")
       .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("rho"))
     val summary = regs.groupBy(col("source"))

@@ -82,6 +82,31 @@ object StreamOps {
     f.delete(); ()
   }
 
+  /** Collect a foreachBatch run's temp-dir parquet output, shared by
+    * every foreachBatch-engine query. Reads with the EXPLICIT schema —
+    * an all-filtered run writes no part files, and schema inference on
+    * the empty dir would throw instead of yielding the correct empty
+    * result — then materializes (eager localCheckpoint cuts lineage
+    * back to the files) and deletes the dir so no Verify/test/bench
+    * run leaks it. Listing uses `File.listFiles`: the previous inline
+    * copies used `Files.list`, whose backing directory handle was
+    * never closed — one leaked fd per streaming query. */
+  private def collectBatchOutput(s: SparkSession, outDir: String,
+      schema: org.apache.spark.sql.types.StructType, orderCol: String)
+      : DataFrame = {
+    val parts = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val hasParts = parts.exists(_.getName.endsWith(".parquet"))
+    val out =
+      if (!hasParts) s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else s.read.schema(schema).parquet(outDir)
+        .orderBy(orderCol)
+        .localCheckpoint(true)
+    deleteRecursively(new java.io.File(outDir))
+    out
+  }
+
   private def runToTable(s: SparkSession, df: DataFrame, mode: String)
       : DataFrame = {
     val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
@@ -448,16 +473,7 @@ object StreamOps {
       StructField("click_ts_sec", LongType),
       StructField("view_ts_sec", LongType),
       StructField("gap_sec", LongType)))
-    val hasParts = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-      .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-    val out =
-      if (!hasParts) s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else s.read.schema(schema).parquet(outDir)
-        .orderBy("event_id")
-        .localCheckpoint(true)
-    deleteRecursively(new java.io.File(outDir))
-    out
+    collectBatchOutput(s, outDir, schema, "event_id")
   }
 
   /** readStream over the documents parquet (same symlink-dir trick as
@@ -698,30 +714,13 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
-    // The temp dir must not outlive this call (Verify/test/bench runs
-    // would otherwise leak a dir per invocation), and an all-filtered
-    // batch writes no part files at all — reading that dir would throw
-    // a schema-inference AnalysisException instead of yielding the
-    // correct empty result. Materialize (eager localCheckpoint cuts
-    // the lineage back to the files), then delete the dir.
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_chunks", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_kept", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("clean_text", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("clean_len", org.apache.spark.sql.types.LongType)))
-    val hasParts = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-      .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-    val out =
-      if (!hasParts) s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else s.read.schema(schema).parquet(outDir)
-        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
-          col("clean_text"), col("clean_len"))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    deleteRecursively(new java.io.File(outDir))
-    out
+    collectBatchOutput(s, outDir, schema, "doc_id")
   }
 
   /** Unigram-frequency quality gate ON INGEST — the streaming mirror
@@ -779,16 +778,7 @@ object StreamOps {
       org.apache.spark.sql.types.StructField("n_oov", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("min_known_tf", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("decision", org.apache.spark.sql.types.StringType)))
-    val hasParts = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-      .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-    val out =
-      if (!hasParts) s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else s.read.schema(schema).parquet(outDir)
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    deleteRecursively(new java.io.File(outDir))
-    out
+    collectBatchOutput(s, outDir, schema, "doc_id")
   }
 
   /** Streaming mergeable histogram — the stream-side PROOF of
@@ -860,16 +850,7 @@ object StreamOps {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("decision",
         org.apache.spark.sql.types.StringType)))
-    val hasParts = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-      .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-    val out =
-      if (!hasParts) s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else s.read.schema(schema).parquet(outDir)
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    deleteRecursively(new java.io.File(outDir))
-    out
+    collectBatchOutput(s, outDir, schema, "doc_id")
   }
 
   /** Streaming Count-Min monitor — the ADDITIVE sibling of

@@ -240,23 +240,32 @@ class PlanSpec extends SparkSpec {
 
   test("kmv matrix: no hash exchange carries document text — the " +
       "corpus reduces to (source, hash) scan-side") {
-    val qe = SparkEntry.queries("dedup_kmv_matrix")(spark, Sf)
-      .queryExecution
-    val plan = qe.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
-      case p => p
+    // the query checkpoints its sample relation, truncating the
+    // lineage its own plan shows — so the sample-BUILD stage (where
+    // the corpus-wide source-keyed shuffle actually happens) is
+    // audited separately via the un-materialized builder
+    val sampleBuild = graft.operators.SketchOps.keyedKmvSamples(
+      graft.operators.SketchOps.keyedShingleHashes(
+        graft.sources.Tables.documents(spark, Sf), "source"))
+    val pairStage = SparkEntry.queries("dedup_kmv_matrix")(spark, Sf)
+    for ((df, what) <- Seq(sampleBuild -> "sample build",
+        pairStage -> "pair stage")) {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+                .HashPartitioning] => e
+      }
+      assert(exchanges.nonEmpty, s"$what: expected source-keyed shuffles")
+      for (e <- exchanges; a <- e.output)
+        assert(a.name != "text" && a.name != "tk",
+          s"$what: hash exchange must not carry document bytes: " +
+            e.output.map(_.name))
     }
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if e.outputPartitioning
-            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
-              .HashPartitioning] => e
-    }
-    assert(exchanges.nonEmpty, "expected the source-keyed shuffles")
-    for (e <- exchanges; a <- e.output)
-      assert(a.name != "text" && a.name != "tk",
-        s"hash exchange must not carry document bytes: " +
-          e.output.map(_.name))
   }
 
   test("histogram quantiles: the fact table folds through ONE " +
