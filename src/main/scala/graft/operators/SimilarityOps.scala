@@ -806,6 +806,81 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** Sorted-neighborhood window width and verification threshold for
+    * [[embSemdedup]] — fixed (changing either silently changes every
+    * keep decision). */
+  val SemWindow = 4
+  val TauSem = 0.35
+
+  /** SEMANTIC dedup over the trained k-means cells (SemDeDup, Abbas
+    * et al. 2023, arXiv:2303.09540): prune embeddings that are
+    * near-copies of another member of their own cluster, keeping the
+    * member FARTHEST from the centroid of each duplicate
+    * neighborhood (the paper's keep-low-centroid-similarity rule —
+    * the far-from-centroid example carries the most diversity).
+    *
+    * The paper's inner step is all-pairs cosine within each cluster —
+    * O(cell²), exactly the blow-up the LSH tier exists to avoid. The
+    * scale-sane variant here bounds candidates with SORTED-
+    * NEIGHBORHOOD blocking (the classic dedup blocking technique):
+    * within each cell, order members by (distance-to-centroid DESC,
+    * vec_id) and pair each member only with its next [[SemWindow]]
+    * successors via `lead` over ONE window — candidates are
+    * O(cell·W), the sort is the only shuffle, and near-copies land
+    * adjacent in the order because distance-to-centroid is 1-Lipschitz
+    * in the member (‖a−c‖ − ‖b−c‖ ≤ ‖a−b‖: byte-similar vectors
+    * cannot sort far apart... though similar DISTANCE does not imply
+    * similar VECTOR, which is why every candidate is verified with
+    * the exact cosine before any removal). A member is removed iff
+    * some verified partner PRECEDES it in the cell order; survivors
+    * are the earliest member of each dup neighborhood — exactly the
+    * farthest-from-centroid representative. At 100 TB: centroids
+    * broadcast, the corpus shuffles ONCE (by cell, for the window
+    * sort), no pair list is ever wider than W per row; k should grow
+    * ~√n so cells stay bounded (here k = the 10 trained cells). */
+  /** Trained-cell assignment carrying the within-cell sort key and
+    * position: (vec_id, embedding, clabel, dist, norm, pos) — shared
+    * by [[embSemdedup]] and its join-formulation mirror in
+    * SemDedupSpec. */
+  private[graft] def semAssigned(s: SparkSession, d: String): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("clabel"))
+    val ordW = Window.partitionBy(col("clabel"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    emb(s, d).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(trainedCentroids(s, d)))
+      .select(col("vec_id"), col("embedding"), col("clabel"),
+        sqDist(col("embedding"), col("c")).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("clabel"), col("dist"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .withColumn("pos", row_number().over(ordW).cast("long"))
+  }
+
+  val embSemdedup: Q = (s, d) => {
+    val af = semAssigned(s, d)
+    val ord = Window.partitionBy(col("clabel"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    val nbrs = (1 to SemWindow).map(i =>
+      struct(lead(col("vec_id"), i).over(ord).as("vec_b"),
+        lead(col("embedding"), i).over(ord).as("eb"),
+        lead(col("norm"), i).over(ord).as("nb")))
+    val removed = af
+      // two projections: a generator may not contain window expressions,
+      // so the leads materialize first, then explode
+      .select(col("embedding"), col("norm"), array(nbrs: _*).as("nbrs"))
+      .select(col("embedding"), col("norm"), explode(col("nbrs")).as("p"))
+      .filter(col("p.vec_b").isNotNull &&
+        cosPre(col("embedding"), col("p.eb"), col("norm"), col("p.nb"))
+          >= TauSem)
+      .select(col("p.vec_b").as("vec_id")).distinct()
+    af.join(removed.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("clabel"), col("dist"),
+        (col("hit").isNull).cast("long").as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * 4× memory cut an ANN index takes before it fits a 100 TB corpus
     * in serving RAM: per-DIMENSION min/max over the corpus, then
@@ -1465,6 +1540,7 @@ object SimilarityOps {
     "kmeans_train" -> kmeansTrain,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_recall" -> annIvfTrainedRecall,
+    "emb_semdedup" -> embSemdedup,
     "emb_quantize" -> embQuantize,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
@@ -1565,6 +1641,49 @@ object SimilarityOps {
                          $cent.clabel) AS rn
             FROM embeddings e CROSS JOIN $cent) z
           WHERE rn = 1)"""
+
+  /** ASSIGN step that KEEPS the winning distance (mirrors
+    * [[embSemdedup]]'s `af` relation — dist is the within-cell sort
+    * key there, so the oracle must carry it too). */
+  private def sqlAssignDistCte(cent: String, name: String): String =
+    s"""$name AS (
+          SELECT vec_id, embedding, clabel, dist FROM (
+            SELECT e.vec_id, e.embedding, $cent.clabel,
+              ${sqlSqDist("e.embedding", s"$cent.c")} AS dist,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${sqlSqDist("e.embedding", s"$cent.c")},
+                         $cent.clabel) AS rn
+            FROM embeddings e CROSS JOIN $cent) z
+          WHERE rn = 1)"""
+
+  /** Mirror of [[embSemdedup]]: trained-cell assignment with dist,
+    * one LEAD window per offset over the same (cell, dist DESC,
+    * vec_id) order, exact-cosine verification, removed = later
+    * member of any verified pair. */
+  private def sqlEmbSemdedup: String = {
+    val leads = (1 to SemWindow).map(i =>
+      s"LEAD(vec_id, $i) OVER w AS b$i, " +
+        s"LEAD(embedding, $i) OVER w AS e$i").mkString(",\n            ")
+    val branches = (1 to SemWindow).map(i =>
+      s"""SELECT b$i AS vec_id FROM nb
+          WHERE b$i IS NOT NULL
+            AND ${sqlCosine("embedding", s"e$i")} >= $TauSem""")
+      .mkString("\n          UNION ALL\n          ")
+    s"""WITH ${sqlLloydCtes.mkString(",\n")},
+        ${sqlAssignDistCte(s"cent$KmeansIters", "afd")},
+        nb AS (
+          SELECT embedding,
+            $leads
+          FROM afd
+          WINDOW w AS (PARTITION BY clabel ORDER BY dist DESC, vec_id)),
+        rem AS (SELECT DISTINCT vec_id FROM (
+          $branches) u)
+        SELECT a.vec_id, a.clabel, a.dist,
+          CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS keep
+        FROM afd a LEFT JOIN rem r ON a.vec_id = r.vec_id
+        ORDER BY a.vec_id"""
+  }
 
   /** [[KmeansIters]] unrolled Lloyd's rounds as a CTE chain — kept
     * structurally in sync with [[trainedCentroids]]'s loop by
@@ -1998,6 +2117,7 @@ object SimilarityOps {
           WHERE rn = 1 ORDER BY vec_id""",
     "kmeans_train" -> sqlKmeansTrain,
     "ann_ivf_trained" -> sqlAnnIvfTrained,
+    "emb_semdedup" -> sqlEmbSemdedup,
     "ann_ivf_trained_recall" ->
       s"""SELECT b.query_id, COUNT(p.cand_id) AS n_hits,
           CAST(COUNT(p.cand_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall

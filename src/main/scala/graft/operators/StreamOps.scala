@@ -781,6 +781,68 @@ object StreamOps {
     collectBatchOutput(s, outDir, schema, "doc_id")
   }
 
+  /** Streaming mirror of [[TextOps.docTargetAffinity]]'s FILTERING
+    * role (DSIR-at-ingest): incoming documents are scored against the
+    * corpus-fitted hashed-bigram importance model (target = the
+    * corpus's `en` slice) and routed `admitted` /
+    * `quarantined_offtarget` when negative evidence outweighs
+    * positive. The model — two ≤[[TextOps.FeatBuckets]]-row count
+    * relations — is fit from the STATIC corpus side (in production,
+    * yesterday's published counts) and BROADCAST into each
+    * micro-batch's map-side scoring join: zero streaming state, the
+    * `stream_unigram_gate` discipline. Features the corpus has never
+    * seen carry no evidence (the null comparison lands in neither
+    * counter on either engine). */
+  val streamAffinityGate: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def isNew(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    def featsOf(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ explode(graft.functions.Hashing.ngrams(
+          graft.functions.Hashing.tokens(col("text")), 2)).as("g"): _*)
+        .select(keep :+ (graft.functions.Hashing.charHash(col("g"))
+          % TextOps.FeatBuckets).as("b"): _*)
+    val cFeats = featsOf(
+      Tables.documents(s, d).filter(!isNew(col("doc_id"))), col("lang"))
+    val raw = cFeats.groupBy("b").agg(count(lit(1)).as("cnt_r"))
+    val tgt = cFeats.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("cnt_t"))
+    val model = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("cnt_t"))
+      .crossJoin(raw.agg(sum(col("cnt_r")).as("n_r")))
+      .crossJoin(tgt.agg(sum(col("cnt_t")).as("n_t")))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-affinity-gate").toString
+    val q = docsStream(s, d)
+      .filter(isNew(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        featsOf(batch, col("doc_id"))
+          .join(broadcast(model), Seq("b"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_feat"),
+            sum(when(col("cnt_t") * col("n_r") > col("cnt_r") * col("n_t"),
+              1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("cnt_t") * col("n_r") < col("cnt_r") * col("n_t"),
+              1L).otherwise(0L)).as("n_neg"))
+          .select(col("doc_id"), col("n_feat"), col("n_pos"), col("n_neg"),
+            when(col("n_neg") > col("n_pos"), "quarantined_offtarget")
+              .otherwise("admitted").as("decision"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_feat", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_pos", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_neg", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("decision", org.apache.spark.sql.types.StringType)))
+    collectBatchOutput(s, outDir, schema, "doc_id")
+  }
+
   /** Streaming mergeable histogram — the stream-side PROOF of
     * `ev_histogram_quantiles`' central claim: because the fixed-width
     * histogram is associative and commutative, the SAME one-groupBy
@@ -990,6 +1052,7 @@ object StreamOps {
     "stream_histogram" -> streamHistogram,
     "stream_takedown_gate" -> streamTakedownGate,
     "stream_unigram_gate" -> streamUnigramGate,
+    "stream_affinity_gate" -> streamAffinityGate,
     "stream_cdc_strip" -> streamCdcStrip,
     "stream_cdc_candidates" -> streamCdcCandidates,
     "stream_ann_upsert" -> streamAnnUpsert,
@@ -1061,6 +1124,46 @@ object StreamOps {
             CASE WHEN COUNT(*) FILTER (WHERE tf IS NULL) * 4 > COUNT(*)
               THEN 'quarantined_oov' ELSE 'admitted' END AS decision
           FROM j GROUP BY doc_id ORDER BY doc_id"""
+    },
+    "stream_affinity_gate" -> {
+      val tag = s"${graft.functions.Hashing
+        .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10"
+      val toks = graft.functions.Hashing.sqlTokens("text")
+      val grams = graft.functions.Hashing.sqlNgrams(toks, 2)
+      val bucket = s"${graft.functions.Hashing
+        .sqlCharHash("g")} % ${TextOps.FeatBuckets}"
+      s"""WITH tagged AS (
+            SELECT doc_id, lang, text, $tag = 7 AS is_new FROM documents),
+          cfeats AS (
+            SELECT lang, $bucket AS b
+            FROM (SELECT lang, unnest($grams) AS g
+                  FROM tagged WHERE NOT is_new) z),
+          raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r
+                  FROM cfeats GROUP BY b),
+          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_t
+                  FROM cfeats WHERE lang = 'en' GROUP BY b),
+          model AS (
+            SELECT raw.b, raw.cnt_r, COALESCE(tgt.cnt_t, 0) AS cnt_t,
+              (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM raw) AS n_r,
+              (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM tgt) AS n_t
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+          inc AS (
+            SELECT doc_id, $bucket AS b
+            FROM (SELECT doc_id, unnest($grams) AS g
+                  FROM tagged WHERE is_new) z)
+          SELECT i.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_feat,
+            CAST(SUM(CASE WHEN m.cnt_t * m.n_r > m.cnt_r * m.n_t
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            CAST(SUM(CASE WHEN m.cnt_t * m.n_r < m.cnt_r * m.n_t
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+            CASE WHEN SUM(CASE WHEN m.cnt_t * m.n_r < m.cnt_r * m.n_t
+                THEN 1 ELSE 0 END)
+              > SUM(CASE WHEN m.cnt_t * m.n_r > m.cnt_r * m.n_t
+                THEN 1 ELSE 0 END)
+              THEN 'quarantined_offtarget' ELSE 'admitted' END AS decision
+          FROM inc i LEFT JOIN model m ON i.b = m.b
+          GROUP BY i.doc_id ORDER BY i.doc_id"""
     },
     "stream_cdc_candidates" -> MultimodalOps.sqlCdcCandidates,
     "stream_cdc_strip" -> DedupOps.sqlCdcStrip,

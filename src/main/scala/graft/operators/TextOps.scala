@@ -432,6 +432,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Hashed-feature space for [[docTargetAffinity]] — bigrams hashed
+    * into this many buckets (DSIR's hashed n-gram features). Fixed
+    * forever: changing it silently changes every affinity. */
+  val FeatBuckets = 256
+
+  /** Importance scoring against a TARGET distribution (DSIR — Xie et
+    * al. 2023, arXiv:2302.03169): score every document by how much
+    * its hashed-bigram features look drawn from the target slice
+    * (here: the `lang = 'en'` documents, standing in for "a trusted
+    * high-quality corpus") rather than the raw corpus. DSIR's
+    * log-likelihood-ratio sum is replaced by its SIGN-test form —
+    * per feature, +1 if the target's relative frequency exceeds the
+    * raw corpus's, −1 if below, compared by integer
+    * cross-multiplication (`cnt_t·N_r <=> cnt_r·N_t`) so the score
+    * is exact integer arithmetic and cannot drift across engines
+    * (`ln` is libm-dependent; the weighted-log sum drops in where
+    * ulp drift is tolerable). Counts fit long far beyond these SFs;
+    * at extreme scale pre-divide the two 256-row relations once.
+    *
+    * Plan shape at 100 TB: the importance model is TWO ≤[[FeatBuckets]]-row
+    * count relations (map-side-combinable aggs), joined and BROADCAST
+    * onto the exploded-feature pass — documents are scored map-side,
+    * the only per-doc shuffle is the final combinable rollup. This is
+    * DSIR's deployment shape: fit the tiny hashed model once,
+    * score petabytes embarrassingly parallel. */
+  val docTargetAffinity: Q = (s, d) => {
+    val feats = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(Hashing.ngrams(toks, 2)).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        (Hashing.charHash(col("bigram")) % FeatBuckets).as("b"))
+    val raw = feats.groupBy("b").agg(count(lit(1)).as("cnt_r"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("cnt_t"))
+    val model = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("cnt_t"))
+      .crossJoin(raw.agg(sum(col("cnt_r")).as("n_r")))
+      .crossJoin(tgt.agg(sum(col("cnt_t")).as("n_t")))
+    feats.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(when(col("cnt_t") * col("n_r") > col("cnt_r") * col("n_t"),
+          1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("cnt_t") * col("n_r") < col("cnt_r") * col("n_t"),
+          1L).otherwise(0L)).as("n_neg"))
+      .select(col("doc_id"), col("n_feat"), col("n_pos"), col("n_neg"),
+        ((col("n_pos") - col("n_neg")).cast("double")
+          / col("n_feat").cast("double")).as("affinity"))
+      .orderBy("doc_id")
+  }
+
   val docSampleQuota: Q = (s, d) => {
     val w = Window.partitionBy(col("lang"))
       .orderBy(Hashing.charHash(col("doc_id").cast("string")), col("doc_id"))
@@ -1201,6 +1252,7 @@ object TextOps {
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_quota" -> docSampleQuota,
     "doc_unigram_score" -> docUnigramScore,
+    "doc_target_affinity" -> docTargetAffinity,
     "doc_mix_epochs" -> docMixEpochs,
     "doc_source_stats" -> docSourceStats,
     "tf_top_tokens" -> tfTopTokens,
@@ -1403,6 +1455,38 @@ object TextOps {
             MIN(tf) AS min_tf,
             MIN(CASE WHEN tf = mtf THEN token END) AS rarest_token
           FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // sign-test DSIR: per-bucket target-vs-raw comparison by integer
+    // cross-multiplication — no ln, no division until the final ratio
+    "doc_target_affinity" ->
+      s"""WITH feats AS (
+            SELECT doc_id, lang,
+              ${Hashing.sqlCharHash("g")} % $FeatBuckets AS b
+            FROM (SELECT doc_id, lang,
+                    unnest(${Hashing.sqlNgrams(Hashing.sqlTokens("text"), 2)})
+                      AS g
+                  FROM documents) x),
+          raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r
+                  FROM feats GROUP BY b),
+          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_t
+                  FROM feats WHERE lang = 'en' GROUP BY b),
+          model AS (
+            SELECT raw.b, raw.cnt_r, COALESCE(tgt.cnt_t, 0) AS cnt_t,
+              (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM raw) AS n_r,
+              (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM tgt) AS n_t
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b)
+          SELECT f.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_feat,
+            CAST(SUM(CASE WHEN m.cnt_t * m.n_r > m.cnt_r * m.n_t
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            CAST(SUM(CASE WHEN m.cnt_t * m.n_r < m.cnt_r * m.n_t
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+            CAST(CAST(SUM(CASE WHEN m.cnt_t * m.n_r > m.cnt_r * m.n_t
+                THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN m.cnt_t * m.n_r < m.cnt_r * m.n_t
+                THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS affinity
+          FROM feats f JOIN model m ON f.b = m.b
+          GROUP BY f.doc_id ORDER BY f.doc_id""",
     "doc_train_order" ->
       s"""WITH t AS (
             SELECT doc_id,

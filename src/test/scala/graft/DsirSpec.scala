@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+
+import graft.operators.TextOps
+
+/** `doc_target_affinity` — sign-test DSIR importance scoring: exact
+  * agreement with an independent driver-side recomputation, the
+  * selection signal (target language scores above every other), and
+  * the deployment plan shape (tiny model broadcast; document text
+  * never transits a hash exchange).
+  */
+class DsirSpec extends SparkSpec {
+  private val P = 2147483647L
+
+  private def charHash(s: String): Long = {
+    var h = 0L
+    s.codePoints().forEach(cp => h = (h * 31L + cp) % P)
+    h
+  }
+
+  private def bigramBuckets(text: String): Seq[Long] =
+    text.split(" ").filter(_.nonEmpty).toSeq.sliding(2)
+      .filter(_.length == 2)
+      .map(p => charHash(p.mkString(" ")) % TextOps.FeatBuckets).toSeq
+
+  test("affinity counters match an independent driver-side " +
+      "recomputation") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val all = docs.toSeq.flatMap { case (_, _, t) => bigramBuckets(t) }
+    val cntR = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgtF = docs.toSeq.filter(_._2 == "en")
+      .flatMap { case (_, _, t) => bigramBuckets(t) }
+    val cntT = tgtF.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nR, nT) = (all.size.toLong, tgtF.size.toLong)
+    val expected = docs.toSeq.map { case (id, _, t) =>
+      val bs = bigramBuckets(t)
+      id -> ((bs.size.toLong,
+        bs.count(b => cntT.getOrElse(b, 0L) * nR > cntR(b) * nT).toLong,
+        bs.count(b => cntT.getOrElse(b, 0L) * nR < cntR(b) * nT).toLong))
+    }.filter(_._2._1 > 0).toMap
+    val got = SparkEntry.queries("doc_target_affinity")(spark, Sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feat"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("n_neg")))).toMap
+    assert(got === expected,
+      "per-doc (n_feat, n_pos, n_neg) must match the reference fold")
+  }
+
+  test("the target language scores strictly above every other") {
+    val byLang = SparkEntry.queries("doc_target_affinity")(spark, Sf)
+      .join(graft.sources.Tables.documents(spark, Sf)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang").agg(avg(col("affinity")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val en = byLang("en")
+    for ((l, m) <- byLang if l != "en")
+      assert(en > m, s"target slice must outscore $l ($en vs $m) — " +
+        "the selection signal is the point of the operator")
+  }
+
+  test("model broadcasts; document text never transits a hash " +
+      "exchange") {
+    val qe = SparkEntry.queries("doc_target_affinity")(spark, Sf)
+      .queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "the ≤FeatBuckets-row model must broadcast onto the scoring pass")
+    val exchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(exchanges.nonEmpty, "expected the model-count shuffles")
+    for (e <- exchanges; a <- e.output)
+      assert(a.name != "text" && a.name != "bigram",
+        "hash exchange must not carry document bytes: " +
+          e.output.map(_.name))
+  }
+}

@@ -211,6 +211,59 @@ class StreamGateSpec extends SparkSpec {
     assert(decisions.contains("admitted"))
   }
 
+  test("affinity gate routes by the corpus-fitted sign-test model, " +
+      "equal to a driver-side mirror") {
+    import graft.functions.Hashing
+    val P = 2147483647L
+    def charHash(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31L + cp) % P)
+      h
+    }
+    def buckets(text: String): Seq[Long] =
+      text.split(" ").filter(_.nonEmpty).toSeq.sliding(2)
+        .filter(_.length == 2)
+        .map(p => charHash(p.mkString(" "))
+          % graft.operators.TextOps.FeatBuckets).toSeq
+    val gated = SparkEntry.queries("stream_affinity_gate")(spark, Sf)
+      .collect()
+    assert(gated.nonEmpty)
+    val corpus = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(!isNew(col("doc_id")))
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val all = corpus.toSeq.flatMap { case (_, t) => buckets(t) }
+    val cntR = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgtF = corpus.toSeq.filter(_._1 == "en")
+      .flatMap { case (_, t) => buckets(t) }
+    val cntT = tgtF.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nR, nT) = (all.size.toLong, tgtF.size.toLong)
+    val incoming = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(isNew(col("doc_id")))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> buckets(r.getString(1)))
+      .filter(_._2.nonEmpty).toMap
+    assert(gated.length === incoming.size)
+    gated.foreach { r =>
+      val bs = incoming(r.getAs[Long]("doc_id"))
+      // a bucket the corpus never produced has no model row: the
+      // stream's left join yields null counts, which land in NEITHER
+      // counter — mirrored here by skipping unknown buckets
+      val known = bs.filter(cntR.contains)
+      val pos = known.count(b => cntT.getOrElse(b, 0L) * nR > cntR(b) * nT)
+      val neg = known.count(b => cntT.getOrElse(b, 0L) * nR < cntR(b) * nT)
+      assert(r.getAs[Long]("n_feat") === bs.size.toLong)
+      assert(r.getAs[Long]("n_pos") === pos.toLong)
+      assert(r.getAs[Long]("n_neg") === neg.toLong)
+      val expect =
+        if (neg > pos) "quarantined_offtarget" else "admitted"
+      assert(r.getAs[String]("decision") === expect)
+    }
+    // the gate must actually route both ways on the fixture
+    val ds = gated.map(_.getAs[String]("decision")).toSet
+    assert(ds === Set("admitted", "quarantined_offtarget"))
+  }
+
   // statelessness is structural: stream-static left joins allocate no
   // state store (pinned for this join shape by the upsert-gate test)
   test("takedown gate rejects every byte-identical resurrection") {
