@@ -858,7 +858,7 @@ object SimilarityOps {
       .withColumn("pos", row_number().over(ordW).cast("long"))
   }
 
-  val embSemdedup: Q = (s, d) => {
+  private def semKeepRel(s: SparkSession, d: String): DataFrame = {
     val af = semAssigned(s, d)
     val ord = Window.partitionBy(col("clabel"))
       .orderBy(col("dist").desc, col("vec_id"))
@@ -878,8 +878,25 @@ object SimilarityOps {
     af.join(removed.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("clabel"), col("dist"),
         (col("hit").isNull).cast("long").as("keep"))
-      .orderBy("vec_id")
   }
+
+  val embSemdedup: Q = (s, d) => semKeepRel(s, d).orderBy("vec_id")
+
+  /** Per-cell monitor of the semantic tier — the `*_index_stats`
+    * pattern applied to [[embSemdedup]]: members, removals, live
+    * fraction per trained cell. One combinable int groupBy over the
+    * keep relation; a cell whose live_frac collapses is the signal a
+    * template/mirror batch landed in embedding space (the lexical
+    * monitor is `dedup_bucket_histogram`). */
+  val embSemdedupStats: Q = (s, d) =>
+    semKeepRel(s, d)
+      .groupBy(col("clabel"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(lit(1L) - col("keep")).as("n_removed"))
+      .select(col("clabel"), col("n_members"), col("n_removed"),
+        ((col("n_members") - col("n_removed")).cast("double")
+          / col("n_members").cast("double")).as("live_frac"))
+      .orderBy("clabel")
 
   /** Int8 scalar quantization of the embedding column — the standard
     * 4× memory cut an ANN index takes before it fits a 100 TB corpus
@@ -1541,6 +1558,7 @@ object SimilarityOps {
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_recall" -> annIvfTrainedRecall,
     "emb_semdedup" -> embSemdedup,
+    "emb_semdedup_stats" -> embSemdedupStats,
     "emb_quantize" -> embQuantize,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
@@ -2118,6 +2136,15 @@ object SimilarityOps {
     "kmeans_train" -> sqlKmeansTrain,
     "ann_ivf_trained" -> sqlAnnIvfTrained,
     "emb_semdedup" -> sqlEmbSemdedup,
+    "emb_semdedup_stats" ->
+      s"""SELECT clabel,
+            CAST(COUNT(*) AS BIGINT) AS n_members,
+            CAST(SUM(1 - keep) AS BIGINT) AS n_removed,
+            CAST(CAST(COUNT(*) AS BIGINT)
+                - CAST(SUM(1 - keep) AS BIGINT) AS DOUBLE)
+              / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS live_frac
+          FROM ($sqlEmbSemdedup) sd
+          GROUP BY clabel ORDER BY clabel""",
     "ann_ivf_trained_recall" ->
       s"""SELECT b.query_id, COUNT(p.cand_id) AS n_hits,
           CAST(COUNT(p.cand_id) AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall

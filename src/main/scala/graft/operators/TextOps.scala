@@ -483,6 +483,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Selection budget for [[docAffinitySelect]]: keep the top
+    * [[AffKeepNum]]/[[AffKeepDen]] of each source by affinity. */
+  val AffKeepNum = 2
+  val AffKeepDen = 5
+
+  /** DSIR's SELECTION step — the resampling that follows
+    * [[docTargetAffinity]]'s scoring: within each source, keep the
+    * top [[AffKeepNum]]/[[AffKeepDen]] of documents by (affinity
+    * DESC, doc_id). Stratifying by source keeps the budget
+    * comparison integer (`rk·Den <= n_src·Num`, no division) AND
+    * keeps the rank window parallel — a GLOBAL top-fraction sort is
+    * a single-partition window at 100 TB, while per-source ranking
+    * partitions by the natural distribution key (in production,
+    * usually also the policy: selection quotas are negotiated per
+    * source). Emits every scored doc with its rank and the selected
+    * flag, so the downstream mix sees both kept and dropped. */
+  val docAffinitySelect: Q = (s, d) => {
+    val aff = docTargetAffinity(s, d)
+      .select(col("doc_id"), col("affinity"))
+    val j = docs(s, d).select(col("doc_id"), col("source"))
+      .join(aff, "doc_id")
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("affinity").desc, col("doc_id"))
+    val wSrc = Window.partitionBy(col("source"))
+    j.withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(wSrc))
+      .select(col("doc_id"), col("source"), col("affinity"),
+        col("rk"), col("n_src"),
+        (col("rk") * AffKeepDen <= col("n_src") * AffKeepNum)
+          .cast("long").as("selected"))
+      .orderBy("doc_id")
+  }
+
   val docSampleQuota: Q = (s, d) => {
     val w = Window.partitionBy(col("lang"))
       .orderBy(Hashing.charHash(col("doc_id").cast("string")), col("doc_id"))
@@ -1253,6 +1286,7 @@ object TextOps {
     "doc_sample_quota" -> docSampleQuota,
     "doc_unigram_score" -> docUnigramScore,
     "doc_target_affinity" -> docTargetAffinity,
+    "doc_affinity_select" -> docAffinitySelect,
     "doc_mix_epochs" -> docMixEpochs,
     "doc_source_stats" -> docSourceStats,
     "tf_top_tokens" -> tfTopTokens,
@@ -1293,6 +1327,39 @@ object TextOps {
   // would make the map's value depend on which object the JVM
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
+  /** Mirror of [[docTargetAffinity]] — also the scored input of the
+    * `doc_affinity_select` oracle. */
+  private def sqlDocAffinity: String =
+    s"""WITH feats AS (
+            SELECT doc_id, lang,
+              ${Hashing.sqlCharHash("g")} % $FeatBuckets AS b
+            FROM (SELECT doc_id, lang,
+                    unnest(${Hashing.sqlNgrams(Hashing.sqlTokens("text"), 2)})
+                      AS g
+                  FROM documents) x),
+          raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r
+                  FROM feats GROUP BY b),
+          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_t
+                  FROM feats WHERE lang = 'en' GROUP BY b),
+          model AS (
+            SELECT raw.b, raw.cnt_r, COALESCE(tgt.cnt_t, 0) AS cnt_t,
+              (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM raw) AS n_r,
+              (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM tgt) AS n_t
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b)
+          SELECT f.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_feat,
+            CAST(SUM(CASE WHEN m.cnt_t * m.n_r > m.cnt_r * m.n_t
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            CAST(SUM(CASE WHEN m.cnt_t * m.n_r < m.cnt_r * m.n_t
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+            CAST(CAST(SUM(CASE WHEN m.cnt_t * m.n_r > m.cnt_r * m.n_t
+                THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN m.cnt_t * m.n_r < m.cnt_r * m.n_t
+                THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS affinity
+          FROM feats f JOIN model m ON f.b = m.b
+          GROUP BY f.doc_id ORDER BY f.doc_id"""
+
   lazy val oracle: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
@@ -1457,36 +1524,21 @@ object TextOps {
           FROM j GROUP BY doc_id ORDER BY doc_id""",
     // sign-test DSIR: per-bucket target-vs-raw comparison by integer
     // cross-multiplication — no ln, no division until the final ratio
-    "doc_target_affinity" ->
-      s"""WITH feats AS (
-            SELECT doc_id, lang,
-              ${Hashing.sqlCharHash("g")} % $FeatBuckets AS b
-            FROM (SELECT doc_id, lang,
-                    unnest(${Hashing.sqlNgrams(Hashing.sqlTokens("text"), 2)})
-                      AS g
-                  FROM documents) x),
-          raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r
-                  FROM feats GROUP BY b),
-          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_t
-                  FROM feats WHERE lang = 'en' GROUP BY b),
-          model AS (
-            SELECT raw.b, raw.cnt_r, COALESCE(tgt.cnt_t, 0) AS cnt_t,
-              (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM raw) AS n_r,
-              (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM tgt) AS n_t
-            FROM raw LEFT JOIN tgt ON raw.b = tgt.b)
-          SELECT f.doc_id,
-            CAST(COUNT(*) AS BIGINT) AS n_feat,
-            CAST(SUM(CASE WHEN m.cnt_t * m.n_r > m.cnt_r * m.n_t
-              THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-            CAST(SUM(CASE WHEN m.cnt_t * m.n_r < m.cnt_r * m.n_t
-              THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-            CAST(CAST(SUM(CASE WHEN m.cnt_t * m.n_r > m.cnt_r * m.n_t
-                THEN 1 ELSE 0 END)
-              - SUM(CASE WHEN m.cnt_t * m.n_r < m.cnt_r * m.n_t
-                THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-              / CAST(COUNT(*) AS DOUBLE) AS affinity
-          FROM feats f JOIN model m ON f.b = m.b
-          GROUP BY f.doc_id ORDER BY f.doc_id""",
+    "doc_target_affinity" -> sqlDocAffinity,
+    "doc_affinity_select" ->
+      s"""SELECT j.doc_id, j.source, j.affinity,
+            CAST(j.rk AS BIGINT) AS rk,
+            CAST(j.n_src AS BIGINT) AS n_src,
+            CAST(CASE WHEN j.rk * $AffKeepDen <= j.n_src * $AffKeepNum
+              THEN 1 ELSE 0 END AS BIGINT) AS selected
+          FROM (
+            SELECT d.doc_id, d.source, a.affinity,
+              ROW_NUMBER() OVER (PARTITION BY d.source
+                ORDER BY a.affinity DESC, d.doc_id) AS rk,
+              COUNT(*) OVER (PARTITION BY d.source) AS n_src
+            FROM ($sqlDocAffinity) a
+            JOIN documents d ON a.doc_id = d.doc_id) j
+          ORDER BY j.doc_id""",
     "doc_train_order" ->
       s"""WITH t AS (
             SELECT doc_id,

@@ -64,6 +64,30 @@ class DsirSpec extends SparkSpec {
         "the selection signal is the point of the operator")
   }
 
+  test("selection keeps exactly the per-source budget, in " +
+      "(affinity, doc_id) order") {
+    val rows = SparkEntry.queries("doc_affinity_select")(spark, Sf)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("affinity"), r.getAs[Long]("rk"),
+        r.getAs[Long]("n_src"), r.getAs[Long]("selected")))
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val n = g.length.toLong
+      assert(g.forall(_._5 === n), s"$src: n_src must be the group size")
+      val budget = g.count(_._6 === 1L).toLong
+      assert(budget === n * TextOps.AffKeepNum / TextOps.AffKeepDen,
+        s"$src: selected count must be floor(n·Num/Den)")
+      // selected = the first `budget` rows of the (affinity DESC,
+      // doc_id) order — ranking and flag must agree
+      val ordered = g.sortBy(r => (-r._3, r._2))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(r._4 === i + 1L, s"$src: rank mismatch at ${r._2}")
+        assert(r._6 === (if (i < budget) 1L else 0L),
+          s"$src: selection flag disagrees with the order at ${r._2}")
+      }
+    }
+  }
+
   test("model broadcasts; document text never transits a hash " +
       "exchange") {
     val qe = SparkEntry.queries("doc_target_affinity")(spark, Sf)

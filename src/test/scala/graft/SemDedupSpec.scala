@@ -61,6 +61,21 @@ class SemDedupSpec extends SparkSpec {
         "no predecessor to be a duplicate of"))
   }
 
+  test("per-cell stats aggregate the keep relation exactly") {
+    SimilarityOps.invalidateIndexes()
+    val keep = SparkEntry.queries("emb_semdedup")(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("clabel"), r.getAs[Long]("keep")))
+    val expected = keep.groupBy(_._1).map { case (c, g) =>
+      c -> ((g.length.toLong, g.count(_._2 == 0L).toLong))
+    }
+    val got = SparkEntry.queries("emb_semdedup_stats")(spark, Sf)
+      .collect().map(r => r.getAs[Long]("clabel") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("n_removed")))).toMap
+    assert(got === expected)
+    got.values.foreach { case (m, rm) =>
+      assert(rm <= m, "removals bounded by membership") }
+  }
+
   test("no array-keyed exchange, no pair-materializing join") {
     SimilarityOps.invalidateIndexes()
     val qe = SparkEntry.queries("emb_semdedup")(spark, Sf).queryExecution
