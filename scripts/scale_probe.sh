@@ -18,7 +18,8 @@ doc_snapshot_drift hybrid_rrf dedup_index_rewrite \
 dedup_components_delta doc_unigram_score dedup_index_stats \
 ev_asof_join ev_overlap_count dedup_kmv_distinct dedup_kmv_merge \
 dedup_kmv_overlap dedup_kmv_matrix ev_histogram_merge \
-ev_histogram_by_type"
+ev_histogram_by_type \
+emb_semdedup doc_target_affinity doc_affinity_select"
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
