@@ -710,7 +710,9 @@ object SimilarityOps {
         sqDist(col("embedding"), col("c")).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("clabel"))
+      // dist kept: [[semAssigned]] sorts cells by it; other callers
+      // project it away (column pruning drops it from their plans)
+      .select(col("vec_id"), col("embedding"), col("clabel"), col("dist"))
   }
 
   /** End-to-end Lloyd's TRAINING loop — [[kmeansAssign]] (assign) and
@@ -843,18 +845,11 @@ object SimilarityOps {
     * by [[embSemdedup]] and its join-formulation mirror in
     * SemDedupSpec. */
   private[graft] def semAssigned(s: SparkSession, d: String): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("clabel"))
     val ordW = Window.partitionBy(col("clabel"))
       .orderBy(col("dist").desc, col("vec_id"))
-    emb(s, d).select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(trainedCentroids(s, d)))
-      .select(col("vec_id"), col("embedding"), col("clabel"),
-        sqDist(col("embedding"), col("c")).as("dist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("clabel"), col("dist"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    assignToNearest(emb(s, d).select(col("vec_id"), col("embedding")),
+        trainedCentroids(s, d))
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
       .withColumn("pos", row_number().over(ordW).cast("long"))
   }
 
@@ -1651,21 +1646,16 @@ object SimilarityOps {
   /** One ASSIGN step as a CTE: nearest `cent` centroid per vector
     * (tie → lowest clabel). Mirrors [[assignToNearest]]. */
   private def sqlAssignCte(cent: String, name: String): String =
-    s"""$name AS (
-          SELECT vec_id, embedding, clabel FROM (
-            SELECT e.vec_id, e.embedding, $cent.clabel,
-              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                ORDER BY ${sqlSqDist("e.embedding", s"$cent.c")},
-                         $cent.clabel) AS rn
-            FROM embeddings e CROSS JOIN $cent) z
-          WHERE rn = 1)"""
+    sqlAssignBase(cent, name, "vec_id, embedding, clabel")
 
-  /** ASSIGN step that KEEPS the winning distance (mirrors
-    * [[embSemdedup]]'s `af` relation — dist is the within-cell sort
-    * key there, so the oracle must carry it too). */
-  private def sqlAssignDistCte(cent: String, name: String): String =
+  /** One assign rule, two projections: [[sqlAssignCte]] and the
+    * dist-carrying [[sqlAssignDistCte]] (the `emb_semdedup` oracle's
+    * within-cell sort key) share this body so the nearest-centroid
+    * tie-breaking has a single SQL source of truth. */
+  private def sqlAssignBase(cent: String, name: String,
+      cols: String): String =
     s"""$name AS (
-          SELECT vec_id, embedding, clabel, dist FROM (
+          SELECT $cols FROM (
             SELECT e.vec_id, e.embedding, $cent.clabel,
               ${sqlSqDist("e.embedding", s"$cent.c")} AS dist,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1673,6 +1663,9 @@ object SimilarityOps {
                          $cent.clabel) AS rn
             FROM embeddings e CROSS JOIN $cent) z
           WHERE rn = 1)"""
+
+  private def sqlAssignDistCte(cent: String, name: String): String =
+    sqlAssignBase(cent, name, "vec_id, embedding, clabel, dist")
 
   /** Mirror of [[embSemdedup]]: trained-cell assignment with dist,
     * one LEAD window per offset over the same (cell, dist DESC,

@@ -797,20 +797,12 @@ object StreamOps {
     val s = replaySession(s0)
     def isNew(id: Column) =
       graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
-    def featsOf(df: DataFrame, keep: Column*): DataFrame =
-      df.select(keep :+ explode(graft.functions.Hashing.ngrams(
-          graft.functions.Hashing.tokens(col("text")), 2)).as("g"): _*)
-        .select(keep :+ (graft.functions.Hashing.charHash(col("g"))
-          % TextOps.FeatBuckets).as("b"): _*)
-    val cFeats = featsOf(
-      Tables.documents(s, d).filter(!isNew(col("doc_id"))), col("lang"))
-    val raw = cFeats.groupBy("b").agg(count(lit(1)).as("cnt_r"))
-    val tgt = cFeats.filter(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("cnt_t"))
-    val model = raw.join(tgt, Seq("b"), "left")
-      .na.fill(0L, Seq("cnt_t"))
-      .crossJoin(raw.agg(sum(col("cnt_r")).as("n_r")))
-      .crossJoin(tgt.agg(sum(col("cnt_t")).as("n_t")))
+    // feature extraction, model fit and counters are THE batch
+    // implementations ([[TextOps.affinityFeats]]/[[TextOps.affinityModel]]/
+    // [[TextOps.affinityCounters]]) — the ingest gate cannot drift from
+    // the batch scorer
+    val model = TextOps.affinityModel(TextOps.affinityFeats(
+      Tables.documents(s, d).filter(!isNew(col("doc_id"))), col("lang")))
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-affinity-gate").toString
     val q = docsStream(s, d)
@@ -818,14 +810,9 @@ object StreamOps {
       .select(col("doc_id"), col("text"))
       .writeStream.trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        featsOf(batch, col("doc_id"))
-          .join(broadcast(model), Seq("b"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_feat"),
-            sum(when(col("cnt_t") * col("n_r") > col("cnt_r") * col("n_t"),
-              1L).otherwise(0L)).as("n_pos"),
-            sum(when(col("cnt_t") * col("n_r") < col("cnt_r") * col("n_t"),
-              1L).otherwise(0L)).as("n_neg"))
+        TextOps.affinityCounters(
+            TextOps.affinityFeats(batch, col("doc_id")), model, "left",
+            Seq("doc_id"))
           .select(col("doc_id"), col("n_feat"), col("n_pos"), col("n_neg"),
             when(col("n_neg") > col("n_pos"), "quarantined_offtarget")
               .otherwise("admitted").as("decision"))
@@ -1138,15 +1125,16 @@ object StreamOps {
             SELECT lang, $bucket AS b
             FROM (SELECT lang, unnest($grams) AS g
                   FROM tagged WHERE NOT is_new) z),
-          raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r
-                  FROM cfeats GROUP BY b),
-          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_t
-                  FROM cfeats WHERE lang = 'en' GROUP BY b),
+          counts AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_t
+            FROM cfeats GROUP BY b),
           model AS (
-            SELECT raw.b, raw.cnt_r, COALESCE(tgt.cnt_t, 0) AS cnt_t,
-              (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM raw) AS n_r,
-              (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM tgt) AS n_t
-            FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+            SELECT b, cnt_r, cnt_t,
+              (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM counts) AS n_r,
+              (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM counts) AS n_t
+            FROM counts),
           inc AS (
             SELECT doc_id, $bucket AS b
             FROM (SELECT doc_id, unnest($grams) AS g

@@ -457,29 +457,54 @@ object TextOps {
     * the only per-doc shuffle is the final combinable rollup. This is
     * DSIR's deployment shape: fit the tiny hashed model once,
     * score petabytes embarrassingly parallel. */
-  val docTargetAffinity: Q = (s, d) => {
-    val feats = docs(s, d)
-      .select(col("doc_id"), col("lang"),
-        explode(Hashing.ngrams(toks, 2)).as("bigram"))
-      .select(col("doc_id"), col("lang"),
-        (Hashing.charHash(col("bigram")) % FeatBuckets).as("b"))
-    val raw = feats.groupBy("b").agg(count(lit(1)).as("cnt_r"))
-    val tgt = feats.filter(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("cnt_t"))
-    val model = raw.join(tgt, Seq("b"), "left")
-      .na.fill(0L, Seq("cnt_t"))
-      .crossJoin(raw.agg(sum(col("cnt_r")).as("n_r")))
-      .crossJoin(tgt.agg(sum(col("cnt_t")).as("n_t")))
-    feats.join(broadcast(model), "b")
-      .groupBy(col("doc_id"))
+  /** Hashed-bigram feature rows of `df` — the affinity family's
+    * shared feature extraction (batch scorer, selection, and
+    * [[graft.operators.StreamOps]]'s ingest gate, so the three paths
+    * cannot drift). */
+  private[graft] def affinityFeats(df: DataFrame, keep: Column*): DataFrame =
+    df.select(keep :+ explode(
+        Hashing.ngrams(Hashing.tokens(col("text")), 2)).as("g"): _*)
+      .select(keep :+
+        (Hashing.charHash(col("g")) % FeatBuckets).as("b"): _*)
+
+  /** The sign-test importance model over feature rows carrying
+    * `lang`: ≤[[FeatBuckets]] rows of (b, cnt_r, cnt_t, n_r, n_t) in
+    * ONE conditional-aggregation pass — no second corpus explode for
+    * the target slice, no raw⋈target join. */
+  private[graft] def affinityModel(feats: DataFrame): DataFrame = {
+    val counts = feats.groupBy("b").agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+    counts.crossJoin(broadcast(counts.agg(
+      sum(col("cnt_r")).as("n_r"), sum(col("cnt_t")).as("n_t"))))
+  }
+
+  /** Per-group (n_feat, n_pos, n_neg) counters of doc feature rows
+    * against the broadcast model. A left join admits rows whose
+    * bucket the model never saw — the null comparison lands them in
+    * neither counter (the streaming gate's case; the batch scorer's
+    * inner join is equivalent there because every bucket it probes is
+    * in its own model). */
+  private[graft] def affinityCounters(docFeats: DataFrame,
+      model: DataFrame, joinType: String,
+      groupCols: Seq[String]): DataFrame =
+    docFeats.join(broadcast(model), Seq("b"), joinType)
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_feat"),
         sum(when(col("cnt_t") * col("n_r") > col("cnt_r") * col("n_t"),
           1L).otherwise(0L)).as("n_pos"),
         sum(when(col("cnt_t") * col("n_r") < col("cnt_r") * col("n_t"),
           1L).otherwise(0L)).as("n_neg"))
+
+  private def affinityCol: Column =
+    (col("n_pos") - col("n_neg")).cast("double") /
+      col("n_feat").cast("double")
+
+  val docTargetAffinity: Q = (s, d) => {
+    val feats = affinityFeats(docs(s, d), col("doc_id"), col("lang"))
+    affinityCounters(feats, affinityModel(feats), "inner", Seq("doc_id"))
       .select(col("doc_id"), col("n_feat"), col("n_pos"), col("n_neg"),
-        ((col("n_pos") - col("n_neg")).cast("double")
-          / col("n_feat").cast("double")).as("affinity"))
+        affinityCol.as("affinity"))
       .orderBy("doc_id")
   }
 
@@ -500,10 +525,13 @@ object TextOps {
     * source). Emits every scored doc with its rank and the selected
     * flag, so the downstream mix sees both kept and dropped. */
   val docAffinitySelect: Q = (s, d) => {
-    val aff = docTargetAffinity(s, d)
-      .select(col("doc_id"), col("affinity"))
-    val j = docs(s, d).select(col("doc_id"), col("source"))
-      .join(aff, "doc_id")
+    // source rides through the scoring rollup (functionally dependent
+    // on doc_id) — no second documents scan, no doc_id join
+    val feats = affinityFeats(docs(s, d),
+      col("doc_id"), col("lang"), col("source"))
+    val j = affinityCounters(feats, affinityModel(feats), "inner",
+        Seq("doc_id", "source"))
+      .select(col("doc_id"), col("source"), affinityCol.as("affinity"))
     val wRank = Window.partitionBy(col("source"))
       .orderBy(col("affinity").desc, col("doc_id"))
     val wSrc = Window.partitionBy(col("source"))
@@ -1337,15 +1365,16 @@ object TextOps {
                     unnest(${Hashing.sqlNgrams(Hashing.sqlTokens("text"), 2)})
                       AS g
                   FROM documents) x),
-          raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r
-                  FROM feats GROUP BY b),
-          tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_t
-                  FROM feats WHERE lang = 'en' GROUP BY b),
+          counts AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_t
+            FROM feats GROUP BY b),
           model AS (
-            SELECT raw.b, raw.cnt_r, COALESCE(tgt.cnt_t, 0) AS cnt_t,
-              (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM raw) AS n_r,
-              (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM tgt) AS n_t
-            FROM raw LEFT JOIN tgt ON raw.b = tgt.b)
+            SELECT b, cnt_r, cnt_t,
+              (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM counts) AS n_r,
+              (SELECT CAST(SUM(cnt_t) AS BIGINT) FROM counts) AS n_t
+            FROM counts)
           SELECT f.doc_id,
             CAST(COUNT(*) AS BIGINT) AS n_feat,
             CAST(SUM(CASE WHEN m.cnt_t * m.n_r > m.cnt_r * m.n_t

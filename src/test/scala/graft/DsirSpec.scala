@@ -14,18 +14,8 @@ import graft.operators.TextOps
   * never transits a hash exchange).
   */
 class DsirSpec extends SparkSpec {
-  private val P = 2147483647L
-
-  private def charHash(s: String): Long = {
-    var h = 0L
-    s.codePoints().forEach(cp => h = (h * 31L + cp) % P)
-    h
-  }
-
   private def bigramBuckets(text: String): Seq[Long] =
-    text.split(" ").filter(_.nonEmpty).toSeq.sliding(2)
-      .filter(_.length == 2)
-      .map(p => charHash(p.mkString(" ")) % TextOps.FeatBuckets).toSeq
+    refBigramBuckets(text)
 
   test("affinity counters match an independent driver-side " +
       "recomputation") {

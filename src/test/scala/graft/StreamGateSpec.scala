@@ -213,18 +213,7 @@ class StreamGateSpec extends SparkSpec {
 
   test("affinity gate routes by the corpus-fitted sign-test model, " +
       "equal to a driver-side mirror") {
-    import graft.functions.Hashing
-    val P = 2147483647L
-    def charHash(s: String): Long = {
-      var h = 0L
-      s.codePoints().forEach(cp => h = (h * 31L + cp) % P)
-      h
-    }
-    def buckets(text: String): Seq[Long] =
-      text.split(" ").filter(_.nonEmpty).toSeq.sliding(2)
-        .filter(_.length == 2)
-        .map(p => charHash(p.mkString(" "))
-          % graft.operators.TextOps.FeatBuckets).toSeq
+    def buckets(text: String): Seq[Long] = refBigramBuckets(text)
     val gated = SparkEntry.queries("stream_affinity_gate")(spark, Sf)
       .collect()
     assert(gated.nonEmpty)
