@@ -42,6 +42,33 @@ class DsirSpec extends SparkSpec {
       "per-doc (n_feat, n_pos, n_neg) must match the reference fold")
   }
 
+  test("planted corpus: target-mimicking doc scores positive, " +
+      "novel-vocabulary doc negative") {
+    import spark.implicits._
+    // target slice: 10 en docs sharing one vocabulary; the mimic
+    // reuses exactly their bigrams (every feature over-represented in
+    // the target), the outsider uses bigrams the target never emits
+    // (cnt_t = 0 on every feature → strictly negative evidence)
+    val enText = "the cat sat on the mat and the dog ran off"
+    val docs =
+      (0 until 10).map(i => (i.toLong, enText, "en", "s0", enText.length)) ++
+      Seq((100L, enText, "xx", "s1", enText.length),
+        (101L, "zq wv qk jx vv zz pq xw", "xx", "s1", 24))
+    val dir = tmpDir("dsir-planted")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val aff = SparkEntry.queries("doc_target_affinity")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("affinity")).toMap
+    assert(aff(100L) > 0.0,
+      s"target-mimicking doc must score positive, got ${aff(100L)}")
+    assert(aff(101L) < 0.0,
+      s"novel-vocabulary doc must score negative, got ${aff(101L)}")
+    assert(aff(100L) > aff(101L) + 0.5,
+      "the separation is the selection signal")
+  }
+
   test("the target language scores strictly above every other") {
     val byLang = SparkEntry.queries("doc_target_affinity")(spark, Sf)
       .join(graft.sources.Tables.documents(spark, Sf)

@@ -76,6 +76,41 @@ class SemDedupSpec extends SparkSpec {
       assert(rm <= m, "removals bounded by membership") }
   }
 
+  test("a planted near-duplicate cluster is pruned to its " +
+      "farthest-from-centroid representative") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(SimilarityOps.Dims)(r.nextFloat() * 2f - 1f)
+    }
+    // 5 near-identical members (pairwise cos ≈ 1, tiny distinct
+    // perturbations so distances to the centroid all differ) + fillers
+    val base = vec(42)
+    val cluster = (0 until 5).map { i =>
+      val v = base.clone()
+      v(i) = v(i) + (i + 1) * 1e-4f
+      (200L + i, v, 1)
+    }
+    val fill = (0 until 20).map(i => (500L + i, vec(900 + i), 2))
+    val dir = tmpDir("semdedup-planted")
+    (cluster ++ fill).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    SimilarityOps.invalidateIndexes()
+    val rows = SparkEntry.queries("emb_semdedup")(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("keep"), r.getAs[Double]("dist")))).toMap
+    val members = cluster.map(_._1)
+    val kept = members.filter(id => rows(id)._1 == 1L)
+    assert(kept.length === 1,
+      s"planted cluster must collapse to ONE survivor, kept: $kept")
+    // the survivor is the first of the (dist DESC, vec_id) cell order
+    val expected = members.sortBy(id => (-rows(id)._2, id)).head
+    assert(kept.head === expected,
+      "the far-from-centroid member is the SemDeDup representative")
+    SimilarityOps.invalidateIndexes()
+  }
+
   test("no array-keyed exchange, no pair-materializing join") {
     SimilarityOps.invalidateIndexes()
     val qe = SparkEntry.queries("emb_semdedup")(spark, Sf).queryExecution
