@@ -717,6 +717,99 @@ object EventOps {
       .orderBy("day_sec", "user_id")
   }
 
+  /** Fixed-point rank scale: ranks are BIGINTs in units of 10⁻¹² —
+    * integer addition is associative, so the per-iteration sums are
+    * bit-identical under ANY partitioning / accumulation order (a
+    * double-rank PageRank would diverge between engines and between
+    * runs the moment a shuffle reorders the adds). Fixed forever. */
+  val PrScale = 1000000000000L
+  /** Per-edge out-share scale (10⁶): each edge's transition share is
+    * pre-quantized to share = (w·10⁶) div W_out once, so the
+    * per-iteration contribution (rank·share) div 10⁶ never multiplies
+    * rank by a raw edge count — rank·share ≤ 10¹²·10⁶ < 2⁶³ no matter
+    * how heavy the edge. */
+  val PrEdgeScale = 1000000L
+  /** Damping d = 0.85 as the integer pair (85, 100). */
+  val PrDampNum = 85L
+  val PrIters = 8
+
+  /** PageRank over the event-type transition graph — the generic
+    * edge-relation power iteration a training pipeline runs as
+    * domain-authority scoring (rank CommonCrawl domains by the link
+    * graph, then weight or gate documents by their domain's rank; here
+    * nodes are event types and edges the observed next-event
+    * transitions, the same graph [[evTransitions]] reports).
+    *
+    * Exactness: ALL-INTEGER fixed point. Ranks live at [[PrScale]];
+    * edge shares are pre-quantized integers ([[PrEdgeScale]]); one
+    * iteration is new_rank(v) = base + (85·Σ contrib) div 100 with
+    * contrib(u→v) = (rank_u·share_uv) div 10⁶ — every operation is
+    * integer multiply/divide/SUM, so the result is bit-identical on
+    * both engines and under any execution order. Dangling nodes
+    * redistribute uniformly via synthetic (u → every v, share =
+    * 10⁶ div N) edges materialized ONCE; zero-share self-loops keep
+    * nodes with no in-edges in the relation (they receive exactly
+    * `base`). The single double division (rank_scaled / 10¹²) happens
+    * at output.
+    *
+    * Scale shape: the static share relation is built once (edges +
+    * per-source totals = two combinable aggs); each iteration is ONE
+    * shuffle — join ranks (|nodes| rows, the small side at 100 TB once
+    * nodes are domains: broadcast- or co-partition-able) to the share
+    * relation on src, then a combinable SUM keyed on dst. Iteration
+    * state is `localCheckpoint`ed so lineage stays flat across the
+    * [[PrIters]] rounds — the same discipline as the CC propagation
+    * loop in [[DedupOps]]. The driver never sees rank rows; the only
+    * driver-side scalar is N = |nodes| (the CC loop's convergence-
+    * check convention). */
+  val evTypePagerank: Q = (s, d) => {
+    val base = ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("ts_sec"))
+    val nodes = base.select(col("event_type").as("node")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val initRank = PrScale / n
+    val baseRank = (PrScale * 15L / 100L) / n
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val edges = base
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("tw"))
+    val real = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        expr(s"(w * $PrEdgeScale) div tw").as("share"))
+    // dangling sources fan out one uniform share row per node; the
+    // share table is static, so the fan-out happens once, not per
+    // iteration
+    val dangling = nodes.select(col("node").as("src"))
+      .join(outw.select(col("src")), Seq("src"), "left_anti")
+      .crossJoin(nodes.select(col("node").as("dst")))
+      .select(col("src"), col("dst"),
+        lit(PrEdgeScale / n).as("share"))
+    val selfZero = nodes.select(col("node").as("src"),
+      col("node").as("dst"), lit(0L).as("share"))
+    val allShare = real.unionByName(dangling).unionByName(selfZero)
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
+    for (_ <- 1 to PrIters) {
+      ranks = allShare
+        .join(ranks, allShare("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr(s"(rank * share) div $PrEdgeScale")).as("sumc"))
+        .select(col("dst").as("node"),
+          expr(s"$baseRank + ($PrDampNum * sumc) div 100").as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node").as("event_type"),
+        col("rank").as("rank_scaled"),
+        (col("rank").cast("double") / lit(PrScale.toDouble)).as("rank"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "ev_asof_join" -> evAsofJoin,
     "ev_asof_bucketed" -> evAsofBucketed,
@@ -741,6 +834,7 @@ object EventOps {
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
     "ev_hourly_anomaly" -> evHourlyAnomaly,
+    "ev_type_pagerank" -> evTypePagerank,
     "ev_type_stats" -> evTypeStats)
 
   // lazy: oracle strings interpolate constants from SIBLING operator
@@ -1099,5 +1193,46 @@ object EventOps {
           MIN(value) AS min_value, MAX(value) AS max_value,
           CAST(SUM(${sqlMoney("value")}) AS DOUBLE) AS total_value,
           CAST(SUM(${sqlMoney("value")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
-          FROM events GROUP BY event_type ORDER BY event_type""")
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    // Same integer fixed-point arithmetic as [[evTypePagerank]]:
+    // DuckDB 1.0 allows GROUP BY in the recursive term, and the
+    // working table at step k is exactly the iter=k rank relation, so
+    // the recursion IS the power iteration. `//` on non-negative
+    // BIGINTs == Spark's `div`.
+    "ev_type_pagerank" ->
+      s"""WITH RECURSIVE seq AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_type
+           FROM events),
+         edges AS (
+           SELECT event_type AS src, next_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+           FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+         allshare AS (
+           SELECT e.src, e.dst, (e.w * $PrEdgeScale) // o.tw AS share
+           FROM edges e JOIN outw o ON e.src = o.src
+           UNION ALL
+           SELECT d.node, n2.node, (SELECT $PrEdgeScale // n FROM nc)
+           FROM nodes d, nodes n2
+           WHERE d.node NOT IN (SELECT src FROM outw)
+           UNION ALL
+           SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+         pr(iter, node, rank) AS (
+           SELECT 0, node, (SELECT $PrScale // n FROM nc) FROM nodes
+           UNION ALL
+           SELECT pr.iter + 1, a.dst,
+             (SELECT ($PrScale * 15 // 100) // n FROM nc)
+               + ($PrDampNum * SUM((pr.rank * a.share) // $PrEdgeScale))
+                 // 100
+           FROM pr JOIN allshare a ON a.src = pr.node
+           WHERE pr.iter < $PrIters
+           GROUP BY pr.iter, a.dst)
+         SELECT node AS event_type, rank AS rank_scaled,
+           CAST(rank AS DOUBLE) / $PrScale AS rank
+         FROM pr WHERE iter = $PrIters ORDER BY event_type""")
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftColumn, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{ArraySqDist, FloatDot, LshBucket}
+import graft.functions.{ArraySqDist, FloatDot, Hashing, LshBucket}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over `embeddings.embedding`
@@ -1530,6 +1530,49 @@ object SimilarityOps {
       .orderBy("vec_id", "dim")
   }
 
+  /** Output dimensionality of [[embRandProj]]. */
+  val ProjDims = 8
+
+  /** ±1 sign-projection matrix (Achlioptas' database-friendly JL
+    * variant), derived from the SAME fixed affine-permutation
+    * constants as every other hash in the engine — the matrix is part
+    * of the engine contract, not a per-run random draw, so projected
+    * corpora are reproducible run-to-run (the lineage rule of
+    * [[graft.operators.TextOps]]'s hash-gated sampling, applied to
+    * vectors). sign(j, i) = +1 iff ((A_j·i + B_j) mod P) is even. */
+  val ProjSigns: IndexedSeq[IndexedSeq[Float]] =
+    (0 until ProjDims).map { j =>
+      (1 to Dims).map { i =>
+        if (((Hashing.A(j) * i + Hashing.B(j)) % Hashing.P) % 2 == 0L)
+          1.0f
+        else -1.0f
+      }
+    }
+
+  /** Johnson–Lindenstrauss sign projection of every vector to
+    * [[ProjDims]] dimensions — the dimensionality-reduction pass a
+    * 100 TB vector corpus runs BEFORE indexing/clustering (project
+    * 1024-d model embeddings to a working dimension, then build the
+    * IVF/LSH index over the short vectors; inner products are
+    * preserved in expectation with variance 1/[[ProjDims]], the JL
+    * guarantee). Exactness: each output coordinate is the same
+    * sequential double fold as every dot product in this file
+    * ([[graft.functions.FloatDot]] against a ±1 literal vector —
+    * multiplying by ±1.0 is an exact sign flip, so the fold is a
+    * signed sum of the float coordinates, bit-identical on both
+    * engines). Scale shape: a pure per-row codegen'd projection — no
+    * state, and the ONLY exchange is the gate output's presentation
+    * sort (a production projection writes unsorted); the scan reads
+    * only (vec_id, embedding). */
+  val embRandProj: Q = (s, d) => {
+    val cols = (0 until ProjDims).map { j =>
+      dot(col("embedding"), typedLit(ProjSigns(j))).as(s"p$j")
+    }
+    emb(s, d)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "ann_index_upsert" -> annIndexUpsert,
     "ann_index_merge" -> annIndexMerge,
@@ -1569,7 +1612,8 @@ object SimilarityOps {
     "emb_components" -> embComponents,
     "emb_split_assign" -> embSplitAssign,
     "ann_ivf_pq" -> annIvfPq,
-    "ann_ivf_pq_recall" -> annIvfPqRecall)
+    "ann_ivf_pq_recall" -> annIvfPqRecall,
+    "emb_rand_proj" -> embRandProj)
 
   /** Batch oracle for [[StreamOps]]'s `stream_ann_upsert`: every
     * (incoming, same-bucket corpus) hit row with its cosine and the
@@ -2161,6 +2205,23 @@ object SimilarityOps {
           FROM qc JOIN embeddings c
             ON CAST(c.label AS BIGINT) = qc.clabel
                AND c.vec_id >= $NQueries""", TopK),
+    // Per-output-dim ±1 sign lists generated from [[ProjSigns]] — the
+    // same Scala constants the Spark side projects with, emitted as
+    // CAST(±1 AS DOUBLE) elements (a bare numeric list literal
+    // unifies to DECIMAL in DuckDB — the HLL lookup-table lesson).
+    "emb_rand_proj" -> {
+      def signList(j: Int): String = ProjSigns(j)
+        .map(v => s"CAST(${v.toInt} AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      def proj(j: Int): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, ${Dims + 1}),
+              i -> CAST(embedding[i] AS DOUBLE) * (${signList(j)})[i])),
+            (acc, v) -> acc + v) AS p$j"""
+      s"""SELECT vec_id,
+            ${(0 until ProjDims).map(proj).mkString(",\n            ")}
+          FROM embeddings ORDER BY vec_id"""
+    },
     "emb_quantize" ->
       s"""WITH longf AS (
             SELECT vec_id, idx.i - 1 AS dim,

@@ -1031,7 +1031,56 @@ object StreamOps {
     SketchOps.kmvSummary(merged.toSeq.toDF("h"))
   }
 
+  /** Streaming weighted reservoir — priority sampling's ingest form,
+    * and the third member of the exact-mergeable monitor family
+    * ([[streamKmvMonitor]], [[streamHllMonitor]]): each micro-batch
+    * computes its OWN k-min (priority, doc) rows with the batch
+    * arithmetic ([[TextOps.weightedPriority]] + orderBy/limit — the
+    * same TakeOrderedAndProject bounded heaps), and the monitor folds
+    * them into a driver-side sorted set by union + keep-k-smallest.
+    * The merge is exact (every global k-min priority is in its
+    * batch's k-min — the KMV lemma with priority in place of hash)
+    * AND idempotent (a replayed batch re-unions the same rows), so
+    * the finite replay gates HASH-EXACT against the batch
+    * `doc_sample_weighted` oracle. Per batch, ≤ k 4-field rows cross
+    * to the driver; document text never enters the sampling path;
+    * zero streaming state store — the cross-batch memory IS the
+    * reservoir, which is exactly how a production ingest keeps a
+    * quality-weighted eval sample alive while the corpus streams
+    * past. */
+  val streamSampleWeighted: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val k = TextOps.WeightedSampleK
+    // (priority, doc_id) is a total order: doc_id is unique
+    val ord = Ordering.by[(Double, Long, String, Long), (Double, Long)](
+      r => (r._1, r._2))
+    val merged =
+      scala.collection.mutable.SortedSet.empty[(Double, Long, String, Long)](ord)
+    val q = docsStream(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = TextOps.weightedPriority(batch)
+          .orderBy(col("priority"), col("doc_id")).limit(k)
+          .collect()
+          .map(r => (r.getAs[Double]("priority"), r.getAs[Long]("doc_id"),
+            r.getAs[String]("lang"), r.getAs[Long]("weight")))
+        merged.synchronized {
+          rows.foreach(merged.add)
+          while (merged.size > k) merged.remove(merged.last)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import s.implicits._
+    merged.toSeq.map { case (p, id, lang, w) => (id, lang, w, p) }
+      .toDF("doc_id", "lang", "weight", "priority")
+      .orderBy("priority", "doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_sample_weighted" -> streamSampleWeighted,
     "stream_bloom_gate" -> streamBloomGate,
     "stream_cms_monitor" -> streamCmsMonitor,
     "stream_hll_monitor" -> streamHllMonitor,
@@ -1063,6 +1112,7 @@ object StreamOps {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
+    "stream_sample_weighted" -> TextOps.sqlSampleWeighted,
     "stream_bloom_gate" -> SketchOps.sqlBloomGateOracle,
     "stream_cms_monitor" -> SketchOps.sqlCmsMatrixOracle,
     "stream_hll_monitor" -> SketchOps.sqlHllMonitorOracle,

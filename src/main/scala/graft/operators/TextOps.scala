@@ -806,6 +806,54 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Weighted sample size for [[docSampleWeighted]]. */
+  val WeightedSampleK = 100
+
+  /** Weighted sampling WITHOUT replacement by sequential Poisson
+    * (priority) sampling — the deterministic form of "sample docs
+    * proportionally to length/quality" (Ohlsson's priority sampling;
+    * the quality-weighted corpus draw a mixture pipeline runs after
+    * scoring). Each doc gets priority = u / w where u is the
+    * polynomial hash of its id (the reproducible stand-in for a
+    * uniform draw — the same hash-not-rand() lineage rule as
+    * [[docSampleHash]]) and w = n_chars; the k smallest priorities
+    * are the sample, so heavier docs, with smaller priorities, are
+    * proportionally more likely to be drawn. Exactness: ONE double
+    * division of two exact integers per row (both engines correctly
+    * round it identically), ties broken by doc_id.
+    *
+    * Scale shape: pure projection + global top-k — the plan is
+    * TakeOrderedAndProject (bounded per-partition heaps, k rows to
+    * the driver-side reduce), NEVER a global sort; at 100 TB this is
+    * one scan, no shuffle of the corpus. */
+  val docSampleWeighted: Q = (s, d) =>
+    weightedPriority(docs(s, d))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WeightedSampleK)
+
+  /** The (doc_id, lang, weight, priority) projection of a documents
+    * relation — the ONLY copy of the priority formula, shared by the
+    * batch sample and the streaming reservoir
+    * ([[graft.operators.StreamOps]] `stream_sample_weighted`): any
+    * split of the corpus yields per-split k-min samples that
+    * union-merge into exactly the global one (every global top-k
+    * priority is in its split's top-k). Needs only (doc_id, lang,
+    * n_chars) — document text never enters the sampling path. */
+  private[graft] def weightedPriority(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"), col("n_chars").as("weight"),
+      (Hashing.charHash(col("doc_id").cast("string")).cast("double") /
+        col("n_chars").cast("double")).as("priority"))
+
+  /** Oracle shared verbatim by `doc_sample_weighted` and the
+    * streaming reservoir `stream_sample_weighted` — one semantic
+    * result, two plan costs (the asof/compact convention). */
+  private[graft] val sqlSampleWeighted: String =
+    s"""SELECT doc_id, lang, n_chars AS weight,
+          CAST(${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")}
+            AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+        FROM documents
+        ORDER BY priority, doc_id LIMIT $WeightedSampleK"""
+
   /** Power-of-two sequence-length buckets for [[docLengthBuckets]]. */
   val LengthBucketBounds: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L)
   val LengthBucketCap = 1024L
@@ -1328,6 +1376,7 @@ object TextOps {
     "doc_keep_decision" -> docKeepDecision,
     "text_boilerplate_ngrams" -> textBoilerplateNgrams,
     "doc_sample_temperature" -> docSampleTemperature,
+    "doc_sample_weighted" -> docSampleWeighted,
     "doc_length_buckets" -> docLengthBuckets,
     "doc_filter_funnel" -> docFilterFunnel,
     "text_boilerplate_fraction" -> textBoilerplateFraction,
@@ -1706,6 +1755,7 @@ object TextOps {
             CAST(floor(weight / z.z * CAST(n_total AS DOUBLE)) AS BIGINT)
               AS target_docs
           FROM w, z ORDER BY lang""",
+    "doc_sample_weighted" -> sqlSampleWeighted,
     "doc_filter_funnel" ->
       s"""WITH g AS (
             SELECT doc_id, text, length(toks) AS n_tok,
