@@ -1573,6 +1573,91 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Coarse-shortlist size for the projected-space search. */
+  val ProjShortlist = 25
+
+  /** The unsorted (vec_id, p0..p7) projected relation — shared by
+    * [[embRandProj]] (which adds the gate's presentation sort) and
+    * the projected-space search tier. */
+  private def projRelation(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(
+      col("vec_id") +: (0 until ProjDims).map { j =>
+        dot(col("embedding"), typedLit(ProjSigns(j))).as(s"p$j")
+      }: _*)
+
+  /** Fixed-order cosine over the [[ProjDims]] projected coordinates:
+    * a left-associated `0.0 + q0·c0 + q1·c1 + …` chain on both
+    * engines (Column `+` and SQL `+` associate identically), one
+    * division, `sqrt` correctly rounded — bit-portable like every
+    * other cosine in the file. */
+  private def projCos(q: Int => Column, c: Int => Column): Column = {
+    def chain(a: Int => Column, b: Int => Column) =
+      (0 until ProjDims).foldLeft(lit(0.0): Column) { (acc, j) =>
+        acc + a(j) * b(j)
+      }
+    chain(q, c) / (sqrt(chain(q, q)) * sqrt(chain(c, c)))
+  }
+
+  /** Projected-space coarse search + exact rerank — the USE of
+    * [[embRandProj]], closing the JL loop the way every other tier
+    * closes (index → probe → recall gate): candidates are shortlisted
+    * by cosine in the 8-d projected space (8 multiplies per pair
+    * instead of [[Dims]] — at a production 1024→64 ratio the coarse
+    * pass reads 6% of the bytes), the top [[ProjShortlist]] per query
+    * are reranked with the EXACT [[Dims]]-d cosine, and the final
+    * top-[[TopK]] ships in the shared (query_id, rank, cand_id, cos)
+    * search contract. Scale shape: the coarse stage is the brute plan
+    * over 8-word vectors (broadcast queries, WindowGroupLimit bounded
+    * heaps); only shortlist rows — ≤ queries·[[ProjShortlist]] —
+    * ever touch a full-width vector again. */
+  val annProjRerank: Q = (s, d) => {
+    val pr = projRelation(s, d)
+    val qp = pr.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until ProjDims).map(j => col(s"p$j").as(s"q$j")): _*)
+    val cp = pr.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id") +:
+        (0 until ProjDims).map(j => col(s"p$j").as(s"c$j")): _*)
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("cand_id"))
+    val short = cp.crossJoin(broadcast(qp))
+      .select(col("query_id"), col("cand_id"),
+        projCos(j => col(s"q$j"), j => col(s"c$j")).as("pcos"))
+      .withColumn("prank", row_number().over(wShort))
+      .filter(col("prank") <= ProjShortlist)
+      .select(col("query_id"), col("cand_id"))
+    val wb = bucketed(s, d)
+    val qe = wb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))
+    val ce = wb.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"))
+    topK(
+      short.join(ce, "cand_id").join(broadcast(qe), "query_id")
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos")),
+      TopK)
+  }
+
+  /** Recall gate for [[annProjRerank]] against the brute-force truth
+    * — the standard per-tier contract. The JL shortlist is lossy by
+    * construction; this query is the measurement that says HOW lossy
+    * on this corpus (the spec pins the floor). */
+  val annProjRecall: Q = (s, d) => {
+    val b = knnBrute(s, d).select(col("query_id"), col("cand_id"))
+    val p = annProjRerank(s, d)
+      .select(col("query_id").as("p_query"), col("cand_id").as("p_cand"))
+    b.join(p, col("query_id") === col("p_query") &&
+        col("cand_id") === col("p_cand"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("p_cand")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK).cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "ann_index_upsert" -> annIndexUpsert,
     "ann_index_merge" -> annIndexMerge,
@@ -1613,7 +1698,9 @@ object SimilarityOps {
     "emb_split_assign" -> embSplitAssign,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_recall" -> annIvfPqRecall,
-    "emb_rand_proj" -> embRandProj)
+    "emb_rand_proj" -> embRandProj,
+    "ann_proj_rerank" -> annProjRerank,
+    "ann_proj_recall" -> annProjRecall)
 
   /** Batch oracle for [[StreamOps]]'s `stream_ann_upsert`: every
     * (incoming, same-bucket corpus) hit row with its cosine and the
@@ -1826,6 +1913,52 @@ object SimilarityOps {
         ${sqlCosine("q.embedding", "c.embedding")} AS cos
         FROM embeddings q, embeddings c
         WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK)
+
+  /** (vec_id, p0..p7) projection — per-output-dim ±1 sign lists
+    * generated from [[ProjSigns]], the same Scala constants the Spark
+    * side projects with, emitted as CAST(±1 AS DOUBLE) elements (a
+    * bare numeric list literal unifies to DECIMAL in DuckDB — the
+    * HLL lookup-table lesson). Shared by `emb_rand_proj` and the
+    * projected search tier. */
+  private val sqlProjSelect: String = {
+    def signList(j: Int): String = ProjSigns(j)
+      .map(v => s"CAST(${v.toInt} AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    def proj(j: Int): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, ${Dims + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * (${signList(j)})[i])),
+          (acc, v) -> acc + v) AS p$j"""
+    s"""SELECT vec_id,
+          ${(0 until ProjDims).map(proj).mkString(",\n          ")}
+        FROM embeddings"""
+  }
+
+  /** Mirror of [[projCos]]: the same left-associated
+    * `0.0 + p0·p0 + …` chains. */
+  private def sqlProjCos(qa: String, ca: String): String = {
+    def chain(a: String, b: String) = (0 until ProjDims)
+      .map(j => s"$a.p$j * $b.p$j")
+      .foldLeft("0.0")((acc, t) => s"$acc + $t")
+    s"(${chain(qa, ca)}) / (sqrt(${chain(qa, qa)}) * sqrt(${chain(ca, ca)}))"
+  }
+
+  private val sqlAnnProjRerank: String = sqlTopK(
+    s"""WITH proj AS ($sqlProjSelect),
+        short AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY ${sqlProjCos("q", "c")} DESC, c.vec_id)
+                AS prank
+            FROM proj q JOIN proj c
+              ON q.vec_id < $NQueries AND c.vec_id >= $NQueries) z
+          WHERE prank <= $ProjShortlist)
+        SELECT s.query_id, s.cand_id,
+          ${sqlCosine("q.embedding", "c.embedding")} AS cos
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.cand_id""", TopK)
 
   private val sqlAnnFiltered: String = sqlTopK(
     s"""WITH wb AS (SELECT vec_id, embedding, label,
@@ -2205,23 +2338,16 @@ object SimilarityOps {
           FROM qc JOIN embeddings c
             ON CAST(c.label AS BIGINT) = qc.clabel
                AND c.vec_id >= $NQueries""", TopK),
-    // Per-output-dim ±1 sign lists generated from [[ProjSigns]] — the
-    // same Scala constants the Spark side projects with, emitted as
-    // CAST(±1 AS DOUBLE) elements (a bare numeric list literal
-    // unifies to DECIMAL in DuckDB — the HLL lookup-table lesson).
-    "emb_rand_proj" -> {
-      def signList(j: Int): String = ProjSigns(j)
-        .map(v => s"CAST(${v.toInt} AS DOUBLE)")
-        .mkString("[", ", ", "]")
-      def proj(j: Int): String =
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(1, ${Dims + 1}),
-              i -> CAST(embedding[i] AS DOUBLE) * (${signList(j)})[i])),
-            (acc, v) -> acc + v) AS p$j"""
-      s"""SELECT vec_id,
-            ${(0 until ProjDims).map(proj).mkString(",\n            ")}
-          FROM embeddings ORDER BY vec_id"""
-    },
+    "emb_rand_proj" -> s"$sqlProjSelect ORDER BY vec_id",
+    "ann_proj_rerank" -> sqlAnnProjRerank,
+    "ann_proj_recall" ->
+      s"""SELECT b.query_id, COUNT(p.cand_id) AS n_hits,
+          CAST(COUNT(p.cand_id) AS DOUBLE) / CAST($TopK AS DOUBLE)
+            AS recall
+          FROM ($sqlKnnBrute) b
+          LEFT JOIN ($sqlAnnProjRerank) p
+            ON b.query_id = p.query_id AND b.cand_id = p.cand_id
+          GROUP BY b.query_id ORDER BY b.query_id""",
     "emb_quantize" ->
       s"""WITH longf AS (
             SELECT vec_id, idx.i - 1 AS dim,

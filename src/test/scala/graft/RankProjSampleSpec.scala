@@ -246,6 +246,59 @@ class RankProjSampleSpec extends SparkSpec {
       s"projection no longer preserves inner products: corr=$corr")
   }
 
+  test("projected rerank = driver-side shortlist-then-rerank " +
+      "reference, bit-for-bit") {
+    val vecs = embeddings(Sf)
+    val proj = projected(Sf)
+    val nq = SimilarityOps.NQueries.toLong
+    val queries = vecs.keySet.filter(_ < nq).toSeq.sorted
+    val cands = vecs.keySet.filter(_ >= nq).toSeq.sorted
+    def chain(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      (0 until SimilarityOps.ProjDims).foreach(j => s = s + a(j) * b(j))
+      s
+    }
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      a.indices.foreach(i => s += a(i).toDouble * b(i).toDouble)
+      s
+    }
+    val want = queries.flatMap { q =>
+      val short = cands
+        .map { c =>
+          val pc = chain(proj(q), proj(c)) /
+            (math.sqrt(chain(proj(q), proj(q))) *
+              math.sqrt(chain(proj(c), proj(c))))
+          (c, pc)
+        }
+        .sortBy { case (c, pc) => (-pc, c) }
+        .take(SimilarityOps.ProjShortlist)
+      short
+        .map { case (c, _) =>
+          val cos = fdot(vecs(q), vecs(c)) /
+            (math.sqrt(fdot(vecs(q), vecs(q))) *
+              math.sqrt(fdot(vecs(c), vecs(c))))
+          (c, cos)
+        }
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(SimilarityOps.TopK)
+        .zipWithIndex
+        .map { case ((c, cos), i) => (q, (i + 1).toLong, c, cos) }
+    }
+    val got = SimilarityOps.annProjRerank(spark, Sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("projected-search recall floor holds on the gate fixture") {
+    val mean = SimilarityOps.annProjRecall(spark, "/root/testdata/sf0.01")
+      .agg(avg(col("recall"))).as[Double].collect().head
+    // measured 0.125 — mid-family on this near-random corpus (LSH
+    // 0.0, IVFADC 0.05, PQ 0.075, IVF 0.25); the gate exists to
+    // MEASURE the loss, the pin catches a silent collapse to zero
+    assert(mean >= 0.1, s"projected-search recall collapsed: $mean")
+  }
+
   test("projection plan is scan+project; the only exchange is the " +
       "gate output's presentation sort") {
     val plan = SimilarityOps.embRandProj(spark, Sf)
