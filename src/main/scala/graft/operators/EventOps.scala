@@ -769,6 +769,16 @@ object EventOps {
     val nodes = base.select(col("event_type").as("node")).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    // empty input: the oracle's recursion over zero nodes yields an
+    // empty relation; mirror it instead of dividing by zero below
+    if (n == 0L)
+      nodes.select(col("node").as("event_type"),
+        lit(0L).as("rank_scaled"), lit(0.0).as("rank"))
+    else pagerankOf(nodes, base, n)
+  }
+
+  private def pagerankOf(
+      nodes: DataFrame, base: DataFrame, n: Long): DataFrame = {
     val initRank = PrScale / n
     val baseRank = (PrScale * 15L / 100L) / n
     val w = Window.partitionBy(col("user_id"))

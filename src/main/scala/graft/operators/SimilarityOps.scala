@@ -1539,13 +1539,22 @@ object SimilarityOps {
     * of the engine contract, not a per-run random draw, so projected
     * corpora are reproducible run-to-run (the lineage rule of
     * [[graft.operators.TextOps]]'s hash-gated sampling, applied to
-    * vectors). sign(j, i) = +1 iff ((A_j·i + B_j) mod P) is even. */
+    * vectors). sign(j, i) = +1 iff the TWICE-iterated affine residue
+    * ((A_j·r + B_j) mod P with r = (A_j·i + B_j) mod P) lands below
+    * P/2. One round is not enough: with i ≤ 64 the first affine value
+    * rarely wraps P, so both its parity AND its magnitude inherit
+    * structure from i (the parity variant produced bit-identical
+    * rows); the second round's input spans [10⁶, P), wraps many
+    * times, and mixes fully — measured: rank 8, every row ~50/50
+    * balanced. Only this Scala generator encodes the rule — the
+    * oracle consumes the materialized ±1 lists, so the two engines
+    * cannot disagree. */
   val ProjSigns: IndexedSeq[IndexedSeq[Float]] =
     (0 until ProjDims).map { j =>
       (1 to Dims).map { i =>
-        if (((Hashing.A(j) * i + Hashing.B(j)) % Hashing.P) % 2 == 0L)
-          1.0f
-        else -1.0f
+        val r1 = (Hashing.A(j) * i + Hashing.B(j)) % Hashing.P
+        val r2 = (Hashing.A(j) * r1 + Hashing.B(j)) % Hashing.P
+        if (r2 * 2L < Hashing.P) 1.0f else -1.0f
       }
     }
 
@@ -1564,14 +1573,8 @@ object SimilarityOps {
     * state, and the ONLY exchange is the gate output's presentation
     * sort (a production projection writes unsorted); the scan reads
     * only (vec_id, embedding). */
-  val embRandProj: Q = (s, d) => {
-    val cols = (0 until ProjDims).map { j =>
-      dot(col("embedding"), typedLit(ProjSigns(j))).as(s"p$j")
-    }
-    emb(s, d)
-      .select(col("vec_id") +: cols: _*)
-      .orderBy("vec_id")
-  }
+  val embRandProj: Q = (s, d) =>
+    projRelation(s, d).orderBy("vec_id")
 
   /** Coarse-shortlist size for the projected-space search. */
   val ProjShortlist = 25

@@ -239,10 +239,10 @@ class RankProjSampleSpec extends SparkSpec {
     val vx = pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum
     val vy = pairs.map(p => (p._2 - my) * (p._2 - my)).sum
     val corr = cov / math.sqrt(vx * vy)
-    // measured 0.237 on the sf0.001 fixture (8 dims from 64 — JL
+    // measured 0.304 on the sf0.001 fixture (8 dims from 64 — JL
     // variance 1/8 dominates near-orthogonal pairs); deterministic,
     // pinned with margin
-    assert(corr > 0.15,
+    assert(corr > 0.2,
       s"projection no longer preserves inner products: corr=$corr")
   }
 
@@ -293,7 +293,7 @@ class RankProjSampleSpec extends SparkSpec {
   test("projected-search recall floor holds on the gate fixture") {
     val mean = SimilarityOps.annProjRecall(spark, "/root/testdata/sf0.01")
       .agg(avg(col("recall"))).as[Double].collect().head
-    // measured 0.125 — mid-family on this near-random corpus (LSH
+    // measured 0.15 — mid-family on this near-random corpus (LSH
     // 0.0, IVFADC 0.05, PQ 0.075, IVF 0.25); the gate exists to
     // MEASURE the loss, the pin catches a silent collapse to zero
     assert(mean >= 0.1, s"projected-search recall collapsed: $mean")
