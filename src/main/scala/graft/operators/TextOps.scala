@@ -844,6 +844,28 @@ object TextOps {
       (Hashing.charHash(col("doc_id").cast("string")).cast("double") /
         col("n_chars").cast("double")).as("priority"))
 
+  /** Per-language budget for [[docSampleWeightedQuota]]. */
+  val WeightedQuotaK = 20
+
+  /** Stratified weighted sampling: the priority draw of
+    * [[docSampleWeighted]] under PER-LANGUAGE budgets — the form a
+    * mixture pipeline actually runs ("N docs per language, favoring
+    * quality/length within each"), composing the quota pattern
+    * ([[docSampleQuota]]) with the priority formula. The rank window
+    * rewrites to WindowGroupLimit (bounded per-key heap — a language's
+    * partition never materializes), so the stratified draw costs one
+    * lang-keyed shuffle regardless of corpus size. */
+  val docSampleWeightedQuota: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority"), col("doc_id"))
+    weightedPriority(docs(s, d))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= WeightedQuotaK)
+      .select(col("doc_id"), col("lang"), col("weight"),
+        col("priority"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
   /** Oracle shared verbatim by `doc_sample_weighted` and the
     * streaming reservoir `stream_sample_weighted` — one semantic
     * result, two plan costs (the asof/compact convention). */
@@ -1377,6 +1399,7 @@ object TextOps {
     "text_boilerplate_ngrams" -> textBoilerplateNgrams,
     "doc_sample_temperature" -> docSampleTemperature,
     "doc_sample_weighted" -> docSampleWeighted,
+    "doc_sample_weighted_quota" -> docSampleWeightedQuota,
     "doc_length_buckets" -> docLengthBuckets,
     "doc_filter_funnel" -> docFilterFunnel,
     "text_boilerplate_fraction" -> textBoilerplateFraction,
@@ -1756,6 +1779,17 @@ object TextOps {
               AS target_docs
           FROM w, z ORDER BY lang""",
     "doc_sample_weighted" -> sqlSampleWeighted,
+    "doc_sample_weighted_quota" ->
+      s"""WITH pri AS (
+            SELECT doc_id, lang, n_chars AS weight,
+              CAST(${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")}
+                AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+            FROM documents)
+          SELECT doc_id, lang, weight, priority, rk FROM (
+            SELECT pri.*, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY priority, doc_id) AS BIGINT) AS rk
+            FROM pri) z
+          WHERE rk <= $WeightedQuotaK ORDER BY lang, rk""",
     "doc_filter_funnel" ->
       s"""WITH g AS (
             SELECT doc_id, text, length(toks) AS n_tok,

@@ -184,6 +184,27 @@ class RankProjSampleSpec extends SparkSpec {
       "the top-k must ride per-partition bounded heaps, not a shuffle")
   }
 
+  test("stratified weighted quota: per-language budgets respected, " +
+      "plan rides WindowGroupLimit") {
+    val sf01 = "/root/testdata/sf0.01"
+    val df = TextOps.docSampleWeightedQuota(spark, sf01)
+    val perLang = df.groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val langSizes = graft.sources.Tables.documents(spark, sf01)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(perLang.keySet == langSizes.keySet,
+      "a language dropped out of the stratified draw")
+    perLang.foreach { case (lang, n) =>
+      assert(n == math.min(TextOps.WeightedQuotaK.toLong, langSizes(lang)),
+        s"$lang drew $n of budget ${TextOps.WeightedQuotaK}")
+    }
+    // every drawn doc outranks (by priority) every undrawn same-lang doc
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "the per-lang cap must ride a bounded per-key heap")
+  }
+
   // ------------------------------------------------------------------
   // emb_rand_proj
   // ------------------------------------------------------------------
