@@ -20,7 +20,8 @@ ev_asof_join ev_overlap_count dedup_kmv_distinct dedup_kmv_merge \
 dedup_kmv_overlap dedup_kmv_matrix ev_histogram_merge \
 ev_histogram_by_type \
 emb_semdedup doc_target_affinity doc_affinity_select \
-ev_type_pagerank doc_sample_weighted emb_rand_proj ann_proj_rerank"
+ev_type_pagerank ev_user_pagerank doc_sample_weighted emb_rand_proj \
+ann_proj_rerank"
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Exact._
+import graft.functions.Hashing
 import graft.sources.Tables
 
 /** Query surface over the `events` table: JSON prop extraction,
@@ -745,23 +746,41 @@ object EventOps {
     * iteration is new_rank(v) = base + (85·Σ contrib) div 100 with
     * contrib(u→v) = (rank_u·share_uv) div 10⁶ — every operation is
     * integer multiply/divide/SUM, so the result is bit-identical on
-    * both engines and under any execution order. Dangling nodes
-    * redistribute uniformly via synthetic (u → every v, share =
-    * 10⁶ div N) edges materialized ONCE; zero-share self-loops keep
-    * nodes with no in-edges in the relation (they receive exactly
-    * `base`). The single double division (rank_scaled / 10¹²) happens
-    * at output.
+    * both engines and under any execution order. Dangling nodes are
+    * NEVER materialized as edges: per iteration their rank mass is
+    * folded to ONE scalar D = Σ_u (rank_u · s) div 10⁶ with
+    * s = 10⁶ div N — the per-term quantization is the SAME floor the
+    * edge formula applies, so D added into every node's contribution
+    * sum is bit-identical to summing the synthetic (u → every v)
+    * fan-out rows a textbook formulation would materialize
+    * (O(|dangling|·N) rows — 10¹³⁺ on a 30%-dangling domain graph;
+    * here the dangling cost is ONE |dangling|-row aggregate per
+    * iteration, independent of N on the receive side). Zero-share
+    * self-loops keep nodes with no in-edges in the relation (they
+    * receive exactly `base + damp·D`). The single double division
+    * (rank_scaled / 10¹²) happens at output.
     *
     * Scale shape: the static share relation is built once (edges +
-    * per-source totals = two combinable aggs); each iteration is ONE
-    * shuffle — join ranks (|nodes| rows, the small side at 100 TB once
-    * nodes are domains: broadcast- or co-partition-able) to the share
-    * relation on src, then a combinable SUM keyed on dst. Iteration
-    * state is `localCheckpoint`ed so lineage stays flat across the
-    * [[PrIters]] rounds — the same discipline as the CC propagation
-    * loop in [[DedupOps]]. The driver never sees rank rows; the only
+    * per-source totals = two combinable aggs) and contains ONLY real
+    * edges plus N zero-share self-loops — no dangling rows (pinned by
+    * PrDanglingScaleSpec); each iteration is ONE keyed shuffle — join
+    * ranks (|nodes| rows, the small side at 100 TB once nodes are
+    * domains: broadcast- or co-partition-able) to the share relation
+    * on src, then a combinable SUM keyed on dst — plus a one-row
+    * broadcast of the dangling-mass scalar. Iteration state is
+    * `localCheckpoint`ed so lineage stays flat across the [[PrIters]]
+    * rounds — the same discipline as the CC propagation loop in
+    * [[DedupOps]]. The driver never sees rank rows; the only
     * driver-side scalar is N = |nodes| (the CC loop's convergence-
-    * check convention). */
+    * check convention).
+    *
+    * Quantization bound: the dangling share s = 10⁶ div N floors to 0
+    * once N > 10⁶ — at that point dangling mass would silently drop.
+    * [[PrEdgeScale]] must therefore satisfy N << PrEdgeScale; for a
+    * domain-scale graph (10⁷⁺ nodes) raise PrEdgeScale (headroom:
+    * rank·share ≤ PrScale·PrEdgeScale must stay < 2⁶³, so 10⁶ can
+    * grow to ~9·10⁶ at the current PrScale, or PrScale drops a digit
+    * to buy another). The bound is asserted at runtime. */
   val evTypePagerank: Q = (s, d) => {
     val base = ev(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -774,50 +793,130 @@ object EventOps {
     if (n == 0L)
       nodes.select(col("node").as("event_type"),
         lit(0L).as("rank_scaled"), lit(0.0).as("rank"))
-    else pagerankOf(nodes, base, n)
+    else {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val edges = base
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      pagerankOf(nodes, edges, n)
+        .select(col("node").as("event_type"), col("rank_scaled"),
+          col("rank"))
+        .orderBy("event_type")
+    }
   }
 
-  private def pagerankOf(
-      nodes: DataFrame, base: DataFrame, n: Long): DataFrame = {
-    val initRank = PrScale / n
-    val baseRank = (PrScale * 15L / 100L) / n
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_sec"), col("event_id"))
-    val edges = base
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
-      .agg(count(lit(1)).as("w"))
+  /** Fraction of users that emit referral edges: hash-gated (never
+    * `rand()` — the repo-wide determinism convention) so exactly
+    * ~[[PrEngagedPct]]% of users are "engaged" sources and the rest
+    * are LURKERS — nodes that hold rank but emit none, the ≥30%
+    * dangling regime a real domain graph exhibits (pages with no
+    * outlinks). Mirrored verbatim in the DuckDB oracle. */
+  val PrEngagedPct = 7L
+
+  /** PageRank over the USER referral graph — the graph-scale sibling
+    * of [[evTypePagerank]]: same integer fixed point, but the node
+    * universe is every user (thousands at sf0.1, tens of thousands on
+    * the 10× scale replica) instead of 5 event types. An edge
+    * u → v means v was the next actor (by ts, event_id) in the same
+    * event-type activity stream — "who acted after you", the
+    * referral/influence shape — and only hash-engaged users
+    * ([[PrEngagedPct]]/10) emit edges, so ≥30% of nodes are dangling
+    * BY CONSTRUCTION. This is the fixture that proves the scalar
+    * dangling-mass formulation: the superseded fan-out design would
+    * materialize |dangling|·N synthetic rows (≈6.8M at sf1) where
+    * this plan's dangling cost is a |dangling|-row aggregate per
+    * iteration; the committed scale probe runs this query at both
+    * SFs. */
+  val evUserPagerank: Q = (s, d) => {
+    val base = ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("ts_sec"))
+    val nodes = base.select(col("user_id").as("node")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0L)
+      nodes.select(col("node").as("user_id"),
+        lit(0L).as("rank_scaled"), lit(0.0).as("rank"))
+    else {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val edges = base
+        .withColumn("next_user", lead(col("user_id"), 1).over(w))
+        .filter(col("next_user").isNotNull)
+        .filter(Hashing.charHash(col("user_id").cast("string")) % 10
+          < PrEngagedPct)
+        .groupBy(col("user_id").as("src"), col("next_user").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      pagerankOf(nodes, edges, n)
+        .select(col("node").as("user_id"), col("rank_scaled"),
+          col("rank"))
+        .orderBy("user_id")
+    }
+  }
+
+  /** The static PageRank relations: (share, danglingSrc). `share` is
+    * real quantized edges + zero-share self-loops ONLY — zero dangling
+    * rows, the contract PrDanglingScaleSpec pins; `danglingSrc` is the
+    * |dangling|-row source set whose rank mass folds to one scalar per
+    * iteration. Exposed (package-private) so the spec can audit the
+    * relation the iteration actually joins. */
+  private[graft] def pagerankShares(
+      nodes: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
     val outw = edges.groupBy("src").agg(sum(col("w")).as("tw"))
     val real = edges.join(outw, "src")
       .select(col("src"), col("dst"),
         expr(s"(w * $PrEdgeScale) div tw").as("share"))
-    // dangling sources fan out one uniform share row per node; the
-    // share table is static, so the fan-out happens once, not per
-    // iteration
-    val dangling = nodes.select(col("node").as("src"))
-      .join(outw.select(col("src")), Seq("src"), "left_anti")
-      .crossJoin(nodes.select(col("node").as("dst")))
-      .select(col("src"), col("dst"),
-        lit(PrEdgeScale / n).as("share"))
     val selfZero = nodes.select(col("node").as("src"),
       col("node").as("dst"), lit(0L).as("share"))
-    val allShare = real.unionByName(dangling).unionByName(selfZero)
-      .localCheckpoint(true)
+    val danglingSrc = nodes.select(col("node").as("src"))
+      .join(outw.select(col("src")), Seq("src"), "left_anti")
+    (real.unionByName(selfZero), danglingSrc)
+  }
+
+  /** The iteration core: `nodes` has one `node` column, `edges` is
+    * (src, dst, w). Output columns (node, rank_scaled, rank),
+    * UNSORTED — callers rename and order. */
+  private[graft] def pagerankOf(
+      nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
+    require(n < PrEdgeScale,
+      s"pagerank dangling share 10^6 div n floors to 0 at n=$n >= " +
+        s"$PrEdgeScale nodes — raise PrEdgeScale before running at " +
+        "this graph scale (see Scaladoc quantization bound)")
+    val initRank = PrScale / n
+    val baseRank = (PrScale * 15L / 100L) / n
+    // uniform share a dangling node would give every node — quantized
+    // ONCE, exactly as a materialized fan-out row's share would be
+    val dShare = PrEdgeScale / n
+    val (shareRaw, danglingRaw) = pagerankShares(nodes, edges)
+    val allShare = shareRaw.localCheckpoint(true)
+    val danglingSrc = danglingRaw.localCheckpoint(true)
     var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
     for (_ <- 1 to PrIters) {
+      // dangling mass as ONE scalar: per-term floor (rank·s) div 10⁶
+      // matches the edge formula, so adding dmass into every node's
+      // contribution sum is bit-identical to the O(|dangling|·N)
+      // synthetic-edge fan-out it replaces
+      val dmass = danglingSrc
+        .join(ranks, danglingSrc("src") === ranks("node"))
+        .agg(coalesce(
+          sum(expr(s"(rank * $dShare) div $PrEdgeScale")),
+          lit(0L)).as("dmass"))
       ranks = allShare
         .join(ranks, allShare("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(expr(s"(rank * share) div $PrEdgeScale")).as("sumc"))
+        .crossJoin(broadcast(dmass))
         .select(col("dst").as("node"),
-          expr(s"$baseRank + ($PrDampNum * sumc) div 100").as("rank"))
+          expr(s"$baseRank + ($PrDampNum * (sumc + dmass)) div 100")
+            .as("rank"))
         .localCheckpoint(true)
     }
-    ranks.select(col("node").as("event_type"),
-        col("rank").as("rank_scaled"),
-        (col("rank").cast("double") / lit(PrScale.toDouble)).as("rank"))
-      .orderBy("event_type")
+    ranks.select(col("node"),
+      col("rank").as("rank_scaled"),
+      (col("rank").cast("double") / lit(PrScale.toDouble)).as("rank"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -845,6 +944,7 @@ object EventOps {
     "ev_retention" -> evRetention,
     "ev_hourly_anomaly" -> evHourlyAnomaly,
     "ev_type_pagerank" -> evTypePagerank,
+    "ev_user_pagerank" -> evUserPagerank,
     "ev_type_stats" -> evTypeStats)
 
   // lazy: oracle strings interpolate constants from SIBLING operator
@@ -1244,5 +1344,51 @@ object EventOps {
            GROUP BY pr.iter, a.dst)
          SELECT node AS event_type, rank AS rank_scaled,
            CAST(rank AS DOUBLE) / $PrScale AS rank
-         FROM pr WHERE iter = $PrIters ORDER BY event_type""")
+         FROM pr WHERE iter = $PrIters ORDER BY event_type""",
+
+    // the oracle keeps the textbook dangling FAN-OUT (nodes d, nodes
+    // n2) the Spark side deliberately avoids — |dangling|·N rows are
+    // fine for DuckDB at the gate SF, and running the superseded
+    // formulation on the oracle side makes the hash gate a standing
+    // proof that the scalar dangling-mass form is bit-identical to it
+    "ev_user_pagerank" ->
+      s"""WITH RECURSIVE seq AS (
+           SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_user
+           FROM events),
+         edges AS (
+           SELECT user_id AS src, next_user AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+           FROM seq
+           WHERE next_user IS NOT NULL
+             AND ${Hashing.sqlCharHash("CAST(user_id AS VARCHAR)")}
+               % 10 < $PrEngagedPct
+           GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT user_id AS node FROM events),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+         allshare AS (
+           SELECT e.src, e.dst, (e.w * $PrEdgeScale) // o.tw AS share
+           FROM edges e JOIN outw o ON e.src = o.src
+           UNION ALL
+           SELECT d.node, n2.node, (SELECT $PrEdgeScale // n FROM nc)
+           FROM nodes d, nodes n2
+           WHERE d.node NOT IN (SELECT src FROM outw)
+           UNION ALL
+           SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+         pr(iter, node, rank) AS (
+           SELECT 0, node, (SELECT $PrScale // n FROM nc) FROM nodes
+           UNION ALL
+           SELECT pr.iter + 1, a.dst,
+             (SELECT ($PrScale * 15 // 100) // n FROM nc)
+               + ($PrDampNum * SUM((pr.rank * a.share) // $PrEdgeScale))
+                 // 100
+           FROM pr JOIN allshare a ON a.src = pr.node
+           WHERE pr.iter < $PrIters
+           GROUP BY pr.iter, a.dst)
+         SELECT node AS user_id, rank AS rank_scaled,
+           CAST(rank AS DOUBLE) / $PrScale AS rank
+         FROM pr WHERE iter = $PrIters ORDER BY user_id""")
 }
