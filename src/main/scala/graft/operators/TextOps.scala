@@ -544,6 +544,73 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** THRESHOLD form of [[docAffinitySelect]] — identical kept set,
+    * billion-doc plan shape. The rank form must sort and buffer each
+    * source's FULL partition to emit per-doc ranks (fine as the
+    * audit query, wrong as the production selection at 100 TB). This
+    * form never ranks the corpus:
+    *
+    *   1. per-(source, affinity) histogram — one combinable agg;
+    *   2. cumulative counts ordered affinity DESC over the HISTOGRAM
+    *      (partition size = distinct affinity values per source, not
+    *      docs; affinity = (n_pos−n_neg)/n_feat takes O(n_feat²)
+    *      distinct values at most, thousands not billions);
+    *   3. per-source budget k = ⌊n_src·[[AffKeepNum]]/[[AffKeepDen]]⌋
+    *      (the exact integer the rank form's `rk·Den ≤ n_src·Num`
+    *      test implies) and per-affinity-group quota k − cum_prev;
+    *   4. groups wholly inside / outside the budget become a PURE
+    *      FILTER (quota ≥ c / quota ≤ 0); only the ONE straddling
+    *      tie-group per source ranks by doc_id — a window whose
+    *      partition is the boundary ties, typically a handful of
+    *      rows, never a source partition (PlanSpec-pinned).
+    *
+    * Exact, not approximate: selected set is bit-identical to the
+    * rank form (spec-pinned), because the cumulative histogram + the
+    * boundary tie-break by doc_id reconstruct exactly the rank
+    * form's (affinity DESC, doc_id) order. `approx_percentile` would
+    * avoid step 2's histogram shuffle but trades exactness — this
+    * form keeps both. */
+  val docAffinitySelectThreshold: Q = (s, d) => {
+    val feats = affinityFeats(docs(s, d),
+      col("doc_id"), col("lang"), col("source"))
+    // scored once; checkpointed because both the histogram and the
+    // final join consume it (otherwise the feature explosion runs
+    // twice)
+    val j = affinityCounters(feats, affinityModel(feats), "inner",
+        Seq("doc_id", "source"))
+      .select(col("doc_id"), col("source"), affinityCol.as("affinity"))
+      .localCheckpoint(true)
+    val hist = j.groupBy(col("source"), col("affinity"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("affinity").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy(col("source"))
+    val cut = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_src", sum(col("c")).over(wSrc))
+      .withColumn("k", expr(s"(n_src * $AffKeepNum) div $AffKeepDen"))
+      .select(col("source"), col("affinity"), col("c"),
+        (col("k") - (col("cum") - col("c"))).as("quota"))
+    val marked = j.join(cut, Seq("source", "affinity"))
+    val decided = marked.filter(col("quota") >= col("c") ||
+        col("quota") <= lit(0L))
+      .select(col("doc_id"), col("source"), col("affinity"),
+        (col("quota") >= col("c")).cast("long").as("selected"))
+    // the lone straddling tie-group per source: rank by doc_id inside
+    // (source, affinity) — the only doc-level window, sized by the
+    // boundary ties
+    val wTie = Window.partitionBy(col("source"), col("affinity"))
+      .orderBy(col("doc_id"))
+    val boundary = marked
+      .filter(col("quota") > lit(0L) && col("quota") < col("c"))
+      .select(col("doc_id"), col("source"), col("affinity"),
+        (row_number().over(wTie) <= col("quota"))
+          .cast("long").as("selected"))
+    decided.unionByName(boundary)
+      .orderBy("doc_id")
+  }
+
   val docSampleQuota: Q = (s, d) => {
     val w = Window.partitionBy(col("lang"))
       .orderBy(Hashing.charHash(col("doc_id").cast("string")), col("doc_id"))
@@ -1385,6 +1452,7 @@ object TextOps {
     "doc_unigram_score" -> docUnigramScore,
     "doc_target_affinity" -> docTargetAffinity,
     "doc_affinity_select" -> docAffinitySelect,
+    "doc_affinity_select_threshold" -> docAffinitySelectThreshold,
     "doc_mix_epochs" -> docMixEpochs,
     "doc_source_stats" -> docSourceStats,
     "tf_top_tokens" -> tfTopTokens,
@@ -1630,6 +1698,22 @@ object TextOps {
       s"""SELECT j.doc_id, j.source, j.affinity,
             CAST(j.rk AS BIGINT) AS rk,
             CAST(j.n_src AS BIGINT) AS n_src,
+            CAST(CASE WHEN j.rk * $AffKeepDen <= j.n_src * $AffKeepNum
+              THEN 1 ELSE 0 END AS BIGINT) AS selected
+          FROM (
+            SELECT d.doc_id, d.source, a.affinity,
+              ROW_NUMBER() OVER (PARTITION BY d.source
+                ORDER BY a.affinity DESC, d.doc_id) AS rk,
+              COUNT(*) OVER (PARTITION BY d.source) AS n_src
+            FROM ($sqlDocAffinity) a
+            JOIN documents d ON a.doc_id = d.doc_id) j
+          ORDER BY j.doc_id""",
+    // the oracle proves the THRESHOLD form selects the exact set the
+    // rank form does, so it deliberately runs the rank formulation —
+    // one semantic result, two plan costs (the asof/compact
+    // convention)
+    "doc_affinity_select_threshold" ->
+      s"""SELECT j.doc_id, j.source, j.affinity,
             CAST(CASE WHEN j.rk * $AffKeepDen <= j.n_src * $AffKeepNum
               THEN 1 ELSE 0 END AS BIGINT) AS selected
           FROM (

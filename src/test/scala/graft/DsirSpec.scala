@@ -105,6 +105,66 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("threshold-form selection keeps the EXACT set the rank form " +
+      "keeps (real corpus + planted boundary ties)") {
+    // real corpus: affinities are mostly distinct, exercising the
+    // pure-filter path
+    def selectedSet(name: String, dir: String): Set[Long] =
+      SparkEntry.queries(name)(spark, dir)
+        .filter(col("selected") === 1L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selectedSet("doc_affinity_select_threshold", Sf) ==
+      selectedSet("doc_affinity_select", Sf))
+    // planted fixture: 7 of 10 docs share one text (one affinity tie
+    // group) so the budget cut of floor(10·2/5)=4 lands INSIDE the
+    // tie group — the boundary doc_id-rank path must fire and split
+    // the ties exactly as the rank form does
+    import spark.implicits._
+    val dir = tmpDir("aff-threshold")
+    val docs = (1L to 10L).map { i =>
+      val t = if (i <= 7) "the quick brown fox jumps high today"
+      else s"unique text body number $i with extra tokens $i"
+      (i, t, if (i % 2 == 0) "en" else "de", "src0", t.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rankRows = SparkEntry.queries("doc_affinity_select")(spark, dir)
+      .select("doc_id", "selected").as[(Long, Long)].collect().toMap
+    val thrRows = SparkEntry
+      .queries("doc_affinity_select_threshold")(spark, dir)
+      .select("doc_id", "selected").as[(Long, Long)].collect().toMap
+    assert(thrRows == rankRows)
+    assert(thrRows.values.count(_ == 1L) == 4,
+      "fixture budget must be floor(10*2/5)=4")
+    // the tie group's selected members must be its smallest doc_ids —
+    // proof the boundary rank path split ties deterministically
+    val tieSel = (1L to 7L).filter(i => thrRows(i) == 1L)
+    assert(tieSel == tieSel.sorted &&
+      tieSel == (1L to tieSel.length.toLong))
+  }
+
+  test("threshold-form plan: no doc-level window buffers a source " +
+      "partition — source-only windows see the histogram, doc_id " +
+      "rides only the (source, affinity) tie window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry
+      .queries("doc_affinity_select_threshold")(spark, Sf)
+      .queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the histogram + tie windows")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.map(_.references.map(_.name).mkString)
+      if (!parts.exists(_.contains("affinity")))
+        assert(!w.child.output.exists(_.name == "doc_id"),
+          "a source-partitioned window is buffering doc rows — the " +
+            s"full-partition shape is back: ${w.child.output.map(_.name)}")
+    }
+  }
+
   test("model broadcasts; document text never transits a hash " +
       "exchange") {
     val qe = SparkEntry.queries("doc_target_affinity")(spark, Sf)
