@@ -335,15 +335,30 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-side length ceiling for the QUADRATIC edit-distance tier:
+    * a pair where either text exceeds this many characters is
+    * excluded from [[dedupEditDistance]] (mirrored in its oracle).
+    * The full DP is O(len_a·len_b) per pair — one planted multi-MB
+    * near-dup pair would stall its task for hours (10⁶² ≈ 10¹² DP
+    * cells) while every other task finishes; at 16 KiB the worst
+    * pair is ~2.7·10⁸ cells, bounded task time. The banded tier
+    * ([[dedupEditBanded]], O(len·k)) and the shingle-Jaccard tier
+    * remain the verifiers for over-ceiling docs — this guard drops
+    * no near-dup from the PIPELINE, only from the quadratic
+    * calibration report. */
+  val EditMaxLen = 16384
+
   /** LSH candidates verified by EDIT DISTANCE instead of shingle
     * Jaccard — the character-level near-dup verifier (catches small
     * in-word edits that word shingles miss). Levenshtein is exact
     * integer DP on both engines; the normalized similarity is one
     * exact division. Cost is O(|pair| · len²) on LSH candidates only —
-    * never all pairs. */
+    * never all pairs — and only on pairs within the [[EditMaxLen]]
+    * per-side ceiling (the len² guard; EditGuardSpec pins it). */
   val dedupEditDistance: Q = (s, d) => {
     val pairs = lshCandidatePairs(s, d)
     val txt = docs(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) <= EditMaxLen)
     pairs
       .join(txt.as("da"), col("doc_a") === col("da.doc_id"))
       .join(txt.as("db"), col("doc_b") === col("db.doc_id"))
@@ -1532,6 +1547,8 @@ object DedupOps {
           FROM pairs p
           JOIN documents da ON p.doc_a = da.doc_id
           JOIN documents db ON p.doc_b = db.doc_id
+          WHERE length(da.text) <= $EditMaxLen
+            AND length(db.text) <= $EditMaxLen
           ORDER BY doc_a, doc_b""",
     // FULL distance + post-hoc threshold: bit-equality proves the
     // banded early-exit verifier returns exactly the capped answer
