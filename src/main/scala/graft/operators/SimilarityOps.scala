@@ -1623,7 +1623,16 @@ object SimilarityOps {
         (0 until ProjDims).map(j => col(s"p$j").as(s"c$j")): _*)
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cand_id"))
-    val short = cp.crossJoin(broadcast(qp))
+    // zero-norm guard: a candidate whose 8 projected coords are all 0
+    // (zero embedding, or orthogonal to every sign row) makes pcos
+    // NaN, and NaN sorts LARGEST under DESC on both engines — one
+    // degenerate row would squat a shortlist slot in every query.
+    // Same left-associated square chain as projCos; mirrored in the
+    // oracle.
+    val candNormPos = (0 until ProjDims)
+      .foldLeft(lit(0.0): Column)((acc, j) =>
+        acc + col(s"c$j") * col(s"c$j")) > lit(0.0)
+    val short = cp.filter(candNormPos).crossJoin(broadcast(qp))
       .select(col("query_id"), col("cand_id"),
         projCos(j => col(s"q$j"), j => col(s"c$j")).as("pcos"))
       .withColumn("prank", row_number().over(wShort))
@@ -1955,7 +1964,9 @@ object SimilarityOps {
                 ORDER BY ${sqlProjCos("q", "c")} DESC, c.vec_id)
                 AS prank
             FROM proj q JOIN proj c
-              ON q.vec_id < $NQueries AND c.vec_id >= $NQueries) z
+              ON q.vec_id < $NQueries AND c.vec_id >= $NQueries
+              AND (${(0 until ProjDims).map(j => s"c.p$j * c.p$j")
+                  .foldLeft("0.0")((acc, t) => s"$acc + $t")}) > 0.0) z
           WHERE prank <= $ProjShortlist)
         SELECT s.query_id, s.cand_id,
           ${sqlCosine("q.embedding", "c.embedding")} AS cos

@@ -907,9 +907,16 @@ object TextOps {
     * priority is in its split's top-k). Needs only (doc_id, lang,
     * n_chars) — document text never enters the sampling path. */
   private[graft] def weightedPriority(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("lang"), col("n_chars").as("weight"),
-      (Hashing.charHash(col("doc_id").cast("string")).cast("double") /
-        col("n_chars").cast("double")).as("priority"))
+    // n_chars > 0 is an explicit contract, not a reliance on IEEE
+    // division semantics: a zero-weight doc would otherwise get
+    // priority +Inf (or NaN when its hash is 0) and sort by whatever
+    // both engines happen to do with non-finite doubles. A weight-0
+    // doc cannot be drawn by weighted sampling anyway — excluded on
+    // both sides (the oracles mirror the filter).
+    df.filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("weight"),
+        (Hashing.charHash(col("doc_id").cast("string")).cast("double") /
+          col("n_chars").cast("double")).as("priority"))
 
   /** Per-language budget for [[docSampleWeightedQuota]]. */
   val WeightedQuotaK = 20
@@ -941,6 +948,7 @@ object TextOps {
           CAST(${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")}
             AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
         FROM documents
+        WHERE n_chars > 0
         ORDER BY priority, doc_id LIMIT $WeightedSampleK"""
 
   /** Power-of-two sequence-length buckets for [[docLengthBuckets]]. */
@@ -1868,7 +1876,7 @@ object TextOps {
             SELECT doc_id, lang, n_chars AS weight,
               CAST(${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")}
                 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
-            FROM documents)
+            FROM documents WHERE n_chars > 0)
           SELECT doc_id, lang, weight, priority, rk FROM (
             SELECT pri.*, CAST(ROW_NUMBER() OVER (PARTITION BY lang
               ORDER BY priority, doc_id) AS BIGINT) AS rk

@@ -146,6 +146,23 @@ class RankProjSampleSpec extends SparkSpec {
     assert(TextOps.docSampleWeighted(spark, dir).count() == 30L)
   }
 
+  test("a zero-weight doc is excluded by contract, never ranked by " +
+      "IEEE +Inf/NaN priority") {
+    val dir = tmpDir("weighted-zero")
+    ((1L to 30L).map(i => (i, "t", "en", "s", 100L + i)) :+
+        ((99L, "", "en", "s", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ids = TextOps.docSampleWeighted(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(99L),
+      "a weight-0 doc entered the weighted draw")
+    assert(ids == (1L to 30L).toSet)
+    val quotaIds = TextOps.docSampleWeightedQuota(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!quotaIds.contains(99L))
+  }
+
   test("selection probability is proportional to weight " +
       "(synthetic two-tier fixture)") {
     val dir = tmpDir("weighted-fixture")
@@ -286,6 +303,7 @@ class RankProjSampleSpec extends SparkSpec {
     }
     val want = queries.flatMap { q =>
       val short = cands
+        .filter(c => chain(proj(c), proj(c)) > 0.0)
         .map { c =>
           val pc = chain(proj(q), proj(c)) /
             (math.sqrt(chain(proj(q), proj(q))) *
@@ -318,6 +336,38 @@ class RankProjSampleSpec extends SparkSpec {
     // 0.0, IVFADC 0.05, PQ 0.075, IVF 0.25); the gate exists to
     // MEASURE the loss, the pin catches a silent collapse to zero
     assert(mean >= 0.1, s"projected-search recall collapsed: $mean")
+  }
+
+  test("a zero-norm candidate never squats a shortlist slot " +
+      "(planted zero embedding)") {
+    // a zero vector projects to 8 zeros -> pcos NaN -> NaN sorts
+    // LARGEST under DESC; without the guard it would enter EVERY
+    // query's shortlist
+    val dir = tmpDir("proj-zero")
+    val n = SimilarityOps.NQueries + 20
+    val rows = (0L until n.toLong).map { i =>
+      val v =
+        if (i == SimilarityOps.NQueries.toLong + 3L)
+          Array.fill(SimilarityOps.Dims)(0.0f)
+        else Array.tabulate(SimilarityOps.Dims)(j =>
+          math.sin(i * 31.0 + j).toFloat)
+      (i, v, (i % 3).toInt)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2.toSeq, r._3))), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val zeroId = SimilarityOps.NQueries.toLong + 3L
+    val out = SimilarityOps.annProjRerank(spark, dir)
+      .select(col("cand_id")).as[Long].collect()
+    assert(!out.contains(zeroId),
+      "the zero-norm candidate reached the rerank output")
+    assert(out.nonEmpty)
   }
 
   test("projection plan is scan+project; the only exchange is the " +
