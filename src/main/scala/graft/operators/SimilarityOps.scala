@@ -238,6 +238,22 @@ object SimilarityOps {
     * quadratic in the dup-group size. One window pass; honest corpora
     * have no identical vectors, so this is a no-op passthrough there
     * (all three testdata SFs verified duplicate-free). */
+  /** 16-byte md5 fingerprint of a float-array embedding, injective
+    * up to md5 collision (the repo-wide accepted canon risk): Spark's
+    * float→string cast is shortest round-trip, so the comma-joined
+    * serialization distinguishes any two element-different vectors,
+    * with the three normalizations documented at [[canonVecs]] (null
+    * elements sentinel'd, −0.0 folded to +0.0, NULL array distinct
+    * from empty array). Shared by the batch canon window and the
+    * streaming ingest collapse — 32 hex chars key the exchange/state,
+    * never the 4·[[Dims]]-byte array itself. */
+  private[graft] def vecFingerprint(e: Column): Column =
+    when(e.isNull, lit("<null-embedding>"))
+      .otherwise(md5(concat_ws(",",
+        transform(e,
+          v => coalesce((v + lit(0.0f)).cast("string"), lit("null"))))
+        .cast("binary")))
+
   private[graft] def canonVecs(s: SparkSession, d: String): DataFrame = {
     // Partition the window by a 16-byte md5 fingerprint of the vector
     // rather than the raw 128-byte float array — the same canon
@@ -257,11 +273,7 @@ object SimilarityOps {
     //  - a NULL embedding gets its own sentinel fingerprint, distinct
     //    from the empty array's md5("") (transform(NULL) is NULL and
     //    concat_ws would silently merge the two groups).
-    val fp = when(col("embedding").isNull, lit("<null-embedding>"))
-      .otherwise(md5(concat_ws(",",
-        transform(col("embedding"),
-          v => coalesce((v + lit(0.0f)).cast("string"), lit("null"))))
-        .cast("binary")))
+    val fp = vecFingerprint(col("embedding"))
     val w = Window.partitionBy(fp)
     emb(s, d)
       .select(col("vec_id"),
@@ -1733,6 +1745,33 @@ object SimilarityOps {
                THEN 'near_dup' ELSE 'ok' END AS flag
         FROM wb b JOIN wb c
           ON b.bucket = c.bucket AND b.is_new AND NOT c.is_new
+        ORDER BY b.vec_id, cand_id"""
+
+  /** Batch mirror of the streaming ingest-dedup probe
+    * (`stream_vec_dedup`): the incoming side collapses to ONE
+    * representative per distinct embedding (min vec_id — equals
+    * first-arrival on the duplicate-free gate corpora; planted-dup
+    * semantics are unit-pinned with a controlled source) before the
+    * same bucket probe as [[sqlAnnUpsertHits]]. */
+  private[graft] def sqlAnnUpsertDedupHits: String =
+    s"""WITH wb AS (
+          SELECT vec_id, embedding,
+            ${sqlBucket("embedding")} AS bucket,
+            ${graft.functions.Hashing
+              .sqlCharHash("CAST(vec_id AS VARCHAR)")} % 10 = 7 AS is_new
+          FROM embeddings),
+        inc AS (
+          SELECT vec_id, embedding, bucket FROM (
+            SELECT vec_id, embedding, bucket,
+              MIN(vec_id) OVER (PARTITION BY embedding) AS canon_id
+            FROM wb WHERE is_new) z
+          WHERE vec_id = canon_id)
+        SELECT b.vec_id, b.bucket, c.vec_id AS cand_id,
+          ${sqlCosine("b.embedding", "c.embedding")} AS cos,
+          CASE WHEN ${sqlCosine("b.embedding", "c.embedding")} >= 0.35
+               THEN 'near_dup' ELSE 'ok' END AS flag
+        FROM inc b JOIN wb c
+          ON b.bucket = c.bucket AND NOT c.is_new
         ORDER BY b.vec_id, cand_id"""
 
   private def sqlBucket(embExpr: String): String =

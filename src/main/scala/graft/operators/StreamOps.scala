@@ -640,6 +640,50 @@ object StreamOps {
       .orderBy("vec_id", "cand_id")
   }
 
+  /** Streaming VECTOR exact-dup collapse at the ingest gate, feeding
+    * the [[streamAnnUpsert]] probe: incoming vectors first pass a
+    * watermarked `dropDuplicatesWithinWatermark` keyed on the 16-byte
+    * md5 vector fingerprint ([[SimilarityOps.vecFingerprint]] — the
+    * same canon discipline as the batch `emb_canon` window; the
+    * 4·Dims-byte float array NEVER keys the state store), then the
+    * survivors probe the persisted corpus index exactly as
+    * [[streamAnnUpsert]] does. This closes the re-ingest hole in the
+    * online tier: a mirrored/replayed embedding batch (the skew
+    * probe's 10%-identical shape) otherwise multiplies every bucket
+    * probe by the dup-group size — here each distinct vector pays for
+    * its probe ONCE per watermark window, and state is (fp,
+    * event-time) pairs bounded by the watermark, not unbounded key
+    * history. Event time is the arrival sequence (`vec_id` is the
+    * ingest sequence number, as the events stream's `ts` is its
+    * arrival clock); with the replay delay covering the corpus the
+    * emitted set equals the batch mirror — which is what the oracle
+    * pins (incoming side collapsed to one representative per distinct
+    * embedding); planted-dup first-arrival semantics are unit-pinned
+    * in StreamGateSpec with a controlled source. */
+  val streamVecDedup: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def isNew(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    val corpus = SimilarityOps.upsertCorpus(s, d, isNew)
+    val admitted = embStream(s, d)
+      .filter(isNew(col("vec_id")))
+      .withColumn("vec_fp",
+        SimilarityOps.vecFingerprint(col("embedding")))
+      .withColumn("ts", timestamp_seconds(col("vec_id")))
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("vec_fp")
+    val incoming = SimilarityOps.probeRows(
+      admitted.select(col("vec_id"), col("embedding")))
+    val cos = SimilarityOps.cosPre(
+      col("qe"), col("ce"), col("qn"), col("cn"))
+    val hits = incoming.join(corpus, Seq("bucket"))
+      .select(col("vec_id"), col("bucket"), col("cand_id"),
+        cos.as("cos"),
+        when(cos >= 0.35, "near_dup").otherwise("ok").as("flag"))
+    runToTable(s, hits, "append")
+      .orderBy("vec_id", "cand_id")
+  }
+
   /** Substring-dedup gate ON INGEST: each incoming document's
     * distinct CDC chunk digests (the stateless
     * [[MultimodalOps.chunkDigestRows]] projection — pure expressions,
@@ -1092,6 +1136,7 @@ object StreamOps {
     "stream_cdc_strip" -> streamCdcStrip,
     "stream_cdc_candidates" -> streamCdcCandidates,
     "stream_ann_upsert" -> streamAnnUpsert,
+    "stream_vec_dedup" -> streamVecDedup,
     "stream_hourly" -> streamHourly,
     "stream_static_join" -> streamStaticJoin,
     "stream_asof" -> streamAsof,
@@ -1206,6 +1251,7 @@ object StreamOps {
     "stream_cdc_candidates" -> MultimodalOps.sqlCdcCandidates,
     "stream_cdc_strip" -> DedupOps.sqlCdcStrip,
     "stream_ann_upsert" -> SimilarityOps.sqlAnnUpsertHits,
+    "stream_vec_dedup" -> SimilarityOps.sqlAnnUpsertDedupHits,
     "stream_neardup_candidates" -> DedupOps.sqlNeardupCandidates,
     "stream_conversion_window" ->
       """WITH base AS (

@@ -281,6 +281,48 @@ class StreamGateSpec extends SparkSpec {
       "genuinely new docs must pass the gate")
   }
 
+  test("streaming vector ingest collapse: a planted duplicate vector " +
+      "is admitted once, state keys on the md5 fingerprint") {
+    import graft.operators.SimilarityOps
+    // three hash-gated ingest ids: twins share one vector, the third
+    // is distinct
+    val newIds = spark.range(1000L)
+      .filter(isNew(col("id"))).as[Long].take(3)
+    assert(newIds.length == 3)
+    val Seq(twinA, twinB, solo) = newIds.toSeq
+    val v1 = Seq.tabulate(SimilarityOps.Dims)(j => (j + 1).toFloat)
+    val v2 = Seq.tabulate(SimilarityOps.Dims)(j => (2 * j + 1).toFloat)
+    val in = MemoryStream[(Long, Seq[Float])]
+    in.addData((twinA, v1), (twinB, v1), (solo, v2))
+    val stream = in.toDF.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val admitted = stream.filter(isNew(col("vec_id")))
+      .withColumn("vec_fp",
+        SimilarityOps.vecFingerprint(col("embedding")))
+      .withColumn("ts", timestamp_seconds(col("vec_id")))
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("vec_fp")
+    val q = admitted.writeStream.format("memory")
+      .queryName("vec_dedup_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("vec_dedup_spec")
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(got.contains(solo), "the distinct vector must be admitted")
+    assert(got.intersect(Set(twinA, twinB)).size == 1,
+      s"exactly one of the byte-identical twins must survive: $got")
+    // the collapse IS stateful (unlike the stateless probes) — but
+    // its state is one (fingerprint, event-time) pair per distinct
+    // vector inside the watermark, never the float array
+    val stateOps = q.recentProgress.flatMap(_.stateOperators)
+    assert(stateOps.nonEmpty,
+      "the watermarked collapse must allocate a dedup state store")
+    assert(stateOps.map(_.numRowsTotal).max == 2L,
+      "state rows must equal DISTINCT fingerprints (2), not input " +
+        "rows (3)")
+  }
+
   test("ANN upsert gate is stateless and bit-equal to its batch mirror") {
     import graft.operators.SimilarityOps
     val corpus = SimilarityOps.upsertCorpus(spark, Sf, isNew(_))
