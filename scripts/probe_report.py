@@ -59,6 +59,40 @@ def ratio_table(name, base, num):
             "errored": sorted(berr | nerr)}
 
 
+def canary_headline():
+    """Print the committed bench headline raw AND canary-normalized.
+
+    bench_result.json carries canary_sec (this run's host-speed
+    measurement) and, when benchdata/canary_ref.json existed at run
+    time, canary_ratio; value_canary_norm = value / ratio is the
+    headline a reference-speed host would have produced. Cross-round
+    comparisons should use the normalized number; the raw number is
+    the committed artifact."""
+    br = os.path.join(BD, "..", "bench_result.json")
+    if not os.path.exists(br):
+        return None
+    with open(br) as f:
+        d = json.load(f)
+    out = {"value": d.get("value")}
+    print("\n== bench headline ==")
+    print(f"  raw total: {d.get('value')} s ({len(d.get('queries', {}))} queries)")
+    if "canary_ratio" in d:
+        out.update(canary_sec=d["canary_sec"],
+                   canary_ref_sec=d["canary_ref_sec"],
+                   canary_ratio=d["canary_ratio"],
+                   value_canary_norm=d["value_canary_norm"])
+        print(f"  canary: {d['canary_sec']} s vs ref {d['canary_ref_sec']} s"
+              f" -> host ratio {d['canary_ratio']}x")
+        print(f"  canary-normalized total: {d['value_canary_norm']} s"
+              f"  <- compare THIS across rounds")
+    elif "canary_sec" in d:
+        out["canary_sec"] = d["canary_sec"]
+        print(f"  canary: {d['canary_sec']} s (no committed reference)")
+    else:
+        print("  no canary in this bench run")
+    return out
+
+
 def main():
     summary = {}
     pairs = [
@@ -72,6 +106,9 @@ def main():
             print(f"\n== {name}: missing data ({base_tag} or {num_tag}) ==")
             continue
         summary[key] = ratio_table(name, base, num)
+    ch = canary_headline()
+    if ch:
+        summary["headline"] = ch
     with open(os.path.join(BD, "probe_summary.json"), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(f"\nwrote {os.path.join(BD, 'probe_summary.json')}")

@@ -19,20 +19,93 @@ object Bench {
   private[graft] def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Fixed host-speed canary: 10 cheap queries spanning scan, hash
+    * agg, join, as-of window, text codegen, fingerprint groupBy and
+    * vector math — run 3× (post-warm-up, pre-suite) so every
+    * committed bench carries its own measurement of AMBIENT HOST
+    * SPEED. Two rounds on drifted hardware showed a uniform 1.34×
+    * swing on queries with zero-line plan diffs; the canary ratio
+    * (canary_sec / committed reference) turns that judgement call
+    * into arithmetic: `value_canary_norm = value / ratio` is the
+    * headline a same-speed host would have produced. The set is
+    * FROZEN — changing it invalidates `benchdata/canary_ref.json`
+    * (re-measure the reference in the same commit, CanarySpec pins
+    * the pairing). */
+  val CanaryNames: Seq[String] = Seq(
+    "q0_scan", "q1_pricing_summary", "q2_revenue_by_nation",
+    "ev_asof_join", "ev_type_stats", "text_token_count",
+    "doc_unigram_score", "dedup_exact", "emb_rand_proj", "mm_meta")
+  val CanaryReps = 3
+  private[graft] val CanaryRefPath = "benchdata/canary_ref.json"
+
+  /** min-across-reps of the canary totals — the probe convention
+    * (noise only ever adds time on an otherwise idle host). */
+  private[graft] def canarySec(repTotals: Seq[Double]): Double =
+    repTotals.min
+
+  /** The committed reference canary seconds, if present. */
+  private[graft] def canaryRef(): Option[Double] = {
+    val p = java.nio.file.Paths.get(CanaryRefPath)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      // single-value extraction, no JSON lib on the main classpath:
+      // the file is written by this object (writeCanary) so the
+      // shape is fixed
+      val s = java.nio.file.Files.readString(p)
+      val m = """"canary_sec"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(s)
+      m.map(_.group(1).toDouble)
+    }
+  }
+
+  /** (canary_sec, ref, ratio) serialized into the result lines; None
+    * when the canary was skipped (filtered run / env opt-out). */
+  private[graft] def canaryFields(c: Option[(Double, Option[Double])]): String =
+    c match {
+      case None => ""
+      case Some((sec, ref)) =>
+        val base = s""","canary_sec":${fmt(sec)}"""
+        ref match {
+          case None => base
+          case Some(r) =>
+            // 6 decimals: at 3 the rounded ratio drifts the implied
+            // value/value_canary_norm relation by whole seconds
+            val ratio = String.format(java.util.Locale.ROOT, "%.6f",
+              Double.box(sec / r))
+            base + s""","canary_ref_sec":${fmt(r)}""" +
+              s""","canary_ratio":$ratio"""
+        }
+    }
+
+  private def normField(total: Double,
+      c: Option[(Double, Option[Double])]): String =
+    c match {
+      case Some((sec, Some(r))) if sec > 0.0 =>
+        s""","value_canary_norm":${fmt(total / (sec / r))}"""
+      case _ => ""
+    }
+
   /** Full per-query JSON — grows with the query count, so it is NOT
     * the final stdout line (see below). */
-  private[graft] def fullLine(results: Seq[(String, Double)], sfDir: String): String = {
+  private[graft] def fullLine(results: Seq[(String, Double)], sfDir: String,
+      canary: Option[(Double, Option[Double])] = None): String = {
     val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      canaryFields(canary) + normField(total, canary) +
+      s""","queries":$qs,"sf":"$sfDir"}"""
   }
 
-  /** Compact fixed-size summary (~110 B, bounded ≤256 B by
-    * DriverContractSpec) printed as the very last stdout line. */
-  private[graft] def summaryLine(results: Seq[(String, Double)], sfDir: String): String = {
+  /** Compact fixed-size summary (~110 B raw, ~190 B with the canary
+    * triple; bounded ≤256 B by DriverContractSpec) printed as the
+    * very last stdout line. */
+  private[graft] def summaryLine(results: Seq[(String, Double)], sfDir: String,
+      canary: Option[(Double, Option[Double])] = None): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      canaryFields(canary) + normField(total, canary) +
+      s""","n_queries":${results.size},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -91,6 +164,27 @@ object Bench {
     // an empty set as 0.0s
     val unknown = args.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    // host-speed canary: full-suite (driver) invocations only —
+    // filtered local reruns and the sf1 probes compare within one
+    // host/session and would just pay 3 extra reps
+    val canary: Option[(Double, Option[Double])] =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_CANARY").contains("0"))
+        None
+      else {
+        val reps = (1 to CanaryReps)
+          .map(_ => CanaryNames.map(run).filter(_ >= 0).sum)
+        val sec = canarySec(reps)
+        val ref = canaryRef()
+        val repsJson = reps.map(fmt).mkString("[", ",", "]")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_canary.json"),
+          s"""{"canary_sec":${fmt(sec)},"reps":$repsJson""" +
+            ref.map(r => s""","ref_sec":${fmt(r)},"ratio":${fmt(sec / r)}""")
+              .getOrElse("") +
+            s""","names":${CanaryNames.map(n => s""""$n"""")
+              .mkString("[", ",", "]")},"sf":"$sfDir"}\n""")
+        Some((sec, ref))
+      }
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
     val results = names.map(n => n -> run(n))
@@ -102,11 +196,12 @@ object Bench {
     // Whichever of the two tail lines the driver's parser grabs, it
     // parses.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_result.json"), fullLine(results, sfDir) + "\n")
+      java.nio.file.Paths.get("bench_result.json"),
+      fullLine(results, sfDir, canary) + "\n")
     // stop FIRST so no shutdown logging can land after the JSON: the
     // driver reads the tail of stdout and must see these lines last
     spark.stop()
-    println(fullLine(results, sfDir))
-    println(summaryLine(results, sfDir))
+    println(fullLine(results, sfDir, canary))
+    println(summaryLine(results, sfDir, canary))
   }
 }
