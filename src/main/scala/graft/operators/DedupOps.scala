@@ -1165,7 +1165,14 @@ object DedupOps {
     * grouped doc list with the [[MaxChunkDf]] cap, the same
     * Σ bucket² discipline as the LSH tier — no self-join, no
     * quadratic blow-up on a hot digest. */
-  val textCdcDedup: Q = (s, d) => {
+  /** The CDC shared-chunk pair relation (doc_a, doc_b,
+    * n_shared_chunks, shared_bytes) — `text_cdc_dedup`'s body,
+    * exposed because it is also the small-in-big candidate generator
+    * for [[dedupContainment]] (a doc pasted inside a larger one
+    * shares its CDC chunks even when its Jaccard — and therefore its
+    * LSH collision probability — is low). */
+  private[graft] def cdcSharedPairs(
+      s: SparkSession, d: String): DataFrame = {
     // the persisted chunk store ([[MultimodalOps.chunkStore]]) is the
     // scan side; a chunk repeated WITHIN a doc counts once toward
     // sharing
@@ -1188,6 +1195,68 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared_chunks"),
         sum(col("chunk_len")).as("shared_bytes"))
       .filter(col("shared_bytes") >= MinSharedBytes)
+  }
+
+  val textCdcDedup: Q = (s, d) =>
+    cdcSharedPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** Containment verdict threshold τ = [[ContainNum]]/[[ContainDen]]
+    * (integer cross-multiplication on both engines, no double
+    * compare): side X is "inside" the other when n_inter·Den ≥
+    * n_X·Num. */
+  val ContainNum = 4L
+  val ContainDen = 5L
+
+  /** ASYMMETRIC near-dup detection by shingle-set CONTAINMENT
+    * (Broder's containment coefficient C(A,B) = |A∩B|/|A|) — the
+    * duplicate class Jaccard structurally misses: a short document
+    * pasted inside a long one has J = |A|/|B| → 0 as the host grows,
+    * but C(A, B) = 1. Candidates are the UNION of two generators,
+    * each covering the other's blind spot: LSH pairs (symmetric
+    * near-dups) and CDC shared-chunk pairs ([[cdcSharedPairs]] —
+    * shared rare chunks survive any size imbalance, so the
+    * small-in-big pair IS a candidate even though no LSH bucket
+    * fires). Verification is the exact distinct-shingle intersection
+    * equi-join of [[dedupJaccard]] (cost ∝ candidates, never
+    * all-pairs); verdicts classify each pair `mutual` / `a_in_b` /
+    * `b_in_a` / `partial` at τ = 4/5. Pairs where either side has
+    * < 3 tokens (no shingle set) are out of scope — the CDC/exact
+    * tiers own those. */
+  val dedupContainment: Q = (s, d) => {
+    val lsh = lshCandidatePairs(s, d).select(col("doc_a"), col("doc_b"))
+    val cdc = cdcSharedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val cand = lsh.unionByName(cdc).distinct().localCheckpoint(true)
+    val sh = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks")))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("za.n").as("n_a"), col("zb.n").as("n_b"),
+        (col("n_inter").cast("double") / col("za.n").cast("double"))
+          .as("contain_a"),
+        (col("n_inter").cast("double") / col("zb.n").cast("double"))
+          .as("contain_b"),
+        when(col("n_inter") * ContainDen >= col("za.n") * ContainNum &&
+            col("n_inter") * ContainDen >= col("zb.n") * ContainNum,
+          "mutual")
+          .when(col("n_inter") * ContainDen >= col("za.n") * ContainNum,
+            "a_in_b")
+          .when(col("n_inter") * ContainDen >= col("zb.n") * ContainNum,
+            "b_in_a")
+          .otherwise("partial").as("verdict"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1220,7 +1289,58 @@ object DedupOps {
     "doc_snapshot_drift" -> docSnapshotDrift,
     "text_cdc_remove" -> textCdcRemove,
     "dedup_minhash_est" -> dedupMinhashEst,
-    "dedup_keep_best" -> dedupKeepBest)
+    "dedup_keep_best" -> dedupKeepBest,
+    "dedup_containment" -> dedupContainment)
+
+  /** CDC shared-chunk pair CTE block (`b`/`se`/`ch`/`pd`/`el`/`cdcp`)
+    * — the oracle mirror of [[cdcSharedPairs]], shared by
+    * `text_cdc_dedup` and `dedup_containment`. Same O(n·W)
+    * window-fold boundary mirror as the mm_cdc_* oracles
+    * (MultimodalOps) — ASCII corpus ⇒ byte == ascii(char). */
+  private def sqlCdcPairCtes: String = {
+    val W = graft.functions.CdcBoundaries.Window
+    val D = graft.functions.CdcBoundaries.Divisor
+    val bl = "CAST(octet_length(encode(text)) AS BIGINT)"
+    s"""b AS (
+            SELECT doc_id, text, $bl AS n,
+              list_filter(range($W, $bl),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % ${graft.functions.Hashing.P})
+                     % $D = 0) AS bs
+            FROM documents WHERE $bl > 0),
+          se AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id,
+              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5,
+              ends[i] - starts[i] AS chunk_len
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                      AS i
+                  FROM se) z),
+          pd AS (
+            SELECT doc_id, chunk_md5, MIN(chunk_len) AS chunk_len
+            FROM ch GROUP BY doc_id, chunk_md5),
+          el AS (
+            SELECT chunk_md5, MIN(chunk_len) AS chunk_len
+            FROM pd GROUP BY chunk_md5
+            HAVING COUNT(*) BETWEEN 2 AND $MaxChunkDf),
+          cdcp AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              COUNT(*) AS n_shared_chunks,
+              CAST(SUM(e.chunk_len) AS BIGINT) AS shared_bytes
+            FROM el e
+            JOIN pd x ON x.chunk_md5 = e.chunk_md5
+            JOIN pd y ON y.chunk_md5 = e.chunk_md5 AND x.doc_id < y.doc_id
+            GROUP BY doc_a, doc_b
+            HAVING SUM(e.chunk_len) >= $MinSharedBytes)"""
+  }
 
   /** Recursive CTE mirror of [[components]]: min reachable doc_id via
     * transitive closure (fine at oracle scale; the Spark side is the
@@ -1340,52 +1460,52 @@ object DedupOps {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
-    "text_cdc_dedup" -> {
-      val W = graft.functions.CdcBoundaries.Window
-      val D = graft.functions.CdcBoundaries.Divisor
-      val bl = "CAST(octet_length(encode(text)) AS BIGINT)"
-      // same O(n·W) window-fold boundary mirror as the mm_cdc_* oracles
-      // (MultimodalOps) — ASCII corpus => byte == ascii(char)
-      s"""WITH b AS (
-            SELECT doc_id, text, $bl AS n,
-              list_filter(range($W, $bl),
-                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(o - $W + 1, o + 1),
-                         j -> CAST(ascii(text[j]) AS BIGINT))),
-                       (h, c) -> (h * 31 + c) % ${graft.functions.Hashing.P})
-                     % $D = 0) AS bs
-            FROM documents WHERE $bl > 0),
-          se AS (
-            SELECT doc_id, text,
-              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
-              list_append(bs, n) AS ends
-            FROM b),
-          ch AS (
-            SELECT doc_id,
-              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
-                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5,
-              ends[i] - starts[i] AS chunk_len
-            FROM (SELECT doc_id, text, starts, ends,
-                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
-                      AS i
-                  FROM se) z),
-          pd AS (
-            SELECT doc_id, chunk_md5, MIN(chunk_len) AS chunk_len
-            FROM ch GROUP BY doc_id, chunk_md5),
-          el AS (
-            SELECT chunk_md5, MIN(chunk_len) AS chunk_len
-            FROM pd GROUP BY chunk_md5
-            HAVING COUNT(*) BETWEEN 2 AND $MaxChunkDf)
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-            COUNT(*) AS n_shared_chunks,
-            CAST(SUM(e.chunk_len) AS BIGINT) AS shared_bytes
-          FROM el e
-          JOIN pd x ON x.chunk_md5 = e.chunk_md5
-          JOIN pd y ON y.chunk_md5 = e.chunk_md5 AND x.doc_id < y.doc_id
-          GROUP BY doc_a, doc_b
-          HAVING SUM(e.chunk_len) >= $MinSharedBytes
-          ORDER BY doc_a, doc_b"""
-    },
+    "text_cdc_dedup" ->
+      s"""WITH $sqlCdcPairCtes
+          SELECT doc_a, doc_b, n_shared_chunks, shared_bytes
+          FROM cdcp ORDER BY doc_a, doc_b""",
+    "dedup_containment" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          $sqlCandPairs,
+          $sqlCdcPairCtes,
+          allp AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION
+            SELECT doc_a, doc_b FROM cdcp),
+          sh AS (
+            SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+            WHERE length(toks) >= 3),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT doc_a, doc_b, COUNT(*) AS n_inter
+            FROM allp
+            JOIN sh sa ON doc_a = sa.doc_id
+            JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+            GROUP BY doc_a, doc_b)
+          SELECT p.doc_a, p.doc_b,
+            CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+            CAST(za.n AS BIGINT) AS n_a,
+            CAST(zb.n AS BIGINT) AS n_b,
+            CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(za.n AS DOUBLE) AS contain_a,
+            CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(zb.n AS DOUBLE) AS contain_b,
+            CASE
+              WHEN COALESCE(i.n_inter, 0) * $ContainDen
+                     >= za.n * $ContainNum
+                   AND COALESCE(i.n_inter, 0) * $ContainDen
+                     >= zb.n * $ContainNum THEN 'mutual'
+              WHEN COALESCE(i.n_inter, 0) * $ContainDen
+                     >= za.n * $ContainNum THEN 'a_in_b'
+              WHEN COALESCE(i.n_inter, 0) * $ContainDen
+                     >= zb.n * $ContainNum THEN 'b_in_a'
+              ELSE 'partial' END AS verdict
+          FROM allp p
+          LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+          JOIN sizes za ON p.doc_a = za.doc_id
+          JOIN sizes zb ON p.doc_b = zb.doc_id
+          ORDER BY 1, 2""",
     "text_cdc_remove" -> {
       val W = graft.functions.CdcBoundaries.Window
       val D = graft.functions.CdcBoundaries.Divisor

@@ -132,11 +132,12 @@ object SketchOps {
     * cell addressing, shared by every CMS oracle (matrix monitor,
     * heavy-hitter probe, shard merge). `extra` prefixes pass-through
     * columns. */
-  private def sqlCmsCells(from: String, extra: String = ""): String = {
+  private def sqlCmsCells(from: String, extra: String = "",
+      width: Long = CmsWidth): String = {
     val pre = if (extra.isEmpty) "" else s"$extra, "
     (0 until CmsDepth).map(i =>
       s"SELECT $pre$i AS row, " +
-        s"${sqlSketchPos("h", i, CmsWidth)} AS bucket FROM $from")
+        s"${sqlSketchPos("h", i, width)} AS bucket FROM $from")
       .mkString("\n            UNION ALL ")
   }
 
@@ -269,6 +270,79 @@ object SketchOps {
       .select(col("token"), col("true_cnt"), col("est_cnt"),
         (col("est_cnt") - col("true_cnt")).as("overcount"))
       .orderBy(col("true_cnt").desc, col("token"))
+  }
+
+  /** Heavy-hitter threshold for [[tfHeavyHitters]]: heavy means
+    * count ≥ max(N div [[HeavyDen]], [[HeavyMinCnt]]) — relative so
+    * the bar tracks corpus size, floored so tiny corpora don't
+    * declare every 1-count gram heavy. */
+  val HeavyDen = 15000L
+  val HeavyMinCnt = 6L
+
+  /** The heavy-hitter tier's own matrix width: the filter only
+    * prunes when expected collision mass N/width sits WELL BELOW the
+    * threshold (at the monitor width 1024 a 16k-gram universe puts
+    * ~25 collision counts in every cell — est ≥ 6 then admits the
+    * whole vocabulary, an empirically-caught failure). 65536 buckets
+    * → collision mass ≈ N/65536 ≪ [[HeavyMinCnt]] at every probed
+    * SF; memory is still a fixed d×w = 256 Ki cells however large
+    * the corpus. */
+  val HeavyCmsWidth: Long = 65536L
+
+  /** SKETCH-FILTERED heavy hitters over the 3-word-shingle stream —
+    * the real heavy-hitter pipeline, where [[tfCmsCounts]] is the
+    * calibration report (it probes the TRUE top-k; this query does
+    * not know the answer in advance). Three bounded passes:
+    *
+    *   1. the d×w CMS matrix over shingle hashes (fixed memory,
+    *      combinable groupBy);
+    *   2. candidate generation: DISTINCT shingles probed against the
+    *      BROADCAST matrix (est = min over d addressed cells),
+    *      kept iff est ≥ threshold — CMS never underestimates, so
+    *      this admits every true heavy hitter (no false negatives BY
+    *      CONSTRUCTION; collision overcounts only ADD candidates,
+    *      each later exposed by exact verification);
+    *   3. exact verification: the shingle stream semi-joins to the
+    *      (tiny, broadcast) candidate set BEFORE the exact count
+    *      groupBy — the full-vocabulary exact aggregate, the thing
+    *      that needs unbounded reduce-side state on an open n-gram
+    *      universe at 100 TB, never runs.
+    *
+    * Output labels each candidate `heavy` or `cms_false_positive` —
+    * the false-positive rows are the measured price of the d×w
+    * memory bound. All-integer thresholds; both engines run the
+    * identical sketch arithmetic, so estimates (collisions included)
+    * are bit-equal. */
+  val tfHeavyHitters: Q = (s, d) => {
+    val grams = docs(s, d)
+      .withColumn("toks", Hashing.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(Hashing.shingles(col("toks"))).as("g"))
+      .localCheckpoint(true)
+    val cms = grams
+      .select(posexplode(
+        posArray(Hashing.charHash(col("g")), HeavyCmsWidth, CmsDepth)))
+      .toDF("row", "bucket")
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    val total = grams.agg(count(lit(1)).as("n_total"))
+    val thr = greatest(expr(s"n_total div $HeavyDen"), lit(HeavyMinCnt))
+    val cand = grams.distinct()
+      .select(col("g"), posexplode(
+        posArray(Hashing.charHash(col("g")), HeavyCmsWidth, CmsDepth)))
+      .toDF("g", "row", "bucket")
+      .join(broadcast(cms), Seq("row", "bucket"))
+      .groupBy("g").agg(min(col("cnt")).as("est_cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("est_cnt") >= thr)
+    val exact = grams
+      .join(broadcast(cand.select("g")), Seq("g"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("true_cnt"))
+    cand.join(exact, "g")
+      .select(col("g").as("gram"), col("est_cnt"), col("true_cnt"),
+        col("n_total"),
+        when(col("true_cnt") >= thr, "heavy")
+          .otherwise("cms_false_positive").as("verdict"))
+      .orderBy(col("true_cnt").desc, col("gram"))
   }
 
   /** (reg, rho) projection of a relation of distinct hashes `h`,
@@ -769,6 +843,7 @@ object SketchOps {
     "dedup_kmv_overlap" -> dedupKmvOverlap,
     "dedup_kmv_matrix" -> dedupKmvMatrix,
     "tf_cms_counts" -> tfCmsCounts,
+    "tf_heavy_hitters" -> tfHeavyHitters,
     "tf_cms_merge" -> tfCmsMerge,
     "tf_hll_distinct" -> tfHllDistinct,
     "tf_hll_merge" -> tfHllMerge)
@@ -1100,6 +1175,42 @@ object SketchOps {
           FROM pcell p JOIN cms c ON p.row = c.row AND p.bucket = c.bucket
           GROUP BY p.token, p.true_cnt
           ORDER BY p.true_cnt DESC, p.token"""
+    },
+    "tf_heavy_hitters" -> {
+      val h = Hashing.sqlCharHash("g")
+      s"""WITH tk AS (
+            SELECT ${Hashing.sqlTokens("text")} AS toks FROM documents),
+          grams AS (
+            SELECT unnest(${Hashing.sqlNgrams("toks", 3)}) AS g
+            FROM tk WHERE length(toks) >= 3),
+          hh AS (SELECT $h AS h FROM grams),
+          cms AS (
+            SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            ${sqlCmsCells("hh", width = HeavyCmsWidth)}) z
+            GROUP BY row, bucket),
+          thr AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+              greatest(CAST(COUNT(*) AS BIGINT) // $HeavyDen,
+                $HeavyMinCnt) AS t
+            FROM grams),
+          pr AS (SELECT g, $h AS h FROM (SELECT DISTINCT g FROM grams)),
+          pcell AS (
+            ${sqlCmsCells("pr", "g", HeavyCmsWidth)}),
+          est AS (
+            SELECT p.g, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+            FROM pcell p JOIN cms c
+              ON p.row = c.row AND p.bucket = c.bucket
+            GROUP BY p.g),
+          cand AS (
+            SELECT e.g, e.est_cnt FROM est e, thr WHERE e.est_cnt >= thr.t),
+          ex AS (
+            SELECT grams.g, CAST(COUNT(*) AS BIGINT) AS true_cnt
+            FROM grams JOIN cand ON grams.g = cand.g GROUP BY grams.g)
+          SELECT c.g AS gram, c.est_cnt, x.true_cnt, thr.n_total,
+            CASE WHEN x.true_cnt >= thr.t THEN 'heavy'
+                 ELSE 'cms_false_positive' END AS verdict
+          FROM cand c JOIN ex x ON c.g = x.g, thr
+          ORDER BY x.true_cnt DESC, gram"""
     },
     "tf_hll_distinct" ->
       s"""WITH tok AS (
