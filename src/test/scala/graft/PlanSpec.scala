@@ -450,4 +450,29 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2,
       s"stage counts must come from one documents pass plus the canon pass, saw $scans scans:\n${p.take(1500)}")
   }
+
+  test("heavy hitters: the CMS matrix broadcasts onto the probe and " +
+      "the exact tier is candidate-pruned, never a full-vocab count") {
+    val p = physical("tf_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded d×w matrix must broadcast onto the distinct-gram " +
+        s"probe:\n${p.take(1500)}")
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"the exact count must consume the SEMI-JOINED gram stream — a " +
+        s"full-vocabulary exact aggregate defeats the sketch:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("containment: intersection is an equi-join over candidate " +
+      "pairs — no cartesian, no all-pairs") {
+    val p = physical("dedup_containment")
+    assert(!p.contains("CartesianProduct"),
+      s"containment must verify candidates, never enumerate " +
+        s"all pairs:\n${p.take(1500)}")
+    // the candidate union is checkpoint-materialized so the LSH/CDC
+    // generators run once, not once per downstream consumer
+    assert(p.contains("ExistingRDD"),
+      s"candidate pairs must be checkpoint-truncated:\n${p.take(1500)}")
+  }
 }
