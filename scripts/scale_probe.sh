@@ -21,7 +21,8 @@ dedup_kmv_overlap dedup_kmv_matrix ev_histogram_merge \
 ev_histogram_by_type \
 emb_semdedup doc_target_affinity doc_affinity_select \
 ev_type_pagerank ev_user_pagerank doc_sample_weighted emb_rand_proj \
-ann_proj_rerank"
+ann_proj_rerank doc_affinity_select doc_affinity_select_threshold \
+dedup_containment tf_heavy_hitters"
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
