@@ -122,6 +122,46 @@ object SketchOps {
       .distinct()
       .withColumn("hit", lit(1L))
 
+  /** The heavy-hitter CTE chain (tk/grams/hh/cms/thr/pr/pcell/est/
+    * cand/ex) over `documents` with an optional doc-level predicate
+    * — the SQL mirror of [[heavyReportOf]]'s parameterization, shared
+    * by the `tf_heavy_hitters` report and the `stream_template_gate`
+    * corpus side. `docWhere` is a bare predicate ANDed into the
+    * token projection (empty = whole corpus). */
+  private def sqlHeavyCtes(docWhere: String): String = {
+    val h = Hashing.sqlCharHash("g")
+    val where = if (docWhere.isEmpty) "" else s"WHERE $docWhere"
+    s"""tk AS (
+            SELECT ${Hashing.sqlTokens("text")} AS toks
+            FROM documents $where),
+          grams AS (
+            SELECT unnest(${Hashing.sqlNgrams("toks", 3)}) AS g
+            FROM tk WHERE length(toks) >= 3),
+          hh AS (SELECT $h AS h FROM grams),
+          cms AS (
+            SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            ${sqlCmsCells("hh", width = HeavyCmsWidth)}) z
+            GROUP BY row, bucket),
+          thr AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+              greatest(CAST(COUNT(*) AS BIGINT) // $HeavyDen,
+                $HeavyMinCnt) AS t
+            FROM grams),
+          pr AS (SELECT g, $h AS h FROM (SELECT DISTINCT g FROM grams)),
+          pcell AS (
+            ${sqlCmsCells("pr", "g", HeavyCmsWidth)}),
+          est AS (
+            SELECT p.g, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+            FROM pcell p JOIN cms c
+              ON p.row = c.row AND p.bucket = c.bucket
+            GROUP BY p.g),
+          cand AS (
+            SELECT e.g, e.est_cnt FROM est e, thr WHERE e.est_cnt >= thr.t),
+          ex AS (
+            SELECT grams.g, CAST(COUNT(*) AS BIGINT) AS true_cnt
+            FROM grams JOIN cand ON grams.g = cand.g GROUP BY grams.g)"""
+  }
+
   /** Oracle for the STREAMING CMS monitor (`stream_cms_monitor` in
     * [[graft.operators.StreamOps]]): the batch cell matrix, ordered —
     * the stream's addition-merged matrix must equal it CELL-FOR-CELL,
@@ -139,6 +179,38 @@ object SketchOps {
       s"SELECT $pre$i AS row, " +
         s"${sqlSketchPos("h", i, width)} AS bucket FROM $from")
       .mkString("\n            UNION ALL ")
+  }
+
+  /** Oracle for the STREAMING template gate (`stream_template_gate`
+    * in [[graft.operators.StreamOps]]): the corpus-side heavy-gram
+    * set (the [[sqlHeavyCtes]] chain over NON-incoming docs) probed
+    * by every incoming doc's shingle stream — a doc more than half
+    * of whose shingles are corpus heavy hitters is boilerplate/
+    * template material and quarantines. Batch mirror of the
+    * stream-static broadcast join. */
+  private[graft] def sqlTemplateGateOracle: String = {
+    val gate = s"${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10 = 7"
+    s"""WITH ${sqlHeavyCtes(s"NOT ($gate)")},
+          heavy AS (
+            SELECT c.g FROM cand c JOIN ex x ON c.g = x.g, thr
+            WHERE x.true_cnt >= thr.t),
+          itk AS (
+            SELECT doc_id, ${Hashing.sqlTokens("text")} AS toks
+            FROM documents WHERE $gate),
+          inc AS (
+            SELECT doc_id, unnest(${Hashing.sqlNgrams("toks", 3)}) AS g
+            FROM itk WHERE length(toks) >= 3)
+          SELECT i.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_grams,
+            CAST(SUM(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_heavy,
+            CASE WHEN SUM(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END)
+                   * 2 > COUNT(*)
+                 THEN 'quarantined_template' ELSE 'admitted' END
+              AS decision
+          FROM inc i LEFT JOIN heavy h ON i.g = h.g
+          GROUP BY i.doc_id
+          ORDER BY i.doc_id"""
   }
 
   /** Oracle for the STREAMING CMS monitor (`stream_cms_monitor` in
@@ -313,8 +385,13 @@ object SketchOps {
     * memory bound. All-integer thresholds; both engines run the
     * identical sketch arithmetic, so estimates (collisions included)
     * are bit-equal. */
-  val tfHeavyHitters: Q = (s, d) => {
-    val grams = docs(s, d)
+  /** The heavy-hitter report relation of an arbitrary documents
+    * relation — the whole sketch-filter-then-verify pipeline,
+    * parameterized so the batch query ([[tfHeavyHitters]], whole
+    * corpus) and the ingest gate (corpus-minus-incoming side of
+    * `stream_template_gate`) cannot drift. Unordered. */
+  private[graft] def heavyReportOf(docsDf: DataFrame): DataFrame = {
+    val grams = docsDf
       .withColumn("toks", Hashing.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(explode(Hashing.shingles(col("toks"))).as("g"))
@@ -342,8 +419,18 @@ object SketchOps {
         col("n_total"),
         when(col("true_cnt") >= thr, "heavy")
           .otherwise("cms_false_positive").as("verdict"))
-      .orderBy(col("true_cnt").desc, col("gram"))
   }
+
+  val tfHeavyHitters: Q = (s, d) =>
+    heavyReportOf(docs(s, d))
+      .orderBy(col("true_cnt").desc, col("gram"))
+
+  /** The VERIFIED heavy-gram set of a documents relation — the tiny
+    * (gram) relation the streaming template gate broadcasts. */
+  private[graft] def heavyGramsOf(docsDf: DataFrame): DataFrame =
+    heavyReportOf(docsDf)
+      .filter(col("verdict") === "heavy")
+      .select(col("gram").as("g"))
 
   /** (reg, rho) projection of a relation of distinct hashes `h`,
     * optionally keeping grouping columns — the ONLY Scala copy of the
@@ -1176,42 +1263,13 @@ object SketchOps {
           GROUP BY p.token, p.true_cnt
           ORDER BY p.true_cnt DESC, p.token"""
     },
-    "tf_heavy_hitters" -> {
-      val h = Hashing.sqlCharHash("g")
-      s"""WITH tk AS (
-            SELECT ${Hashing.sqlTokens("text")} AS toks FROM documents),
-          grams AS (
-            SELECT unnest(${Hashing.sqlNgrams("toks", 3)}) AS g
-            FROM tk WHERE length(toks) >= 3),
-          hh AS (SELECT $h AS h FROM grams),
-          cms AS (
-            SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-            ${sqlCmsCells("hh", width = HeavyCmsWidth)}) z
-            GROUP BY row, bucket),
-          thr AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
-              greatest(CAST(COUNT(*) AS BIGINT) // $HeavyDen,
-                $HeavyMinCnt) AS t
-            FROM grams),
-          pr AS (SELECT g, $h AS h FROM (SELECT DISTINCT g FROM grams)),
-          pcell AS (
-            ${sqlCmsCells("pr", "g", HeavyCmsWidth)}),
-          est AS (
-            SELECT p.g, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
-            FROM pcell p JOIN cms c
-              ON p.row = c.row AND p.bucket = c.bucket
-            GROUP BY p.g),
-          cand AS (
-            SELECT e.g, e.est_cnt FROM est e, thr WHERE e.est_cnt >= thr.t),
-          ex AS (
-            SELECT grams.g, CAST(COUNT(*) AS BIGINT) AS true_cnt
-            FROM grams JOIN cand ON grams.g = cand.g GROUP BY grams.g)
+    "tf_heavy_hitters" ->
+      s"""WITH ${sqlHeavyCtes("")}
           SELECT c.g AS gram, c.est_cnt, x.true_cnt, thr.n_total,
             CASE WHEN x.true_cnt >= thr.t THEN 'heavy'
                  ELSE 'cms_false_positive' END AS verdict
           FROM cand c JOIN ex x ON c.g = x.g, thr
-          ORDER BY x.true_cnt DESC, gram"""
-    },
+          ORDER BY x.true_cnt DESC, gram""",
     "tf_hll_distinct" ->
       s"""WITH tok AS (
             SELECT unnest(${Hashing.sqlTokens("text")}) AS token

@@ -783,6 +783,68 @@ object StreamOps {
     * arrives in (docs arrive whole), so zero streaming state store,
     * no watermark; cross-batch memory is strictly the static count
     * relation, re-planned per micro-batch like every other gate. */
+  /** TEMPLATE gate ON INGEST — the heavy-hitter tier's streaming
+    * role, completing that family into an ingest route like every
+    * other tier (lexical → [[streamNeardupCandidates]], embedding →
+    * [[streamAnnUpsert]], substring → [[streamCdcCandidates]],
+    * vocabulary → [[streamUnigramGate]]): the corpus's VERIFIED
+    * heavy-hitter shingles ([[SketchOps.heavyGramsOf]] over the
+    * non-incoming side — a tiny relation by construction, bounded by
+    * the heavy threshold) broadcast against each incoming doc's
+    * shingle stream; a doc more than half of whose shingles are
+    * corpus heavy hitters is template/boilerplate material
+    * (navigation chrome, license blocks, generated spam) and routes
+    * `quarantined_template`. Per-doc fractions need a batch-local
+    * rollup, so this rides foreachBatch (the unigram-gate engine) —
+    * ZERO streaming state, no corpus-sized join on the stream side.
+    * Docs with < 3 tokens have no shingle set and are out of scope
+    * (the CDC/exact gates own those). */
+  val streamTemplateGate: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def isNew(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    val heavy = SketchOps.heavyGramsOf(
+        Tables.documents(s, d).filter(!isNew(col("doc_id"))))
+      .localCheckpoint(true)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-template-gate").toString
+    val q = docsStream(s, d)
+      .filter(isNew(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dg = batch
+          .withColumn("toks", graft.functions.Hashing.tokens(col("text")))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(graft.functions.Hashing.shingles(col("toks")))
+              .as("g"))
+        dg.join(broadcast(heavy.withColumn("hit", lit(1L))),
+            Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_heavy"))
+          .select(col("doc_id"), col("n_grams"), col("n_heavy"),
+            when(col("n_heavy") * 2L > col("n_grams"),
+              "quarantined_template").otherwise("admitted")
+              .as("decision"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_grams",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_heavy",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("decision",
+        org.apache.spark.sql.types.StringType)))
+    collectBatchOutput(s, outDir, schema, "doc_id")
+  }
+
   val streamUnigramGate: Q = (s0, d) => {
     val s = replaySession(s0)
     def isNew(id: Column) =
@@ -1132,6 +1194,7 @@ object StreamOps {
     "stream_histogram" -> streamHistogram,
     "stream_takedown_gate" -> streamTakedownGate,
     "stream_unigram_gate" -> streamUnigramGate,
+    "stream_template_gate" -> streamTemplateGate,
     "stream_affinity_gate" -> streamAffinityGate,
     "stream_cdc_strip" -> streamCdcStrip,
     "stream_cdc_candidates" -> streamCdcCandidates,
@@ -1182,6 +1245,7 @@ object StreamOps {
           FROM inc i LEFT JOIN tombp t ON i.fp = t.tomb_md5
           ORDER BY i.doc_id"""
     },
+    "stream_template_gate" -> SketchOps.sqlTemplateGateOracle,
     "stream_unigram_gate" -> {
       val tag = s"${graft.functions.Hashing
         .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10"

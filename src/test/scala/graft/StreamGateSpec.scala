@@ -281,6 +281,49 @@ class StreamGateSpec extends SparkSpec {
       "genuinely new docs must pass the gate")
   }
 
+  test("template gate: a doc built from corpus heavy hitters " +
+      "quarantines, fresh content admits") {
+    import graft.operators.SketchOps
+    val ids = spark.range(2000L)
+      .select(col("id"), isNew(col("id")).as("nw"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val corpusIds = ids.filter(!_._2).map(_._1).take(10)
+    val newIds = ids.filter(_._2).map(_._1).take(2)
+    val template = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    // 8 corpus docs carry the template verbatim -> every template
+    // shingle has corpus count 8 >= HeavyMinCnt, so it is HEAVY; two
+    // filler docs keep the vocabulary from being all-template
+    val corpus = corpusIds.take(8).map(id => (id, template)) ++
+      corpusIds.drop(8).zipWithIndex.map { case (id, i) =>
+        (id, (1 to 12).map(j => s"fill${i}x$j").mkString(" "))
+      }
+    val incoming = Seq(
+      (newIds(0), template),                                // all heavy
+      (newIds(1), (1 to 12).map(j => s"novel$j").mkString(" ")))
+    // the streaming source symlinks `documents.parquet` expecting the
+    // testdata convention of a single FILE — a Spark-written parquet
+    // DIRECTORY behind the symlink lists as one opaque entry and the
+    // file stream reads nothing, so materialize the one part file
+    val dir = tmpDir("template-gate")
+    val raw = tmpDir("template-gate-raw")
+    (corpus ++ incoming).toSeq.map { case (id, t) =>
+      (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(raw)
+    val part = new java.io.File(raw).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    assert(SketchOps.HeavyMinCnt <= 8L,
+      "fixture repetition count no longer clears the heavy floor")
+    val out = graft.operators.StreamOps.streamTemplateGate(spark, dir)
+      .select("doc_id", "decision").as[(Long, String)].collect().toMap
+    assert(out(newIds(0)) == "quarantined_template",
+      s"the all-template doc must quarantine: $out")
+    assert(out(newIds(1)) == "admitted",
+      s"fresh content must admit: $out")
+  }
+
   test("streaming vector ingest collapse: a planted duplicate vector " +
       "is admitted once, state keys on the md5 fingerprint") {
     import graft.operators.SimilarityOps
