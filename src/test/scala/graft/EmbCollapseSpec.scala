@@ -89,4 +89,61 @@ class EmbCollapseSpec extends SparkSpec {
         s"hash exchange keyed on an array-typed expression: $h")
     SimilarityOps.invalidateIndexes()
   }
+
+  test("fingerprint fuzz: equal iff element-equal under the documented " +
+      "normalizations (-0.0 folds, null element sentinel, NULL array " +
+      "distinct from empty)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xF17)
+    // vector pool stressing every normalization class: random floats,
+    // signed zeros, subnormals, extremes, null elements, empty, NULL
+    def randVec(): Seq[java.lang.Float] = {
+      val n = rnd.nextInt(6)
+      Seq.fill(n)(rnd.nextInt(8) match {
+        case 0 => java.lang.Float.valueOf(-0.0f)
+        case 1 => java.lang.Float.valueOf(0.0f)
+        case 2 => null
+        case 3 => java.lang.Float.valueOf(Float.MinPositiveValue)
+        case 4 => java.lang.Float.valueOf(-Float.MaxValue)
+        case _ => java.lang.Float.valueOf(rnd.nextFloat() * 100f - 50f)
+      })
+    }
+    val pool: Seq[Option[Seq[java.lang.Float]]] =
+      (1 to 120).map(_ => Some(randVec())) ++
+        Seq(Some(Seq.empty[java.lang.Float]), None,
+          Some(Seq(java.lang.Float.valueOf(-0.0f))),
+          Some(Seq(java.lang.Float.valueOf(0.0f))),
+          Some(Seq(null: java.lang.Float)))
+    // reference normalization: NULL array sentinel; -0.0 -> +0.0;
+    // null elements sentinel'd — two vectors must share a fingerprint
+    // iff their normalized forms are equal
+    def canon(v: Option[Seq[java.lang.Float]]): String = v match {
+      case None => "<null>"
+      case Some(xs) => xs.map {
+        case null => "null"
+        case f if f.floatValue() == 0.0f => "0.0"
+        case f => f.floatValue().toString
+      }.mkString("|")
+    }
+    // build via explicit Rows so null ELEMENTS and NULL arrays survive
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val rdd = spark.sparkContext.parallelize(pool.zipWithIndex.map {
+      case (v, i) => org.apache.spark.sql.Row(i.toLong, v.map(_.toSeq).orNull)
+    })
+    val df = spark.createDataFrame(rdd, schema)
+    val fps = df.select(col("id"),
+        SimilarityOps.vecFingerprint(col("embedding")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    pool.indices.foreach { i =>
+      pool.indices.foreach { j =>
+        val want = canon(pool(i)) == canon(pool(j))
+        val got = fps(i.toLong) == fps(j.toLong)
+        assert(got == want,
+          s"fingerprint ${if (got) "collision" else "split"} for " +
+            s"${canon(pool(i))} vs ${canon(pool(j))}")
+      }
+    }
+  }
 }
