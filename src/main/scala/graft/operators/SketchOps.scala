@@ -128,38 +128,45 @@ object SketchOps {
     * by the `tf_heavy_hitters` report and the `stream_template_gate`
     * corpus side. `docWhere` is a bare predicate ANDed into the
     * token projection (empty = whole corpus). */
-  private def sqlHeavyCtes(docWhere: String): String = {
+  private def sqlHeavyCtes(docWhere: String, p: String = ""): String = {
     val h = Hashing.sqlCharHash("g")
     val where = if (docWhere.isEmpty) "" else s"WHERE $docWhere"
-    s"""tk AS (
+    s"""${p}tk AS (
             SELECT ${Hashing.sqlTokens("text")} AS toks
             FROM documents $where),
-          grams AS (
+          ${p}grams AS (
             SELECT unnest(${Hashing.sqlNgrams("toks", 3)}) AS g
-            FROM tk WHERE length(toks) >= 3),
-          hh AS (SELECT $h AS h FROM grams),
-          cms AS (
+            FROM ${p}tk WHERE length(toks) >= 3),
+          ${p}hh AS (SELECT $h AS h FROM ${p}grams),
+          ${p}cms AS (
             SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-            ${sqlCmsCells("hh", width = HeavyCmsWidth)}) z
+            ${sqlCmsCells(s"${p}hh", width = HeavyCmsWidth)}) z
             GROUP BY row, bucket),
-          thr AS (
+          ${p}thr AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
               greatest(CAST(COUNT(*) AS BIGINT) // $HeavyDen,
                 $HeavyMinCnt) AS t
-            FROM grams),
-          pr AS (SELECT g, $h AS h FROM (SELECT DISTINCT g FROM grams)),
-          pcell AS (
-            ${sqlCmsCells("pr", "g", HeavyCmsWidth)}),
-          est AS (
+            FROM ${p}grams),
+          ${p}pr AS (SELECT g, $h AS h
+            FROM (SELECT DISTINCT g FROM ${p}grams)),
+          ${p}pcell AS (
+            ${sqlCmsCells(s"${p}pr", "g", HeavyCmsWidth)}),
+          ${p}est AS (
             SELECT p.g, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
-            FROM pcell p JOIN cms c
+            FROM ${p}pcell p JOIN ${p}cms c
               ON p.row = c.row AND p.bucket = c.bucket
             GROUP BY p.g),
-          cand AS (
-            SELECT e.g, e.est_cnt FROM est e, thr WHERE e.est_cnt >= thr.t),
-          ex AS (
-            SELECT grams.g, CAST(COUNT(*) AS BIGINT) AS true_cnt
-            FROM grams JOIN cand ON grams.g = cand.g GROUP BY grams.g)"""
+          ${p}cand AS (
+            SELECT e.g, e.est_cnt FROM ${p}est e, ${p}thr
+            WHERE e.est_cnt >= ${p}thr.t),
+          ${p}ex AS (
+            SELECT ${p}grams.g, CAST(COUNT(*) AS BIGINT) AS true_cnt
+            FROM ${p}grams JOIN ${p}cand ON ${p}grams.g = ${p}cand.g
+            GROUP BY ${p}grams.g),
+          ${p}heavy AS (
+            SELECT c.g FROM ${p}cand c JOIN ${p}ex x ON c.g = x.g,
+              ${p}thr
+            WHERE x.true_cnt >= ${p}thr.t)"""
   }
 
   /** Oracle for the STREAMING CMS monitor (`stream_cms_monitor` in
@@ -191,9 +198,6 @@ object SketchOps {
   private[graft] def sqlTemplateGateOracle: String = {
     val gate = s"${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10 = 7"
     s"""WITH ${sqlHeavyCtes(s"NOT ($gate)")},
-          heavy AS (
-            SELECT c.g FROM cand c JOIN ex x ON c.g = x.g, thr
-            WHERE x.true_cnt >= thr.t),
           itk AS (
             SELECT doc_id, ${Hashing.sqlTokens("text")} AS toks
             FROM documents WHERE $gate),
@@ -431,6 +435,33 @@ object SketchOps {
     heavyReportOf(docsDf)
       .filter(col("verdict") === "heavy")
       .select(col("gram").as("g"))
+
+  /** Heavy-hitter MEMBERSHIP DELTA across the ingest snapshot — the
+    * monitor that catches an arriving template/boilerplate wave the
+    * moment it crosses the heavy bar: heavy sets are computed over
+    * the pre-ingest corpus (the `!isNew` side, the snapshot
+    * convention `doc_snapshot_diff` uses) and over the post-ingest
+    * corpus, then full-outer joined. `emerging` grams became heavy
+    * only WITH the ingest (a new template wave — exactly what the
+    * template gate should learn next refresh); `vanished` grams fell
+    * below the RELATIVE bar because the corpus grew around them;
+    * `persistent` are stable boilerplate. Both sides are the tiny
+    * verified heavy sets, so the join is a few-row full-outer —
+    * corpus cost is two heavy-hitter passes, each sketch-bounded. */
+  val tfHeavyDelta: Q = (s, d) => {
+    def isNew(id: Column) =
+      Hashing.charHash(id.cast("string")) % 10 === 7
+    val base = heavyGramsOf(docs(s, d).filter(!isNew(col("doc_id"))))
+      .withColumn("in_base", lit(1L))
+    val after = heavyGramsOf(docs(s, d))
+      .withColumn("in_after", lit(1L))
+    after.join(base, Seq("g"), "full_outer")
+      .select(col("g").as("gram"),
+        when(col("in_base").isNull, "emerging")
+          .when(col("in_after").isNull, "vanished")
+          .otherwise("persistent").as("status"))
+      .orderBy("gram")
+  }
 
   /** (reg, rho) projection of a relation of distinct hashes `h`,
     * optionally keeping grouping columns — the ONLY Scala copy of the
@@ -931,6 +962,7 @@ object SketchOps {
     "dedup_kmv_matrix" -> dedupKmvMatrix,
     "tf_cms_counts" -> tfCmsCounts,
     "tf_heavy_hitters" -> tfHeavyHitters,
+    "tf_heavy_delta" -> tfHeavyDelta,
     "tf_cms_merge" -> tfCmsMerge,
     "tf_hll_distinct" -> tfHllDistinct,
     "tf_hll_merge" -> tfHllMerge)
@@ -1262,6 +1294,18 @@ object SketchOps {
           FROM pcell p JOIN cms c ON p.row = c.row AND p.bucket = c.bucket
           GROUP BY p.token, p.true_cnt
           ORDER BY p.true_cnt DESC, p.token"""
+    },
+    "tf_heavy_delta" -> {
+      val gate =
+        s"${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10 = 7"
+      s"""WITH ${sqlHeavyCtes(s"NOT ($gate)", "b_")},
+          ${sqlHeavyCtes("", "a_")}
+          SELECT COALESCE(a.g, b.g) AS gram,
+            CASE WHEN b.g IS NULL THEN 'emerging'
+                 WHEN a.g IS NULL THEN 'vanished'
+                 ELSE 'persistent' END AS status
+          FROM a_heavy a FULL OUTER JOIN b_heavy b ON a.g = b.g
+          ORDER BY gram"""
     },
     "tf_heavy_hitters" ->
       s"""WITH ${sqlHeavyCtes("")}

@@ -244,6 +244,42 @@ class SketchSpec extends SparkSpec {
     assert(regs.count() <= SketchOps.HllRegisters)
   }
 
+  test("heavy delta: an ingest-borne template wave reports emerging, " +
+      "a bar-raising ingest reports the old template vanished") {
+    import spark.implicits._
+    val ids = spark.range(3000L)
+      .select(col("id"),
+        (Hashing.charHash(col("id").cast("string")) % 10 === 7).as("nw"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val corpusIds = ids.filter(!_._2).map(_._1)
+    val newIds = ids.filter(_._2).map(_._1)
+    val phraseA = (1 to 10).map(i => s"oldtpl$i").mkString(" ")
+    val phraseB = (1 to 10).map(i => s"newtpl$i").mkString(" ")
+    // base: phrase A exactly at the floor (6 repeats, bar = max(n/15000, 6) = 6)
+    val base = corpusIds.take(6).map(id => (id, phraseA))
+    // ingest: phrase B well past the bar, plus enough fresh volume to
+    // raise the RELATIVE bar past A's count (≈105k grams -> bar 7)
+    val wave = newIds.take(8).map(id => (id, phraseB))
+    val bulk = newIds.slice(8, 300).zipWithIndex.map { case (id, i) =>
+      (id, (1 to 408).map(j => s"bulk${i}w$j").mkString(" "))
+    }
+    assert(bulk.length >= 280 ,
+      "hash gate yielded too few ingest ids to raise the bar")
+    val dir = tmpDir("heavy-delta")
+    (base ++ wave ++ bulk).toSeq
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("tf_heavy_delta")(spark, dir)
+      .as[(String, String)].collect().toMap
+    val aGrams = out.filter(_._1.startsWith("oldtpl")).values.toSet
+    val bGrams = out.filter(_._1.startsWith("newtpl")).values.toSet
+    assert(bGrams == Set("emerging"),
+      s"the ingest-borne template must report emerging: $out")
+    assert(aGrams == Set("vanished"),
+      s"the diluted template must report vanished: $aGrams")
+  }
+
   test("sketch-filtered heavy hitters: zero false negatives, CMS " +
       "never underestimates, candidates are a real prune") {
     import spark.implicits._
