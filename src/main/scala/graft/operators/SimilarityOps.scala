@@ -1664,6 +1664,40 @@ object SimilarityOps {
       TopK)
   }
 
+  /** MRR retrieval-evaluation report across four ANN tiers — see the
+    * oracle-side Scaladoc at `sqlAnnMrr`: per-query reciprocal rank
+    * of the brute-force true nearest neighbor in each tier's top-k
+    * (0 when missed), emitted per query so no engine-internal double
+    * accumulation order ever enters the result. Each tier's Q runs
+    * unchanged, so the metric is measured against exactly the gated
+    * tier semantics. */
+  val annMrr: Q = (s, d) => {
+    val truth = knnBrute(s, d).filter(col("rank") === 1L)
+      .select(col("query_id"), col("cand_id").as("truth_cand"))
+      .localCheckpoint(true)
+    val tiers: Seq[(String, Q)] = Seq(
+      "ivf" -> annIvf, "lsh" -> annLshProbe,
+      "pq_rerank" -> annPqRerank, "proj_rerank" -> annProjRerank)
+    tiers.map { case (name, q) =>
+      val hit = min(when(col("cand_id") === col("truth_cand"),
+        col("rank")))
+      // driven FROM the truth side: a tier that returns NOTHING for a
+      // query must still report that query at rr = 0, not drop the
+      // row (an empty shortlist is the worst miss, not a non-event)
+      truth
+        .join(q(s, d).select(col("query_id"), col("rank"),
+          col("cand_id")), Seq("query_id"), "left")
+        .groupBy(col("query_id"), col("truth_cand"))
+        .agg(hit.as("hit"))
+        .select(lit(name).as("tier"), col("query_id"),
+          col("truth_cand"),
+          coalesce(col("hit"), lit(0L)).as("hit_rank"),
+          when(col("hit").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("hit").cast("double")).as("rr"))
+    }.reduce(_ unionByName _)
+      .orderBy("tier", "query_id")
+  }
+
   /** Recall gate for [[annProjRerank]] against the brute-force truth
     * — the standard per-tier contract. The JL shortlist is lossy by
     * construction; this query is the measurement that says HOW lossy
@@ -1724,6 +1758,7 @@ object SimilarityOps {
     "ann_ivf_pq_recall" -> annIvfPqRecall,
     "emb_rand_proj" -> embRandProj,
     "ann_proj_rerank" -> annProjRerank,
+    "ann_mrr" -> annMrr,
     "ann_proj_recall" -> annProjRecall)
 
   /** Batch oracle for [[StreamOps]]'s `stream_ann_upsert`: every
@@ -2051,7 +2086,7 @@ object SimilarityOps {
   // would make the map's value depend on which object the JVM
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
-  lazy val oracle: Map[String, String] = Map(
+  private lazy val oracleBase: Map[String, String] = Map(
     "emb_winsorize" ->
       s"""WITH vals AS (
             SELECT vec_id, idx.i - 1 AS dim,
@@ -2630,4 +2665,40 @@ object SimilarityOps {
             FROM cands JOIN lut
               ON cands.sub = lut.sub AND cands.code = lut.code) j
           GROUP BY query_id, cand_id)"""
+
+  /** MRR retrieval-evaluation report across four ANN tiers — the
+    * eval metric that complements the per-tier recall gates: for
+    * each query, the reciprocal rank at which the tier surfaces the
+    * brute-force TRUE nearest neighbor (0 when it misses the top-k
+    * entirely). Emitted PER QUERY — never an aggregated double mean,
+    * whose accumulation order would be engine-internal; each rr is
+    * one exact 1.0/rank division, and downstream dashboards average
+    * as they like. Reuses each tier's own oracle SQL verbatim, so
+    * the metric can never drift from the gated tier semantics. */
+  private def sqlAnnMrr: String = {
+    val tiers = Seq(
+      "ivf" -> oracleBase("ann_ivf"),
+      "lsh" -> oracleBase("ann_lsh_probe"),
+      "pq_rerank" -> oracleBase("ann_pq_rerank"),
+      "proj_rerank" -> oracleBase("ann_proj_rerank"))
+    val arms = tiers.map { case (n, sql) =>
+      s"""SELECT '$n' AS tier, t.query_id, t.truth_cand,
+            CAST(COALESCE(MIN(CASE WHEN r.cand_id = t.truth_cand
+              THEN r.rank END), 0) AS BIGINT) AS hit_rank,
+            CASE WHEN MIN(CASE WHEN r.cand_id = t.truth_cand
+                THEN r.rank END) IS NULL THEN 0.0
+              ELSE CAST(1.0 AS DOUBLE)
+                / MIN(CASE WHEN r.cand_id = t.truth_cand
+                    THEN r.rank END) END AS rr
+          FROM (SELECT query_id, cand_id AS truth_cand
+                FROM ($sqlKnnBrute) tt WHERE rank = 1) t
+          LEFT JOIN ($sql) r ON r.query_id = t.query_id
+          GROUP BY t.query_id, t.truth_cand"""
+    }
+    arms.mkString("SELECT * FROM (", "\n          UNION ALL\n          ",
+      ") z ORDER BY tier, query_id")
+  }
+
+  lazy val oracle: Map[String, String] =
+    oracleBase + ("ann_mrr" -> sqlAnnMrr)
 }
