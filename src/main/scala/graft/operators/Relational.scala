@@ -517,6 +517,32 @@ object Relational {
         col("c_nationkey").cast("long").as("c_nationkey"))
       .orderBy("c_custkey")
 
+  /** k-anonymity floor for [[piiKAnonymity]]: a quasi-identifier
+    * group smaller than this re-identifies its members. */
+  val PiiKAnon = 5L
+
+  /** k-ANONYMITY AUDIT of the pseudonymized release — the governance
+    * check that must PASS before [[piiPseudonymize]]'s output ships:
+    * hashing direct identifiers is not enough when the surviving
+    * quasi-identifier tuple (segment, nation, account band) isolates
+    * fewer than k individuals. One combinable groupBy over exactly
+    * the released quasi-identifier columns; groups under
+    * [[PiiKAnon]] flag `reidentification_risk` (the release fix is
+    * coarser bands or suppression — this query is the detector). */
+  val piiKAnonymity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        (floor(col("c_acctbal") / lit(PiiAcctBand)) * lit(PiiAcctBand))
+          .as("acct_band"))
+      .groupBy("c_mktsegment", "c_nationkey", "acct_band")
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("acct_band"),
+        col("n"),
+        when(col("n") < PiiKAnon, "reidentification_risk")
+          .otherwise("k_anonymous").as("risk"))
+      .orderBy("c_mktsegment", "c_nationkey", "acct_band")
+
   /** NTILE quartiles of order value within each priority class, with
     * per-quartile stats — the equal-frequency binning window. The
     * window is PARTITIONED (by priority), never a global
@@ -564,6 +590,7 @@ object Relational {
     "q29_mom_growth" -> q29MomGrowth,
     "q0_scan" -> q0Scan,
     "pii_pseudonymize" -> piiPseudonymize,
+    "pii_k_anonymity" -> piiKAnonymity,
     "q13_order_count_dist" -> q13OrderCountDist,
     "q20_full_outer_days" -> q20FullOuterDays,
     "q21_pivot" -> q21Pivot,
@@ -613,6 +640,15 @@ object Relational {
           floor(c_acctbal / $PiiAcctBand) * $PiiAcctBand AS acct_band,
           c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
           FROM customer ORDER BY c_custkey""",
+    "pii_k_anonymity" ->
+      s"""SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          floor(c_acctbal / $PiiAcctBand) * $PiiAcctBand AS acct_band,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CASE WHEN COUNT(*) < $PiiKAnon THEN 'reidentification_risk'
+               ELSE 'k_anonymous' END AS risk
+          FROM customer
+          GROUP BY c_mktsegment, c_nationkey, acct_band
+          ORDER BY c_mktsegment, c_nationkey, acct_band""",
     "q13_order_count_dist" ->
       """SELECT n_orders, COUNT(*) AS n_custs FROM (
            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
