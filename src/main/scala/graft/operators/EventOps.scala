@@ -857,6 +857,106 @@ object EventOps {
     }
   }
 
+  /** Trust-seed gate for [[evUserTrustrank]]: hash residue 3 (≈10% of
+    * users, disjoint from nothing — a seed may or may not also be an
+    * engaged edge source). Mirrored verbatim in the oracle. */
+  val PrSeedResidue = 3L
+
+  /** TRUSTRANK over the user referral graph — personalized PageRank
+    * (Gyöngyi, Garcia-Molina, Pedersen, VLDB'04) with the teleport
+    * distribution concentrated on hash-gated TRUST SEEDS instead of
+    * uniform: rank mass flows outward from vetted actors, so a
+    * spam/bot cluster with no referral path from the seed set decays
+    * toward zero however densely it links to itself — the standard
+    * source-quality scorer a curation pipeline runs where
+    * [[evUserPagerank]] measures raw centrality. Same ALL-INTEGER
+    * fixed point and scalar dangling term (dangling mass
+    * redistributes uniformly; only the TELEPORT is personalized —
+    * documented variant); per-node base = (15%·scale div W) for the
+    * W seeds, 0 otherwise, so every arithmetic step remains
+    * bit-portable. Scale shape identical to [[evUserPagerank]] plus
+    * one broadcast-able (node, base) join per iteration. */
+  val evUserTrustrank: Q = (s, d) => {
+    val base = ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("ts_sec"))
+    val nodes = base.select(col("user_id").as("node")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val seeds = nodes.filter(
+      Hashing.charHash(col("node").cast("string")) % 10 === PrSeedResidue)
+      .localCheckpoint(true)
+    val w = seeds.count()
+    if (n == 0L || w == 0L)
+      nodes.select(col("node").as("user_id"),
+        lit(0L).as("rank_scaled"), lit(0.0).as("rank"),
+        lit(0L).as("is_seed"))
+    else {
+      val win = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val edges = base
+        .withColumn("next_user", lead(col("user_id"), 1).over(win))
+        .filter(col("next_user").isNotNull)
+        .filter(Hashing.charHash(col("user_id").cast("string")) % 10
+          < PrEngagedPct)
+        .groupBy(col("user_id").as("src"), col("next_user").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val isSeed = Hashing.charHash(col("node").cast("string")) % 10 ===
+        PrSeedResidue
+      val baseRel = nodes.select(col("node"),
+        when(isSeed, lit((PrScale * 15L / 100L) / w)).otherwise(lit(0L))
+          .as("base"),
+        isSeed.cast("long").as("is_seed"))
+      pagerankPersonalizedOf(nodes, edges, n, baseRel)
+        .select(col("node").as("user_id"), col("rank_scaled"),
+          col("rank"), col("is_seed"))
+        .orderBy("user_id")
+    }
+  }
+
+  /** Personalized-teleport power iteration: identical to
+    * [[pagerankOf]] except the constant base term becomes the
+    * per-node `base` column of `baseRel` (node, base, is_seed).
+    * Dangling mass stays the uniform scalar — only the teleport is
+    * personalized. */
+  private[graft] def pagerankPersonalizedOf(nodes: DataFrame,
+      edges: DataFrame, n: Long, baseRel: DataFrame): DataFrame = {
+    require(n < PrEdgeScale,
+      s"pagerank dangling share 10^6 div n floors to 0 at n=$n >= " +
+        s"$PrEdgeScale nodes — raise PrEdgeScale before running at " +
+        "this graph scale (see Scaladoc quantization bound)")
+    val initRank = PrScale / n
+    val dShare = PrEdgeScale / n
+    val (shareRaw, danglingRaw) = pagerankShares(nodes, edges)
+    val allShare = shareRaw.localCheckpoint(true)
+    val danglingSrc = danglingRaw.localCheckpoint(true)
+    val baseCk = baseRel.localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
+    for (it <- 1 to PrIters) {
+      val dmass = danglingSrc
+        .join(ranks, danglingSrc("src") === ranks("node"))
+        .agg(coalesce(
+          sum(expr(s"(rank * $dShare) div $PrEdgeScale")),
+          lit(0L)).as("dmass"))
+      val next = allShare
+        .join(ranks, allShare("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr(s"(rank * share) div $PrEdgeScale")).as("sumc"))
+        .crossJoin(broadcast(dmass))
+        .join(baseCk, col("dst") === baseCk("node"))
+        .select(col("node"),
+          expr(s"base + ($PrDampNum * (sumc + dmass)) div 100")
+            .as("rank"))
+      ranks = if (it % 2 == 0 || it == PrIters) next.localCheckpoint(true)
+        else next
+    }
+    ranks.join(baseCk.select(col("node"), col("is_seed")), "node")
+      .select(col("node"),
+        col("rank").as("rank_scaled"),
+        (col("rank").cast("double") / lit(PrScale.toDouble)).as("rank"),
+        col("is_seed"))
+  }
+
   /** The static PageRank relations: (share, danglingSrc). `share` is
     * real quantized edges + zero-share self-loops ONLY — zero dangling
     * rows, the contract PrDanglingScaleSpec pins; `danglingSrc` is the
@@ -951,6 +1051,7 @@ object EventOps {
     "ev_hourly_anomaly" -> evHourlyAnomaly,
     "ev_type_pagerank" -> evTypePagerank,
     "ev_user_pagerank" -> evUserPagerank,
+    "ev_user_trustrank" -> evUserTrustrank,
     "ev_type_stats" -> evTypeStats)
 
   // lazy: oracle strings interpolate constants from SIBLING operator
@@ -1396,5 +1497,62 @@ object EventOps {
            GROUP BY pr.iter, a.dst)
          SELECT node AS user_id, rank AS rank_scaled,
            CAST(rank AS DOUBLE) / $PrScale AS rank
-         FROM pr WHERE iter = $PrIters ORDER BY user_id""")
+         FROM pr WHERE iter = $PrIters ORDER BY user_id""",
+
+    // TrustRank: the same referral-graph recursion with the teleport
+    // term personalized to the hash-gated seed set (uniform scalar
+    // dangling fan-out retained, oracle-side, as in ev_user_pagerank)
+    "ev_user_trustrank" ->
+      s"""WITH RECURSIVE seq AS (
+           SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_user
+           FROM events),
+         edges AS (
+           SELECT user_id AS src, next_user AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+           FROM seq
+           WHERE next_user IS NOT NULL
+             AND ${Hashing.sqlCharHash("CAST(user_id AS VARCHAR)")}
+               % 10 < $PrEngagedPct
+           GROUP BY 1, 2),
+         nodes AS (
+           SELECT DISTINCT user_id AS node,
+             CASE WHEN ${Hashing.sqlCharHash("CAST(user_id AS VARCHAR)")}
+               % 10 = $PrSeedResidue THEN 1 ELSE 0 END AS is_seed
+           FROM events),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_seed) AS BIGINT) AS w FROM nodes),
+         bases AS (
+           SELECT node, is_seed,
+             CASE WHEN is_seed = 1
+               THEN (SELECT ($PrScale * 15 // 100) // w FROM nc)
+               ELSE CAST(0 AS BIGINT) END AS base
+           FROM nodes),
+         outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+         allshare AS (
+           SELECT e.src, e.dst, (e.w * $PrEdgeScale) // o.tw AS share
+           FROM edges e JOIN outw o ON e.src = o.src
+           UNION ALL
+           SELECT d.node, n2.node, (SELECT $PrEdgeScale // n FROM nc)
+           FROM nodes d, nodes n2
+           WHERE d.node NOT IN (SELECT src FROM outw)
+           UNION ALL
+           SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+         pr(iter, node, rank) AS (
+           SELECT 0, node, (SELECT $PrScale // n FROM nc) FROM nodes
+           UNION ALL
+           SELECT pr.iter + 1, a.dst,
+             (SELECT base FROM bases WHERE bases.node = a.dst)
+               + ($PrDampNum * SUM((pr.rank * a.share) // $PrEdgeScale))
+                 // 100
+           FROM pr JOIN allshare a ON a.src = pr.node
+           WHERE pr.iter < $PrIters
+           GROUP BY pr.iter, a.dst)
+         SELECT p.node AS user_id, p.rank AS rank_scaled,
+           CAST(p.rank AS DOUBLE) / $PrScale AS rank,
+           CAST(b.is_seed AS BIGINT) AS is_seed
+         FROM pr p JOIN bases b ON p.node = b.node
+         WHERE p.iter = $PrIters ORDER BY user_id""")
 }

@@ -112,6 +112,70 @@ class PrDanglingScaleSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("trustrank: teleport concentrates on seeds — seeds average " +
+      "strictly more rank than non-seeds, mass conserved") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = EventOps.evUserTrustrank(spark, sf01)
+      .select(col("rank_scaled"), col("is_seed"))
+      .as[(Long, Long)].collect()
+    val (seeds, rest) = rows.partition(_._2 == 1L)
+    assert(seeds.nonEmpty && rest.nonEmpty,
+      "hash gate degenerated: need both seeds and non-seeds")
+    val seedAvg = seeds.map(_._1).sum / seeds.length
+    val restAvg = rest.map(_._1).sum / rest.length
+    assert(seedAvg > restAvg,
+      s"seeds must hold more average rank: $seedAvg <= $restAvg")
+    val total = rows.map(_._1).sum
+    assert(total <= EventOps.PrScale,
+      "integer floors can only LOSE mass")
+    assert(rows.forall(_._1 >= 0L))
+  }
+
+  test("trustrank: a node with no referral path from any seed decays " +
+      "below every seed-reachable node (synthetic two-island graph)") {
+    // islands are event-type streams: seeds exist only in stream A,
+    // so stream B's users receive rank ONLY via the uniform dangling
+    // drip — strictly less than anything the seed teleport feeds.
+    // ids chosen by hash class: seed (residue 3), engaged non-seeds
+    // (residues 0-6 minus 3), lurkers (residue >= 7)
+    val cls = spark.range(500L).select(col("id"),
+        (graft.functions.Hashing.charHash(col("id").cast("string"))
+          % 10).as("r"))
+      .as[(Long, Long)].collect()
+    def pick(p: Long => Boolean, n: Int): Seq[Long] =
+      cls.filter(c => p(c._2)).map(_._1).take(n).toSeq
+    val Seq(seed) = pick(_ == EventOps.PrSeedResidue, 1)
+    val aOthers = pick(r => r < EventOps.PrEngagedPct &&
+      r != EventOps.PrSeedResidue, 2)
+    val bUsers = pick(r => r < EventOps.PrEngagedPct &&
+      r != EventOps.PrSeedResidue, 4).drop(2)
+    // stream A: seed -> a1 -> a2 ; stream B: b1 -> b2 (no seed)
+    val evs = Seq(
+      (1L, 1L, seed, "A"), (2L, 2L, aOthers(0), "A"),
+      (3L, 3L, aOthers(1), "A"),
+      (4L, 1L, bUsers(0), "B"), (5L, 2L, bUsers(1), "B"))
+    val fixDir = {
+      val t = tmpDir("trust-islands")
+      evs.toDF("event_id", "ts_sec", "user_id", "event_type")
+        .select(col("event_id"), timestamp_seconds(col("ts_sec")).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$t/events.parquet")
+      t
+    }
+    val got = EventOps.evUserTrustrank(spark, fixDir)
+      .select(col("user_id"), col("rank_scaled"), col("is_seed"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val byId = got.map(r => r._1 -> r._2).toMap
+    val islandA = Seq(seed) ++ aOthers
+    val minA = islandA.map(byId).min
+    val maxB = bUsers.map(byId).max
+    assert(maxB < minA,
+      s"seed-unreachable island must decay below the seed island: " +
+        s"B max $maxB vs A min $minA ($got)")
+    assert(got.count(_._3 == 1L) == 1, "exactly one planted seed")
+  }
+
   test("quantization guard: n >= PrEdgeScale is rejected, not " +
       "silently floored to zero dangling share") {
     val nodes = spark.range(3L).select(col("id").as("node"))
