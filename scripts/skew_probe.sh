@@ -19,8 +19,10 @@ doc_sample_quota doc_keep_decision \
 emb_near_dup emb_components ann_lsh_buckets ann_lsh_probe \
 ann_index_merge ann_index_rewrite dedup_edit_banded \
 emb_semdedup doc_target_affinity \
-ev_type_pagerank ev_user_pagerank doc_sample_weighted \
-dedup_containment tf_heavy_hitters stream_vec_dedup"
+ev_type_pagerank ev_user_pagerank ev_user_trustrank \
+doc_sample_weighted \
+dedup_containment tf_heavy_hitters stream_vec_dedup \
+stream_template_gate"
 
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
