@@ -783,6 +783,61 @@ object StreamOps {
     * arrives in (docs arrive whole), so zero streaming state store,
     * no watermark; cross-batch memory is strictly the static count
     * relation, re-planned per micro-batch like every other gate. */
+  /** STRATIFIED streaming weighted reservoir — the per-language form
+    * of `stream_sample_weighted`, mirroring
+    * [[TextOps.docSampleWeightedQuota]] exactly: within each
+    * language, the [[TextOps.WeightedQuotaK]] smallest priorities
+    * (hash/weight — sequential Poisson) win. The same exact-merge
+    * lemma, applied per stratum: each micro-batch's per-lang k-min
+    * rows (a WindowGroupLimit bounded heap on the batch) union-merge
+    * into per-lang driver reservoirs capped at k — a language's
+    * global top-k priority is in its batch's top-k, so the merge is
+    * EXACT and idempotent, and the finite replay gates HASH-EXACT
+    * against the batch quota oracle (ONE shared formula + ONE shared
+    * oracle string). Driver state: ≤ k rows per LIVE language —
+    * bounded by the language inventory, not the stream. */
+  val streamSampleWeightedQuota: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val k = TextOps.WeightedQuotaK
+    val ord = Ordering.by[(Double, Long, String, Long), (Double, Long)](
+      r => (r._1, r._2))
+    val merged = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.SortedSet[(Double, Long, String, Long)]]
+    val q = docsStream(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("priority"), col("doc_id"))
+        val rows = TextOps.weightedPriority(batch)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .collect()
+          .map(r => (r.getAs[Double]("priority"), r.getAs[Long]("doc_id"),
+            r.getAs[String]("lang"), r.getAs[Long]("weight")))
+        merged.synchronized {
+          rows.foreach { r =>
+            val set = merged.getOrElseUpdate(r._3,
+              scala.collection.mutable.SortedSet.empty(ord))
+            set.add(r)
+            while (set.size > k) set.remove(set.last)
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import s.implicits._
+    merged.toSeq.flatMap { case (_, set) =>
+      set.toSeq.zipWithIndex.map { case ((p, id, lg, wt), i) =>
+        (id, lg, wt, p, (i + 1).toLong)
+      }
+    }
+      .toDF("doc_id", "lang", "weight", "priority", "rk")
+      .orderBy("lang", "rk")
+  }
+
   /** TEMPLATE gate ON INGEST — the heavy-hitter tier's streaming
     * role, completing that family into an ingest route like every
     * other tier (lexical → [[streamNeardupCandidates]], embedding →
@@ -1187,6 +1242,7 @@ object StreamOps {
 
   val defs: Map[String, Q] = Map(
     "stream_sample_weighted" -> streamSampleWeighted,
+    "stream_sample_weighted_quota" -> streamSampleWeightedQuota,
     "stream_bloom_gate" -> streamBloomGate,
     "stream_cms_monitor" -> streamCmsMonitor,
     "stream_hll_monitor" -> streamHllMonitor,
@@ -1221,6 +1277,8 @@ object StreamOps {
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
     "stream_sample_weighted" -> TextOps.sqlSampleWeighted,
+    "stream_sample_weighted_quota" ->
+      TextOps.oracle("doc_sample_weighted_quota"),
     "stream_bloom_gate" -> SketchOps.sqlBloomGateOracle,
     "stream_cms_monitor" -> SketchOps.sqlCmsMatrixOracle,
     "stream_hll_monitor" -> SketchOps.sqlHllMonitorOracle,

@@ -192,6 +192,16 @@ class RankProjSampleSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("STRATIFIED streaming reservoir equals the batch per-language " +
+      "quota bit-for-bit") {
+    val sf01 = "/root/testdata/sf0.01"
+    val batch = TextOps.docSampleWeightedQuota(spark, sf01)
+      .collect().toSeq
+    val stream = graft.operators.StreamOps
+      .streamSampleWeightedQuota(spark, sf01).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("weighted sample plan is TakeOrderedAndProject over a pruned " +
       "scan — never a global sort") {
     val plan = TextOps.docSampleWeighted(spark, "/root/testdata/sf0.01")
