@@ -176,6 +176,32 @@ class PrDanglingScaleSpec extends SparkSpec {
     assert(got.count(_._3 == 1L) == 1, "exactly one planted seed")
   }
 
+  test("trustrank with zero seeds degrades to the empty-rank " +
+      "contract, never a division by zero") {
+    // a user universe whose every id falls OUTSIDE the seed residue:
+    // w = 0 must take the guarded branch (rank 0 for everyone)
+    val cls = spark.range(500L).select(col("id"),
+        (graft.functions.Hashing.charHash(col("id").cast("string"))
+          % 10).as("r"))
+      .as[(Long, Long)].collect()
+    val noSeeds = cls.filter(_._2 != EventOps.PrSeedResidue)
+      .map(_._1).take(4).toSeq
+    val dir = tmpDir("trust-noseeds")
+    noSeeds.zipWithIndex.map { case (u, i) =>
+      (i.toLong + 1L, i.toLong + 1L, u, "A")
+    }.toDF("event_id", "ts_sec", "user_id", "event_type")
+      .select(col("event_id"), timestamp_seconds(col("ts_sec")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.evUserTrustrank(spark, dir)
+      .select(col("user_id"), col("rank_scaled"), col("is_seed"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == noSeeds.length)
+    assert(got.forall(r => r._2 == 0L && r._3 == 0L),
+      s"zero seeds must yield zero rank for every node: ${got.toSeq}")
+  }
+
   test("quantization guard: n >= PrEdgeScale is rejected, not " +
       "silently floored to zero dangling share") {
     val nodes = spark.range(3L).select(col("id").as("node"))
