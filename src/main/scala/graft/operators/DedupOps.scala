@@ -202,7 +202,7 @@ object DedupOps {
         .agg(count(lit(1)).as("occ"))
         .filter(col("occ") > MaxBucketOcc)
         .select(col("band"), col("bucket"))
-        .localCheckpoint()
+        .transform(graft.Checkpointing.cut)
     }
 
   /** The shared candidate-pair generator every pairwise verifier
@@ -433,7 +433,7 @@ object DedupOps {
       // carries NO dependency on `labels` — its blocks can be freed
       // right here, and the cache entry itself is freeable by
       // [[IndexCache.release]] on eviction
-      val all = labels.union(isolated(s, d, labels)).localCheckpoint()
+      val all = labels.union(isolated(s, d, labels)).transform(graft.Checkpointing.cut)
       IndexCache.release(labels)
       all
     }
@@ -446,16 +446,40 @@ object DedupOps {
   /** Min-label propagation over a bipartite (doc_id, band, bucket)
     * membership relation → one (doc_id, comp) row per member doc.
     *
-    * Each double-step is `localCheckpoint()`ed (eager), so the logical
-    * plan stays O(1)-deep however many iterations a graph needs —
+    * Each round is two neighbor-min steps plus one POINTER-JUMPING
+    * shortcut (`comp ← comp(comp)` — each doc adopts the current label
+    * of the doc its label points at, the star-contraction move of the
+    * MapReduce-CC literature). The neighbor steps alone converge in
+    * O(graph diameter) rounds — fine for dense LSH dup clusters
+    * (diameter 1-2) but LINEAR on an incremental-edit CHAIN of
+    * near-dups, each adjacent pair sharing one bucket (the round-10
+    * verdict's adversarial shape: a crawl of successive page edits).
+    * The jump step squares the label-pointer horizon each round, so a
+    * depth-d chain converges in O(log d) rounds (ChainConvergenceSpec
+    * pins a planted 65-link chain to ≤ 2·⌈log₂ n⌉ + 3 rounds where the
+    * neighbor-only loop needs ≥ n/2). Each map is monotone
+    * non-increasing per doc and bounded below, and a no-change round
+    * implies a fixpoint of the neighbor step itself (the three
+    * composed non-increasing maps can only all be identity when each
+    * is), so the fixpoint — component-min labeling — is EXACTLY the
+    * one the neighbor-only loop reached: every downstream gate stays
+    * hash-identical.
+    *
+    * Each round's state is cut through [[graft.Checkpointing]]
+    * (eager; reliable when `spark.graft.checkpointDir` is set), so the
+    * logical plan stays O(1)-deep however many rounds a graph needs —
     * plain `persist()` caches data but keeps stacking the plan, which
-    * at diameter-D graphs (e.g. an incremental paraphrase CHAIN of
-    * near-dups) grows O(D) and eventually chokes the analyzer.
-    * Iterations run to fixpoint: min-label propagation is monotone
-    * non-increasing and bounded below, so it converges within the
-    * graph diameter; a slow (high-diameter) graph gets a progress
-    * warning every 25 double-steps instead of round 3's hard abort. */
-  private[graft] def propagateMinLabels(bk: DataFrame): DataFrame = {
+    * at high-diameter graphs grows O(D) and eventually chokes the
+    * analyzer. A slow graph gets a progress warning every 25 rounds
+    * instead of round 3's hard abort. */
+  private[graft] def propagateMinLabels(bk: DataFrame): DataFrame =
+    propagateMinLabelsCounted(bk)._1
+
+  /** [[propagateMinLabels]] plus the number of convergence-checked
+    * rounds the loop ran — the test seam ChainConvergenceSpec uses to
+    * pin the log-round bound. */
+  private[graft] def propagateMinLabelsCounted(
+      bk: DataFrame): (DataFrame, Int) = {
     // one propagation step: comp(doc) <- min over doc's buckets of
     // min over bucket members of comp — monotone non-increasing
     // (each doc is a member of its own buckets)
@@ -467,15 +491,24 @@ object DedupOps {
         .groupBy(col("doc_id"))
         .agg(min(col("bmin")).as("comp"))
     }
+    // pointer jump: comp(doc) <- comp(comp(doc)). Sound because every
+    // comp value IS a member doc_id (min over member ids), so the
+    // equi-join on the unique doc_id key never drops a row; and
+    // comp(comp) ≤ comp because every doc's label ≤ its own id. One
+    // |labels|⨝|labels| equi-join — the small relation, never the
+    // membership table.
+    def jump(l: DataFrame): DataFrame =
+      l.as("a")
+        .join(l.as("b"), col("a.comp") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.comp").as("comp"))
     var labels = bk.select(col("doc_id")).distinct()
-      .withColumn("comp", col("doc_id")).localCheckpoint()
+      .withColumn("comp", col("doc_id")).transform(graft.Checkpointing.cut)
     var changed = 1L
     var checks = 0
     while (changed > 0) {
-      // eager localCheckpoint: materializes `next` AND truncates its
-      // lineage to a LogicalRDD leaf before the next iteration builds
-      // on it
-      val next = step(step(labels)).localCheckpoint()
+      // eager cut: materializes `next` AND truncates its lineage to a
+      // LogicalRDD leaf before the next round builds on it
+      val next = jump(step(step(labels))).transform(graft.Checkpointing.cut)
       changed = next
         .join(labels.withColumnRenamed("comp", "old"), "doc_id")
         .filter(col("comp") =!= col("old")).count()
@@ -487,9 +520,9 @@ object DedupOps {
       checks += 1
       if (changed > 0 && checks % 25 == 0)
         System.err.println(s"[graft] components: still propagating after " +
-          s"$checks double-steps (graph diameter > ${2 * checks}); continuing")
+          s"$checks rounds; continuing")
     }
-    labels
+    (labels, checks)
   }
 
   /** (doc_id, component_id) for every document; isolated docs are
@@ -708,7 +741,7 @@ object DedupOps {
       .unionByName(activeMembers
         .select(col("doc_id"), lit(CompBand).as("band"),
           col("comp").as("bucket")))
-      .localCheckpoint()
+      .transform(graft.Checkpointing.cut)
     val labels = propagateMinLabels(membership)
     // a delta doc too short for a signature has no membership row —
     // its own singleton component, exactly as the full rebuild seeds it
@@ -719,7 +752,7 @@ object DedupOps {
     val out = labels.unionByName(lonelyDelta).unionByName(unchanged)
       .select(col("doc_id"), col("comp").as("component_id"))
       .orderBy("doc_id")
-      .localCheckpoint()
+      .transform(graft.Checkpointing.cut)
     IndexCache.release(labels)
     IndexCache.release(membership)
     out
@@ -783,7 +816,7 @@ object DedupOps {
     mergedCache.getOrBuild(s, d, docsMtime(d)) {
       val deltaBk = bucketRows(
         deltaBatch(s, d).select(col("doc_id"), col("text")))
-        .localCheckpoint() // eager: materialize ONLY the appended rows
+        .transform(graft.Checkpointing.cut) // eager: materialize ONLY the appended rows
       buckets(s, d).unionByName(deltaBk)
     }
 
@@ -872,7 +905,7 @@ object DedupOps {
       buckets(s, d)
         .filter(!tombstoned(col("doc_id")))
         .select(col("doc_id"), col("band"), col("bucket"))
-        .localCheckpoint() // eager: survivors materialized, lineage cut
+        .transform(graft.Checkpointing.cut) // eager: survivors materialized, lineage cut
     }
 
   /** INDEX TOMBSTONE STATS — the monitor that gives the index
@@ -1225,7 +1258,7 @@ object DedupOps {
   val dedupContainment: Q = (s, d) => {
     val lsh = lshCandidatePairs(s, d).select(col("doc_a"), col("doc_b"))
     val cdc = cdcSharedPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val cand = lsh.unionByName(cdc).distinct().localCheckpoint(true)
+    val cand = lsh.unionByName(cdc).distinct().transform(graft.Checkpointing.cut)
     val sh = docs(s, d)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)

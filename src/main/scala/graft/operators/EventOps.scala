@@ -786,7 +786,7 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_timestamp(ts)").as("ts_sec"))
     val nodes = base.select(col("event_type").as("node")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.Checkpointing.cut)
     val n = nodes.count()
     // empty input: the oracle's recursion over zero nodes yields an
     // empty relation; mirror it instead of dividing by zero below
@@ -835,7 +835,7 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_timestamp(ts)").as("ts_sec"))
     val nodes = base.select(col("user_id").as("node")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.Checkpointing.cut)
     val n = nodes.count()
     if (n == 0L)
       nodes.select(col("node").as("user_id"),
@@ -881,11 +881,11 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_timestamp(ts)").as("ts_sec"))
     val nodes = base.select(col("user_id").as("node")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.Checkpointing.cut)
     val n = nodes.count()
     val seeds = nodes.filter(
       Hashing.charHash(col("node").cast("string")) % 10 === PrSeedResidue)
-      .localCheckpoint(true)
+      .transform(graft.Checkpointing.cut)
     val w = seeds.count()
     if (n == 0L || w == 0L)
       nodes.select(col("node").as("user_id"),
@@ -928,9 +928,9 @@ object EventOps {
     val initRank = PrScale / n
     val dShare = PrEdgeScale / n
     val (shareRaw, danglingRaw) = pagerankShares(nodes, edges)
-    val allShare = shareRaw.localCheckpoint(true)
-    val danglingSrc = danglingRaw.localCheckpoint(true)
-    val baseCk = baseRel.localCheckpoint(true)
+    val allShare = shareRaw.transform(graft.Checkpointing.cut)
+    val danglingSrc = danglingRaw.transform(graft.Checkpointing.cut)
+    val baseCk = baseRel.transform(graft.Checkpointing.cut)
     var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
     for (it <- 1 to PrIters) {
       val dmass = danglingSrc
@@ -947,7 +947,7 @@ object EventOps {
         .select(col("node"),
           expr(s"base + ($PrDampNum * (sumc + dmass)) div 100")
             .as("rank"))
-      ranks = if (it % 2 == 0 || it == PrIters) next.localCheckpoint(true)
+      ranks = if (it % 2 == 0 || it == PrIters) next.transform(graft.Checkpointing.cut)
         else next
     }
     ranks.join(baseCk.select(col("node"), col("is_seed")), "node")
@@ -991,8 +991,8 @@ object EventOps {
     // ONCE, exactly as a materialized fan-out row's share would be
     val dShare = PrEdgeScale / n
     val (shareRaw, danglingRaw) = pagerankShares(nodes, edges)
-    val allShare = shareRaw.localCheckpoint(true)
-    val danglingSrc = danglingRaw.localCheckpoint(true)
+    val allShare = shareRaw.transform(graft.Checkpointing.cut)
+    val danglingSrc = danglingRaw.transform(graft.Checkpointing.cut)
     var ranks = nodes.select(col("node"), lit(initRank).as("rank"))
     for (it <- 1 to PrIters) {
       // dangling mass as ONE scalar: per-term floor (rank·s) div 10⁶
@@ -1017,7 +1017,7 @@ object EventOps {
       // query (measured 3.75 s on the 1.5k-node graph — overhead, not
       // graph work). A depth-2 plan (two joins + two aggs) stays flat
       // enough; arithmetic and result are bit-identical either way
-      ranks = if (it % 2 == 0 || it == PrIters) next.localCheckpoint(true)
+      ranks = if (it % 2 == 0 || it == PrIters) next.transform(graft.Checkpointing.cut)
         else next
     }
     ranks.select(col("node"),

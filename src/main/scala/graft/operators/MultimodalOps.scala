@@ -264,7 +264,7 @@ object MultimodalOps {
   private[graft] def chunkStore(s: SparkSession, d: String): DataFrame =
     chunkCache.getOrBuild(s, d, docsMtime(d)) {
       chunkStoreRows(graft.sources.Tables.documents(s, d))
-        .localCheckpoint() // eager: materialize once, cut the lineage
+        .transform(graft.Checkpointing.cut) // eager: materialize once, cut the lineage
     }
 
   /** The store-shaped (doc_id, chunk_md5, chunk_len) projection over
@@ -318,7 +318,7 @@ object MultimodalOps {
     chunkMergedCache.getOrBuild(s, d, docsMtime(d)) {
       val deltaRows = chunkStoreRows(
         DedupOps.deltaBatch(s, d).select(col("doc_id"), col("text")))
-        .localCheckpoint() // eager: materialize ONLY the appended rows
+        .transform(graft.Checkpointing.cut) // eager: materialize ONLY the appended rows
       chunkStore(s, d).unionByName(deltaRows)
     }
 
@@ -383,7 +383,7 @@ object MultimodalOps {
         .filter(!DedupOps.tombstoned(col("doc_id")))
         .groupBy(col("doc_id"), col("chunk_md5"))
         .agg(count(lit(1)).as("n_refs"), min(col("chunk_len")).as("chunk_len"))
-        .localCheckpoint() // eager: survivors materialized, lineage cut
+        .transform(graft.Checkpointing.cut) // eager: survivors materialized, lineage cut
     }
 
   /** The perceptual index relation (doc_id, phash, band, bucket):
@@ -446,7 +446,7 @@ object MultimodalOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.phash").as("pa"), col("y.phash").as("pb"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Checkpointing.cut)
     val members = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     // verification sets come from the persisted chunk store, pruned

@@ -352,7 +352,7 @@ object SimilarityOps {
           lit(0L).as("band"),
           (col("vec_a") * lit(4294967296L) + col("vec_b")).as("bucket"))
         .unionByName(dupGroups)
-        .localCheckpoint()
+        .transform(graft.Checkpointing.cut)
       val labels = DedupOps.propagateMinLabels(membership)
       val singletons = emb(s, d).select(col("vec_id").as("doc_id"))
         .join(labels, Seq("doc_id"), "left_anti")
@@ -360,7 +360,7 @@ object SimilarityOps {
       // checkpointed so the cached relation carries no dependency on
       // the loop's intermediate checkpoints (same discipline as the
       // lexical component cache)
-      val all = labels.union(singletons).localCheckpoint()
+      val all = labels.union(singletons).transform(graft.Checkpointing.cut)
       IndexCache.release(labels)
       IndexCache.release(membership)
       all
@@ -760,7 +760,7 @@ object SimilarityOps {
       var cents = centroids(s, d)
       for (i <- 1 to KmeansIters) {
         val next = toArrays(meansLong(assignToNearest(e, cents)
-          .select(col("clabel"), col("embedding")))).localCheckpoint()
+          .select(col("clabel"), col("embedding")))).transform(graft.Checkpointing.cut)
         // free the previous round's checkpoint blocks (round 1's input
         // is the lazy label-means plan — nothing to free there)
         if (i > 1) IndexCache.release(cents)
@@ -1403,7 +1403,7 @@ object SimilarityOps {
           col("embedding"), col("label"),
           bucketCol(col("embedding")).as("bucket"),
           sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-        .localCheckpoint() // eager: materialize ONLY the appended rows
+        .transform(graft.Checkpointing.cut) // eager: materialize ONLY the appended rows
       bucketed(s, d).unionByName(deltaRows)
     }
 
@@ -1472,7 +1472,7 @@ object SimilarityOps {
     annRewriteCache.getOrBuild(s, d, embMtime(d)) {
       bucketed(s, d)
         .filter(!DedupOps.tombstoned(col("vec_id")))
-        .localCheckpoint() // eager: survivors materialized, lineage cut
+        .transform(graft.Checkpointing.cut) // eager: survivors materialized, lineage cut
     }
 
   /** Embedding QA: each vector's squared distance to its OWN label
@@ -1674,7 +1674,7 @@ object SimilarityOps {
   val annMrr: Q = (s, d) => {
     val truth = knnBrute(s, d).filter(col("rank") === 1L)
       .select(col("query_id"), col("cand_id").as("truth_cand"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpointing.cut)
     val tiers: Seq[(String, Q)] = Seq(
       "ivf" -> annIvf, "lsh" -> annLshProbe,
       "pq_rerank" -> annPqRerank, "proj_rerank" -> annProjRerank)

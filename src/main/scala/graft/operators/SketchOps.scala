@@ -399,7 +399,7 @@ object SketchOps {
       .withColumn("toks", Hashing.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(explode(Hashing.shingles(col("toks"))).as("g"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpointing.cut)
     val cms = grams
       .select(posexplode(
         posArray(Hashing.charHash(col("g")), HeavyCmsWidth, CmsDepth)))
@@ -749,7 +749,7 @@ object SketchOps {
     // per-source summaries and BOTH sides of every pair, and without
     // the checkpoint each consumer re-runs the corpus shingle scan —
     // the cost the sketch exists to pay exactly once
-    val samples = keyedKmvSamples(srcHs).localCheckpoint(true)
+    val samples = keyedKmvSamples(srcHs).transform(graft.Checkpointing.cut)
     val sums = srcHs.groupBy("source")
       .agg(count(lit(1)).as("n_exact"))
       .join(samples.groupBy("source")

@@ -102,7 +102,7 @@ object StreamOps {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else s.read.schema(schema).parquet(outDir)
         .orderBy(orderCol)
-        .localCheckpoint(true)
+        .transform(graft.Checkpointing.cut)
     deleteRecursively(new java.io.File(outDir))
     out
   }
@@ -433,7 +433,7 @@ object StreamOps {
       .filter(col("event_type") === "view")
       .select(col("user_id"), expr("unix_timestamp(ts)").as("t"),
         lit(0L).as("kind"), lit(-1L).as("event_id"))
-      .localCheckpoint(true) // publish the static side once
+      .transform(graft.Checkpointing.cut) // publish the static side once
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-stream-asof").toString
     val ordered = org.apache.spark.sql.expressions.Window
@@ -860,7 +860,7 @@ object StreamOps {
       graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
     val heavy = SketchOps.heavyGramsOf(
         Tables.documents(s, d).filter(!isNew(col("doc_id"))))
-      .localCheckpoint(true)
+      .transform(graft.Checkpointing.cut)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-template-gate").toString
     val q = docsStream(s, d)

@@ -579,7 +579,7 @@ object TextOps {
     val j = affinityCounters(feats, affinityModel(feats), "inner",
         Seq("doc_id", "source"))
       .select(col("doc_id"), col("source"), affinityCol.as("affinity"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpointing.cut)
     val hist = j.groupBy(col("source"), col("affinity"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("source"))
@@ -1359,7 +1359,7 @@ object TextOps {
     bpeVocabCache.getOrBuild(s, d, docsMtime(d)) {
       bpeVocab(s, d)
         .withColumn("repr", bpeCharRepr(col("word")))
-        .localCheckpoint()
+        .transform(graft.Checkpointing.cut)
     }
 
   /** Drop the cached BPE merge tables and vocab relations (releases
@@ -1385,7 +1385,7 @@ object TextOps {
           .orderBy(col("c").desc, col("gram"))
           .limit(1)
           .select(lit(i.toLong).as("step"), col("gram"), col("c"))
-          .localCheckpoint()
+          .transform(graft.Checkpointing.cut)
         merges = if (merges == null) best else merges.unionAll(best)
         cur = cur
           .crossJoin(broadcast(best.select(col("gram").as("mgram"))))
