@@ -1501,7 +1501,12 @@ object EventOps {
 
     // TrustRank: the same referral-graph recursion with the teleport
     // term personalized to the hash-gated seed set (uniform scalar
-    // dangling fan-out retained, oracle-side, as in ev_user_pagerank)
+    // dangling fan-out retained, oracle-side, as in ev_user_pagerank).
+    // The final select mirrors the Spark side's zero-seed contract
+    // (all-zero ranks when no user hashes into the seed residue —
+    // PrDanglingScaleSpec pins it): without the CASE the recursion
+    // would emit damped-decay nonzero ranks on a seedless corpus and
+    // the gate would diverge exactly there (round-10 advisory)
     "ev_user_trustrank" ->
       s"""WITH RECURSIVE seq AS (
            SELECT user_id,
@@ -1550,8 +1555,11 @@ object EventOps {
            FROM pr JOIN allshare a ON a.src = pr.node
            WHERE pr.iter < $PrIters
            GROUP BY pr.iter, a.dst)
-         SELECT p.node AS user_id, p.rank AS rank_scaled,
-           CAST(p.rank AS DOUBLE) / $PrScale AS rank,
+         SELECT p.node AS user_id,
+           CASE WHEN (SELECT w FROM nc) = 0 THEN CAST(0 AS BIGINT)
+             ELSE p.rank END AS rank_scaled,
+           CASE WHEN (SELECT w FROM nc) = 0 THEN 0.0
+             ELSE CAST(p.rank AS DOUBLE) / $PrScale END AS rank,
            CAST(b.is_seed AS BIGINT) AS is_seed
          FROM pr p JOIN bases b ON p.node = b.node
          WHERE p.iter = $PrIters ORDER BY user_id""")

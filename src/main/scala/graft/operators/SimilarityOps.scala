@@ -1635,16 +1635,23 @@ object SimilarityOps {
         (0 until ProjDims).map(j => col(s"p$j").as(s"c$j")): _*)
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cand_id"))
-    // zero-norm guard: a candidate whose 8 projected coords are all 0
-    // (zero embedding, or orthogonal to every sign row) makes pcos
-    // NaN, and NaN sorts LARGEST under DESC on both engines — one
-    // degenerate row would squat a shortlist slot in every query.
-    // Same left-associated square chain as projCos; mirrored in the
-    // oracle.
-    val candNormPos = (0 until ProjDims)
+    // zero-norm guard, BOTH sides: a row whose 8 projected coords are
+    // all 0 (zero embedding, or orthogonal to every sign row) makes
+    // pcos NaN, and NaN sorts LARGEST under DESC on both engines. A
+    // degenerate CANDIDATE would squat a shortlist slot in every
+    // query; a degenerate QUERY would rank every candidate NaN and
+    // emit a cand_id-ordered (deterministic but meaningless)
+    // shortlist — the round-10 advisory's asymmetry. The defined
+    // fallback is now symmetric: a zero-projection query emits NO
+    // shortlist rows (same contract as a zero-norm candidate —
+    // excluded from the projected tier; the exact tiers still serve
+    // it). Same left-associated square chain as projCos; both guards
+    // mirrored in the oracle.
+    def normPos(pfx: String) = (0 until ProjDims)
       .foldLeft(lit(0.0): Column)((acc, j) =>
-        acc + col(s"c$j") * col(s"c$j")) > lit(0.0)
-    val short = cp.filter(candNormPos).crossJoin(broadcast(qp))
+        acc + col(s"$pfx$j") * col(s"$pfx$j")) > lit(0.0)
+    val short = cp.filter(normPos("c"))
+      .crossJoin(broadcast(qp.filter(normPos("q"))))
       .select(col("query_id"), col("cand_id"),
         projCos(j => col(s"q$j"), j => col(s"c$j")).as("pcos"))
       .withColumn("prank", row_number().over(wShort))
@@ -2040,6 +2047,8 @@ object SimilarityOps {
             FROM proj q JOIN proj c
               ON q.vec_id < $NQueries AND c.vec_id >= $NQueries
               AND (${(0 until ProjDims).map(j => s"c.p$j * c.p$j")
+                  .foldLeft("0.0")((acc, t) => s"$acc + $t")}) > 0.0
+              AND (${(0 until ProjDims).map(j => s"q.p$j * q.p$j")
                   .foldLeft("0.0")((acc, t) => s"$acc + $t")}) > 0.0) z
           WHERE prank <= $ProjShortlist)
         SELECT s.query_id, s.cand_id,

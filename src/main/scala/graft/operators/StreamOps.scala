@@ -641,47 +641,104 @@ object StreamOps {
   }
 
   /** Streaming VECTOR exact-dup collapse at the ingest gate, feeding
-    * the [[streamAnnUpsert]] probe: incoming vectors first pass a
-    * watermarked `dropDuplicatesWithinWatermark` keyed on the 16-byte
-    * md5 vector fingerprint ([[SimilarityOps.vecFingerprint]] — the
-    * same canon discipline as the batch `emb_canon` window; the
-    * 4·Dims-byte float array NEVER keys the state store), then the
-    * survivors probe the persisted corpus index exactly as
-    * [[streamAnnUpsert]] does. This closes the re-ingest hole in the
-    * online tier: a mirrored/replayed embedding batch (the skew
-    * probe's 10%-identical shape) otherwise multiplies every bucket
-    * probe by the dup-group size — here each distinct vector pays for
-    * its probe ONCE per watermark window, and state is (fp,
-    * event-time) pairs bounded by the watermark, not unbounded key
-    * history. Event time is the arrival sequence (`vec_id` is the
-    * ingest sequence number, as the events stream's `ts` is its
-    * arrival clock); with the replay delay covering the corpus the
-    * emitted set equals the batch mirror — which is what the oracle
-    * pins (incoming side collapsed to one representative per distinct
-    * embedding); planted-dup first-arrival semantics are unit-pinned
-    * in StreamGateSpec with a controlled source. */
+    * the [[streamAnnUpsert]] probe: each micro-batch's incoming
+    * vectors collapse to ONE DETERMINISTIC representative per md5
+    * vector fingerprint ([[SimilarityOps.vecFingerprint]] — the same
+    * canon discipline as the batch `emb_canon` window; the 4·Dims-byte
+    * float array never keys an exchange) — the group's MIN `vec_id`,
+    * the exact rule the batch mirror and the DuckDB oracle apply —
+    * then fingerprints admitted by an EARLIER batch are dropped
+    * against the persisted admission LEDGER (first-arrival wins
+    * across batches), and the survivors probe the persisted corpus
+    * index exactly as [[streamAnnUpsert]] does.
+    *
+    * Round 11 replaced `dropDuplicatesWithinWatermark` here: that
+    * operator keeps the first row PROCESSED per key, which within a
+    * multi-partition micro-batch is task-order-dependent — the
+    * Spark/oracle pairing only held because gate corpora were
+    * duplicate-free (the round-10 advisory). The per-batch min-id
+    * collapse is deterministic on exactly the duplicated corpora that
+    * motivate the gate (the skew probe's 10%-identical shape), and
+    * under in-order arrival (vec_id IS the ingest sequence) the
+    * first-arrival ledger rule coincides with the global min the
+    * oracle computes. State story at 100 TB: the ledger is a
+    * persisted (vec_fp, ts) relation — MORE durable than an
+    * executor-held state store (any executor can re-read it after a
+    * loss, same posture as [[graft.Checkpointing]]) and bounded the
+    * same way: prune rows older than the retention horizon exactly as
+    * the watermark bounded the old state (the gate replay keeps the
+    * whole window). Re-ingest cost: each distinct vector pays its
+    * probe ONCE; a replayed batch is one anti-join against the
+    * ledger. Planted-dup determinism is unit-pinned in StreamGateSpec
+    * (the MIN twin survives, ledger rows = distinct fingerprints). */
   val streamVecDedup: Q = (s0, d) => {
     val s = replaySession(s0)
     def isNew(id: Column) =
       graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
     val corpus = SimilarityOps.upsertCorpus(s, d, isNew)
-    val admitted = embStream(s, d)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-vec-dedup").toString
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft-vec-ledger").toString
+    val q = embStream(s, d)
       .filter(isNew(col("vec_id")))
-      .withColumn("vec_fp",
-        SimilarityOps.vecFingerprint(col("embedding")))
-      .withColumn("ts", timestamp_seconds(col("vec_id")))
-      .withWatermark("ts", "90 days")
-      .dropDuplicatesWithinWatermark("vec_fp")
-    val incoming = SimilarityOps.probeRows(
-      admitted.select(col("vec_id"), col("embedding")))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        vecDedupBatch(batch, corpus, ledgerDir, outDir)
+      }
+      .start()
+    q.awaitTermination()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("flag", org.apache.spark.sql.types.StringType)))
+    val out = collectBatchOutput(s, outDir, schema, "vec_id")
+      .orderBy("vec_id", "cand_id")
+    deleteRecursively(new java.io.File(ledgerDir))
+    out
+  }
+
+  /** One micro-batch of the vector ingest collapse (the testable
+    * engine behind [[streamVecDedup]]): deterministic min-`vec_id`
+    * representative per fingerprint within the batch (duplicate
+    * fingerprints carry byte-identical embeddings — md5 of the packed
+    * floats — so any member's embedding IS the group's embedding),
+    * first-arrival admission across batches via the ledger anti-join,
+    * corpus probe on the survivors. The fresh set is materialized
+    * (lineage cut) BEFORE the ledger append — both downstream actions
+    * re-execute their plan, and a lazy `fresh` would re-read the
+    * just-appended ledger in its own anti-join and drop everything. */
+  private[graft] def vecDedupBatch(batch: DataFrame, corpus: DataFrame,
+      ledgerDir: String, outDir: String): Unit = {
+    val s = batch.sparkSession
+    val reps = batch
+      .withColumn("vec_fp", SimilarityOps.vecFingerprint(col("embedding")))
+      .groupBy(col("vec_fp"))
+      .agg(min(col("vec_id")).as("vec_id"),
+        first(col("embedding")).as("embedding"))
+    val hasLedger = Option(new java.io.File(ledgerDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(_.getName.endsWith(".parquet"))
+    val fresh = graft.Checkpointing.cut(
+      if (!hasLedger) reps
+      else {
+        val seen = s.read
+          .schema("vec_fp string, ts timestamp").parquet(ledgerDir)
+        reps.join(seen.select("vec_fp"), Seq("vec_fp"), "left_anti")
+      })
+    fresh.select(col("vec_fp"), timestamp_seconds(col("vec_id")).as("ts"))
+      .write.mode("append").parquet(ledgerDir)
     val cos = SimilarityOps.cosPre(
       col("qe"), col("ce"), col("qn"), col("cn"))
-    val hits = incoming.join(corpus, Seq("bucket"))
+    SimilarityOps.probeRows(fresh.select(col("vec_id"), col("embedding")))
+      .join(corpus, Seq("bucket"))
       .select(col("vec_id"), col("bucket"), col("cand_id"),
         cos.as("cos"),
         when(cos >= 0.35, "near_dup").otherwise("ok").as("flag"))
-    runToTable(s, hits, "append")
-      .orderBy("vec_id", "cand_id")
+      .write.mode("append").parquet(outDir)
+    IndexCache.release(fresh)
   }
 
   /** Substring-dedup gate ON INGEST: each incoming document's

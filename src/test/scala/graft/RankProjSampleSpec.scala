@@ -380,6 +380,39 @@ class RankProjSampleSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("a zero-norm QUERY emits no shortlist rows instead of a " +
+      "NaN-ranked cand_id-ordered one (planted zero query embedding)") {
+    // round-10 advisory symmetry closure: a zero-projection query
+    // makes pcos NaN for EVERY candidate — deterministic but
+    // meaningless; the defined fallback excludes the query from the
+    // projected tier entirely
+    val dir = tmpDir("proj-zero-query")
+    val zeroQ = 2L
+    val n = SimilarityOps.NQueries + 20
+    val rows = (0L until n.toLong).map { i =>
+      val v =
+        if (i == zeroQ) Array.fill(SimilarityOps.Dims)(0.0f)
+        else Array.tabulate(SimilarityOps.Dims)(j =>
+          math.sin(i * 31.0 + j).toFloat)
+      (i, v, (i % 3).toInt)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2.toSeq, r._3))), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityOps.annProjRerank(spark, dir)
+      .select(col("query_id")).as[Long].collect()
+    assert(!out.contains(zeroQ),
+      "the zero-projection query must emit no projected-tier rows")
+    assert(out.nonEmpty,
+      "healthy queries must still be served")
+  }
+
   test("projection plan is scan+project; the only exchange is the " +
       "gate output's presentation sort") {
     val plan = SimilarityOps.embRandProj(spark, Sf)

@@ -324,9 +324,10 @@ class StreamGateSpec extends SparkSpec {
       s"fresh content must admit: $out")
   }
 
-  test("streaming vector ingest collapse: a planted duplicate vector " +
-      "is admitted once, state keys on the md5 fingerprint") {
-    import graft.operators.SimilarityOps
+  test("streaming vector ingest collapse: the MIN-id twin survives " +
+      "deterministically, ledger rows equal distinct fingerprints, " +
+      "a replayed batch admits nothing") {
+    import graft.operators.{SimilarityOps, StreamOps}
     // three hash-gated ingest ids: twins share one vector, the third
     // is distinct
     val newIds = spark.range(1000L)
@@ -335,35 +336,49 @@ class StreamGateSpec extends SparkSpec {
     val Seq(twinA, twinB, solo) = newIds.toSeq
     val v1 = Seq.tabulate(SimilarityOps.Dims)(j => (j + 1).toFloat)
     val v2 = Seq.tabulate(SimilarityOps.Dims)(j => (2 * j + 1).toFloat)
-    val in = MemoryStream[(Long, Seq[Float])]
-    in.addData((twinA, v1), (twinB, v1), (solo, v2))
-    val stream = in.toDF.toDF("vec_id", "embedding")
+    // REVERSED arrival order (twinB first): the old
+    // dropDuplicatesWithinWatermark form kept whichever row a task
+    // processed first — the round-10 advisory's nondeterminism — so
+    // this fixture would keep twinB on some runs; the min-id collapse
+    // must keep twinA regardless of arrival/partition order
+    val batch = Seq((twinB, v1), (twinA, v1), (solo, v2))
+      .toDF("vec_id", "embedding")
       .select(col("vec_id"),
         col("embedding").cast("array<float>").as("embedding"))
-    val admitted = stream.filter(isNew(col("vec_id")))
-      .withColumn("vec_fp",
-        SimilarityOps.vecFingerprint(col("embedding")))
-      .withColumn("ts", timestamp_seconds(col("vec_id")))
-      .withWatermark("ts", "90 days")
-      .dropDuplicatesWithinWatermark("vec_fp")
-    val q = admitted.writeStream.format("memory")
-      .queryName("vec_dedup_spec")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val got = spark.table("vec_dedup_spec")
-      .select(col("vec_id")).as[Long].collect().toSet
-    assert(got.contains(solo), "the distinct vector must be admitted")
-    assert(got.intersect(Set(twinA, twinB)).size == 1,
-      s"exactly one of the byte-identical twins must survive: $got")
-    // the collapse IS stateful (unlike the stateless probes) — but
-    // its state is one (fingerprint, event-time) pair per distinct
-    // vector inside the watermark, never the float array
-    val stateOps = q.recentProgress.flatMap(_.stateOperators)
-    assert(stateOps.nonEmpty,
-      "the watermarked collapse must allocate a dedup state store")
-    assert(stateOps.map(_.numRowsTotal).max == 2L,
-      "state rows must equal DISTINCT fingerprints (2), not input " +
+      .repartition(4)
+    val corpus = SimilarityOps.upsertCorpus(spark, Sf, isNew(_))
+    val ledgerDir = tmpDir("vec-ledger-spec")
+    val outDir = tmpDir("vec-out-spec")
+    StreamOps.vecDedupBatch(batch, corpus, ledgerDir, outDir)
+    val ledger = spark.read
+      .schema("vec_fp string, ts timestamp").parquet(ledgerDir)
+    assert(ledger.count() == 2L,
+      "ledger rows must equal DISTINCT fingerprints (2), not input " +
         "rows (3)")
+    val admitted = ledger
+      .withColumn("vec_id", unix_timestamp(col("ts")))
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(admitted == Set(twinA, solo),
+      s"the MIN-id twin ($twinA) and the solo must be the admitted " +
+        s"representatives, got $admitted")
+    // second batch replays the same vectors under NEW ids: the ledger
+    // anti-join must admit nothing (first-arrival wins across batches)
+    val moreIds = spark.range(1000L, 3000L)
+      .filter(isNew(col("id"))).as[Long].take(2)
+    val replay = Seq((moreIds(0), v1), (moreIds(1), v2))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    StreamOps.vecDedupBatch(replay, corpus, ledgerDir, outDir)
+    val after = spark.read
+      .schema("vec_fp string, ts timestamp").parquet(ledgerDir)
+    assert(after.count() == 2L,
+      "a replayed batch must admit zero new fingerprints")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(ledgerDir))
+    rm(new java.io.File(outDir))
   }
 
   test("ANN upsert gate is stateless and bit-equal to its batch mirror") {
