@@ -93,6 +93,47 @@ def canary_headline():
     return out
 
 
+def shuffle_drift():
+    """Flag queries whose per-query shuffle WRITE bytes moved >20%
+    vs the committed previous-round sidecar.
+
+    bench_shuffle.json is written by graft.Bench next to
+    bench_result.json; benchdata/shuffle_ref.json is the committed
+    previous-round copy (refresh it with the round's final bench).
+    Shuffle bytes are deterministic per plan (unlike seconds), so ANY
+    significant movement here is a plan/data change, not ambient noise
+    — the arithmetic complement of the time canary. Returns the flag
+    list for probe_summary.json."""
+    cur_p = os.path.join(BD, "..", "bench_shuffle.json")
+    ref_p = os.path.join(BD, "shuffle_ref.json")
+    if not os.path.exists(cur_p) or not os.path.exists(ref_p):
+        return None
+    with open(cur_p) as f:
+        cur = json.load(f)["queries"]
+    with open(ref_p) as f:
+        ref = json.load(f)["queries"]
+    flags = []
+    for q in sorted(set(cur) & set(ref)):
+        rb, cb = ref[q]["shuffle_bytes"], cur[q]["shuffle_bytes"]
+        if rb == 0 and cb == 0:
+            continue
+        r = cb / rb if rb > 0 else float("inf")
+        if r > 1.2 or r < 1 / 1.2:
+            flags.append({"query": q, "ref_bytes": rb, "cur_bytes": cb,
+                          "ratio": round(r, 3) if rb > 0 else None,
+                          "ref_stages": ref[q].get("stages"),
+                          "cur_stages": cur[q].get("stages")})
+    print(f"\n== shuffle drift vs {os.path.basename(ref_p)} ==")
+    if not flags:
+        print(f"  no query moved >20% ({len(set(cur) & set(ref))} compared)")
+    for fl in flags:
+        print(f"  {fl['query']:32s} {fl['ref_bytes']:>12} -> "
+              f"{fl['cur_bytes']:>12} bytes  ({fl['ratio']}x, stages "
+              f"{fl['ref_stages']}->{fl['cur_stages']})  <- plan drift?")
+    return {"flagged": flags,
+            "compared": len(set(cur) & set(ref))}
+
+
 def main():
     summary = {}
     pairs = [
@@ -109,6 +150,9 @@ def main():
     ch = canary_headline()
     if ch:
         summary["headline"] = ch
+    sd = shuffle_drift()
+    if sd is not None:
+        summary["shuffle_drift"] = sd
     with open(os.path.join(BD, "probe_summary.json"), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(f"\nwrote {os.path.join(BD, 'probe_summary.json')}")

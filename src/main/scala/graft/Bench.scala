@@ -85,27 +85,64 @@ object Bench {
       case _ => ""
     }
 
+  /** `"cache_build":…` field — the warm-up phase's wall seconds,
+    * reported as its OWN line item so shared index/cache construction
+    * (LSH buckets, components labeling, ANN index, PQ codes, BPE
+    * merges, CDC chunk store) is never misattributed to whichever
+    * timed query touches a family first (round-10 verdict: the
+    * first-touch query read 5× its marginal cost). The timed
+    * per-query numbers measure MARGINAL cost; total engine cost for a
+    * cold run is `cache_build + value`. */
+  private def cacheBuildField(c: Option[Double]): String =
+    c.map(s => s""","cache_build":${fmt(s)}""").getOrElse("")
+
   /** Full per-query JSON — grows with the query count, so it is NOT
     * the final stdout line (see below). */
   private[graft] def fullLine(results: Seq[(String, Double)], sfDir: String,
-      canary: Option[(Double, Option[Double])] = None): String = {
+      canary: Option[(Double, Option[Double])] = None,
+      cacheBuild: Option[Double] = None): String = {
     val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       canaryFields(canary) + normField(total, canary) +
+      cacheBuildField(cacheBuild) +
       s""","queries":$qs,"sf":"$sfDir"}"""
   }
 
-  /** Compact fixed-size summary (~110 B raw, ~190 B with the canary
-    * triple; bounded ≤256 B by DriverContractSpec) printed as the
-    * very last stdout line. */
+  /** Compact fixed-size summary (~110 B raw, ~215 B with the canary
+    * triple and cache_build; bounded ≤256 B by DriverContractSpec)
+    * printed as the very last stdout line. */
   private[graft] def summaryLine(results: Seq[(String, Double)], sfDir: String,
-      canary: Option[(Double, Option[Double])] = None): String = {
+      canary: Option[(Double, Option[Double])] = None,
+      cacheBuild: Option[Double] = None): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       canaryFields(canary) + normField(total, canary) +
+      cacheBuildField(cacheBuild) +
       s""","n_queries":${results.size},"sf":"$sfDir"}"""
+  }
+
+  /** Per-query shuffle attribution: stage-aggregated shuffle WRITE
+    * bytes and completed-stage count, accumulated by a listener and
+    * snapshotted around each timed query (with a listener-bus flush
+    * barrier on both sides — events post asynchronously). Makes plan
+    * drift arithmetic the way the canary made host drift arithmetic:
+    * a query whose wall time moved with a zero-line diff either moved
+    * its shuffle bytes too (plan change — investigate) or did not
+    * (ambient — ignore). `scripts/probe_report.py` flags >20%
+    * round-over-round movement. */
+  private[graft] final class ShuffleListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      Option(e.stageInfo.taskMetrics).foreach(m =>
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+      ()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -157,7 +194,9 @@ object Bench {
         "mm_near_dup"))
     require(warmup.forall(SparkEntry.queries.contains),
       s"stale warm-up name: ${warmup.filterNot(SparkEntry.queries.contains)}")
+    val tWarm0 = System.nanoTime()
     warmup.foreach(run)
+    val cacheBuild = Some((System.nanoTime() - tWarm0) / 1e9)
     // optional args = query-name filter for controlled local reruns
     // (the driver always invokes with no args -> full sorted set);
     // unknown names fail loudly — a typo'd rerun must not "measure"
@@ -187,7 +226,25 @@ object Bench {
       }
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
-    val results = names.map(n => n -> run(n))
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit =
+      org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
+    val tracked = names.map { n =>
+      flush()
+      val (b0, s0) = (listener.bytes.get(), listener.stages.get())
+      val sec = run(n)
+      flush()
+      (n, sec, listener.bytes.get() - b0, listener.stages.get() - s0)
+    }
+    val results = tracked.map { case (n, sec, _, _) => n -> sec }
+    // per-query shuffle attribution sidecar (NOT on stdout — the
+    // driver's tail window is for the two result lines only)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_shuffle.json"),
+      tracked.map { case (n, _, b, st) =>
+        s""""$n":{"shuffle_bytes":$b,"stages":$st}"""
+      }.mkString("""{"queries":{""", ",", s"""},"sf":"$sfDir"}""") + "\n")
     // The driver parses a ~2.2 KB tail of stdout. The full per-query
     // line grows with the query count (≈2.9 KB at 88 queries) and
     // overflowed that window for three rounds — so the LAST line is
@@ -197,11 +254,11 @@ object Bench {
     // parses.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"),
-      fullLine(results, sfDir, canary) + "\n")
+      fullLine(results, sfDir, canary, cacheBuild) + "\n")
     // stop FIRST so no shutdown logging can land after the JSON: the
     // driver reads the tail of stdout and must see these lines last
     spark.stop()
-    println(fullLine(results, sfDir, canary))
-    println(summaryLine(results, sfDir, canary))
+    println(fullLine(results, sfDir, canary, cacheBuild))
+    println(summaryLine(results, sfDir, canary, cacheBuild))
   }
 }

@@ -280,6 +280,60 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** GK-sketch rank-error tolerance denominator: `approx_percentile`'s
+    * documented guarantee is that the returned element's rank is
+    * within n/accuracy of the target rank, for ANY partition/merge
+    * order — the property [[q23bPercentilesApprox]] hash-gates. */
+  val ApproxPctAcc = 1000
+
+  /** APPROX-percentile parity audit (`q23b_percentiles_approx`) —
+    * completes the §8 quantile trade-off surface: `q23_percentiles`
+    * is the exact window-rank form (total order over the group — the
+    * audit path), `ev_histogram_quantiles` the mergeable fixed-width
+    * histogram (monitoring path), and THIS is the one-pass combinable
+    * GK sketch (`approx_percentile`) — the 100 TB default when the
+    * answer may carry a bounded rank error: no sort, no full-group
+    * window, one map-side-combinable aggregate.
+    *
+    * The sketch VALUE is engine-internal (its exact output depends on
+    * compaction points and is not a DuckDB-mirrorable arithmetic), so
+    * the gated contract is the GUARANTEE, not the number: for each
+    * (returnflag, p) the returned element's rank interval
+    * [n_lt+1, n_le] must intersect [p·n − n/acc − 1, p·n + n/acc + 1]
+    * (±1 slack absorbs the floor/ceil convention at the interval
+    * edges). The oracle emits the same relation with
+    * `within_bound = TRUE` — the gate fails iff the sketch ever
+    * violates its documented bound. The audit join is one broadcast
+    * of 15 (flag, p, a) rows against the fact scan — itself
+    * sketch-cheap. */
+  val q23bPercentilesApprox: Q = (s, d) => {
+    val price = col("l_extendedprice")
+    val appx = li(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(price,
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(ApproxPctAcc))
+          .as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        posexplode(col("ap")).as(Seq("pi", "a")))
+      .withColumn("p",
+        element_at(typedLit(Seq(0.25, 0.5, 0.75)), col("pi") + 1))
+    val audited = li(s, d)
+      .select(col("l_returnflag"), price.as("x"))
+      .join(broadcast(appx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("p"), col("n"))
+      .agg(sum(when(col("x") < col("a"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("x") <= col("a"), 1L).otherwise(0L)).as("n_le"))
+    val tol = col("n").cast("double") / lit(ApproxPctAcc.toDouble) + lit(1.0)
+    val target = col("p") * col("n").cast("double")
+    audited
+      .select(col("l_returnflag"), col("p"), col("n"),
+        (col("n_le").cast("double") >= target - tol &&
+          (col("n_lt") + 1L).cast("double") <= target + tol)
+          .as("within_bound"))
+      .orderBy("l_returnflag", "p")
+  }
+
   /** CUBE over (returnflag, linestatus) with the standard grouping-id
     * bitmask — all four aggregation levels in one pass (Expand +
     * partial agg, not four scans). */
@@ -543,6 +597,72 @@ object Relational {
           .otherwise("k_anonymous").as("risk"))
       .orderBy("c_mktsegment", "c_nationkey", "acct_band")
 
+  /** l-diversity floor for [[piiLDiversity]]: a k-anonymous group
+    * whose members all share one sensitive value still leaks it. */
+  val PiiLDiv = 3L
+
+  /** l-DIVERSITY AUDIT — the attribute-disclosure check k-anonymity
+    * misses (Machanavajjhala et al., ICDE'06): a quasi-identifier
+    * group can be comfortably larger than k yet have every member
+    * share the same SENSITIVE value (here the market segment), so an
+    * attacker who places a person in the group learns the attribute
+    * without identifying the row. Per (nation, account-band)
+    * quasi-group: size, distinct sensitive values (l), and the
+    * verdict — `homogeneity_risk` under [[PiiLDiv]]. One combinable
+    * groupBy with a distinct-count, same shape as the k-audit. */
+  val piiLDiversity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        (floor(col("c_acctbal") / lit(PiiAcctBand)) * lit(PiiAcctBand))
+          .as("acct_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "acct_band")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("l"))
+      .select(col("c_nationkey"), col("acct_band"), col("n"), col("l"),
+        when(col("l") < PiiLDiv, "homogeneity_risk")
+          .otherwise("l_diverse").as("risk"))
+      .orderBy("c_nationkey", "acct_band")
+
+  /** SUPPRESSION RELEASE (`pii_release_suppressed`) — the ENFORCEMENT
+    * step paired with the [[piiKAnonymity]] detector: rows whose
+    * quasi-identifier tuple fails the k floor ship with the tuple
+    * suppressed (segment → `*`, nation/band → −1 sentinels) instead
+    * of being dropped — aggregate utility survives (the row still
+    * counts) while no under-k tuple ever leaves the engine. Plan:
+    * the k-audit's combinable groupBy, then one broadcast-able join
+    * of the (tiny) group-verdict relation back onto the release —
+    * never a row-wise window. The released table is what
+    * [[piiPseudonymize]] would ship after its audit gate fails some
+    * groups. */
+  val piiReleaseSuppressed: Q = (s, d) => {
+    val released = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        graft.functions.Hashing.charHash(col("c_name")).as("name_token"),
+        col("c_mktsegment"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        (floor(col("c_acctbal") / lit(PiiAcctBand)) * lit(PiiAcctBand))
+          .as("acct_band"))
+    val groups = released
+      .groupBy("c_mktsegment", "c_nationkey", "acct_band")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < PiiKAnon)
+      .select(col("c_mktsegment"), col("c_nationkey"), col("acct_band"),
+        lit(1L).as("suppress"))
+    released
+      .join(broadcast(groups),
+        Seq("c_mktsegment", "c_nationkey", "acct_band"), "left")
+      .select(col("c_custkey"), col("name_token"),
+        when(col("suppress").isNotNull, "*")
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("suppress").isNotNull, -1L)
+          .otherwise(col("c_nationkey")).as("c_nationkey"),
+        when(col("suppress").isNotNull, lit(-1.0))
+          .otherwise(col("acct_band")).as("acct_band"),
+        coalesce(col("suppress"), lit(0L)).as("suppressed"))
+      .orderBy("c_custkey")
+  }
+
   /** NTILE quartiles of order value within each priority class, with
     * per-quartile stats — the equal-frequency binning window. The
     * window is PARTITIONED (by priority), never a global
@@ -591,11 +711,14 @@ object Relational {
     "q0_scan" -> q0Scan,
     "pii_pseudonymize" -> piiPseudonymize,
     "pii_k_anonymity" -> piiKAnonymity,
+    "pii_l_diversity" -> piiLDiversity,
+    "pii_release_suppressed" -> piiReleaseSuppressed,
     "q13_order_count_dist" -> q13OrderCountDist,
     "q20_full_outer_days" -> q20FullOuterDays,
     "q21_pivot" -> q21Pivot,
     "q22_idle_customers" -> q22IdleCustomers,
     "q23_percentiles" -> q23Percentiles,
+    "q23b_percentiles_approx" -> q23bPercentilesApprox,
     "q24_cube" -> q24Cube,
     "q25_range_frame" -> q25RangeFrame,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -649,6 +772,40 @@ object Relational {
           FROM customer
           GROUP BY c_mktsegment, c_nationkey, acct_band
           ORDER BY c_mktsegment, c_nationkey, acct_band""",
+    "pii_l_diversity" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+          floor(c_acctbal / $PiiAcctBand) * $PiiAcctBand AS acct_band,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l,
+          CASE WHEN COUNT(DISTINCT c_mktsegment) < $PiiLDiv
+               THEN 'homogeneity_risk' ELSE 'l_diverse' END AS risk
+          FROM customer
+          GROUP BY c_nationkey, acct_band
+          ORDER BY c_nationkey, acct_band""",
+    "pii_release_suppressed" ->
+      s"""WITH rel AS (
+            SELECT c_custkey,
+              ${graft.functions.Hashing.sqlCharHash("c_name")} AS name_token,
+              c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+              floor(c_acctbal / $PiiAcctBand) * $PiiAcctBand AS acct_band
+            FROM customer),
+          bad AS (
+            SELECT c_mktsegment, c_nationkey, acct_band
+            FROM rel GROUP BY 1, 2, 3 HAVING COUNT(*) < $PiiKAnon)
+          SELECT r.c_custkey, r.name_token,
+            CASE WHEN b.c_mktsegment IS NOT NULL THEN '*'
+                 ELSE r.c_mktsegment END AS c_mktsegment,
+            CASE WHEN b.c_mktsegment IS NOT NULL THEN CAST(-1 AS BIGINT)
+                 ELSE r.c_nationkey END AS c_nationkey,
+            CASE WHEN b.c_mktsegment IS NOT NULL THEN -1.0
+                 ELSE r.acct_band END AS acct_band,
+            CASE WHEN b.c_mktsegment IS NOT NULL THEN CAST(1 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS suppressed
+          FROM rel r LEFT JOIN bad b
+            ON r.c_mktsegment = b.c_mktsegment
+            AND r.c_nationkey = b.c_nationkey
+            AND r.acct_band = b.acct_band
+          ORDER BY r.c_custkey""",
     "q13_order_count_dist" ->
       """SELECT n_orders, COUNT(*) AS n_custs FROM (
            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
@@ -673,6 +830,16 @@ object Relational {
            quantile_cont(l_extendedprice, 0.75) AS p75,
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the sketch value is engine-internal; the mirrored contract is
+    // the GK rank-error guarantee itself (see q23bPercentilesApprox
+    // Scaladoc) — the oracle asserts the audit verdict, not the number
+    "q23b_percentiles_approx" ->
+      """SELECT l_returnflag, CAST(p AS DOUBLE) AS p,
+           CAST(n AS BIGINT) AS n, TRUE AS within_bound
+         FROM (SELECT l_returnflag, COUNT(*) AS n
+               FROM lineitem GROUP BY l_returnflag) f
+         CROSS JOIN (VALUES (0.25), (0.5), (0.75)) v(p)
+         ORDER BY l_returnflag, p""",
     "q25_range_frame" ->
       s"""SELECT l_suppkey, l_orderkey, l_linenumber, ship_sec,
           CAST(SUM(rev) OVER (PARTITION BY l_suppkey ORDER BY ship_sec
