@@ -597,6 +597,75 @@ object Relational {
           .otherwise("k_anonymous").as("risk"))
       .orderBy("c_mktsegment", "c_nationkey", "acct_band")
 
+  /** Per-dimension bucket resolution of the Z-order curve (8 bits →
+    * 256 buckets per dimension, 16-bit z values). */
+  val ZBits = 8
+
+  /** Z-bucket prefix shift: keep the top 4 z bits → 16 layout
+    * buckets, each spanning ≤ 2^(ZBits−2) = 64 bucket units PER
+    * DIMENSION (a Morton prefix of 2k bits fixes k top bits of each
+    * dimension — the bounded-span property the gate emits and
+    * ZorderSpec pins). */
+  val ZShift = 2 * ZBits - 4
+
+  /** Bit-interleave (Morton / Z-order) of two [[ZBits]]-bit bucket
+    * ids — pure shift/mask/or column arithmetic, codegen-friendly,
+    * mirrored textually in the oracle. */
+  private[graft] def zInterleave(x: Column, y: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(
+          shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(
+          shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  private def sqlZInterleave(x: String, y: String): String =
+    (0 until ZBits).map(i =>
+        s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+
+  /** Z-ORDER LAYOUT AUDIT (`q30_zorder_layout`) — the
+    * multi-dimensional clustering lever a 100 TB table needs when
+    * queries filter on EITHER of two dimensions: `partitionBy` one
+    * column serves one predicate and scatters the other, while
+    * range-partitioning on the Morton interleave of both keys'
+    * bucket ids bounds every file's span in BOTH dimensions — parquet
+    * footer min/max then prunes row groups for a range predicate on
+    * either key (the OPTIMIZE-ZORDER idea of the lakehouse engines,
+    * as one derived column + one range partitioner, no custom
+    * machinery). Dimension buckets are exact integer arithmetic
+    * (`key·2^ZBits div (max+1)` — no floats), the interleave is pure
+    * shift/mask columns, and the max-key normalizers are one scalar
+    * aggregate broadcast onto the scan.
+    *
+    * The gate emits the layout-quality report: per z-prefix bucket
+    * ([[ZShift]]) the row count and each dimension's min/max bucket
+    * id. The pruning property — per-dimension span ≤ 64 units where a
+    * row-order layout spans all 256 — is what ZorderSpec pins,
+    * together with "a one-quarter-range predicate on either dimension
+    * touches ≤ 4 of 16 z-buckets where the row-order layout touches
+    * all of them". */
+  val q30ZorderLayout: Q = (s, d) => {
+    val rows = li(s, d).select(col("l_suppkey").cast("long").as("sk"),
+      col("l_partkey").cast("long").as("pk"))
+    val ext = rows.agg(max(col("sk")).as("msk"), max(col("pk")).as("mpk"))
+    val side = 1L << ZBits
+    rows.crossJoin(broadcast(ext))
+      // `div`, not `/`: Column `/` on longs is DOUBLE division; the
+      // bucket id must be the exact integer quotient (oracle `//`)
+      .select(expr(s"sk * $side div (msk + 1)").as("bx"),
+        expr(s"pk * $side div (mpk + 1)").as("bp"))
+      .select(shiftrightunsigned(zInterleave(col("bx"), col("bp")), ZShift)
+          .as("zbucket"),
+        col("bx"), col("bp"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("bx")).as("min_bx"), max(col("bx")).as("max_bx"),
+        min(col("bp")).as("min_bp"), max(col("bp")).as("max_bp"))
+      .orderBy("zbucket")
+  }
+
   /** l-diversity floor for [[piiLDiversity]]: a k-anonymous group
     * whose members all share one sensitive value still leaks it. */
   val PiiLDiv = 3L
@@ -713,6 +782,7 @@ object Relational {
     "pii_k_anonymity" -> piiKAnonymity,
     "pii_l_diversity" -> piiLDiversity,
     "pii_release_suppressed" -> piiReleaseSuppressed,
+    "q30_zorder_layout" -> q30ZorderLayout,
     "q13_order_count_dist" -> q13OrderCountDist,
     "q20_full_outer_days" -> q20FullOuterDays,
     "q21_pivot" -> q21Pivot,
@@ -806,6 +876,20 @@ object Relational {
             AND r.c_nationkey = b.c_nationkey
             AND r.acct_band = b.acct_band
           ORDER BY r.c_custkey""",
+    "q30_zorder_layout" ->
+      s"""WITH m AS (SELECT CAST(MAX(l_suppkey) AS BIGINT) AS msk,
+                 CAST(MAX(l_partkey) AS BIGINT) AS mpk FROM lineitem),
+          b AS (SELECT
+              (CAST(l_suppkey AS BIGINT) * ${1L << ZBits}) // (msk + 1)
+                AS bx,
+              (CAST(l_partkey AS BIGINT) * ${1L << ZBits}) // (mpk + 1)
+                AS bp
+            FROM lineitem, m)
+          SELECT ${sqlZInterleave("bx", "bp")} >> $ZShift AS zbucket,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            MIN(bx) AS min_bx, MAX(bx) AS max_bx,
+            MIN(bp) AS min_bp, MAX(bp) AS max_bp
+          FROM b GROUP BY zbucket ORDER BY zbucket""",
     "q13_order_count_dist" ->
       """SELECT n_orders, COUNT(*) AS n_custs FROM (
            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
