@@ -23,7 +23,9 @@ emb_semdedup doc_target_affinity doc_affinity_select \
 ev_type_pagerank ev_user_pagerank doc_sample_weighted emb_rand_proj \
 ann_proj_rerank doc_affinity_select doc_affinity_select_threshold \
 dedup_containment tf_heavy_hitters ev_user_trustrank tf_heavy_delta \
-ann_mrr pii_k_anonymity"
+ann_mrr pii_k_anonymity \
+q23b_percentiles_approx q30_zorder_layout pii_l_diversity \
+pii_release_suppressed"
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
