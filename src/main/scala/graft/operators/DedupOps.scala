@@ -262,6 +262,33 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Verify-threshold sweep grid for [[dedupLshPrecision]] — fixed so
+    * the oracle string and spec mirror the same grid. */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** LSH-candidate precision sweep: for each verify threshold t, the
+    * fraction of LSH candidate pairs whose EXACT shingle Jaccard
+    * clears t — the calibration report that sets the band/row
+    * geometry and the verify cutoff before a corpus-wide dedup run
+    * (low precision at the working threshold means the bands are too
+    * permissive and the verify stage is paying for junk candidates).
+    * Cost ∝ candidate pairs × |thresholds| (a 5-element literal array
+    * exploded per pair — never all-pairs); reuses [[dedupJaccard]]'s
+    * exact intersection-as-equi-join verifier. Thresholds compare as
+    * DOUBLE on both engines (the oracle casts its grid) so a Jaccard
+    * landing exactly on a grid point decides identically. */
+  val dedupLshPrecision: Q = (s, d) =>
+    dedupJaccard(s, d)
+      .select(col("jaccard"),
+        explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_true"),
+        (sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("precision"))
+      .orderBy("threshold")
+
   /** Character-level n-gram Jaccard over the LSH candidate pairs —
     * the typo-tier verifier: word shingles miss near-dups that differ
     * by in-word edits (OCR noise, stemming, hyphenation), char
@@ -1302,6 +1329,7 @@ object DedupOps {
     "dedup_normalized" -> dedupNormalized,
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_lsh_pairs" -> dedupLshPairs,
+    "dedup_lsh_precision" -> dedupLshPrecision,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_char_ngram" -> dedupCharNgram,
     "dedup_edit_distance" -> dedupEditDistance,
@@ -1625,6 +1653,35 @@ object DedupOps {
           JOIN sizes za ON p.doc_a = za.doc_id
           JOIN sizes zb ON p.doc_b = zb.doc_id
           ORDER BY 1, 2""",
+    "dedup_lsh_precision" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          $sqlCandPairs,
+          sh AS (
+            SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+            WHERE length(toks) >= 3),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT doc_a, doc_b, COUNT(*) AS n_inter
+            FROM pairs
+            JOIN sh sa ON doc_a = sa.doc_id
+            JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+            GROUP BY doc_a, doc_b),
+          jac AS (
+            SELECT CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+            JOIN sizes za ON p.doc_a = za.doc_id
+            JOIN sizes zb ON p.doc_b = zb.doc_id),
+          th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+            AS threshold)
+          SELECT threshold, COUNT(*) AS n_candidates,
+            CAST(SUM(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true,
+            CAST(SUM(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
+          FROM jac, th GROUP BY threshold ORDER BY threshold""",
     "dedup_char_ngram" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
           $sqlCandPairs,

@@ -775,7 +775,43 @@ object Relational {
       .orderBy("month")
   }
 
+  /** Cutoff splitting lineitem into yesterday's STATE (< cutoff) and
+    * today's DELTA (>= cutoff, the last ~5 months of the fixture
+    * range, ~6% of rows) for [[q31AggDelta]]. */
+  val AggDeltaCutoff = "2001-06-01"
+
+  /** Incremental aggregate maintenance — the daily-refresh lever at
+    * 100 TB: the per-group partial-aggregate STATE (exact decimal
+    * sums + counts over everything before [[AggDeltaCutoff]], cut
+    * from lineage as if read back from yesterday's store) is merged
+    * with the DELTA's partials and re-aggregated. Decimal partial
+    * sums are exactly associative, so the merged result is
+    * bit-identical to a full recompute BY CONSTRUCTION — which is
+    * exactly what the oracle checks (it recomputes from scratch).
+    * Refresh cost is O(|delta| + |groups|), never O(|corpus|):
+    * IncrementalAggSpec pins that the merged plan scans lineitem
+    * exactly once (the delta — the state side is a checkpoint leaf)
+    * with the cutoff predicate pushed to the parquet scan. */
+  val q31AggDelta: Q = (s, d) => {
+    val cutoff = lit(AggDeltaCutoff).cast("timestamp")
+    def partial(rows: DataFrame): DataFrame = rows
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty(col("l_quantity"))).as("p_qty"),
+        sum(money(col("l_extendedprice"))).as("p_price"),
+        count(lit(1)).as("p_n"))
+    val state = graft.Checkpointing.cut(
+      partial(li(s, d).filter(col("l_shipdate") < cutoff)))
+    val delta = partial(li(s, d).filter(col("l_shipdate") >= cutoff))
+    state.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(asD(sum(col("p_qty"))).as("sum_qty"),
+        asD(sum(col("p_price"))).as("sum_base_price"),
+        sum(col("p_n")).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q31_agg_delta" -> q31AggDelta,
     "q29_mom_growth" -> q29MomGrowth,
     "q0_scan" -> q0Scan,
     "pii_pseudonymize" -> piiPseudonymize,
@@ -1033,6 +1069,13 @@ object Relational {
             AS running_revenue
           FROM lineitem WHERE l_suppkey <= 5
           ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q31_agg_delta" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) AS sum_qty,
+          CAST(SUM(${sqlMoney("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+          COUNT(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
     "q29_mom_growth" ->
       s"""WITH monthly AS (
             SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -112,6 +112,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer compression ratio by (heuristic) language — how many
+    * UTF-8 bytes one BPE-ish token buys per language, the report that
+    * allocates tokenizer-vocabulary budget across languages before a
+    * training run (multi-byte scripts price honestly via octets, not
+    * chars). One codegen'd projection + one combinable groupBy over
+    * O(langs) groups; ratios are single IEEE divisions of exact
+    * integer sums ([[graft.functions.Exact]] rules). Language cells
+    * are [[textLangid]]'s classifier verbatim. */
+  val tfCompressionRatio: Q = (s, d) => {
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val heur = when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(col("text").rlike("[àâçéèêëîïôùûüáíóúñ]"), "romance")
+      .when(nStop > 0, "en")
+      .otherwise("unknown")
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .cast("long")
+    docs(s, d)
+      .select(heur.as("heur_lang"),
+        octet_length(col("text")).cast("long").as("bytes"),
+        nBpe.as("n_bpe"))
+      .groupBy(col("heur_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("total_bytes"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
+        ratio(sum(col("bytes")), sum(col("n_bpe"))).as("bytes_per_token"))
+      .orderBy("heur_lang")
+  }
+
   /** Buffer/result for [[LongestDoc]]: best (longest, then lowest
     * doc_id) document seen so far. */
   final case class ArgMax(len: Long, doc_id: Long)
@@ -1450,6 +1478,7 @@ object TextOps {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "tf_compression_ratio" -> tfCompressionRatio,
     "text_token_count" -> textTokenCount,
     "text_longest_doc" -> textLongestDoc,
     "text_keyterms" -> textKeyterms,
@@ -1574,6 +1603,23 @@ object TextOps {
           ${Hashing.sqlCharHash("text")} AS fingerprint,
           ${Hashing.sqlSimhash32(Hashing.sqlHashAll(sqlToks))} AS simhash
           FROM documents ORDER BY doc_id""",
+    "tf_compression_ratio" ->
+      s"""WITH c AS (
+            SELECT
+              CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                   WHEN regexp_matches(text, '[àâçéèêëîïôùûüáíóúñ]') THEN 'romance'
+                   WHEN $sqlNStop > 0 THEN 'en'
+                   ELSE 'unknown' END AS heur_lang,
+              CAST(strlen(text) AS BIGINT) AS bytes,
+              CAST(length(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe
+            FROM documents)
+          SELECT heur_lang, COUNT(*) AS n_docs,
+            CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+            CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+            CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE)
+              AS bytes_per_token
+          FROM c GROUP BY heur_lang ORDER BY heur_lang""",
     "text_token_count" ->
       s"""SELECT doc_id,
           CAST(length($sqlToks) AS BIGINT) AS n_ws_tokens,
