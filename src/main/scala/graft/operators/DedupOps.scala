@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing._
+import graft.functions.UnicodeExprs
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` (SURVEY.md §2.8 [EXT]):
@@ -82,6 +83,23 @@ object DedupOps {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
+      .orderBy("canonical_id")
+
+  /** Unicode-canonical dedup: duplicate classes keyed on NFC(text)
+    * ([[graft.functions.NfcNormalize]], codegen'd — no UDF), catching
+    * the copies byte-equality misses because one of them arrived in
+    * decomposed form (macOS filesystems, OCR stacks). `n_byte_forms`
+    * counts the distinct raw encodings inside each class — >1 is
+    * exactly the dup mass [[dedupExact]] cannot see. Same combinable
+    * one-groupBy shape as [[dedupNormalized]]; the oracle mirrors via
+    * DuckDB's `nfc_normalize` (both sides Unicode-conformant NFC). */
+  val dedupUnicode: Q = (s, d) =>
+    docs(s, d)
+      .groupBy(UnicodeExprs.nfcNormalize(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col("text")).as("n_byte_forms"))
+      .select(col("canonical_id"), col("n_copies"), col("n_byte_forms"))
       .orderBy("canonical_id")
 
   /** doc_id + MinHash signature columns mh0..mh{K-1} over 3-word
@@ -1327,6 +1345,7 @@ object DedupOps {
     "dedup_bucket_histogram" -> dedupBucketHistogram,
     "dedup_exact" -> dedupExact,
     "dedup_normalized" -> dedupNormalized,
+    "dedup_unicode" -> dedupUnicode,
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_lsh_precision" -> dedupLshPrecision,
@@ -1621,6 +1640,12 @@ object DedupOps {
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
          FROM documents
          GROUP BY regexp_replace(trim(lower(text)), ' +', ' ', 'g')
+         ORDER BY canonical_id""",
+    "dedup_unicode" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+           COUNT(DISTINCT text) AS n_byte_forms
+         FROM documents
+         GROUP BY nfc_normalize(text)
          ORDER BY canonical_id""",
     "dedup_minhash_sig" ->
       s"""WITH $sqlSignatures SELECT * FROM sig ORDER BY doc_id""",
