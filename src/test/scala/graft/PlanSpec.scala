@@ -402,6 +402,35 @@ class PlanSpec extends SparkSpec {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact " +
+      "partitions at runtime") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("plan-dpp")
+    val orders = graft.sources.Tables.orders(spark, Sf)
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    import spark.implicits._
+    // star shape: the dim filter is on an ATTRIBUTE (rank), the join
+    // on the KEY (p) — so no literal constraint can propagate and the
+    // only way to prune the fact scan is a runtime (dynamic) filter.
+    // (With filter and join on the same column, constraint propagation
+    // plants a STATIC partition filter instead — strictly better, and
+    // pinned implicitly by this test's harder case.)
+    val dimDir = tmpDir("plan-dpp-dim")
+    Seq(("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+      ("4-NOT SPECIFIED", 4), ("5-LOW", 5))
+      .toDF("p", "rank").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("rank") === 1)
+    val joined = fact.join(dim, fact("o_orderpriority") === dim("p"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"the dim filter must reach the fact scan as a runtime partition " +
+        s"filter — at 100 TB this is the difference between reading one " +
+        s"partition and all of them:\n${plan.take(2000)}")
+    assert(joined.count() ===
+      orders.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
   test("exact dedup aggregates partially before the shuffle") {
     val p = physical("dedup_exact")
     // two HashAggregates (partial + final) around one exchange =
