@@ -609,6 +609,34 @@ object DedupOps {
         col("total_chars"), col("chars_saved"))
       .orderBy("canonical_id")
 
+  /** Dedup-cluster quality profile: per multi-member near-dup
+    * component, the member count, verified-edge count, and the
+    * min/max EXACT shingle Jaccard over its candidate edges — the QA
+    * report that separates tight clusters (high min) from loose
+    * LSH false-positive chains (large n_members, low min_jaccard)
+    * BEFORE a keep-one policy fires on them. min/max rather than mean
+    * keeps double parity exact (a mean would sum doubles in
+    * engine-specific order). Reuses the cached component labeling and
+    * [[dedupJaccard]]'s verified edges: one equi-join (an edge's
+    * component is its doc_a's — doc_b's is equal by construction) +
+    * two combinable groupBys. */
+  val dedupComponentProfile: Q = (s, d) => {
+    val members = components(s, d)
+    val sizes = members.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    val edges = dedupJaccard(s, d)
+      .join(members.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+    sizes.join(edges, Seq("comp"))
+      .select(col("comp").as("component_id"), col("n_members"),
+        col("n_edges"), col("min_jaccard"), col("max_jaccard"))
+      .orderBy("component_id")
+  }
+
   /** Quality-weighted canonical selection: per near-dup cluster, KEEP
     * the member with the best quality score ([[TextOps.textQuality]]'s
     * weighted stopword/alpha/diversity blend) instead of
@@ -1355,6 +1383,7 @@ object DedupOps {
     "dedup_edit_banded" -> dedupEditBanded,
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_components" -> dedupComponents,
+    "dedup_component_profile" -> dedupComponentProfile,
     "dedup_split_assign" -> dedupSplitAssign,
     "dedup_savings" -> dedupSavings,
     "dedup_cross_source" -> dedupCrossSource,
@@ -1803,6 +1832,40 @@ object DedupOps {
     "dedup_components" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
           SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
+    "dedup_component_profile" ->
+      s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents,
+          sh AS (
+            SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+            WHERE length(toks) >= 3),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT doc_a, doc_b, COUNT(*) AS n_inter
+            FROM pairs
+            JOIN sh sa ON doc_a = sa.doc_id
+            JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+            GROUP BY doc_a, doc_b),
+          jacp AS (
+            SELECT p.doc_a,
+              CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+                AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+            JOIN sizes za ON p.doc_a = za.doc_id
+            JOIN sizes zb ON p.doc_b = zb.doc_id),
+          mem AS (
+            SELECT component_id, COUNT(*) AS n_members
+            FROM comp GROUP BY component_id HAVING COUNT(*) > 1),
+          ej AS (
+            SELECT c.component_id, COUNT(*) AS n_edges,
+              MIN(j.jaccard) AS min_jaccard, MAX(j.jaccard) AS max_jaccard
+            FROM jacp j JOIN comp c ON j.doc_a = c.doc_id
+            GROUP BY c.component_id)
+          SELECT m.component_id, m.n_members, e.n_edges,
+            e.min_jaccard, e.max_jaccard
+          FROM mem m JOIN ej e ON m.component_id = e.component_id
+          ORDER BY m.component_id""",
     "dedup_bucket_histogram" ->
       s"""WITH $sqlSignatures, $sqlBuckets
           SELECT k, COUNT(*) AS n_buckets,
