@@ -10,7 +10,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 QUERIES="dedup_bucket_histogram dedup_lsh_pairs dedup_jaccard \
-dedup_components dedup_index_merge dedup_index_compact \
+dedup_components dedup_component_profile dedup_unicode \
+dedup_index_merge dedup_index_compact \
 dedup_index_rewrite dedup_index_stats text_cdc_dedup text_cdc_remove \
 mm_store_gc mm_store_rewrite \
 ev_top_users ev_top_users_salted stream_sessionize stream_interval_join \
