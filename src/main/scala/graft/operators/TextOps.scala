@@ -1473,6 +1473,132 @@ object TextOps {
       .orderBy("word")
   }
 
+  // ------------------------------------------------------------------
+  // Raw-text PII audit + token-budget allocation + quality tiers
+  // ------------------------------------------------------------------
+
+  /** PII detector patterns — a regex subset with identical semantics
+    * in Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+    * quantifiers, `\b`, no lookaround/backrefs. Fixed forever. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiLongNum = "[0-9]{9,}"
+
+  /** Raw-text PII audit per source: match counts for email / IPv4 /
+    * long-digit-run detectors plus the char volume a redaction pass
+    * would remove — the governance report for UNSTRUCTURED text (the
+    * `pii_*` family audits structured columns). One codegen'd regex
+    * projection + one combinable O(sources) groupBy; per-pattern
+    * redaction volumes are summed independently, so a char matched by
+    * two detectors counts once per detector (documented, mirrored in
+    * the oracle). */
+  val textPiiScrub: Q = (s, d) => {
+    def cnt(pat: String) =
+      regexp_count(col("text"), lit(pat)).cast("long")
+    def redacted(pat: String) =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), pat, ""))).cast("long")
+    docs(s, d)
+      .select(col("source"),
+        cnt(PiiEmail).as("e"), cnt(PiiIpv4).as("i"),
+        cnt(PiiLongNum).as("n"),
+        (redacted(PiiEmail) + redacted(PiiIpv4) + redacted(PiiLongNum))
+          .as("red"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum((col("e") + col("i") + col("n") > 0).cast("long"))
+          .as("docs_with_pii"),
+        sum("e").as("n_emails"), sum("i").as("n_ipv4"),
+        sum("n").as("n_long_numbers"), sum("red").as("chars_redacted"))
+      .orderBy("source")
+  }
+
+  /** Max-min-fair (water-filling) token-budget allocation across
+    * sources: given a global budget of half the corpus tokens, each
+    * source gets min(its tokens, water level), with the integer
+    * remainder distributed deterministically (+1 to the smallest
+    * source names among the unfunded). The data-mixing primitive that
+    * turns "we can afford N tokens" into per-source sampling budgets
+    * without starving small sources. All-integer arithmetic (level =
+    * div, remainder = mod); the closed form over the ASC-sorted
+    * source list replaces the iterative fill. Cost: one combinable
+    * groupBy to O(sources) rows, then windows over that tiny relation
+    * — never a doc-level window. */
+  val docBudgetWaterfill: Q = (s, d) => {
+    val perSrc = docs(s, d)
+      .select(col("source"), size(toks).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("tokens"))
+    val wAll = Window.partitionBy(lit(1))
+    val wAsc = Window.partitionBy(lit(1))
+      .orderBy(col("tokens"), col("source"))
+    perSrc
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("tokens")).over(wAll))
+      .withColumn("budget", expr("total div 2"))
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("cum_prev",
+        coalesce(sum(col("tokens")).over(
+          wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // sorted ASC, source i is fully funded iff its tokens fit the
+      // water level: tokens*(k-i+1) + cum_prev <= budget
+      .withColumn("funded",
+        col("tokens") * (col("k") - col("i") + 1) + col("cum_prev")
+          <= col("budget"))
+      .withColumn("funded_tok",
+        sum(when(col("funded"), col("tokens")).otherwise(0L)).over(wAll))
+      .withColumn("m", sum(col("funded").cast("long")).over(wAll))
+      .withColumn("ru", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("funded"), col("source"))))
+      .select(col("source"), col("tokens"),
+        col("funded").cast("long").as("funded"),
+        when(col("funded"), col("tokens"))
+          .otherwise(
+            expr("(budget - funded_tok) div greatest(k - m, 1)") +
+              (col("ru") <= expr(
+                "(budget - funded_tok) % greatest(k - m, 1)"))
+                .cast("long"))
+          .as("alloc"))
+      .orderBy("source")
+  }
+
+  /** CCNet-style quality tiers (Wenzek et al. 2020 bucket corpora by
+    * LM perplexity into head/middle/tail): per language, docs are cut
+    * into rare/mid/common thirds by mean corpus frequency of their
+    * tokens — the unigram stand-in for perplexity. The cut is the
+    * HISTOGRAM form, the 100 TB path: bin = sum_tf div n_tokens
+    * (integer, no doubles anywhere), cumulative counts over the
+    * per-language BIN histogram (thousands of bins, never a doc-level
+    * window), straddling bin assigned wholly to the lower tier —
+    * deterministic at bin granularity by construction. */
+  val docQualityTiers: Q = (s, d) => {
+    val tf = docs(s, d)
+      .select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val binned = docs(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks).as("token"))
+      .join(tf, "token")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tf"))
+      .select(col("lang"), expr("sum_tf div n_tokens").as("bin"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLang = Window.partitionBy(col("lang"))
+    binned.groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wLang))
+      .withColumn("tier",
+        when((col("cum") - col("c")) * 3 < col("n"), "rare")
+          .when((col("cum") - col("c")) * 3 < col("n") * 2, "mid")
+          .otherwise("common"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        min(col("bin")).as("min_bin"), max(col("bin")).as("max_bin"))
+      .orderBy("lang", "tier")
+  }
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
@@ -1517,7 +1643,10 @@ object TextOps {
     "doc_langid_confusion" -> docLangidConfusion,
     "tf_zipf" -> tfZipf,
     "text_langid_ngram" -> textLangidNgram,
-    "corpus_correlations" -> corpusCorrelations)
+    "corpus_correlations" -> corpusCorrelations,
+    "text_pii_scrub" -> textPiiScrub,
+    "doc_budget_waterfill" -> docBudgetWaterfill,
+    "doc_quality_tiers" -> docQualityTiers)
 
   // ------------------------------------------------------------------
 
@@ -2193,7 +2322,89 @@ object TextOps {
             CASE WHEN q.quality >= m.lang_median THEN 'keep' ELSE 'drop' END
               AS verdict
           FROM q JOIN m ON q.lang = m.lang
-          ORDER BY q.doc_id""")
+          ORDER BY q.doc_id""",
+    "text_pii_scrub" ->
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS docs_with_pii,
+            CAST(SUM(e) AS BIGINT) AS n_emails,
+            CAST(SUM(i) AS BIGINT) AS n_ipv4,
+            CAST(SUM(n) AS BIGINT) AS n_long_numbers,
+            CAST(SUM(red) AS BIGINT) AS chars_redacted
+          FROM (
+            SELECT source,
+              length(regexp_extract_all(text, '$PiiEmail')) AS e,
+              length(regexp_extract_all(text, '$PiiIpv4')) AS i,
+              length(regexp_extract_all(text, '$PiiLongNum')) AS n,
+              (length(text)
+                 - length(regexp_replace(text, '$PiiEmail', '', 'g')))
+              + (length(text)
+                 - length(regexp_replace(text, '$PiiIpv4', '', 'g')))
+              + (length(text)
+                 - length(regexp_replace(text, '$PiiLongNum', '', 'g')))
+                AS red
+            FROM documents) t
+          GROUP BY source ORDER BY source""",
+    "doc_budget_waterfill" ->
+      s"""WITH per_src AS (
+            SELECT source, CAST(SUM(length($sqlToks)) AS BIGINT) AS tokens
+            FROM documents GROUP BY source),
+          w AS (
+            SELECT source, tokens,
+              CAST(COUNT(*) OVER () AS BIGINT) AS k,
+              CAST(SUM(tokens) OVER () AS BIGINT) // 2 AS budget,
+              CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT)
+                AS i,
+              CAST(COALESCE(SUM(tokens) OVER (ORDER BY tokens, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_prev
+            FROM per_src),
+          f AS (
+            SELECT *, CASE WHEN tokens * (k - i + 1) + cum_prev <= budget
+                           THEN 1 ELSE 0 END AS funded
+            FROM w),
+          g AS (
+            SELECT *,
+              CAST(SUM(CASE WHEN funded = 1 THEN tokens ELSE 0 END)
+                OVER () AS BIGINT) AS funded_tok,
+              CAST(SUM(funded) OVER () AS BIGINT) AS m,
+              CAST(ROW_NUMBER() OVER (ORDER BY funded, source) AS BIGINT)
+                AS ru
+            FROM f)
+          SELECT source, tokens, CAST(funded AS BIGINT) AS funded,
+            CAST(CASE WHEN funded = 1 THEN tokens
+                 ELSE (budget - funded_tok) // GREATEST(k - m, 1)
+                      + CASE WHEN ru <= (budget - funded_tok)
+                               % GREATEST(k - m, 1)
+                             THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+          FROM g ORDER BY source""",
+    "doc_quality_tiers" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($sqlToks) AS token FROM documents),
+          tf AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+          ds AS (
+            SELECT t.doc_id,
+              CAST(SUM(f.tf) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                AS bin
+            FROM tok t JOIN tf f ON t.token = f.token
+            GROUP BY t.doc_id),
+          db AS (
+            SELECT d.lang, ds.bin, COUNT(*) AS c
+            FROM ds JOIN documents d ON ds.doc_id = d.doc_id
+            GROUP BY 1, 2),
+          cc AS (
+            SELECT lang, bin, c,
+              SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+              SUM(c) OVER (PARTITION BY lang) AS n
+            FROM db)
+          SELECT lang,
+            CASE WHEN (cum - c) * 3 < n THEN 'rare'
+                 WHEN (cum - c) * 3 < n * 2 THEN 'mid'
+                 ELSE 'common' END AS tier,
+            CAST(SUM(c) AS BIGINT) AS n_docs,
+            CAST(COUNT(*) AS BIGINT) AS n_bins,
+            MIN(bin) AS min_bin, MAX(bin) AS max_bin
+          FROM cc GROUP BY 1, 2 ORDER BY lang, tier""")
 
   /** The BPE training rounds as a DuckDB CTE chain: `words` (the
     * word-frequency relation), `r0` (char-level symbol repr with the
