@@ -431,6 +431,56 @@ class PlanSpec extends SparkSpec {
       orders.filter(col("o_orderpriority") === "1-URGENT").count())
   }
 
+  test("runtime bloom filter: a selective dim filter reaches the fact " +
+      "scan of a shuffle join as a row-level filter") {
+    import org.apache.spark.sql.functions.col
+    // the DPP pin covers PARTITIONED facts; this is the complement for
+    // unpartitioned ones — Spark's InjectRuntimeFilter builds a bloom
+    // filter from the filtered dim keys and applies it to the fact
+    // side BEFORE the join shuffle, so at 100 TB the exchange carries
+    // only rows that can match. Thresholds are scaled to the fixture
+    // (the application-side default is 10 GB); broadcast is disabled
+    // because a broadcast-able dim needs no runtime filter.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      val factDir = tmpDir("plan-bloom-fact")
+      val dimDir = tmpDir("plan-bloom-dim")
+      val lineitem = graft.sources.Tables.lineitem(spark, Sf)
+      val orders = graft.sources.Tables.orders(spark, Sf)
+      lineitem.select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").parquet(factDir)
+      orders.select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(dimDir)
+      val fact = spark.read.parquet(factDir)
+      val dim = spark.read.parquet(dimDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") &&
+          opt.contains("bloom_filter_agg"),
+        s"the dim filter must reach the fact side as a runtime bloom " +
+          s"filter — without it the shuffle carries every fact row:\n" +
+          opt.take(2000))
+      val expected = lineitem.join(
+        orders.filter(col("o_orderpriority") === "1-URGENT"),
+        lineitem("l_orderkey") === orders("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("exact dedup aggregates partially before the shuffle") {
     val p = physical("dedup_exact")
     // two HashAggregates (partial + final) around one exchange =
