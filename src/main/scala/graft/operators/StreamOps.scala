@@ -520,6 +520,34 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** PII gate ON INGEST (`stream_pii_gate`) — the raw-text governance
+    * twin of `text_pii_scrub` at the ingest boundary: each incoming
+    * document runs the same Java-regex/RE2-parity detectors
+    * ([[TextOps.PiiEmail]]/[[TextOps.PiiIpv4]]/[[TextOps.PiiLongNum]])
+    * and PII carriers route to the quarantine branch BEFORE reaching
+    * the training corpus, carrying per-type counts so the downstream
+    * redaction service knows what to scrub (SURVEY §2.6 E6 routing —
+    * quarantine is a DLQ, not a drop). Pure per-row codegen'd
+    * projection: zero state store, unbounded-safe at any ingest
+    * rate. */
+  val streamPiiGate: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def cnt(pat: String) =
+      regexp_count(col("text"), lit(pat)).cast("long")
+    val gated = docsStream(s, d)
+      .select(col("doc_id"),
+        cnt(TextOps.PiiEmail).as("n_emails"),
+        cnt(TextOps.PiiIpv4).as("n_ipv4"),
+        cnt(TextOps.PiiLongNum).as("n_long_numbers"))
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+        col("n_long_numbers"),
+        when(col("n_emails") + col("n_ipv4") + col("n_long_numbers")
+            > 0, "quarantined")
+          .otherwise("admitted").as("decision"))
+    runToTable(s, gated, "append")
+      .orderBy("doc_id")
+  }
+
   /** TAKEDOWN gate ON INGEST (`stream_takedown_gate`) — the deletion
     * story's ingest-side closure: a takedown
     * (`dedup_index_compact`'s [[DedupOps.TombTag]] batch) must
@@ -1323,6 +1351,7 @@ object StreamOps {
     "stream_session_window" -> streamSessionWindow,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_curation_route" -> streamCurationRoute,
+    "stream_pii_gate" -> streamPiiGate,
     "stream_neardup_candidates" -> streamNeardupCandidates,
     "stream_conversion_window" -> streamConversionWindow)
 
@@ -1447,6 +1476,20 @@ object StreamOps {
            WHERE c.user_id = v.user_id
              AND c.ts_sec >= v.ts_sec AND c.ts_sec <= v.ts_sec + 3600)
          ORDER BY view_id""",
+    "stream_pii_gate" ->
+      s"""SELECT doc_id,
+            CAST(length(regexp_extract_all(text, '${TextOps.PiiEmail}'))
+              AS BIGINT) AS n_emails,
+            CAST(length(regexp_extract_all(text, '${TextOps.PiiIpv4}'))
+              AS BIGINT) AS n_ipv4,
+            CAST(length(regexp_extract_all(text, '${TextOps.PiiLongNum}'))
+              AS BIGINT) AS n_long_numbers,
+            CASE WHEN length(regexp_extract_all(text, '${TextOps.PiiEmail}'))
+                   + length(regexp_extract_all(text, '${TextOps.PiiIpv4}'))
+                   + length(regexp_extract_all(text, '${TextOps.PiiLongNum}'))
+                   > 0
+                 THEN 'quarantined' ELSE 'admitted' END AS decision
+          FROM documents ORDER BY doc_id""",
     "stream_curation_route" -> {
       val sqlToks = graft.functions.Hashing.sqlTokens("text")
       s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, dup_ratio,

@@ -25,11 +25,17 @@ class PiiScrubSpec extends SparkSpec {
       // s1: boundary — trailing .5 keeps the \b match at 1.2.3.4
       (4L, "probe 1.2.3.4.5 and x@y.zz done", "en", "s1"))
       .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    // single-FILE documents.parquet (testdata convention — the
+    // streaming source symlinks it and a directory would list empty)
     val dir = tmpDir("pii-planted")
+    val raw = tmpDir("pii-planted-raw")
     import spark.implicits._
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(raw)
+    val part = new java.io.File(raw).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
     dir
   }
 
@@ -60,6 +66,15 @@ class PiiScrubSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
       "one pass over documents computes all detectors")
+  }
+
+  test("stream gate quarantines exactly the planted PII carriers") {
+    val got = SparkEntry.queries("stream_pii_gate")(spark, fixture())
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision"))
+      .toMap
+    assert(got == Map(1L -> "quarantined", 2L -> "quarantined",
+      3L -> "admitted", 4L -> "quarantined"))
   }
 
   test("corpus run: totals are consistent") {
