@@ -1599,6 +1599,35 @@ object TextOps {
       .orderBy("lang", "tier")
   }
 
+  /** Per-document novelty: the fraction of a doc's distinct 3-word
+    * shingles whose FIRST corpus occurrence (min doc_id over holders)
+    * is this doc — the "how much new content does this doc
+    * contribute" curation signal that catches template re-spins
+    * exact/near dedup admit (a re-spin re-uses most shingles without
+    * being a near-dup of any single earlier doc). Attribution is one
+    * explode + one combinable min-groupBy + one equi-join — never
+    * pairwise; same codegen'd shingle hashes as the dedup family, so
+    * at 100 TB the gram→first_doc relation IS the dedup bucket index
+    * re-read. Docs under 3 tokens have no shingles and are absent by
+    * construction (mirrored in the oracle). */
+  val tfNgramNovelty: Q = (s, d) => {
+    val grams = docs(s, d)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Hashing.hashAll(Hashing.shingles(toks)))).as("gh"))
+    val first = grams.groupBy("gh")
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long"))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        ratio(col("n_novel"), col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
@@ -1646,7 +1675,8 @@ object TextOps {
     "corpus_correlations" -> corpusCorrelations,
     "text_pii_scrub" -> textPiiScrub,
     "doc_budget_waterfill" -> docBudgetWaterfill,
-    "doc_quality_tiers" -> docQualityTiers)
+    "doc_quality_tiers" -> docQualityTiers,
+    "tf_ngram_novelty" -> tfNgramNovelty)
 
   // ------------------------------------------------------------------
 
@@ -2404,7 +2434,22 @@ object TextOps {
             CAST(SUM(c) AS BIGINT) AS n_docs,
             CAST(COUNT(*) AS BIGINT) AS n_bins,
             MIN(bin) AS min_bin, MAX(bin) AS max_bin
-          FROM cc GROUP BY 1, 2 ORDER BY lang, tier""")
+          FROM cc GROUP BY 1, 2 ORDER BY lang, tier""",
+    "tf_ngram_novelty" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              unnest(list_distinct(${Hashing.sqlHashAll(
+                Hashing.sqlShingles("toks"))})) AS gh
+            FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t
+            WHERE length(toks) >= 3),
+          f AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
+          SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+            CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel,
+            CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+          FROM g JOIN f ON g.gh = f.gh
+          GROUP BY g.doc_id ORDER BY g.doc_id""")
 
   /** The BPE training rounds as a DuckDB CTE chain: `words` (the
     * word-frequency relation), `r0` (char-level symbol repr with the
