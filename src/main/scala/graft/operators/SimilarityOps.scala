@@ -188,6 +188,79 @@ object SimilarityOps {
       TopK)
   }
 
+  /** MMR shortlist depth and selection size (Carbonell & Goldstein
+    * 1998). Fixed forever. */
+  val MmrShort = 20
+  val MmrK = 5
+
+  /** Maximal-marginal-relevance diversified selection
+    * (`ann_mmr_diversify`): greedily re-rank each query's exact
+    * top-[[MmrShort]] shortlist into [[MmrK]] picks maximizing
+    * `0.5·rel − 0.5·max_sim_to_already_selected` — the retrieval-time
+    * complement of semantic dedup (a near-dup cluster flooding the
+    * top-k yields one representative, not k copies). The greedy loop
+    * is inherently sequential in k, so it runs as [[MmrK]] unrolled
+    * plan steps over the CHECKPOINTED shortlist relation (queries ×
+    * [[MmrShort]] rows — the only all-pairs sims ever computed are
+    * shortlist × selected, ≤ 20×5 per query); the corpus-scale work
+    * stays in the shortlist search, which is exactly [[knnBrute]] /
+    * an IVF tier at 100 TB. Argmax per step is a max(struct(score,
+    * −cand_id)) — ties break to the smaller cand_id, mirrored by the
+    * oracle's ORDER BY. Step 1 has no selected set: maxsim = 0,
+    * score = 0.5·rel (documented convention, mirrored). */
+  val annMmrDiversify: Q = (s, d) => {
+    val e = bucketed(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))
+    val c = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"))
+    val short = topK(
+      c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos")),
+      MmrShort)
+      .join(c, "cand_id")
+      .select(col("query_id"), col("cand_id"), col("cos").as("rel"),
+        col("ce"), col("cn"))
+      .transform(graft.Checkpointing.cut)
+    // deterministic argmax of `score` with smaller-cand_id tiebreak
+    def pick(scored: DataFrame, step: Int): DataFrame = {
+      val best = scored.groupBy("query_id")
+        .agg(max(struct(col("score"), (lit(0L) - col("cand_id"))
+          .as("nid"))).as("b"))
+        .select(col("query_id"), (lit(0L) - col("b.nid")).as("cand_id"))
+      scored.join(best, Seq("query_id", "cand_id"))
+        .select(col("query_id"), lit(step.toLong).as("step"),
+          col("cand_id"), col("rel"), col("maxsim"), col("score"),
+          col("ce"), col("cn"))
+    }
+    var sel = pick(short
+      .withColumn("maxsim", lit(0.0))
+      .withColumn("score", lit(0.5) * col("rel")), 1)
+    for (step <- 2 to MmrK) {
+      val selE = sel.select(col("query_id"), col("ce").as("se"),
+        col("cn").as("sn"))
+      val remaining = short.join(sel.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      val scored = remaining.join(selE, Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), col("rel"), col("ce"),
+          col("cn"),
+          cosPre(col("ce"), col("se"), col("cn"), col("sn")).as("sim"))
+        .groupBy("query_id", "cand_id")
+        .agg(first(col("rel")).as("rel"), first(col("ce")).as("ce"),
+          first(col("cn")).as("cn"), max(col("sim")).as("maxsim"))
+        .withColumn("score",
+          lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
+      sel = graft.Checkpointing.cut(
+        sel.unionByName(pick(scored, step)))
+    }
+    sel.select(col("query_id"), col("step"), col("cand_id"),
+        col("rel"), col("maxsim"), col("score"))
+      .orderBy("query_id", "step")
+  }
+
   /** Bucket histogram: occupancy of each LSH bucket. */
   val annLshBuckets: Q = (s, d) =>
     bucketed(s, d)
@@ -1734,6 +1807,7 @@ object SimilarityOps {
     "emb_outliers" -> embOutliers,
     "emb_winsorize" -> embWinsorize,
     "knn_brute" -> knnBrute,
+    "ann_mmr_diversify" -> annMmrDiversify,
     "emb_normalize" -> embNormalize,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_probe" -> annLshProbe,
@@ -2007,6 +2081,55 @@ object SimilarityOps {
         FROM embeddings q, embeddings c
         WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK)
 
+  /** The [[annMmrDiversify]] greedy loop unrolled as a CTE chain:
+    * per step, max-sim against the selected set then a ROW_NUMBER
+    * argmax mirroring the Spark side's max(struct(score, −cand_id)). */
+  private val sqlMmrDiversify: String = {
+    val pairs =
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlCosine("q.embedding", "c.embedding")} AS cos
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries"""
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH base AS (
+            SELECT query_id, cand_id, cos AS rel
+            FROM (${sqlTopK(pairs, MmrShort)}) s),
+          sel1 AS (
+            SELECT query_id, CAST(1 AS BIGINT) AS step, cand_id, rel,
+              0.0 AS maxsim, 0.5 * rel AS score
+            FROM (SELECT base.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY 0.5 * rel DESC, cand_id) AS rn FROM base) z
+            WHERE rn = 1),
+          all1 AS (SELECT * FROM sel1)""")
+    for (i <- 2 to MmrK) {
+      sb.append(s""",
+          m$i AS (
+            SELECT b.query_id, b.cand_id, b.rel,
+              MAX(${sqlCosine("ec.embedding", "es.embedding")}) AS maxsim
+            FROM base b
+            JOIN all${i - 1} s ON b.query_id = s.query_id
+            JOIN embeddings ec ON ec.vec_id = b.cand_id
+            JOIN embeddings es ON es.vec_id = s.cand_id
+            WHERE NOT EXISTS (SELECT 1 FROM all${i - 1} x
+              WHERE x.query_id = b.query_id AND x.cand_id = b.cand_id)
+            GROUP BY b.query_id, b.cand_id, b.rel),
+          sel$i AS (
+            SELECT query_id, CAST($i AS BIGINT) AS step, cand_id, rel,
+              maxsim, 0.5 * rel - 0.5 * maxsim AS score
+            FROM (SELECT m$i.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY 0.5 * rel - 0.5 * maxsim DESC, cand_id)
+                    AS rn FROM m$i) z
+            WHERE rn = 1),
+          all$i AS (SELECT * FROM all${i - 1}
+                    UNION ALL SELECT * FROM sel$i)""")
+    }
+    sb.append(s"""
+        SELECT query_id, step, cand_id, rel, maxsim, score
+        FROM all$MmrK ORDER BY query_id, step""")
+    sb.toString
+  }
+
   /** (vec_id, p0..p7) projection — per-output-dim ±1 sign lists
     * generated from [[ProjSigns]], the same Scala constants the Spark
     * side projects with, emitted as CAST(±1 AS DOUBLE) elements (a
@@ -2249,6 +2372,7 @@ object SimilarityOps {
             sqrt(${sqlDot("embedding", "embedding")}) AS norm
           FROM allv ORDER BY vec_id""",
     "knn_brute" -> sqlKnnBrute,
+    "ann_mmr_diversify" -> sqlMmrDiversify,
     "ann_hard_negatives" -> sqlTopK(
       s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
           ${sqlCosine("q.embedding", "c.embedding")} AS cos
