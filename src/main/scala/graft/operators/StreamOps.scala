@@ -587,6 +587,49 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** NOVELTY gate ON INGEST (`stream_novelty_gate`) — the
+    * coverage-based complement of the frequency-based template gate:
+    * each incoming ([[DedupOps.AddTag]]-tagged, id-shifted) document's
+    * distinct shingles probe the STATIC corpus gram index via a
+    * stream-static left join, and docs re-using ≥ 3/4 of their
+    * shingles route to the `derivative` branch — the re-spin shape
+    * [[TextOps.tfNgramNovelty]] measures in batch, caught at the
+    * boundary. Static-index novelty (not stream-order first-arrival)
+    * keeps the verdict batch-deterministic. The per-doc rollup is a
+    * complete-mode aggregation keyed on doc_id — bounded by the
+    * replayed delta, and on a production stream the same rollup rides
+    * a watermarked window. */
+  val streamNoveltyGate: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def tagOf(id: Column) =
+      graft.functions.Hashing.charHash(id.cast("string")) % 10
+    def grams(c: Column) =
+      array_distinct(graft.functions.Hashing.hashAll(
+        graft.functions.Hashing.shingles(
+          graft.functions.Hashing.tokens(c))))
+    val staticGrams = Tables.documents(s, d)
+      .filter(tagOf(col("doc_id")) =!= DedupOps.AddTag)
+      .select(explode(grams(col("text"))).as("gh"))
+      .distinct()
+      .withColumn("seen", lit(1L))
+    val incoming = docsStream(s, d)
+      .filter(tagOf(col("doc_id")) === DedupOps.AddTag)
+      .select((col("doc_id") + DedupOps.DeltaIdOffset).as("doc_id"),
+        explode(grams(col("text"))).as("gh"))
+    val rolled = incoming
+      .join(staticGrams, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"),
+        when(col("n_novel") * 4 < col("n_grams"), "derivative")
+          .otherwise("admitted").as("decision"))
+    runToTable(s, rolled, "complete")
+      .orderBy("doc_id")
+  }
+
   /** Near-dup gate ON INGEST: each incoming document's LSH bucket
     * rows (the same one-pass minhash/band projection the batch index
     * is built from — pure per-row expressions, streaming-safe) joined
@@ -1352,6 +1395,7 @@ object StreamOps {
     "stream_interval_join" -> streamIntervalJoin,
     "stream_curation_route" -> streamCurationRoute,
     "stream_pii_gate" -> streamPiiGate,
+    "stream_novelty_gate" -> streamNoveltyGate,
     "stream_neardup_candidates" -> streamNeardupCandidates,
     "stream_conversion_window" -> streamConversionWindow)
 
@@ -1476,6 +1520,32 @@ object StreamOps {
            WHERE c.user_id = v.user_id
              AND c.ts_sec >= v.ts_sec AND c.ts_sec <= v.ts_sec + 3600)
          ORDER BY view_id""",
+    "stream_novelty_gate" -> {
+      val tag = s"${graft.functions.Hashing
+        .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10"
+      val sqlToks = graft.functions.Hashing.sqlTokens("text")
+      val grams = s"list_distinct(${graft.functions.Hashing.sqlHashAll(
+        graft.functions.Hashing.sqlShingles("toks"))})"
+      s"""WITH base AS (
+            SELECT doc_id, $sqlToks AS toks FROM documents),
+          statg AS (
+            SELECT DISTINCT unnest($grams) AS gh
+            FROM base WHERE $tag <> ${DedupOps.AddTag}),
+          inc AS (
+            SELECT doc_id + ${DedupOps.DeltaIdOffset} AS doc_id,
+              unnest($grams) AS gh
+            FROM base WHERE $tag = ${DedupOps.AddTag})
+          SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+            CAST(SUM(CASE WHEN s.gh IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel,
+            CAST(SUM(CASE WHEN s.gh IS NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty,
+            CASE WHEN SUM(CASE WHEN s.gh IS NULL THEN 1 ELSE 0 END) * 4
+                   < COUNT(*)
+                 THEN 'derivative' ELSE 'admitted' END AS decision
+          FROM inc i LEFT JOIN statg s ON i.gh = s.gh
+          GROUP BY i.doc_id ORDER BY i.doc_id"""
+    },
     "stream_pii_gate" ->
       s"""SELECT doc_id,
             CAST(length(regexp_extract_all(text, '${TextOps.PiiEmail}'))

@@ -34,6 +34,44 @@ class NgramNoveltySpec extends SparkSpec {
       3L -> ((2L, 0L, 0.0))), s"got $got")
   }
 
+  test("novelty gate: a planted re-spin routes to derivative, fresh " +
+      "content admits") {
+    def tag(id: Long): Long = {
+      var h = 0L
+      id.toString.foreach(c => h = (h * 31 + c.toLong) % 2147483647L)
+      h % 10
+    }
+    val addIds = (0L to 5000L)
+      .filter(tag(_) == graft.operators.DedupOps.AddTag)
+    val corpusIds = (0L to 5000L).filter(tag(_) == 0L)
+    val template = (1 to 20).map(j => s"base$j").mkString(" ")
+    // re-spin: 19 of 20 words shared with the template -> 2 novel
+    // shingles of 18 -> novelty 1/9 < 1/4; fresh: all-novel words
+    val respin = ((1 to 19).map(j => s"base$j") :+ "twist").mkString(" ")
+    val fresh = (1 to 20).map(j => s"novel$j").mkString(" ")
+    val docs = Seq(
+      (corpusIds(0), template),
+      (addIds(0), respin),
+      (addIds(1), fresh))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+    val raw = tmpDir("novelty-gate-raw")
+    val dir = tmpDir("novelty-gate")
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(raw)
+    val part = new java.io.File(raw).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val got = SparkEntry.queries("stream_novelty_gate")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision"))
+      .toMap
+    val off = graft.operators.DedupOps.DeltaIdOffset
+    assert(got == Map(addIds(0) + off -> "derivative",
+      addIds(1) + off -> "admitted"), s"got $got")
+  }
+
   test("corpus conservation: every distinct shingle is novel once, " +
       "and the first doc is wholly novel") {
     val rows = TextOps.tfNgramNovelty(spark, Sf).collect()
