@@ -810,8 +810,51 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Incremental JOIN maintenance — the view-maintenance complement
+    * of [[q31AggDelta]]: a materialized `orders ⋈ lineitem` view is
+    * refreshed from disjoint old/delta halves of BOTH inputs via the
+    * classic three-term delta
+    *   Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB,
+    * unioned onto the CHECKPOINTED old-join state (read back as if
+    * from yesterday's store). Row-identical to the full join by set
+    * algebra — the oracle recomputes the full join from scratch and
+    * the rollup must hash-match. Daily refresh cost is the three
+    * delta-sided joins (each with one [[AggDeltaCutoff]]-pruned
+    * scan), never old⋈old; at 100 TB both delta sides are the day's
+    * partitions. Output is the compact per-(priority, returnflag)
+    * revenue rollup so the gate stays small; exact decimal sums keep
+    * the union re-aggregation bit-identical. */
+  val q32JoinDelta: Q = (s, d) => {
+    val cutoff = lit(AggDeltaCutoff).cast("timestamp")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = li(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+    def part(rows: DataFrame, c: Column, old: Boolean) =
+      if (old) rows.filter(c < cutoff) else rows.filter(c >= cutoff)
+    def j(os: DataFrame, ls: DataFrame) = os
+      .join(ls, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), col("l_returnflag"),
+        discPrice(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val oOld = part(o, col("o_orderdate"), old = true)
+    val oNew = part(o, col("o_orderdate"), old = false)
+    val lOld = part(l, col("l_shipdate"), old = true)
+    val lNew = part(l, col("l_shipdate"), old = false)
+    val state = graft.Checkpointing.cut(j(oOld, lOld))
+    state
+      .unionByName(j(oNew, lOld))
+      .unionByName(j(oOld, lNew))
+      .unionByName(j(oNew, lNew))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), asD(sum(col("rev"))).as("revenue"))
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
   val defs: Map[String, Q] = Map(
     "q31_agg_delta" -> q31AggDelta,
+    "q32_join_delta" -> q32JoinDelta,
     "q29_mom_growth" -> q29MomGrowth,
     "q0_scan" -> q0Scan,
     "pii_pseudonymize" -> piiPseudonymize,
@@ -1076,6 +1119,16 @@ object Relational {
           COUNT(*) AS count_order
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+    // the full join recomputed from scratch — the three-term delta
+    // must be row-identical to it by set algebra
+    "q32_join_delta" ->
+      s"""SELECT o_orderpriority, l_returnflag,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(${sqlDiscPrice("l_extendedprice", "l_discount")})
+            AS DOUBLE) AS revenue
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o_orderpriority, l_returnflag
+          ORDER BY o_orderpriority, l_returnflag""",
     "q29_mom_growth" ->
       s"""WITH monthly AS (
             SELECT strftime(o_orderdate, '%Y-%m') AS month,
