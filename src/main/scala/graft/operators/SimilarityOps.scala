@@ -539,6 +539,46 @@ object SimilarityOps {
         col("dim").cast("long").as("dim"), col("mean"))
       .orderBy("label", "dim")
 
+  /** Snapshot tag for [[embCentroidDrift]]: the ~10% of vectors with
+    * this vec_id residue are "today's ingest". Fixed forever. */
+  val DriftTag = 9L
+  /** Per-dim mean shift above this flags a drifted dimension. */
+  val DriftEps = 0.005
+
+  /** Embedding-space drift monitor (`emb_centroid_drift`): per label,
+    * compare the class centroid WITH vs WITHOUT today's ingest (the
+    * [[DriftTag]] residue slice) and report max/min per-dim |shift| +
+    * the count of dims shifted beyond [[DriftEps]] — the alarm that
+    * catches an embedding-model version change or a poisoned ingest
+    * batch before it contaminates ANN indexes and semantic dedup.
+    * Exactness rides [[embCentroids]]'s string→decimal sum (shuffle-
+    * order-proof); each mean is one exact division, the shift one
+    * subtraction, and max/min/count are order-independent — no
+    * double is ever summed. Two combinable (label, dim) aggregates
+    * over a narrow posexplode; output is O(labels). */
+  val embCentroidDrift: Q = (s, d) => {
+    def means(df: DataFrame, name: String) = df
+      .select(col("label"), posexplode(col("embedding"))
+        .as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("v").cast("string").cast("decimal(30,20)"))
+        .cast("double") / count(lit(1)).cast("double")).as(name))
+    val oldM = means(emb(s, d)
+      .filter(col("vec_id") % 10 =!= DriftTag), "old_mean")
+    val newM = means(emb(s, d), "new_mean")
+    newM.join(oldM, Seq("label", "dim"))
+      .select(col("label"),
+        abs(col("new_mean") - col("old_mean")).as("shift"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dims"),
+        max(col("shift")).as("max_shift"),
+        min(col("shift")).as("min_shift"),
+        sum((col("shift") > DriftEps).cast("long")).as("n_drifted"))
+      .select(col("label").cast("long").as("label"), col("n_dims"),
+        col("max_shift"), col("min_shift"), col("n_drifted"))
+      .orderBy("label")
+  }
+
   /** Cross-modal dedup verification: every embedding-space near-dup
     * pair ([[embNearDup]]) re-scored by TEXT similarity — distinct
     * word-token Jaccard of the two documents (vec ids key into
@@ -1815,6 +1855,7 @@ object SimilarityOps {
     "emb_near_dup" -> embNearDup,
     "emb_label_stats" -> embLabelStats,
     "emb_centroids" -> embCentroids,
+    "emb_centroid_drift" -> embCentroidDrift,
     "kmeans_assign" -> kmeansAssign,
     "kmeans_train" -> kmeansTrain,
     "ann_ivf_trained" -> annIvfTrained,
@@ -2512,6 +2553,26 @@ object SimilarityOps {
           FROM embeddings,
             (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
           GROUP BY label, idx.i ORDER BY label, dim""",
+    "emb_centroid_drift" -> {
+      def mean(where: String) =
+        s"""SELECT label, idx.i AS dim,
+            CAST(CAST(SUM(CAST(CAST(embedding[idx.i] AS VARCHAR)
+              AS DECIMAL(30,20))) AS VARCHAR) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS m
+          FROM embeddings,
+            (SELECT unnest(range(1, ${Dims + 1})) AS i) idx
+          $where GROUP BY label, idx.i"""
+      s"""WITH oldm AS (${mean(s"WHERE vec_id % 10 <> $DriftTag")}),
+          newm AS (${mean("")})
+          SELECT CAST(n.label AS BIGINT) AS label,
+            CAST(COUNT(*) AS BIGINT) AS n_dims,
+            MAX(abs(n.m - o.m)) AS max_shift,
+            MIN(abs(n.m - o.m)) AS min_shift,
+            CAST(SUM(CASE WHEN abs(n.m - o.m) > $DriftEps
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted
+          FROM newm n JOIN oldm o ON n.label = o.label AND n.dim = o.dim
+          GROUP BY n.label ORDER BY label"""
+    },
     "kmeans_assign" ->
       s"""WITH $sqlCentCtes,
           scored AS (
