@@ -708,6 +708,39 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Kneser-Ney continuation counts (`tf_continuation_counts`): per
+    * token, the number of DISTINCT left contexts (the KN continuation
+    * numerator — "in how many novel contexts does this word appear")
+    * and distinct right contexts, with the corpus distinct-bigram
+    * total as the shared denominator and the continuation probability
+    * as one exact division. The counts a KN-smoothed LM actually
+    * interpolates with — raw frequency over-weights words that are
+    * frequent only inside one collocation ("Francisco"). Top 50 by
+    * (left types DESC, token); one bigram explode + distinct + two
+    * combinable groupBys, no pairwise work. */
+  val tfContinuationCounts: Q = (s, d) => {
+    val pairs = docs(s, d)
+      .select(explode(Hashing.ngrams(toks, 2)).as("bigram"))
+      .select(split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bigram"), lit(" "), lit(2)).as("w2"))
+      .distinct()
+      .transform(graft.Checkpointing.cut)
+    val total = pairs.select(count(lit(1)).as("n_distinct_bigrams"))
+    val left = pairs.groupBy(col("w2").as("token"))
+      .agg(count(lit(1)).as("left_types"))
+    val right = pairs.groupBy(col("w1").as("token"))
+      .agg(count(lit(1)).as("right_types"))
+    left.join(right, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("left_types", "right_types"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("left_types"), col("right_types"),
+        col("n_distinct_bigrams"),
+        (col("left_types").cast("double") /
+          col("n_distinct_bigrams").cast("double")).as("p_continuation"))
+      .orderBy(col("left_types").desc, col("token"))
+      .limit(50)
+  }
+
   /** Token window size / stride for [[docChunkTokens]] — overlap of
     * `ChunkTokens - ChunkStride` tokens between adjacent chunks. */
   val ChunkTokens = 32
@@ -1676,7 +1709,8 @@ object TextOps {
     "text_pii_scrub" -> textPiiScrub,
     "doc_budget_waterfill" -> docBudgetWaterfill,
     "doc_quality_tiers" -> docQualityTiers,
-    "tf_ngram_novelty" -> tfNgramNovelty)
+    "tf_ngram_novelty" -> tfNgramNovelty,
+    "tf_continuation_counts" -> tfContinuationCounts)
 
   // ------------------------------------------------------------------
 
@@ -2449,7 +2483,29 @@ object TextOps {
             CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
           FROM g JOIN f ON g.gh = f.gh
-          GROUP BY g.doc_id ORDER BY g.doc_id""")
+          GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "tf_continuation_counts" ->
+      s"""WITH pairs AS (
+            SELECT DISTINCT split_part(bigram, ' ', 1) AS w1,
+              split_part(bigram, ' ', 2) AS w2
+            FROM (SELECT unnest(list_transform(range(1, length($sqlToks)),
+                    i -> $sqlToks[i] || ' ' || $sqlToks[i+1])) AS bigram
+                  FROM documents) t),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+                  FROM pairs),
+          l AS (SELECT w2 AS token, CAST(COUNT(*) AS BIGINT)
+                  AS left_types FROM pairs GROUP BY w2),
+          r AS (SELECT w1 AS token, CAST(COUNT(*) AS BIGINT)
+                  AS right_types FROM pairs GROUP BY w1)
+          SELECT COALESCE(l.token, r.token) AS token,
+            COALESCE(l.left_types, 0) AS left_types,
+            COALESCE(r.right_types, 0) AS right_types,
+            t.n_distinct_bigrams,
+            CAST(COALESCE(l.left_types, 0) AS DOUBLE)
+              / CAST(t.n_distinct_bigrams AS DOUBLE) AS p_continuation
+          FROM l FULL OUTER JOIN r ON l.token = r.token
+          CROSS JOIN tot t
+          ORDER BY left_types DESC, token LIMIT 50""")
 
   /** The BPE training rounds as a DuckDB CTE chain: `words` (the
     * word-frequency relation), `r0` (char-level symbol repr with the
