@@ -380,6 +380,43 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Bits kept per lane by the b-bit estimator. Fixed forever. */
+  val BbitBits = 4
+
+  /** b-bit minhash calibration (Li & König 2010,
+    * `dedup_bbit_minhash`): per LSH candidate pair, the Jaccard
+    * estimate from only the LOWEST [[BbitBits]] bits of each lane —
+    * Ĵ = (ĉ − 2⁻ᵇ)/(1 − 2⁻ᵇ), where ĉ is the b-bit lane-collision
+    * fraction and 2⁻ᵇ the accidental-collision floor — next to the
+    * exact shingle Jaccard. At corpus scale the signature relation is
+    * the dominant dedup shuffle; b=4 stores 4 bits/lane instead of a
+    * 64-bit word (16× smaller signatures) and this report prices the
+    * accuracy cost of that compression at the pipeline's threshold
+    * before committing to it. Constants 2⁻⁴ = 0.0625 and 0.9375 are
+    * exact binary doubles, the estimator two subtractions + one
+    * division — engine-parity safe. Cost ∝ candidate pairs. */
+  val dedupBbitMinhash: Q = (s, d) => {
+    val sig = signatures(s, d)
+    val mod = 1L << BbitBits
+    def matchesB: Column = (0 until K).map(i =>
+      when(col(s"sa.mh$i") % mod === col(s"sb.mh$i") % mod, 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    val cFrac = matchesB.cast("double") / lit(K.toDouble)
+    val r = lit(1.0 / mod)
+    def est = (cFrac - r) / (lit(1.0) - r)
+    dedupJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        matchesB.as("n_match_bbit"),
+        est.as("est_bbit"),
+        col("jaccard"),
+        abs(est - col("jaccard")).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-side length ceiling for the QUADRATIC edit-distance tier:
     * a pair where either text exceeds this many characters is
     * excluded from [[dedupEditDistance]] (mirrored in its oracle).
@@ -1398,6 +1435,7 @@ object DedupOps {
     "doc_snapshot_drift" -> docSnapshotDrift,
     "text_cdc_remove" -> textCdcRemove,
     "dedup_minhash_est" -> dedupMinhashEst,
+    "dedup_bbit_minhash" -> dedupBbitMinhash,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_containment" -> dedupContainment)
 
@@ -1793,6 +1831,46 @@ object DedupOps {
             CAST($laneSum AS DOUBLE) / ${K}.0 AS est_jaccard,
             j.jaccard,
             abs(CAST($laneSum AS DOUBLE) / ${K}.0 - j.jaccard) AS abs_err
+          FROM jac j
+          JOIN sig a ON j.doc_a = a.doc_id
+          JOIN sig b ON j.doc_b = b.doc_id
+          ORDER BY doc_a, doc_b"""
+    },
+    "dedup_bbit_minhash" -> {
+      val mod = 1L << BbitBits
+      val laneSum = (0 until K)
+        .map(i => s"CASE WHEN a.mh$i % $mod = b.mh$i % $mod " +
+          "THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val est = s"(CAST($laneSum AS DOUBLE) / ${K}.0 - 1.0/$mod.0)" +
+        s" / (1.0 - 1.0/$mod.0)"
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          $sqlCandPairs,
+          sh AS (
+            SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+            WHERE length(toks) >= 3),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT doc_a, doc_b, COUNT(*) AS n_inter
+            FROM pairs
+            JOIN sh sa ON doc_a = sa.doc_id
+            JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+            GROUP BY doc_a, doc_b),
+          jac AS (
+            SELECT p.doc_a, p.doc_b,
+              CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+                AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+            JOIN sizes za ON p.doc_a = za.doc_id
+            JOIN sizes zb ON p.doc_b = zb.doc_id)
+          SELECT j.doc_a, j.doc_b,
+            CAST($laneSum AS BIGINT) AS n_match_bbit,
+            $est AS est_bbit,
+            j.jaccard,
+            abs($est - j.jaccard) AS abs_err
           FROM jac j
           JOIN sig a ON j.doc_a = a.doc_id
           JOIN sig b ON j.doc_b = b.doc_id
