@@ -1557,6 +1557,33 @@ object SimilarityOps {
           / col("n_rows").cast("double")).as("live_frac"))
       .orderBy("label")
 
+  /** Probe-cost audit (`ann_probe_cost`) — the capacity-planning
+    * number behind every "how many probes can we afford" decision:
+    * for each cell layout (LSH hyperplane buckets vs trained k-means
+    * IVF cells), the EXPECTED candidates scanned by a single-cell
+    * probe from a query drawn like the corpus, E[scan] = Σ n_c² / N.
+    * Imbalance is priced exactly: Σ n_c² is an exact integer rollup
+    * (a skewed layout inflates it quadratically — one hot cell makes
+    * every probe into it scan the hot mass), the expectation one
+    * division. This is the report that says a layout needs re-training
+    * BEFORE p99 probe latency says it in production. O(cells)
+    * aggregate over the persisted index relations. */
+  val annProbeCost: Q = (s, d) => {
+    def costOf(cells: DataFrame, name: String) = cells
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+        max(col("n")).as("max_cell"), sum(col("n") * col("n")).as("sum_sq"))
+      .select(lit(name).as("index_name"), col("n_cells"), col("n_vecs"),
+        col("max_cell"), col("sum_sq"),
+        (col("sum_sq").cast("double") / col("n_vecs").cast("double"))
+          .as("expected_scan"))
+    costOf(bucketed(s, d).select(col("bucket").as("cell")), "lsh")
+      .unionByName(costOf(
+        kmeansAssign(s, d).select(col("assigned").as("cell")), "ivf"))
+      .orderBy("index_name")
+  }
+
   /** The physically-rewritten ANN index — embedding-side mirror of
     * `dedup_index_rewrite`, same atomic-supersede publication. */
   private val annRewriteCache = new IndexCache
@@ -1850,6 +1877,7 @@ object SimilarityOps {
     "ann_mmr_diversify" -> annMmrDiversify,
     "emb_normalize" -> embNormalize,
     "ann_lsh_buckets" -> annLshBuckets,
+    "ann_probe_cost" -> annProbeCost,
     "ann_lsh_probe" -> annLshProbe,
     "ann_ivf" -> annIvf,
     "emb_near_dup" -> embNearDup,
@@ -2462,6 +2490,34 @@ object SimilarityOps {
           MIN(vec_id) AS min_vec
           FROM embeddings GROUP BY bucket ORDER BY bucket""",
     "ann_lsh_probe" -> sqlAnnLshProbe,
+    "ann_probe_cost" -> {
+      def cost(cellsCte: String, name: String) =
+        s"""SELECT '$name' AS index_name,
+            CAST(COUNT(*) AS BIGINT) AS n_cells,
+            CAST(SUM(n) AS BIGINT) AS n_vecs,
+            CAST(MAX(n) AS BIGINT) AS max_cell,
+            CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+            CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+              AS expected_scan
+            FROM (SELECT cell, COUNT(*) AS n FROM $cellsCte
+                  GROUP BY cell) h"""
+      s"""WITH $sqlCentCtes,
+          scored AS (
+            SELECT e.vec_id, cent.clabel,
+              ${sqlSqDist("e.embedding", "cent.c")} AS dist
+            FROM embeddings e CROSS JOIN cent),
+          asg AS (
+            SELECT vec_id, clabel AS cell FROM (
+              SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dist, clabel) AS rn
+              FROM scored) z
+            WHERE rn = 1),
+          lshc AS (SELECT ${sqlBucket("embedding")} AS cell
+                   FROM embeddings)
+          SELECT * FROM (${cost("lshc", "lsh")}
+            UNION ALL ${cost("asg", "ivf")}) u
+          ORDER BY index_name"""
+    },
     "ann_ivf" -> sqlTopK(
       s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
           ${sqlCosine("q.embedding", "c.embedding")} AS cos
