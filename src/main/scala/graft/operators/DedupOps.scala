@@ -280,6 +280,65 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Rarity cap for [[dedupWeightedJaccard]]: a shingle with corpus
+    * df ≥ this weighs 0 (boilerplate), df = 1 weighs Cap−1. Fixed
+    * forever. */
+  val WeightDfCap = 5L
+
+  /** Rarity-weighted Jaccard (`dedup_weighted_jaccard`): the plain
+    * candidate-pair Jaccard next to a BOILERPLATE-DISCOUNTED variant
+    * where each distinct shingle weighs max(0, [[WeightDfCap]] − df)
+    * — common shingles (site chrome, license headers, templates)
+    * contribute nothing, so a pair that is "similar" only through
+    * shared boilerplate collapses toward 0 while a true near-dup of
+    * distinctive content stays high. The gap between the two columns
+    * IS the routing signal (high plain + low weighted = strip
+    * boilerplate and re-verify, don't dedup). Integer weights keep
+    * both numerators/denominators exact; weighted Jaccard is one
+    * guarded division (an all-boilerplate union reads 0.0, mirrored).
+    * Same explode-join shape as the plain verifier plus one df
+    * groupBy — cost ∝ candidate pairs, never all-pairs. */
+  val dedupWeightedJaccard: Q = (s, d) => {
+    val pairs = lshCandidatePairs(s, d)
+    val wsh0 = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks")))).as("sh"))
+      .transform(graft.Checkpointing.cut)
+    val wsh = wsh0
+      .join(wsh0.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
+      .select(col("doc_id"), col("sh"),
+        greatest(lit(0L), lit(WeightDfCap) - col("df")).as("w"))
+      .transform(graft.Checkpointing.cut)
+    val sums = wsh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("wsum"))
+    val a = wsh.select(col("doc_id").as("doc_a"), col("sh"),
+      col("w").as("wa"))
+    val b = wsh.select(col("doc_id").as("doc_b"), col("sh"),
+      col("w").as("wb"))
+    val inter = pairs
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"), sum(col("wa")).as("w_inter"))
+    val unionW = col("za.wsum") + col("zb.wsum") - col("w_inter")
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter", "w_inter"))
+      .join(sums.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sums.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("n_inter")).cast("double"))
+          .as("jaccard"),
+        col("w_inter"), unionW.as("w_union"),
+        when(unionW === 0L, 0.0)
+          .otherwise(col("w_inter").cast("double") /
+            unionW.cast("double")).as("jaccard_weighted"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Verify-threshold sweep grid for [[dedupLshPrecision]] — fixed so
     * the oracle string and spec mirror the same grid. */
   val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
@@ -1436,6 +1495,7 @@ object DedupOps {
     "text_cdc_remove" -> textCdcRemove,
     "dedup_minhash_est" -> dedupMinhashEst,
     "dedup_bbit_minhash" -> dedupBbitMinhash,
+    "dedup_weighted_jaccard" -> dedupWeightedJaccard,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_containment" -> dedupContainment)
 
@@ -1875,6 +1935,42 @@ object DedupOps {
           JOIN sig a ON j.doc_a = a.doc_id
           JOIN sig b ON j.doc_b = b.doc_id
           ORDER BY doc_a, doc_b"""
+    },
+    "dedup_weighted_jaccard" -> {
+      val wu = "za.wsum + zb.wsum - COALESCE(i.w_inter, 0)"
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          $sqlCandPairs,
+          sh AS (
+            SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+            WHERE length(toks) >= 3),
+          df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+          wsh AS (
+            SELECT s.doc_id, s.sh, GREATEST(0, $WeightDfCap - d.df) AS w
+            FROM sh s JOIN df d ON s.sh = d.sh),
+          sums AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS wsum
+                   FROM wsh GROUP BY doc_id),
+          inter AS (
+            SELECT doc_a, doc_b, COUNT(*) AS n_inter,
+              SUM(sa.w) AS w_inter
+            FROM pairs
+            JOIN wsh sa ON doc_a = sa.doc_id
+            JOIN wsh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+            GROUP BY doc_a, doc_b)
+          SELECT p.doc_a, p.doc_b,
+            CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+              AS jaccard,
+            CAST(COALESCE(i.w_inter, 0) AS BIGINT) AS w_inter,
+            CAST($wu AS BIGINT) AS w_union,
+            CASE WHEN $wu = 0 THEN 0.0
+                 ELSE CAST(COALESCE(i.w_inter, 0) AS DOUBLE)
+                   / CAST($wu AS DOUBLE) END AS jaccard_weighted
+          FROM pairs p
+          LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+          JOIN sums za ON p.doc_a = za.doc_id
+          JOIN sums zb ON p.doc_b = zb.doc_id
+          ORDER BY p.doc_a, p.doc_b"""
     },
     "dedup_edit_distance" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
