@@ -48,6 +48,40 @@ object HashExprs {
     h
   }
 
+  /** Two independent-base polynomial folds (31 and [[Hashing.Base2]])
+    * in ONE code-point pass, packed as `h31 * P + h37` (< P² ≈ 2^62,
+    * no overflow). A single 31-bit hash suffers real birthday
+    * collisions once window counts pass ~10^5 (≈12 expected at the
+    * sf0.1 bench's 226k token windows); a collision on BOTH bases
+    * requires the char-difference polynomial to vanish at 31 and 37
+    * mod P simultaneously — ~1/P² for non-identical strings. */
+  private[functions] def charHashWideJava(strVar: String, outVar: String): String =
+    s"""|String $strVar$$s = $strVar.toString();
+        |long $strVar$$h1 = 0L;
+        |long $strVar$$h2 = 0L;
+        |int $strVar$$i = 0;
+        |while ($strVar$$i < $strVar$$s.length()) {
+        |  int $strVar$$cp = $strVar$$s.codePointAt($strVar$$i);
+        |  $strVar$$h1 = ($strVar$$h1 * 31L + (long) $strVar$$cp) % ${Hashing.P}L;
+        |  $strVar$$h2 = ($strVar$$h2 * ${Hashing.Base2}L + (long) $strVar$$cp) % ${Hashing.P}L;
+        |  $strVar$$i += Character.charCount($strVar$$cp);
+        |}
+        |long $outVar = $strVar$$h1 * ${Hashing.P}L + $strVar$$h2;""".stripMargin
+
+  private[functions] def charHashWideEval(u: UTF8String): Long = {
+    val s = u.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h1 = (h1 * 31L + cp) % Hashing.P
+      h2 = (h2 * Hashing.Base2 + cp) % Hashing.P
+      i += Character.charCount(cp)
+    }
+    h1 * Hashing.P + h2
+  }
+
   /** Analysis-time input type gate. These expressions are reachable
     * from arbitrary SQL via [[graft.GraftExtensions]], so a wrong-typed
     * call (`graft_char_hash(42)`) must fail ANALYSIS with a readable
@@ -176,6 +210,88 @@ case class PolyCharHashArray(child: Expression)
           |    if (!$c.isNullAt($i)) {
           |      UTF8String $u = $c.getUTF8String($i);
           |      ${HashExprs.charHashJava(u, h)}
+          |      $out[$i] = (Long) $h;
+          |    }
+          |  }
+          |  ${ev.value} =
+          |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+          |}""".stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `charHashWideAll(array<string>) -> array<long>`: the ~62-bit
+  * dual-base variant of [[PolyCharHashArray]]
+  * ([[HashExprs.charHashWideJava]]) — one pass per element, both
+  * polynomial folds fused in the same code-point loop. Used where a
+  * hash stands in for STRING EQUALITY over large window populations
+  * (`dedup_substring_spans`), where 31 bits of entropy would mint
+  * false duplicates by birthday collision. */
+case class PolyCharHashWideArray(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_char_hash_wide_all"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (child, HashExprs.isStringArray, "ARRAY<STRING>"))
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = HashExprs.charHashWideEval(arr.getUTF8String(i))
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i))
+          out(i) = HashExprs.charHashWideEval(arr.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val u = ctx.freshName("u")
+      val h = ctx.freshName("h")
+      val hasNull = ctx.freshName("hasNull")
+      s"""|int $n = $c.numElements();
+          |boolean $hasNull = false;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  if ($c.isNullAt($i)) { $hasNull = true; break; }
+          |}
+          |if (!$hasNull) {
+          |  long[] $out = new long[$n];
+          |  for (int $i = 0; $i < $n; $i++) {
+          |    UTF8String $u = $c.getUTF8String($i);
+          |    ${HashExprs.charHashWideJava(u, h)}
+          |    $out[$i] = $h;
+          |  }
+          |  ${ev.value} =
+          |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+          |} else {
+          |  Object[] $out = new Object[$n];
+          |  for (int $i = 0; $i < $n; $i++) {
+          |    if (!$c.isNullAt($i)) {
+          |      UTF8String $u = $c.getUTF8String($i);
+          |      ${HashExprs.charHashWideJava(u, h)}
           |      $out[$i] = (Long) $h;
           |    }
           |  }

@@ -29,6 +29,10 @@ object Hashing {
   /** Modulus: 2^31-1 (Mersenne prime). Products a_i*h stay < 2^62. */
   val P = 2147483647L
 
+  /** Second polynomial base for the ~62-bit wide char hash
+    * ([[hashAllWide]]) — fixed forever, like [[A]]/[[B]]. */
+  val Base2 = 37L
+
   /** MinHash signature length and banding layout (4 bands × 4 rows). */
   val K = 16
   val Bands = 4
@@ -75,6 +79,13 @@ object Hashing {
   def hashAll(arr: Column): Column =
     GraftColumn(PolyCharHashArray(GraftColumn.expr(arr)))
 
+  /** ~62-bit dual-base char hash of every element in one codegen'd
+    * pass (`h31 * P + h37` — [[PolyCharHashWideArray]]). Use when the
+    * hash stands in for string EQUALITY over >10^5 values, where the
+    * single 31-bit hash would mint birthday-collision false dups. */
+  def hashAllWide(arr: Column): Column =
+    GraftColumn(PolyCharHashWideArray(GraftColumn.expr(arr)))
+
   /** Hashes of every n-code-point character window in ONE pass over
     * the string ([[CharNgramHashes]]) — the O(len) replacement for
     * `hashAll(transform(..., substr))`, which rescans the string per
@@ -110,6 +121,19 @@ object Hashing {
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
         list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
         (h, c) -> (h * 31 + c) % $P)"""
+
+  /** Mirror of [[hashAllWide]]'s per-element hash: two folds (bases
+    * 31 and [[Base2]]) packed as `h31 * P + h37`. The oracle pays the
+    * second pass over the string; the Spark side fuses both folds in
+    * one code-point loop. */
+  def sqlCharHashWide(e: String): String = {
+    val fold31 = sqlCharHash(e)
+    val fold37 =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (h, c) -> (h * $Base2 + c) % $P)"""
+    s"(($fold31) * $P + ($fold37))"
+  }
 
   def sqlTokens(e: String): String =
     s"list_filter(string_split($e, ' '), t -> length(t) > 0)"

@@ -1462,6 +1462,79 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Token-window width for [[dedupSubstringSpans]]. Lee et al.
+    * (arXiv:2107.06499) use 50 BPE tokens on web corpora; the
+    * testdata's documents run 10–99 whitespace tokens (median 56), so
+    * 8 keeps the same "long enough that chance collisions vanish,
+    * short enough to catch partial overlap" regime at this scale. */
+  val SpanW = 8
+
+  /** Corpus-level duplicated-SPAN report (`dedup_substring_spans`) —
+    * the exact-substring tier of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (arXiv:2107.06499): for every
+    * doc, the maximal token spans whose every [[SpanW]]-token window
+    * also occurs in at least one OTHER document. This is the per-doc,
+    * corpus-frequency complement of the pairwise CDC chunk tier
+    * (`text_cdc_dedup`): CDC answers "which PAIRS share rare byte
+    * runs"; this answers "how much of EACH doc is corpus-duplicated
+    * text" — the number that drives Lee et al.'s span-removal policy
+    * (vs whole-doc dropping, which loses the unique remainder).
+    *
+    * Plan shape (the 100 TB story): window hashes are one codegen'd
+    * per-row pass ([[graft.functions.WordNgrams]] +
+    * [[graft.functions.PolyCharHashArray]]) posexploded to O(tokens)
+    * rows; "duplicated" is one map-side-combinable groupBy on the
+    * window hash (distinct-doc count ≥ 2); positions semi-join the
+    * duplicated-hash set (hash-partitioned equi-join, never
+    * broadcast-sized assumptions); span merging is gaps-and-islands
+    * with windows partitioned BY DOC (bounded by doc length — no
+    * global window anywhere). Two duplicated windows merge iff their
+    * token coverage overlaps or abuts (start distance ≤ [[SpanW]]),
+    * so ANY intervening unique token keeps spans separate; a span's
+    * token coverage is last−first+W. The window hash is the ~62-bit
+    * dual-base [[graft.functions.Hashing.hashAllWide]] — the 31-bit
+    * hash would mint ~12 birthday-collision false dups at the sf0.1
+    * bench's 226k windows, and ~10³ at sf1.
+    * Output keeps integer token counts (dup_tokens / n_tokens) so the
+    * gate stays hash-exact; the removal fraction is a consumer-side
+    * division. Docs with no duplicated window emit no row. */
+  val dedupSubstringSpans: Q = (s, d) => {
+    val toks = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= SpanW)
+      .select(col("doc_id"), col("toks"))
+    val wins = toks
+      .select(col("doc_id"),
+        posexplode(hashAllWide(ngrams(col("toks"), SpanW))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("wh"))
+    val dup = wins.groupBy("wh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("wh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = wins.join(dup, "wh")
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > SpanW, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("fp"), max("pos").as("lp"),
+        count(lit(1)).as("nw"))
+      .withColumn("span_tokens", col("lp") - col("fp") + SpanW)
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("nw").as("n_dup_windows"),
+        sum("span_tokens").as("dup_tokens"),
+        max("span_tokens").as("longest_span"))
+      .join(toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("n_dup_windows"), col("dup_tokens"), col("longest_span"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "text_cdc_dedup" -> textCdcDedup,
     "doc_manifest" -> docManifest,
@@ -1497,7 +1570,8 @@ object DedupOps {
     "dedup_bbit_minhash" -> dedupBbitMinhash,
     "dedup_weighted_jaccard" -> dedupWeightedJaccard,
     "dedup_keep_best" -> dedupKeepBest,
-    "dedup_containment" -> dedupContainment)
+    "dedup_containment" -> dedupContainment,
+    "dedup_substring_spans" -> dedupSubstringSpans)
 
   /** CDC shared-chunk pair CTE block (`b`/`se`/`ch`/`pd`/`el`/`cdcp`)
     * — the oracle mirror of [[cdcSharedPairs]], shared by
@@ -1667,6 +1741,44 @@ object DedupOps {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
+    "dedup_substring_spans" -> {
+      val winText = s"array_to_string(list_slice(tk, i, i + ${SpanW - 1}), ' ')"
+      s"""WITH toks AS (
+            SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents
+            WHERE length(${sqlTokens("text")}) >= $SpanW),
+          wins AS (
+            SELECT doc_id, i AS pos, ${sqlCharHashWide(winText)} AS wh
+            FROM (SELECT doc_id, tk,
+                    unnest(range(1, length(tk) - ${SpanW - 2})) AS i
+                  FROM toks)),
+          dup AS (
+            SELECT wh FROM wins GROUP BY wh
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+          hits AS (
+            SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)),
+          isl AS (
+            SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER dw IS NULL
+                     OR pos - lag(pos) OVER dw > $SpanW
+                   THEN 1 ELSE 0 END AS brk
+            FROM hits
+            WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+          isl2 AS (
+            SELECT doc_id, pos,
+              SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl),
+          spans AS (
+            SELECT doc_id, island, MIN(pos) AS fp, MAX(pos) AS lp,
+              COUNT(*) AS nw
+            FROM isl2 GROUP BY doc_id, island)
+          SELECT s.doc_id, CAST(length(t.tk) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(s.nw) AS BIGINT) AS n_dup_windows,
+            CAST(SUM(s.lp - s.fp + $SpanW) AS BIGINT) AS dup_tokens,
+            CAST(MAX(s.lp - s.fp + $SpanW) AS BIGINT) AS longest_span
+          FROM spans s JOIN toks t USING (doc_id)
+          GROUP BY s.doc_id, t.tk
+          ORDER BY s.doc_id""" },
     "text_cdc_dedup" ->
       s"""WITH $sqlCdcPairCtes
           SELECT doc_a, doc_b, n_shared_chunks, shared_bytes

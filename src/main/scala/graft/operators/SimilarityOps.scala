@@ -1032,7 +1032,11 @@ object SimilarityOps {
     * [[Dims]] rows, BROADCAST back onto the narrow explode — vectors
     * never shuffle. A constant dimension (hi == lo) carries no
     * information and quantizes to -128 (the bottom of the range). */
-  val embQuantize: Q = (s, d) => {
+  /** The quantized long-format relation backing [[embQuantize]] and
+    * [[embDimVariance]]: (vec_id, dim, q_int8) via the per-dim
+    * min/max affine map. The per-dim stats relation is tiny ([[Dims]]
+    * rows) and broadcast. */
+  private def quantizedLong(s: SparkSession, d: String): DataFrame = {
     val longf = emb(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
@@ -1045,8 +1049,41 @@ object SimilarityOps {
           least(floor((col("v") - col("lo")) * lit(255.0)
             / (col("hi") - col("lo"))), lit(255L)))
           .otherwise(lit(0L)) - lit(128L)).as("q_int8"))
-      .orderBy("vec_id", "dim")
   }
+
+  val embQuantize: Q = (s, d) =>
+    quantizedLong(s, d).orderBy("vec_id", "dim")
+
+  /** Post-quantization per-dimension moment profile
+    * (`emb_dim_variance`) — the dimension-pruning audit that runs
+    * BEFORE committing to a PQ layout: a dimension whose int8 lane
+    * has (near-)zero variance carries no information at serving
+    * precision, so it is a candidate to drop from the index (and a
+    * symptom of a collapsed embedding-model dimension). Exactness:
+    * the lane values are the affine-quantized integers of
+    * [[quantizedLong]], so n, Σq and Σq² are BIGINTs — the variance
+    * NUMERATOR n·Σq² − (Σq)² is integer-exact and order-independent
+    * (bounds: |q| ≤ 128, so at n = 10⁹ rows Σq² ≤ 1.7·10¹³ and the
+    * numerator ≤ 1.7·10²² — overflow-safe in the gate range, and the
+    * 100 TB form swaps BIGINT for DECIMAL(38,0) with no other
+    * change); the variance itself is ONE division by n². Plan: one
+    * combinable groupBy(dim) over the quantized long format — Dims
+    * output rows, nothing corpus-sized downstream. */
+  val embDimVariance: Q = (s, d) =>
+    quantizedLong(s, d)
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q_int8")).as("sum_q"),
+        sum(col("q_int8") * col("q_int8")).as("sum_q2"))
+      .select(col("dim"), col("n"), col("sum_q"), col("sum_q2"),
+        (col("n") * col("sum_q2") - col("sum_q") * col("sum_q"))
+          .as("var_num"),
+        ((col("n") * col("sum_q2") - col("sum_q") * col("sum_q"))
+          .cast("double") / (col("n") * col("n")).cast("double"))
+          .as("variance"),
+        (col("n") * col("sum_q2") === col("sum_q") * col("sum_q"))
+          .as("dead_dim"))
+      .orderBy("dim")
 
   /** Product-quantization layout: [[PqSubspaces]] subspaces of
     * [[PqSubDim]] dims each; the per-subspace codebook has one code
@@ -1845,6 +1882,52 @@ object SimilarityOps {
       .orderBy("tier", "query_id")
   }
 
+  /** Spearman-footrule top-k list distance across the same four ANN
+    * tiers — the ORDER-sensitive eval metric recall and MRR both
+    * miss: recall ignores rank agreement entirely, MRR watches only
+    * the single true-NN. The induced footrule with location parameter
+    * k+1 (Fagin, Kumar & Sivakumar, "Comparing top k lists", SIAM
+    * J. Discrete Math 2003) sums |rank_brute − rank_tier| over the
+    * UNION of both top-k lists, charging absent elements rank k+1 —
+    * an integer in [0, k(k+1)] per query (0 = identical ranking,
+    * k(k+1) = disjoint lists), so the gate stays hash-exact; the
+    * normalized form is one division of that integer by the constant
+    * k(k+1). Per-tier plan: one full-outer equi-join of two ≤k-row
+    * per-query relations on (query_id, cand_id) and a combinable
+    * groupBy — cost ∝ queries·k, nothing corpus-sized. A tier that
+    * returns nothing for a query still reports it (footrule
+    * Σ(k+1−r) = k(k+1)/2) because the brute side survives the outer
+    * join — an empty shortlist is a distance, not a non-event. */
+  val annFootrule: Q = (s, d) => {
+    val miss = (TopK + 1).toLong
+    val brute = knnBrute(s, d)
+      .select(col("query_id"), col("cand_id"), col("rank").as("rank_b"))
+      .transform(graft.Checkpointing.cut)
+    val tiers: Seq[(String, Q)] = Seq(
+      "ivf" -> annIvf, "lsh" -> annLshProbe,
+      "pq_rerank" -> annPqRerank, "proj_rerank" -> annProjRerank)
+    tiers.map { case (name, q) =>
+      val t = q(s, d).select(col("query_id").as("t_query"),
+        col("cand_id").as("t_cand"), col("rank").as("rank_t"))
+      brute
+        .join(t, col("query_id") === col("t_query") &&
+          col("cand_id") === col("t_cand"), "full_outer")
+        .select(coalesce(col("query_id"), col("t_query")).as("qid"),
+          coalesce(col("rank_b"), lit(miss)).as("rb"),
+          coalesce(col("rank_t"), lit(miss)).as("rt"))
+        .groupBy(col("qid"))
+        .agg(
+          count(when(col("rb") <= TopK && col("rt") <= TopK, 1))
+            .as("n_common"),
+          sum(abs(col("rb") - col("rt"))).as("footrule"))
+        .select(lit(name).as("tier"), col("qid").as("query_id"),
+          col("n_common"), col("footrule"),
+          (col("footrule").cast("double") /
+            lit((TopK * (TopK + 1)).toDouble)).as("footrule_norm"))
+    }.reduce(_ unionByName _)
+      .orderBy("tier", "query_id")
+  }
+
   /** Recall gate for [[annProjRerank]] against the brute-force truth
     * — the standard per-tier contract. The JL shortlist is lossy by
     * construction; this query is the measurement that says HOW lossy
@@ -1891,6 +1974,7 @@ object SimilarityOps {
     "emb_semdedup" -> embSemdedup,
     "emb_semdedup_stats" -> embSemdedupStats,
     "emb_quantize" -> embQuantize,
+    "emb_dim_variance" -> embDimVariance,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
     "ann_recall_curve" -> annRecallCurve,
@@ -1909,6 +1993,7 @@ object SimilarityOps {
     "emb_rand_proj" -> embRandProj,
     "ann_proj_rerank" -> annProjRerank,
     "ann_mrr" -> annMrr,
+    "ann_footrule" -> annFootrule,
     "ann_proj_recall" -> annProjRecall)
 
   /** Batch oracle for [[StreamOps]]'s `stream_ann_upsert`: every
@@ -2702,6 +2787,31 @@ object SimilarityOps {
               ELSE 0 END - 128 AS q_int8
           FROM longf l JOIN stats s ON l.dim = s.dim
           ORDER BY vec_id, l.dim""",
+    "emb_dim_variance" ->
+      s"""WITH longf AS (
+            SELECT vec_id, idx.i - 1 AS dim,
+              CAST(embedding[idx.i] AS DOUBLE) AS v
+            FROM embeddings,
+              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx),
+          stats AS (
+            SELECT dim, MIN(v) AS lo, MAX(v) AS hi
+            FROM longf GROUP BY dim),
+          q AS (
+            SELECT vec_id, l.dim,
+              CASE WHEN hi > lo
+                THEN least(CAST(floor((v - lo) * 255.0 / (hi - lo))
+                  AS BIGINT), 255)
+                ELSE 0 END - 128 AS qv
+            FROM longf l JOIN stats s ON l.dim = s.dim)
+          SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(qv) AS BIGINT) AS sum_q,
+            CAST(SUM(qv * qv) AS BIGINT) AS sum_q2,
+            CAST(COUNT(*) * SUM(qv * qv) - SUM(qv) * SUM(qv) AS BIGINT)
+              AS var_num,
+            CAST(COUNT(*) * SUM(qv * qv) - SUM(qv) * SUM(qv) AS DOUBLE)
+              / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS variance,
+            (COUNT(*) * SUM(qv * qv) = SUM(qv) * SUM(qv)) AS dead_dim
+          FROM q GROUP BY dim ORDER BY dim""",
     "emb_normalize" ->
       s"""WITH n AS (
             SELECT vec_id, embedding,
@@ -2949,6 +3059,39 @@ object SimilarityOps {
       ") z ORDER BY tier, query_id")
   }
 
+  /** Induced-footrule oracle — mirrors [[annFootrule]]: per tier, the
+    * full-outer join of the brute and tier top-k lists with absent
+    * ranks charged k+1, summed per query. Reuses each tier's oracle
+    * SQL verbatim (same no-drift property as [[sqlAnnMrr]]). */
+  private def sqlAnnFootrule: String = {
+    val miss = TopK + 1
+    val den = TopK * (TopK + 1)
+    val tiers = Seq(
+      "ivf" -> oracleBase("ann_ivf"),
+      "lsh" -> oracleBase("ann_lsh_probe"),
+      "pq_rerank" -> oracleBase("ann_pq_rerank"),
+      "proj_rerank" -> oracleBase("ann_proj_rerank"))
+    val arms = tiers.map { case (n, sql) =>
+      s"""SELECT '$n' AS tier, qid AS query_id,
+            CAST(COUNT(CASE WHEN rb <= $TopK AND rt <= $TopK
+              THEN 1 END) AS BIGINT) AS n_common,
+            CAST(SUM(ABS(rb - rt)) AS BIGINT) AS footrule,
+            CAST(SUM(ABS(rb - rt)) AS DOUBLE)
+              / CAST($den AS DOUBLE) AS footrule_norm
+          FROM (
+            SELECT COALESCE(b.query_id, r.query_id) AS qid,
+              COALESCE(b.rank, $miss) AS rb,
+              COALESCE(r.rank, $miss) AS rt
+            FROM ($sqlKnnBrute) b
+            FULL OUTER JOIN ($sql) r
+              ON b.query_id = r.query_id AND b.cand_id = r.cand_id) j
+          GROUP BY qid"""
+    }
+    arms.mkString("SELECT * FROM (", "\n          UNION ALL\n          ",
+      ") z ORDER BY tier, query_id")
+  }
+
   lazy val oracle: Map[String, String] =
-    oracleBase + ("ann_mrr" -> sqlAnnMrr)
+    oracleBase + ("ann_mrr" -> sqlAnnMrr) +
+      ("ann_footrule" -> sqlAnnFootrule)
 }
