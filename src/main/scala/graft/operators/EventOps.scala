@@ -914,6 +914,103 @@ object EventOps {
     }
   }
 
+  /** HITS mass scale (hub and authority vectors each L1-normalize to
+    * ~this total per iteration) and round count. 10⁶ matches
+    * [[PrEdgeScale]]'s ppm granularity; the overflow bound below is
+    * the reason it is not larger. */
+  val HitsScale = 1000000L
+  val HitsIters = 8
+
+  /** HITS hubs & authorities over the user referral graph (Kleinberg,
+    * "Authoritative sources in a hyperlinked environment", JACM'99) —
+    * the link-analysis axis [[evUserPagerank]]/[[evUserTrustrank]]
+    * don't measure: PageRank scores a single centrality; HITS
+    * separates REFERRERS (hubs — users whose referrals reach the
+    * well-referred) from the REFERRED-TO (authorities), the pair a
+    * curation pipeline uses to find scout accounts vs destination
+    * accounts. Variant: weighted adjacency (edge weight = referral
+    * count), L1 normalization each half-step — power iteration
+    * converges to the principal singular pair under any fixed
+    * positive rescaling, and L1 keeps every step ALL-INTEGER:
+    * a_t = (Aᵀh_{t-1})·S div Σ, h_t = (A a_t)·S div Σ, with div
+    * floors identical on both engines (mirrored as a DuckDB recursive
+    * CTE). Overflow bound (the [[HitsScale]] sizing): Σa_raw ≤
+    * S·maxOutW, and the normalize multiplies by S again, so the
+    * iteration needs maxOutW < 2⁶³/S² ≈ 9.2·10⁶ weighted out-degree —
+    * guarded at runtime like [[pagerankOf]]'s quantization bound.
+    * Scale shape: two hash joins + two combinable groupBys per
+    * iteration over the (src, dst, w) edge relation, each total a
+    * broadcast scalar; nodes with no in-(out-)edges never enter the
+    * iteration and emit authority (hub) 0 in the final left join. */
+  val evUserHits: Q = (s, d) => {
+    val base = ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("ts_sec"))
+    val nodes = base.select(col("user_id").as("node")).distinct()
+      .transform(graft.Checkpointing.cut)
+    val n = nodes.count()
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val edges =
+      if (n == 0L) null
+      else base
+        .withColumn("next_user", lead(col("user_id"), 1).over(win))
+        .filter(col("next_user").isNotNull)
+        .filter(Hashing.charHash(col("user_id").cast("string")) % 10
+          < PrEngagedPct)
+        .groupBy(col("user_id").as("src"), col("next_user").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .transform(graft.Checkpointing.cut)
+    if (n == 0L || edges.isEmpty)
+      nodes.select(col("node").as("user_id"),
+        lit(0L).as("auth_scaled"), lit(0L).as("hub_scaled"),
+        lit(0.0).as("authority"), lit(0.0).as("hub"))
+    else {
+      require(n < HitsScale,
+        s"HITS init mass 10^6 div n floors to 0 at n=$n — raise " +
+          "HitsScale before running at this graph scale")
+      val maxOutw = edges.groupBy("src").agg(sum(col("w")).as("tw"))
+        .agg(max(col("tw"))).head.getLong(0)
+      require(maxOutw < (Long.MaxValue / HitsScale) / HitsScale,
+        s"HITS normalize overflows at weighted out-degree $maxOutw " +
+          s">= 2^63/HitsScale^2 — lower HitsScale (see Scaladoc)")
+      var hub = nodes.select(col("node"), lit(HitsScale / n).as("h"))
+      var auth: DataFrame = null
+      for (it <- 1 to HitsIters) {
+        val araw = edges.join(hub, edges("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("h") * col("w")).as("araw"))
+        val sa = araw.agg(sum(col("araw")).as("sa"))
+        auth = araw.crossJoin(broadcast(sa))
+          .select(col("dst").as("node"),
+            expr(s"(araw * $HitsScale) div sa").as("a"))
+        val hraw = edges.join(auth, edges("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("a") * col("w")).as("hraw"))
+        val sh = hraw.agg(sum(col("hraw")).as("sh"))
+        val next = hraw.crossJoin(broadcast(sh))
+          .select(col("src").as("node"),
+            expr(s"(hraw * $HitsScale) div sh").as("h"))
+        // same every-other-round lineage-cut cadence as pagerankOf
+        if (it % 2 == 0 || it == HitsIters) {
+          hub = next.transform(graft.Checkpointing.cut)
+          auth = auth.transform(graft.Checkpointing.cut)
+        } else hub = next
+      }
+      nodes
+        .join(auth.select(col("node").as("an"), col("a")),
+          col("node") === col("an"), "left")
+        .join(hub.select(col("node").as("hn"), col("h")),
+          col("node") === col("hn"), "left")
+        .select(col("node").as("user_id"),
+          coalesce(col("a"), lit(0L)).as("auth_scaled"),
+          coalesce(col("h"), lit(0L)).as("hub_scaled"),
+          (coalesce(col("a"), lit(0L)).cast("double") /
+            lit(HitsScale.toDouble)).as("authority"),
+          (coalesce(col("h"), lit(0L)).cast("double") /
+            lit(HitsScale.toDouble)).as("hub"))
+        .orderBy("user_id")
+    }
+  }
+
   /** Personalized-teleport power iteration: identical to
     * [[pagerankOf]] except the constant base term becomes the
     * per-node `base` column of `baseRel` (node, base, is_seed).
@@ -1051,6 +1148,7 @@ object EventOps {
     "ev_hourly_anomaly" -> evHourlyAnomaly,
     "ev_type_pagerank" -> evTypePagerank,
     "ev_user_pagerank" -> evUserPagerank,
+    "ev_user_hits" -> evUserHits,
     "ev_user_trustrank" -> evUserTrustrank,
     "ev_type_stats" -> evTypeStats)
 
@@ -1562,5 +1660,71 @@ object EventOps {
              ELSE CAST(p.rank AS DOUBLE) / $PrScale END AS rank,
            CAST(b.is_seed AS BIGINT) AS is_seed
          FROM pr p JOIN bases b ON p.node = b.node
-         WHERE p.iter = $PrIters ORDER BY user_id""")
+         WHERE p.iter = $PrIters ORDER BY user_id""",
+
+    // HITS: one recursion carrying the HUB vector (authority is a
+    // derived half-step); both L1 normalizations are the same
+    // integer div-floor as the Spark side. The recursion keeps every
+    // level (UNION ALL), so the final authority replays the a-step
+    // from the hub vector at iter T-1 outside the recursion. An
+    // empty edge relation leaves both finals empty -> all-zero via
+    // COALESCE, mirroring the Spark zero-guard branch.
+    "ev_user_hits" ->
+      s"""WITH RECURSIVE seq AS (
+           SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_user
+           FROM events),
+         edges AS (
+           SELECT user_id AS src, next_user AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+           FROM seq
+           WHERE next_user IS NOT NULL
+             AND ${Hashing.sqlCharHash("CAST(user_id AS VARCHAR)")}
+               % 10 < $PrEngagedPct
+           GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT user_id AS node FROM events),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         hits(iter, node, h) AS (
+           SELECT 0, node, (SELECT $HitsScale // n FROM nc) FROM nodes
+           UNION ALL
+           SELECT iter + 1, node,
+             CAST((hraw * $HitsScale) // SUM(hraw) OVER () AS BIGINT)
+           FROM (
+             SELECT a1.iter, e2.src AS node,
+               SUM(a1.a * e2.w) AS hraw
+             FROM (
+               SELECT j.iter, j.dst,
+                 (araw * $HitsScale) // SUM(araw) OVER () AS a
+               FROM (
+                 SELECT h.iter, e.dst, SUM(h.h * e.w) AS araw
+                 FROM hits h JOIN edges e ON e.src = h.node
+                 GROUP BY h.iter, e.dst) j) a1
+             JOIN edges e2 ON e2.dst = a1.dst
+             GROUP BY a1.iter, e2.src) z
+           WHERE iter < $HitsIters),
+         afin AS (
+           SELECT dst AS node,
+             CAST((araw * $HitsScale) // SUM(araw) OVER () AS BIGINT)
+               AS a
+           FROM (
+             SELECT e.dst, SUM(h.h * e.w) AS araw
+             FROM hits h JOIN edges e ON e.src = h.node
+             WHERE h.iter = ${HitsIters - 1}
+             GROUP BY e.dst) q),
+         hfin AS (
+           SELECT node, CAST(h AS BIGINT) AS h FROM hits
+           WHERE iter = $HitsIters)
+         SELECT n.node AS user_id,
+           COALESCE(a.a, CAST(0 AS BIGINT)) AS auth_scaled,
+           COALESCE(hf.h, CAST(0 AS BIGINT)) AS hub_scaled,
+           CAST(COALESCE(a.a, 0) AS DOUBLE)
+             / CAST($HitsScale AS DOUBLE) AS authority,
+           CAST(COALESCE(hf.h, 0) AS DOUBLE)
+             / CAST($HitsScale AS DOUBLE) AS hub
+         FROM nodes n
+         LEFT JOIN afin a ON n.node = a.node
+         LEFT JOIN hfin hf ON n.node = hf.node
+         ORDER BY user_id""")
 }
