@@ -1661,7 +1661,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** "Today's ingest" residue tag and drift threshold (permille) for
+    * [[docLengthKs]]. Residue 9 matches the ~10%-slice convention of
+    * the drift family; 150‰ (KS > 0.15) is a deliberately blunt fixed
+    * alarm bar — the exact numerator/denominator ship in the output,
+    * so a consumer can apply any critical value. */
+  val KsSliceTag = 9L
+  val KsThreshPermille = 150L
+
+  /** Two-sample Kolmogorov–Smirnov drift alarm on the per-source
+    * document LENGTH distribution (`doc_length_ks`): today's ingest
+    * slice (doc_id hash residue [[KsSliceTag]], the drift family's
+    * ~10% convention) against the standing corpus, per source. A
+    * crawler change, an extraction regression, or a spam flood shifts
+    * the length distribution long before content-level monitors fire
+    * — this is the raw-corpus complement of `emb_centroid_drift`'s
+    * embedding-space alarm. Exactness: the KS statistic
+    * sup|F_base − F_slice| is evaluated only at observed lengths
+    * (where the sup of step CDFs lives) with the comparison
+    * CROSS-MULTIPLIED — ks_num = max|cum_base·n_slice −
+    * cum_slice·n_base| is a BIGINT, the statistic itself one division
+    * by n_base·n_slice, and the alarm flag an integer permille
+    * comparison, so the gate stays hash-exact (no double ever
+    * compares to a double). Overflow bound: cum·n < 2⁶³ holds to
+    * ~3·10⁹ docs per source. Plan shape: one combinable
+    * groupBy(source, len) over the scan (lengths come from the
+    * n_chars column — no tokenization), a cumulative window
+    * partitioned BY SOURCE over its distinct lengths (bounded by the
+    * length domain, never by rows), and an O(sources) rollup.
+    * Sources with an empty side emit no row (no distribution to
+    * compare — documented). */
+  val docLengthKs: Q = (s, d) => {
+    val isSlice = Hashing.charHash(col("doc_id").cast("string")) % 10 ===
+      KsSliceTag
+    val base = docs(s, d).select(col("source"), col("n_chars"),
+      isSlice.as("is_slice"))
+    val counts = base.groupBy(col("source"), col("n_chars").as("len"))
+      .agg(sum(when(col("is_slice"), 1L).otherwise(0L)).as("c_s"),
+        sum(when(col("is_slice"), 0L).otherwise(1L)).as("c_b"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len"))
+    val cum = counts
+      .withColumn("cum_s", sum(col("c_s")).over(w))
+      .withColumn("cum_b", sum(col("c_b")).over(w))
+    val totals = base.groupBy(col("source"))
+      .agg(sum(when(col("is_slice"), 1L).otherwise(0L)).as("n_slice"),
+        sum(when(col("is_slice"), 0L).otherwise(1L)).as("n_base"))
+    cum.join(totals, "source")
+      .filter(col("n_slice") > 0L && col("n_base") > 0L)
+      .groupBy(col("source"), col("n_base"), col("n_slice"))
+      .agg(max(abs(col("cum_b") * col("n_slice") -
+        col("cum_s") * col("n_base"))).as("ks_num"))
+      .select(col("source"), col("n_base"), col("n_slice"),
+        col("ks_num"),
+        (col("n_base") * col("n_slice")).as("ks_den"),
+        (col("ks_num").cast("double") /
+          (col("n_base") * col("n_slice")).cast("double")).as("ks"),
+        (col("ks_num") * 1000L >
+          lit(KsThreshPermille) * col("n_base") * col("n_slice"))
+          .as("drifted"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "doc_length_ks" -> docLengthKs,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -1760,6 +1822,37 @@ object TextOps {
           GROUP BY f.doc_id ORDER BY f.doc_id"""
 
   lazy val oracle: Map[String, String] = Map(
+    "doc_length_ks" ->
+      s"""WITH tagged AS (
+            SELECT source, n_chars,
+              CASE WHEN ${Hashing.sqlCharHash("CAST(doc_id AS VARCHAR)")}
+                % 10 = $KsSliceTag THEN 1 ELSE 0 END AS is_slice
+            FROM documents),
+          counts AS (
+            SELECT source, n_chars AS len,
+              SUM(is_slice) AS c_s, SUM(1 - is_slice) AS c_b
+            FROM tagged GROUP BY source, n_chars),
+          cum AS (
+            SELECT source, len,
+              SUM(c_s) OVER (PARTITION BY source ORDER BY len) AS cum_s,
+              SUM(c_b) OVER (PARTITION BY source ORDER BY len) AS cum_b
+            FROM counts),
+          totals AS (
+            SELECT source, CAST(SUM(is_slice) AS BIGINT) AS n_slice,
+              CAST(SUM(1 - is_slice) AS BIGINT) AS n_base
+            FROM tagged GROUP BY source)
+          SELECT c.source, t.n_base, t.n_slice,
+            CAST(MAX(ABS(c.cum_b * t.n_slice - c.cum_s * t.n_base))
+              AS BIGINT) AS ks_num,
+            t.n_base * t.n_slice AS ks_den,
+            CAST(MAX(ABS(c.cum_b * t.n_slice - c.cum_s * t.n_base))
+              AS DOUBLE) / CAST(t.n_base * t.n_slice AS DOUBLE) AS ks,
+            (MAX(ABS(c.cum_b * t.n_slice - c.cum_s * t.n_base)) * 1000
+              > $KsThreshPermille * t.n_base * t.n_slice) AS drifted
+          FROM cum c JOIN totals t ON c.source = t.source
+          WHERE t.n_slice > 0 AND t.n_base > 0
+          GROUP BY c.source, t.n_base, t.n_slice
+          ORDER BY c.source""",
     "text_stats" ->
       s"""SELECT doc_id,
           CAST(length(text) AS BIGINT) AS n_chars_actual,
