@@ -1122,7 +1122,50 @@ object EventOps {
       (col("rank").cast("double") / lit(PrScale.toDouble)).as("rank"))
   }
 
+  /** Candidate watermark delays (seconds) audited by
+    * [[evWatermarkAudit]]: no tolerance, 10 minutes, 1 hour (the
+    * delay `stream_hourly_wm` actually runs with). */
+  val WmDelaysSec: Seq[Long] = Seq(0L, 600L, 3600L)
+
+  /** Watermark-sizing disorder audit (`ev_watermark_audit`) — the
+    * measurement a team runs BEFORE choosing `withWatermark(delay)`
+    * for the streaming ingest queries: per event-type stream, how
+    * out-of-order is event time relative to arrival, and how many
+    * events would each candidate delay in [[WmDelaysSec]] DROP?
+    * Arrival order is the event_id sequence (the ingestion log's
+    * monotone sequence number — deterministic, unlike task arrival
+    * order in a replay); an event's disorder is
+    * max(ts over earlier arrivals in its stream) − ts, clamped at 0,
+    * and Structured Streaming drops it iff disorder > delay (event
+    * time below the running-max watermark). Everything is integer
+    * seconds — no doubles anywhere. Plan shape: ONE running-max
+    * window per event-type partition (bounded by the busiest stream,
+    * the same partitioning every referral-graph query already uses)
+    * feeding one combinable groupBy; output is O(types). The 100 TB
+    * form shards the window by (event_type, day) with a per-day
+    * seed max — documented, not needed at gate scale. */
+  val evWatermarkAudit: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val disorder = ev(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_timestamp(ts)").as("ts_sec"))
+      .withColumn("max_prev", max(col("ts_sec")).over(w))
+      .withColumn("disorder_sec",
+        greatest(coalesce(col("max_prev") - col("ts_sec"), lit(0L)),
+          lit(0L)))
+    val lateCols = WmDelaysSec.map(dl =>
+      sum((col("disorder_sec") > dl).cast("long")).as(s"late_at_${dl}s"))
+    val aggCols = Seq(count(lit(1)).as("n_events"),
+      max(col("disorder_sec")).as("max_disorder_sec")) ++ lateCols
+    disorder.groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "ev_watermark_audit" -> evWatermarkAudit,
     "ev_asof_join" -> evAsofJoin,
     "ev_asof_bucketed" -> evAsofBucketed,
     "ev_overlap_count" -> evOverlapCount,
@@ -1661,6 +1704,26 @@ object EventOps {
            CAST(b.is_seed AS BIGINT) AS is_seed
          FROM pr p JOIN bases b ON p.node = b.node
          WHERE p.iter = $PrIters ORDER BY user_id""",
+
+    "ev_watermark_audit" -> {
+      val lateSelects = WmDelaysSec.map(dl =>
+        s"""CAST(SUM(CASE WHEN disorder_sec > $dl THEN 1 ELSE 0 END)
+              AS BIGINT) AS late_at_${dl}s""").mkString(",\n            ")
+      s"""WITH dis AS (
+            SELECT event_type,
+              GREATEST(COALESCE(
+                MAX(ts_sec) OVER (PARTITION BY event_type
+                  ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                - ts_sec, 0), 0) AS disorder_sec
+            FROM (
+              SELECT event_type, event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+              FROM events))
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(MAX(disorder_sec) AS BIGINT) AS max_disorder_sec,
+            $lateSelects
+          FROM dis GROUP BY event_type ORDER BY event_type""" },
 
     // HITS: one recursion carrying the HUB vector (authority is a
     // derived half-step); both L1 normalizations are the same
