@@ -852,9 +852,76 @@ object Relational {
       .orderBy("o_orderpriority", "l_returnflag")
   }
 
+  /** Group size of the maintained per-nation top-k view. */
+  val TopkDeltaK = 3
+
+  /** Incremental TOP-K maintenance (`q33_topk_delta`) — the ranking
+    * complement of [[q31AggDelta]] (aggregates) and [[q32JoinDelta]]
+    * (joins): a materialized "top-[[TopkDeltaK]] customers by total
+    * spend per nation" view refreshed from yesterday's state plus the
+    * day's order tail WITHOUT rescanning the standing corpus. The
+    * candidate lemma that makes O(delta) refresh sound: spend totals
+    * are monotone non-decreasing (orders only append), so a
+    * customer's (total, key) rank can only worsen — the new top-k is
+    * a subset of {old top-k} ∪ {delta-touched customers}, and
+    * everyone else is provably excluded without being read. (The
+    * oracle recomputes the ranking over ALL customers from scratch —
+    * the gate IS the lemma's proof on every corpus.) State =
+    * yesterday's per-customer partials + yesterday's top-k keys, both
+    * checkpoint leaves; the day's delta partials are materialized
+    * once (the ingest job's natural output); refresh cost is
+    * O(|delta| + k·nations) joins over the candidate set. Exact
+    * decimal spend keeps ranking and totals engine-identical. */
+  val q33TopkDelta: Q = (s, d) => {
+    val cutoff = lit(AggDeltaCutoff).cast("timestamp")
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    def partials(rows: DataFrame) = rows
+      .groupBy(col("o_custkey"))
+      .agg(sum(price6(col("o_totalprice"))).as("p_rev"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("total").desc, col("c_custkey"))
+    def rankTopk(totals: DataFrame) = totals
+      .join(cust, col("custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopkDeltaK)
+    val state = graft.Checkpointing.cut(
+      partials(orders.filter(col("o_orderdate") < cutoff)))
+    val oldTopk = graft.Checkpointing.cut(
+      rankTopk(state.select(col("o_custkey").as("custkey"),
+        col("p_rev").cast("decimal(38,6)").as("total")))
+        .select(col("custkey")))
+    val delta = graft.Checkpointing.cut(
+      partials(orders.filter(col("o_orderdate") >= cutoff)))
+    val cand = oldTopk
+      .unionByName(delta.select(col("o_custkey").as("custkey")))
+      .distinct()
+    val newTotals = cand
+      .join(state.select(col("o_custkey").as("sk"),
+        col("p_rev").as("old_rev")), col("custkey") === col("sk"), "left")
+      .join(delta.select(col("o_custkey").as("dk"),
+        col("p_rev").as("delta_rev")), col("custkey") === col("dk"), "left")
+      .select(col("custkey"),
+        (coalesce(col("old_rev").cast("decimal(38,6)"),
+          lit(0).cast("decimal(38,6)")) +
+          coalesce(col("delta_rev").cast("decimal(38,6)"),
+            lit(0).cast("decimal(38,6)"))).as("total"))
+    rankTopk(newTotals)
+      .select(col("n_name"), col("rnk").as("rank"),
+        col("custkey").as("c_custkey"),
+        asD(col("total")).as("total_spent"))
+      .orderBy("n_name", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "q31_agg_delta" -> q31AggDelta,
     "q32_join_delta" -> q32JoinDelta,
+    "q33_topk_delta" -> q33TopkDelta,
     "q29_mom_growth" -> q29MomGrowth,
     "q0_scan" -> q0Scan,
     "pii_pseudonymize" -> piiPseudonymize,
@@ -1129,6 +1196,24 @@ object Relational {
           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
           GROUP BY o_orderpriority, l_returnflag
           ORDER BY o_orderpriority, l_returnflag""",
+    // the ranking recomputed over ALL customers from scratch — the
+    // candidate-set refresh must match by the monotone-total lemma
+    "q33_topk_delta" ->
+      s"""WITH rev AS (
+            SELECT o_custkey,
+              SUM(${sqlPrice6("o_totalprice")}) AS total
+            FROM orders GROUP BY o_custkey),
+          ranked AS (
+            SELECT n_name, c_custkey, total,
+              ROW_NUMBER() OVER (PARTITION BY n_name
+                ORDER BY total DESC, c_custkey) AS rnk
+            FROM rev
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey)
+          SELECT n_name, rnk AS rank, c_custkey,
+            CAST(total AS DOUBLE) AS total_spent
+          FROM ranked WHERE rnk <= $TopkDeltaK
+          ORDER BY n_name, rnk""",
     "q29_mom_growth" ->
       s"""WITH monthly AS (
             SELECT strftime(o_orderdate, '%Y-%m') AS month,
