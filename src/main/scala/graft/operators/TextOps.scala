@@ -1722,8 +1722,51 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Source-concentration audit per language (`doc_source_hhi`) —
+    * the data-mixing governance number: the Herfindahl–Hirschman
+    * index of TOKEN mass across sources, plus its inverse (effective
+    * source count — "this language's corpus behaves like N equal
+    * sources"). A language whose tokens come overwhelmingly from one
+    * crawl domain inherits that domain's biases however many sources
+    * are nominally present; HHI > 0.25 (the standard
+    * highly-concentrated bar) flags it for the water-filling /
+    * quota levers (`doc_budget_waterfill`, `doc_sample_quota`).
+    * Exactness: shares never materialize — hhi_num = Σ t_s² and the
+    * flag 4·Σt_s² > T² are BIGINT (cross-multiplied, same discipline
+    * as `doc_length_ks`); the index and effective count are single
+    * divisions. Overflow bound: T < 3·10⁹ tokens per language; the
+    * 100 TB form swaps BIGINT for DECIMAL(38,0) with no other
+    * change. Plan: two combinable groupBys (docs → per-(lang,source)
+    * token mass → per-lang rollup); output is O(langs). */
+  val docSourceHhi: Q = (s, d) => {
+    val perSource = docs(s, d)
+      .select(col("lang"), col("source"),
+        size(Hashing.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("nt")).as("t"))
+    perSource
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("t")).as("total_tokens"),
+        sum(col("t") * col("t")).as("hhi_num"))
+      .select(col("lang"), col("n_sources"), col("total_tokens"),
+        col("hhi_num"),
+        when(col("total_tokens") > 0L,
+          col("hhi_num").cast("double") /
+            (col("total_tokens") * col("total_tokens")).cast("double"))
+          .otherwise(lit(0.0)).as("hhi"),
+        when(col("hhi_num") > 0L,
+          (col("total_tokens") * col("total_tokens")).cast("double") /
+            col("hhi_num").cast("double"))
+          .otherwise(lit(0.0)).as("effective_sources"),
+        (col("hhi_num") * 4L >
+          col("total_tokens") * col("total_tokens")).as("concentrated"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, Q] = Map(
     "doc_length_ks" -> docLengthKs,
+    "doc_source_hhi" -> docSourceHhi,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -1822,6 +1865,27 @@ object TextOps {
           GROUP BY f.doc_id ORDER BY f.doc_id"""
 
   lazy val oracle: Map[String, String] = Map(
+    "doc_source_hhi" ->
+      s"""WITH persrc AS (
+            SELECT lang, source,
+              CAST(SUM(length($sqlToks)) AS BIGINT) AS t
+            FROM documents GROUP BY lang, source),
+          agg AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+              CAST(SUM(t) AS BIGINT) AS total_tokens,
+              CAST(SUM(t * t) AS BIGINT) AS hhi_num
+            FROM persrc GROUP BY lang)
+          SELECT lang, n_sources, total_tokens, hhi_num,
+            CASE WHEN total_tokens > 0
+              THEN CAST(hhi_num AS DOUBLE)
+                / CAST(total_tokens * total_tokens AS DOUBLE)
+              ELSE 0.0 END AS hhi,
+            CASE WHEN hhi_num > 0
+              THEN CAST(total_tokens * total_tokens AS DOUBLE)
+                / CAST(hhi_num AS DOUBLE)
+              ELSE 0.0 END AS effective_sources,
+            (hhi_num * 4 > total_tokens * total_tokens) AS concentrated
+          FROM agg ORDER BY lang""",
     "doc_length_ks" ->
       s"""WITH tagged AS (
             SELECT source, n_chars,
