@@ -1085,6 +1085,75 @@ object SimilarityOps {
           .as("dead_dim"))
       .orderBy("dim")
 
+  /** Principal-direction scale and power-iteration rounds for
+    * [[embPrincipalDir]]. */
+  val PcaVs = 1000000L
+  val PcaIters = 6
+
+  /** Dominant-direction (anisotropy) audit (`emb_principal_dir`) —
+    * the top principal direction of the quantized embedding cloud's
+    * uncentered second moment, by power iteration. Embedding models
+    * routinely collapse toward one dominant direction ("all-but-the-
+    * top", Mu & Viswanath, ICLR'18); when that happens cosine
+    * similarity degenerates and every ANN tier's contrast drops —
+    * this query is the alarm, and its loadings name the dims to
+    * debias. The iteration runs on [[quantizedLong]]'s int8 lanes
+    * CENTERED by the truncated-integer per-dim mean (q − Σq div n) —
+    * exactly the mean removal Mu & Viswanath prescribe, in exact
+    * integer form: without it the uncentered moment's top direction
+    * is just the mean-offset vector (the planted fixture proves
+    * this), and with min/max normalization equalizing marginal
+    * scales the direction found is the dominant direction of the
+    * CORRELATION structure (what survives into a quantized serving
+    * index; the raw-scale story lives in `emb_dim_variance`).
+    * All-INTEGER like the PageRank/HITS family: each round computes
+    * w = Y v (per-vector dot), then Yᵀw (per-dim), then rescales by
+    * the data-dependent positive scalar (max|raw| div [[PcaVs]]) + 1
+    * — a truncating `div` BOTH engines implement identically even on
+    * negative components (both truncate toward zero; pinned by
+    * PrincipalDirSpec's sign fixture), so the fixed point is
+    * bit-portable and mirrored as a DuckDB recursive CTE. Power
+    * iteration converges to the principal eigenvector direction
+    * under ANY fixed positive per-round rescaling; the deterministic
+    * all-ones start breaks the sign ambiguity. Overflow bound:
+    * per-dim |raw| ≤ n·256·(64·256·[[PcaVs]]) needs n < 2·10⁶
+    * vectors at this scale — the 100 TB form drops [[PcaVs]] a digit
+    * per 100× rows (documented, like the sibling quantized bounds).
+    * Plan shape per round: two hash joins + two combinable groupBys
+    * over the (vec_id, dim, y) lanes, one broadcast scalar, one
+    * broadcast [[Dims]]-row vector — vectors never shuffle whole. */
+  val embPrincipalDir: Q = (s, d) => {
+    val raw0 = quantizedLong(s, d)
+    val mu = raw0.groupBy(col("dim"))
+      .agg(expr("sum(q_int8) div count(1)").as("mu"))
+    val lanes = raw0.join(broadcast(mu), "dim")
+      .select(col("vec_id"), col("dim"),
+        (col("q_int8") - col("mu")).as("q_int8"))
+      .transform(graft.Checkpointing.cut)
+    var v = lanes.select(col("dim")).distinct()
+      .select(col("dim"), lit(PcaVs).as("val"))
+    for (it <- 1 to PcaIters) {
+      val dots = lanes.join(v, "dim")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("q_int8") * col("val")).as("dot"))
+      val raw = lanes.join(dots, "vec_id")
+        .groupBy(col("dim"))
+        .agg(sum(col("q_int8") * col("dot")).as("raw"))
+      val m = raw.agg(max(abs(col("raw"))).as("m"))
+      val next = raw.crossJoin(broadcast(m))
+        .select(col("dim"),
+          when(col("m") > 0L,
+            expr(s"raw div (m div $PcaVs + 1)"))
+            .otherwise(lit(0L)).as("val"))
+      v = if (it % 2 == 0 || it == PcaIters)
+        graft.Checkpointing.cut(next)
+      else next
+    }
+    v.select(col("dim"), col("val").as("v_scaled"),
+        (col("val").cast("double") / lit(PcaVs.toDouble)).as("loading"))
+      .orderBy("dim")
+  }
+
   /** Product-quantization layout: [[PqSubspaces]] subspaces of
     * [[PqSubDim]] dims each; the per-subspace codebook has one code
     * per label (k=10). */
@@ -1975,6 +2044,7 @@ object SimilarityOps {
     "emb_semdedup_stats" -> embSemdedupStats,
     "emb_quantize" -> embQuantize,
     "emb_dim_variance" -> embDimVariance,
+    "emb_principal_dir" -> embPrincipalDir,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
     "ann_recall_curve" -> annRecallCurve,
@@ -2812,6 +2882,54 @@ object SimilarityOps {
               / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS variance,
             (COUNT(*) * SUM(qv * qv) = SUM(qv) * SUM(qv)) AS dead_dim
           FROM q GROUP BY dim ORDER BY dim""",
+    // power iteration as a recursive CTE carrying the scaled vector;
+    // the quantized-lane CTEs mirror emb_dim_variance's, and every
+    // div is the truncating integer division both engines share
+    "emb_principal_dir" ->
+      s"""WITH RECURSIVE longf AS (
+            SELECT vec_id, idx.i - 1 AS dim,
+              CAST(embedding[idx.i] AS DOUBLE) AS v
+            FROM embeddings,
+              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx),
+          stats AS (
+            SELECT dim, MIN(v) AS lo, MAX(v) AS hi
+            FROM longf GROUP BY dim),
+          q0 AS (
+            SELECT vec_id, l.dim,
+              CASE WHEN hi > lo
+                THEN least(CAST(floor((v - lo) * 255.0 / (hi - lo))
+                  AS BIGINT), 255)
+                ELSE 0 END - 128 AS qv
+            FROM longf l JOIN stats s ON l.dim = s.dim),
+          mu AS (
+            SELECT dim, CAST(SUM(qv) // COUNT(*) AS BIGINT) AS mu
+            FROM q0 GROUP BY dim),
+          q AS (
+            SELECT q0.vec_id, q0.dim, q0.qv - mu.mu AS qv
+            FROM q0 JOIN mu ON q0.dim = mu.dim),
+          dims AS (SELECT DISTINCT dim FROM q),
+          pw(iter, dim, val) AS (
+            SELECT 0, dim, CAST($PcaVs AS BIGINT) FROM dims
+            UNION ALL
+            SELECT iter + 1, dim,
+              CAST(CASE WHEN mx > 0
+                THEN raw // (mx // $PcaVs + 1)
+                ELSE 0 END AS BIGINT)
+            FROM (
+              SELECT r.iter, r.dim, r.raw,
+                MAX(ABS(r.raw)) OVER () AS mx
+              FROM (
+                SELECT d2.iter, l2.dim, SUM(l2.qv * d2.dot) AS raw
+                FROM (
+                  SELECT p.iter, l.vec_id, SUM(l.qv * p.val) AS dot
+                  FROM pw p JOIN q l ON l.dim = p.dim
+                  GROUP BY p.iter, l.vec_id) d2
+                JOIN q l2 ON l2.vec_id = d2.vec_id
+                GROUP BY d2.iter, l2.dim) r) z
+            WHERE iter < $PcaIters)
+          SELECT dim, CAST(val AS BIGINT) AS v_scaled,
+            CAST(val AS DOUBLE) / CAST($PcaVs AS DOUBLE) AS loading
+          FROM pw WHERE iter = $PcaIters ORDER BY dim""",
     "emb_normalize" ->
       s"""WITH n AS (
             SELECT vec_id, embedding,
