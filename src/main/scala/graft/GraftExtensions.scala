@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_char_hash_all",
       "graft_char_hash_all(arr) - char hash of every string element", 1)(
       es => PolyCharHashArray(es.head))
+    register("graft_char_hash_wide_all",
+      "graft_char_hash_wide_all(arr) - ~62-bit dual-base char hash " +
+        "of every string element (h31 * P + h37)", 1)(
+      es => PolyCharHashWideArray(es.head))
     register("graft_minhash_sig",
       "graft_minhash_sig(hashes) - all 16 minhash lanes in one pass", 1)(
       es => MinHashSig(es.head))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Exact._
+import graft.functions.Hashing
 import graft.sources.Tables
 
 /** Relational query surface over the TPC-H-ish testdata.
@@ -918,10 +919,65 @@ object Relational {
       .orderBy("n_name", "rank")
   }
 
+  /** Partition-bucket count and hot-partition multiple for
+    * [[q34JoinSkew]]. 32 mirrors the session's shuffle-partition
+    * count; a bucket is "hot" above 2x the mean join output. */
+  val SkewBuckets = 32L
+  val SkewHotMultiple = 2L
+
+  /** Shuffle-join skew profile (`q34_join_skew`) — the capacity
+    * report that predicts task imbalance BEFORE a big join runs (the
+    * relational complement of `ann_probe_cost`'s E[scan] audit): for
+    * the orders ⋈ lineitem orderkey join, per hash-partition bucket:
+    * key count, input rows both sides, and the exact join OUTPUT
+    * rows Σ f_a·f_b that land in that bucket under hash
+    * partitioning. The max/mean bucket ratio is precisely the
+    * straggler multiple AQE's skew-join split or a salting pass
+    * would have to absorb; a flagged bucket names where to salt. The
+    * bucket function is the engine's own portable char hash mod
+    * [[SkewBuckets]] (a deterministic stand-in for Murmur3 hash
+    * partitioning — same key → same bucket on both engines, so the
+    * gate is exact). Plan shape: two combinable per-key frequency
+    * aggregates, one full-outer key join (both sides already
+    * key-partitioned), one combinable bucket rollup — output is
+    * O([[SkewBuckets]]) and the flag is cross-multiplied integer.
+    * At 100 TB the same query runs on the day's partitions to steer
+    * the nightly join's salting factor. */
+  val q34JoinSkew: Q = (s, d) => {
+    val fa = Tables.orders(s, d).groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("fa"))
+    val fb = li(s, d).groupBy(col("l_orderkey").as("k2"))
+      .agg(count(lit(1)).as("fb"))
+    val perKey = fa.join(fb, col("k") === col("k2"), "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("key"),
+        coalesce(col("fa"), lit(0L)).as("fa"),
+        coalesce(col("fb"), lit(0L)).as("fb"))
+      .select(col("key"), col("fa"), col("fb"),
+        (col("fa") * col("fb")).as("jr"),
+        (Hashing.charHash(col("key").cast("string")) % SkewBuckets)
+          .as("bucket"))
+    val perBucket = perKey.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("fa")).as("rows_a"),
+        sum(col("fb")).as("rows_b"),
+        sum(col("jr")).as("join_rows"))
+    perBucket
+      .withColumn("total_join_rows",
+        sum(col("join_rows")).over(Window.partitionBy()))
+      .select(col("bucket"), col("n_keys"), col("rows_a"),
+        col("rows_b"), col("join_rows"),
+        (col("join_rows").cast("double") * SkewBuckets.toDouble /
+          col("total_join_rows").cast("double")).as("load_multiple"),
+        (col("join_rows") * SkewBuckets >
+          lit(SkewHotMultiple) * col("total_join_rows")).as("hot"))
+      .orderBy("bucket")
+  }
+
   val defs: Map[String, Q] = Map(
     "q31_agg_delta" -> q31AggDelta,
     "q32_join_delta" -> q32JoinDelta,
     "q33_topk_delta" -> q33TopkDelta,
+    "q34_join_skew" -> q34JoinSkew,
     "q29_mom_growth" -> q29MomGrowth,
     "q0_scan" -> q0Scan,
     "pii_pseudonymize" -> piiPseudonymize,
@@ -1196,6 +1252,34 @@ object Relational {
           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
           GROUP BY o_orderpriority, l_returnflag
           ORDER BY o_orderpriority, l_returnflag""",
+    "q34_join_skew" ->
+      s"""WITH fa AS (
+            SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS fa
+            FROM orders GROUP BY o_orderkey),
+          fb AS (
+            SELECT l_orderkey AS k2, CAST(COUNT(*) AS BIGINT) AS fb
+            FROM lineitem GROUP BY l_orderkey),
+          perkey AS (
+            SELECT COALESCE(k, k2) AS key,
+              COALESCE(fa, 0) AS fa, COALESCE(fb, 0) AS fb
+            FROM fa FULL OUTER JOIN fb ON k = k2),
+          bucketed AS (
+            SELECT ${Hashing.sqlCharHash("CAST(key AS VARCHAR)")}
+                % $SkewBuckets AS bucket,
+              fa, fb, fa * fb AS jr
+            FROM perkey),
+          perbucket AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_keys,
+              CAST(SUM(fa) AS BIGINT) AS rows_a,
+              CAST(SUM(fb) AS BIGINT) AS rows_b,
+              CAST(SUM(jr) AS BIGINT) AS join_rows
+            FROM bucketed GROUP BY bucket)
+          SELECT bucket, n_keys, rows_a, rows_b, join_rows,
+            CAST(join_rows AS DOUBLE) * $SkewBuckets
+              / CAST(SUM(join_rows) OVER () AS DOUBLE) AS load_multiple,
+            (join_rows * $SkewBuckets
+              > $SkewHotMultiple * SUM(join_rows) OVER ()) AS hot
+          FROM perbucket ORDER BY bucket""",
     // the ranking recomputed over ALL customers from scratch — the
     // candidate-set refresh must match by the monotone-total lemma
     "q33_topk_delta" ->

@@ -84,4 +84,20 @@ class SqlSurfaceSpec extends SparkSpec {
       .select("bucket", "n").collect()
     assert(r.toSeq === expected.toSeq)
   }
+
+  test("the wide dual-base hash is SQL-reachable and decomposes as " +
+      "h31 * P + h37") {
+    registerViews()
+    val p = graft.functions.Hashing.P
+    // upper limb of the packed wide hash must BE the base-31 hash,
+    // for every document text, straight from SQL
+    val bad = spark.sql(
+      s"""SELECT COUNT(*) AS n FROM (
+            SELECT graft_char_hash_wide_all(array(text))[0] AS wh,
+              graft_char_hash(text) AS h31
+            FROM documents)
+          WHERE wh div ${p}L != h31 OR wh % ${p}L < 0
+            OR wh % ${p}L >= ${p}L""").collect().head.getLong(0)
+    assert(bad == 0L)
+  }
 }
