@@ -1535,7 +1535,70 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** REMOVAL pass of the substring-span tier (`dedup_spans_remove`)
+    * — the enforcement [[dedupSubstringSpans]] reports on, following
+    * Lee et al.'s policy of excising duplicated spans while KEEPING
+    * one canonical occurrence in the corpus (dropping whole docs
+    * would lose their unique remainder). Ownership is decided at
+    * window granularity: each duplicated [[SpanW]]-token window's
+    * canonical holder is its MIN doc_id; a token is removed iff some
+    * duplicated window covering it is owned elsewhere, so the
+    * min-holder keeps its copy and every other doc sheds exactly the
+    * corpus-duplicated tokens (ties inside overlapping window
+    * families resolve deterministically toward keeping less —
+    * removal needs only ONE foreign-owned cover). Output ships the
+    * reconstructed cleaned text so the gate hashes the actual
+    * enforcement, not a count. Plan shape: windows and owners as in
+    * the report query; coverage is an O(tokens·W) position explode
+    * semi-joined per (doc, position); reconstruction sorts each
+    * doc's kept tokens by position (per-doc arrays, bounded by doc
+    * length — the one higher-order `transform` runs in the O(docs)
+    * output assembly, not the candidate hot path). */
+  val dedupSpansRemove: Q = (s, d) => {
+    val toks = docs(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    val wins = toks
+      .filter(size(col("toks")) >= SpanW)
+      .select(col("doc_id"),
+        posexplode(hashAllWide(ngrams(col("toks"), SpanW))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("wh"))
+    val owners = wins.groupBy("wh")
+      .agg(min(col("doc_id")).as("owner"),
+        count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wh"), col("owner"))
+    val removed = wins.join(owners, "wh")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanW - 1)))
+          .as("tpos"))
+      .distinct()
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("tpos"), col("col").as("tok"))
+    val kept = positions
+      .join(removed, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned_text"))
+    // left join from the doc base so fully-excised and empty docs
+    // still emit a row (with empty cleaned text)
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "dedup_spans_remove" -> dedupSpansRemove,
     "text_cdc_dedup" -> textCdcDedup,
     "doc_manifest" -> docManifest,
     "doc_split_oov" -> docSplitOov,
@@ -1741,6 +1804,41 @@ object DedupOps {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
+    "dedup_spans_remove" -> {
+      val winText = s"array_to_string(list_slice(tk, i, i + ${SpanW - 1}), ' ')"
+      s"""WITH toks AS (
+            SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+          wins AS (
+            SELECT doc_id, i AS pos, ${sqlCharHashWide(winText)} AS wh
+            FROM (SELECT doc_id, tk,
+                    unnest(range(1, length(tk) - ${SpanW - 2})) AS i
+                  FROM toks WHERE length(tk) >= $SpanW)),
+          owners AS (
+            SELECT wh, MIN(doc_id) AS owner FROM wins GROUP BY wh
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+          removed AS (
+            SELECT DISTINCT w.doc_id, tpos
+            FROM wins w JOIN owners o USING (wh),
+              unnest(range(w.pos, w.pos + $SpanW)) AS r(tpos)
+            WHERE w.doc_id != o.owner),
+          positions AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS tpos, tk[i] AS tok
+            FROM (SELECT doc_id, tk,
+                    unnest(range(1, length(tk) + 1)) AS i
+                  FROM toks)),
+          kept AS (
+            SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              string_agg(p.tok, ' ' ORDER BY p.tpos) AS cleaned_text
+            FROM positions p
+            ANTI JOIN removed r
+              ON p.doc_id = r.doc_id AND p.tpos = r.tpos
+            GROUP BY p.doc_id)
+          SELECT t.doc_id, CAST(length(t.tk) AS BIGINT) AS n_tokens,
+            CAST(length(t.tk) - COALESCE(k.n_kept, 0) AS BIGINT)
+              AS n_removed,
+            COALESCE(k.cleaned_text, '') AS cleaned_text
+          FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+          ORDER BY t.doc_id""" },
     "dedup_substring_spans" -> {
       val winText = s"array_to_string(list_slice(tk, i, i + ${SpanW - 1}), ' ')"
       s"""WITH toks AS (
