@@ -26,7 +26,10 @@ dedup_containment tf_heavy_hitters ev_user_trustrank tf_heavy_delta \
 ann_mrr pii_k_anonymity \
 q23b_percentiles_approx q30_zorder_layout pii_l_diversity \
 pii_release_suppressed \
-q31_agg_delta tf_compression_ratio dedup_lsh_precision dedup_unicode dedup_component_profile"
+q31_agg_delta tf_compression_ratio dedup_lsh_precision dedup_unicode dedup_component_profile \
+dedup_substring_spans dedup_spans_remove ev_user_hits emb_principal_dir \
+q33_topk_delta q34_join_skew doc_length_ks ann_footrule emb_dim_variance \
+doc_source_hhi ev_watermark_audit ev_gap_histogram stream_topk_value"
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"

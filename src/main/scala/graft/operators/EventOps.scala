@@ -1122,6 +1122,102 @@ object EventOps {
       (col("rank").cast("double") / lit(PrScale.toDouble)).as("rank"))
   }
 
+  /** The user referral graph as DISTINCT UNDIRECTED edges `(u, v)`
+    * with `u < v` — the same "who acted next in my event-type stream"
+    * adjacency [[evUserPagerank]]/[[evUserHits]] rank over
+    * (lead window + engaged-source gate), symmetrized and
+    * self-loop-free. Shared by [[evUserTriangles]] and its spec. */
+  private[graft] def referralUndirected(s: SparkSession, d: String)
+      : DataFrame = {
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("ts_sec"))
+      .withColumn("next_user", lead(col("user_id"), 1).over(win))
+      .filter(col("next_user").isNotNull)
+      .filter(Hashing.charHash(col("user_id").cast("string")) % 10
+        < PrEngagedPct)
+      .filter(col("user_id") =!= col("next_user"))
+      .select(least(col("user_id"), col("next_user")).as("u"),
+        greatest(col("user_id"), col("next_user")).as("v"))
+      .distinct()
+  }
+
+  /** Degree-ordered exact triangle counting core: takes distinct
+    * undirected edges (`u` < `v`) and returns per-node degree,
+    * triangle count, and local clustering coefficient.
+    *
+    * Every edge is ORIENTED from its lower-(degree, id) endpoint to
+    * the higher, so each triangle is enumerated exactly once — at its
+    * lowest-ranked corner — and, decisively for scale, the wedge
+    * fan-out per node is bounded by its oriented OUT-degree, which is
+    * O(√m) for every node regardless of raw degree (the orientation
+    * argument behind the O(m^{3/2}) total-work bound of the
+    * MapReduce node-iterator, Suri & Vassilvitskii WWW'11). That is
+    * the 100 TB skew story: a celebrity hub with 10⁷ followers
+    * contributes wedge PAIRS only at its low-degree neighbors — it is
+    * everyone's `dst`, never the pivot — so no task ever sees the
+    * 10¹⁴ pairs the unoriented node-iterator would mint. Every step
+    * is an equi-join or combinable groupBy on node/edge keys; both
+    * checkpointed leaves ([[graft.Checkpointing.cut]]) are O(|E|).
+    * The clustering coefficient 2T/(deg·(deg−1)) is one IEEE division
+    * of exact integers — both engines divide the same two BIGINTs. */
+  private[graft] def trianglesOf(und0: DataFrame): DataFrame = {
+    val und = und0.transform(graft.Checkpointing.cut)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = e.select(
+        when(uLower, col("u")).otherwise(col("v")).as("src"),
+        when(uLower, col("v")).otherwise(col("u")).as("dst"),
+        when(uLower, col("dv")).otherwise(col("du")).as("ddeg"))
+      .transform(graft.Checkpointing.cut)
+    // wedges pivot at the lowest corner; the (ddeg, dst) order on the
+    // two spokes aligns with the closing edge's own orientation, so
+    // the closing probe is a plain equi-join on (y, z)
+    val wedges = ori.select(col("src"), col("dst").as("y"),
+        col("ddeg").as("dy"))
+      .join(ori.select(col("src"), col("dst").as("z"),
+        col("ddeg").as("dz")), Seq("src"))
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+    val tri = wedges.join(
+        ori.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+      .select(col("src").as("x"), col("y"), col("z"))
+    val perNode = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (col("tri_count") * 2L).cast("double") /
+            (col("degree") * (col("degree") - lit(1L))).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Exact triangle census (`ev_user_triangles`) — per-user triangle
+    * count and local clustering coefficient over the referral graph,
+    * completing the graph-quality family (PageRank centrality /
+    * TrustRank seed-flow / HITS roles / triangles for COHESION): a
+    * bot ring that reciprocally refers itself shows near-1.0
+    * clustering at low rank, organic hubs show high degree with low
+    * clustering — the two-axis view a curation pipeline cuts on.
+    * Scale shape in [[trianglesOf]]. */
+  val evUserTriangles: Q = (s, d) =>
+    trianglesOf(referralUndirected(s, d))
+      .select(col("node").as("user_id"), col("degree"),
+        col("tri_count"), col("clustering"))
+      .orderBy("user_id")
+
   /** Candidate watermark delays (seconds) audited by
     * [[evWatermarkAudit]]: no tolerance, 10 minutes, 1 hour (the
     * delay `stream_hourly_wm` actually runs with). */
@@ -1164,7 +1260,40 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Decade edges (seconds) for [[evGapHistogram]]. */
+  val GapEdgesSec: Seq[Long] = Seq(1L, 10L, 100L, 1000L, 10000L)
+
+  /** Inter-event gap histogram (`ev_gap_histogram`) — the calibration
+    * evidence behind the sessionizer's 30-minute inactivity gap
+    * ([[graft.operators.StreamOps.SessionGapSec]]) and the retention
+    * windows: per event type, the distribution of consecutive
+    * same-user gaps in log decades. A session gap should sit in a
+    * histogram VALLEY (few gaps near the cut → the boundary is
+    * stable); this report shows the valley — or that there isn't one
+    * — per event type. All integer seconds: gaps from one lag window
+    * per (user, type) stream, decade bucketing by CASE, one
+    * combinable groupBy; O(types · decades) output. */
+  val evGapHistogram: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val gaps = ev(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_timestamp(ts)").as("ts_sec"))
+      .withColumn("gap_sec", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+      .filter(col("gap_sec").isNotNull)
+    val bucket = GapEdgesSec.foldLeft(
+      when(lit(false), lit(""))) { (acc, e) =>
+      acc.when(col("gap_sec") < e, s"lt_${e}s")
+    }.otherwise(s"ge_${GapEdgesSec.last}s")
+    gaps.groupBy(col("event_type"), bucket.as("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_sec")).as("min_gap_sec"),
+        max(col("gap_sec")).as("max_gap_sec"))
+      .orderBy("event_type", "gap_bucket")
+  }
+
   val defs: Map[String, Q] = Map(
+    "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
     "ev_asof_join" -> evAsofJoin,
     "ev_asof_bucketed" -> evAsofBucketed,
@@ -1705,6 +1834,27 @@ object EventOps {
          FROM pr p JOIN bases b ON p.node = b.node
          WHERE p.iter = $PrIters ORDER BY user_id""",
 
+    "ev_gap_histogram" -> {
+      val caseArms = GapEdgesSec.map(e =>
+        s"WHEN gap_sec < $e THEN 'lt_${e}s'").mkString("\n              ")
+      s"""WITH gaps AS (
+            SELECT event_type,
+              ts_sec - lag(ts_sec) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts_sec, event_id) AS gap_sec
+            FROM (
+              SELECT user_id, event_type, event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+              FROM events))
+          SELECT event_type,
+            CASE $caseArms
+              ELSE 'ge_${GapEdgesSec.last}s' END AS gap_bucket,
+            CAST(COUNT(*) AS BIGINT) AS n_gaps,
+            CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec,
+            CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
+          FROM gaps WHERE gap_sec IS NOT NULL
+          GROUP BY event_type, gap_bucket
+          ORDER BY event_type, gap_bucket""" },
     "ev_watermark_audit" -> {
       val lateSelects = WmDelaysSec.map(dl =>
         s"""CAST(SUM(CASE WHEN disorder_sec > $dl THEN 1 ELSE 0 END)

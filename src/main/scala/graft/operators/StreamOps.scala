@@ -1368,7 +1368,63 @@ object StreamOps {
       .orderBy("priority", "doc_id")
   }
 
+  /** Group size of the streamed top-k ledger. */
+  val StreamTopkK = 3L
+
+  /** One micro-batch of the streaming top-k ledger (the testable
+    * engine behind [[streamTopkValue]]): the batch's per-(type, user)
+    * decimal partials APPEND to the state store — no read, no
+    * rewrite, so per-batch cost is O(batch) regardless of how much
+    * state has accumulated. Exactness and batch-boundary independence
+    * come from decimal associativity: however AvailableNow splits the
+    * input into batches, the final re-aggregation of appended
+    * partials is bit-identical to one global aggregate. */
+  private[graft] def topkValueBatch(batch: DataFrame, stateDir: String)
+      : Unit =
+    batch.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(money(col("value"))).as("tv"))
+      .write.mode("append").parquet(stateDir)
+
+  /** Streaming top-k maintenance (`stream_topk_value`) — the ingest
+    * twin of the batch `q33_topk_delta` view: per event type, the
+    * top-[[StreamTopkK]] users by total event value, maintained as an
+    * append-only ledger of per-batch decimal partials
+    * ([[topkValueBatch]]) and compacted into the ranked view once the
+    * stream drains. The ledger discipline is the same one the ANN
+    * upsert and vec-dedup gates use: micro-batches never read or
+    * rewrite standing state on the hot path, and the compaction
+    * (re-aggregate + rank) is itself the daily-refresh query. The
+    * oracle is the global batch aggregate — equality is exactly the
+    * statement that batch boundaries cannot leak into the result. */
+  val streamTopkValue: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-topk-state").toString
+    val q = eventsStream(s, d)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        topkValueBatch(batch, stateDir)
+      }
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("tv").desc, col("user_id"))
+    val out = s.read.parquet(stateDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("tv")).as("tv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= StreamTopkK)
+      .select(col("event_type"), col("rank"), col("user_id"),
+        asD(col("tv")).as("total_value"))
+      .orderBy("event_type", "rank")
+      .transform(graft.Checkpointing.cut)
+    deleteRecursively(new java.io.File(stateDir))
+    out
+  }
+
   val defs: Map[String, Q] = Map(
+    "stream_topk_value" -> streamTopkValue,
     "stream_sample_weighted" -> streamSampleWeighted,
     "stream_sample_weighted_quota" -> streamSampleWeightedQuota,
     "stream_bloom_gate" -> streamBloomGate,
@@ -1406,6 +1462,22 @@ object StreamOps {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
+    // the global batch aggregate — equality says batch boundaries
+    // cannot leak into the ledger's compacted ranking
+    "stream_topk_value" ->
+      s"""WITH totals AS (
+            SELECT event_type, user_id,
+              SUM(${sqlMoney("value")}) AS tv
+            FROM events GROUP BY event_type, user_id),
+          ranked AS (
+            SELECT event_type, user_id, tv,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY tv DESC, user_id) AS rnk
+            FROM totals)
+          SELECT event_type, rnk AS rank, user_id,
+            CAST(tv AS DOUBLE) AS total_value
+          FROM ranked WHERE rnk <= $StreamTopkK
+          ORDER BY event_type, rnk""",
     "stream_sample_weighted" -> TextOps.sqlSampleWeighted,
     "stream_sample_weighted_quota" ->
       TextOps.oracle("doc_sample_weighted_quota"),
