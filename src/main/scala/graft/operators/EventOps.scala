@@ -1293,6 +1293,7 @@ object EventOps {
   }
 
   val defs: Map[String, Q] = Map(
+    "ev_user_triangles" -> evUserTriangles,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
     "ev_asof_join" -> evAsofJoin,
@@ -1874,6 +1875,52 @@ object EventOps {
             CAST(MAX(disorder_sec) AS BIGINT) AS max_disorder_sec,
             $lateSelects
           FROM dis GROUP BY event_type ORDER BY event_type""" },
+
+    // Triangle census: with every undirected edge stored once as
+    // u < v, a triangle {a < b < c} is enumerated exactly once as
+    // (a,b)+(b,c) closed by (a,c) — the oracle skips the Spark
+    // side's degree orientation (a pure work-bound device; the
+    // enumerated SET is identical) and counts directly. Clustering
+    // is one IEEE division of the same two BIGINTs on both engines.
+    "ev_user_triangles" ->
+      s"""WITH seq AS (
+           SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_user
+           FROM events),
+         und AS (
+           SELECT DISTINCT least(user_id, next_user) AS u,
+             greatest(user_id, next_user) AS v
+           FROM seq
+           WHERE next_user IS NOT NULL
+             AND ${Hashing.sqlCharHash("CAST(user_id AS VARCHAR)")}
+               % 10 < $PrEngagedPct
+             AND user_id <> next_user),
+         deg AS (
+           SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+             SELECT u AS node FROM und
+             UNION ALL SELECT v AS node FROM und) t
+           GROUP BY 1),
+         tri AS (
+           SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           FROM und e1
+           JOIN und e2 ON e2.u = e1.v
+           JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pern AS (
+           SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM (
+             SELECT x AS node FROM tri
+             UNION ALL SELECT y AS node FROM tri
+             UNION ALL SELECT z AS node FROM tri) t
+           GROUP BY 1)
+         SELECT d.node AS user_id, d.degree,
+           COALESCE(p.tri_count, CAST(0 AS BIGINT)) AS tri_count,
+           CASE WHEN d.degree >= 2 THEN
+             CAST(COALESCE(p.tri_count, 0) * 2 AS DOUBLE)
+               / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END AS clustering
+         FROM deg d LEFT JOIN pern p ON p.node = d.node
+         ORDER BY user_id""",
 
     // HITS: one recursion carrying the HUB vector (authority is a
     // derived half-step); both L1 normalizations are the same

@@ -973,7 +973,111 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Minimum co-occurrence support for [[q35BasketLift]] — pairs (and,
+    * by the a-priori bound n_ab <= min(n_a, n_b), ITEMS) below it are
+    * pruned before the pair join. */
+  val MinPairSupport = 3L
+
+  /** Market-basket pair lift (`q35_basket_lift`) — for every pair of
+    * parts co-ordered in >= [[MinPairSupport]] orders: support counts
+    * and lift = N·n_ab / (n_a·n_b), the assortment/bundling signal
+    * (lift > 1 = the parts co-occur more than independence predicts).
+    * Scale shape is the a-priori prune: items below the support floor
+    * are dropped BEFORE the pair self-join (sound because a pair's
+    * support is bounded by its rarest item's), so the quadratic step
+    * runs only over frequent-item baskets, and the per-order pair
+    * fan-out is C(basket, 2) — bounded by real basket sizes (<= 13 in
+    * the testdata; catalogs cap it), never by catalog or corpus size.
+    * One distinct projection feeds all three uses via a single
+    * checkpointed leaf; counts are combinable groupBys; lift is ONE
+    * IEEE division of identically-derived BIGINT products. At 100 TB
+    * the same plan runs per day-partition with the support floor
+    * scaled to the window. */
+  val q35BasketLift: Q = (s, d) => {
+    val baskets = li(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .transform(graft.Checkpointing.cut)
+    val frequent = baskets.groupBy(col("p"))
+      .agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= MinPairSupport)
+    val bf = baskets.join(frequent, Seq("p"))
+      .select(col("o"), col("p"), col("n_item"))
+    val pairs = bf.select(col("o"), col("p").as("part_a"),
+        col("n_item").as("n_a"))
+      .join(bf.select(col("o"), col("p").as("part_b"),
+        col("n_item").as("n_b")), Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinPairSupport)
+    val nOrders = baskets.agg(
+      countDistinct(col("o")).as("n_orders"))
+    pairs.crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_orders"),
+        ((col("n_orders") * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+  }
+
+  /** RFM score thresholds for [[q36Rfm]] — business cut-offs on the
+    * per-customer intensities (days since last order / order count /
+    * lifetime decimal spend), deliberately FIXED rather than
+    * quantile-derived so no corpus-wide sort or window runs and the
+    * same customer scores identically at every scale factor. */
+  val RfmRecentDays = 90L
+  val RfmWarmDays = 365L
+  val RfmFreqHigh = 12L
+  val RfmFreqMid = 7L
+  val RfmSpendHigh = 3000000L
+  val RfmSpendMid = 2000000L
+
+  /** RFM customer segmentation (`q36_rfm`) — the classic
+    * recency/frequency/monetary triage over the orders history: per
+    * customer, days since last order (vs the corpus max date),
+    * lifetime order count, exact decimal lifetime spend, each scored
+    * 1–3 on the fixed [[RfmRecentDays]]-family thresholds, plus the
+    * composite segment code (r·100+f·10+m — 333 is the champion
+    * cell). Plan shape: ONE combinable groupBy over orders (max /
+    * count / decimal sum all merge associatively), the corpus max
+    * date broadcast as a scalar, then a pure projection — no window,
+    * no second scan; spend stays DECIMAL until the final double
+    * projection and every threshold compare is exact
+    * (decimal-vs-integer). The 100 TB form is identical — the
+    * rollup output is O(customers). */
+  val q36Rfm: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val maxd = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(price6(col("o_totalprice"))).as("msum"))
+    per.crossJoin(broadcast(maxd))
+      .select(col("o_custkey").as("c_custkey"),
+        datediff(col("maxd"), col("last_order")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("msum"))
+      .withColumn("r_score",
+        when(col("recency_days") <= RfmRecentDays, 3)
+          .when(col("recency_days") <= RfmWarmDays, 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("frequency") >= RfmFreqHigh, 3)
+          .when(col("frequency") >= RfmFreqMid, 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("msum") >= RfmSpendHigh, 3)
+          .when(col("msum") >= RfmSpendMid, 2).otherwise(1))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        asD(col("msum")).as("monetary"), col("r_score"),
+        col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+      .orderBy("c_custkey")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q35_basket_lift" -> q35BasketLift,
+    "q36_rfm" -> q36Rfm,
     "q31_agg_delta" -> q31AggDelta,
     "q32_join_delta" -> q32JoinDelta,
     "q33_topk_delta" -> q33TopkDelta,
@@ -1029,6 +1133,65 @@ object Relational {
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
   lazy val oracle: Map[String, String] = Map(
+    // Basket lift: the a-priori item prune is a pure work-bound
+    // device (n_ab <= min(n_a, n_b) makes it result-neutral), so the
+    // oracle keeps it for textual clarity but would return the same
+    // rows without it. Lift is one IEEE division of BIGINT products.
+    "q35_basket_lift" ->
+      s"""WITH b AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+         freq AS (
+           SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item FROM b
+           GROUP BY 1 HAVING COUNT(*) >= $MinPairSupport),
+         bf AS (
+           SELECT b.o, b.p, f.n_item FROM b JOIN freq f USING (p)),
+         pairs AS (
+           SELECT b1.p AS part_a, b2.p AS part_b, b1.n_item AS n_a,
+             b2.n_item AS n_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM bf b1 JOIN bf b2 ON b1.o = b2.o AND b1.p < b2.p
+           GROUP BY 1, 2, 3, 4
+           HAVING COUNT(*) >= $MinPairSupport),
+         nn AS (
+           SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+           FROM b)
+         SELECT part_a, part_b, n_ab, n_a, n_b, n_orders,
+           CAST(n_orders * n_ab AS DOUBLE)
+             / CAST(n_a * n_b AS DOUBLE) AS lift
+         FROM pairs, nn
+         ORDER BY n_ab DESC, part_a, part_b""",
+
+    // RFM: one rollup, scalar max date, fixed-threshold scoring;
+    // spend stays decimal until the final double projection.
+    "q36_rfm" ->
+      s"""WITH maxd AS (
+           SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders),
+         per AS (
+           SELECT o_custkey AS c_custkey,
+             CAST(max(o_orderdate) AS DATE) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(${sqlPrice6("o_totalprice")}) AS msum
+           FROM orders GROUP BY 1),
+         sc AS (
+           SELECT c_custkey,
+             CAST(date_diff('day', last_order, maxd) AS BIGINT)
+               AS recency_days,
+             frequency, msum,
+             CASE WHEN date_diff('day', last_order, maxd)
+                 <= $RfmRecentDays THEN 3
+               WHEN date_diff('day', last_order, maxd)
+                 <= $RfmWarmDays THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency >= $RfmFreqHigh THEN 3
+               WHEN frequency >= $RfmFreqMid THEN 2 ELSE 1 END
+               AS f_score,
+             CASE WHEN msum >= $RfmSpendHigh THEN 3
+               WHEN msum >= $RfmSpendMid THEN 2 ELSE 1 END AS m_score
+           FROM per, maxd)
+         SELECT c_custkey, recency_days, frequency,
+           CAST(msum AS DOUBLE) AS monetary, r_score, f_score,
+           m_score, r_score * 100 + f_score * 10 + m_score AS segment
+         FROM sc ORDER BY c_custkey""",
+
     "pii_pseudonymize" ->
       s"""SELECT c_custkey,
           ${graft.functions.Hashing.sqlCharHash("c_name")} AS name_token,
