@@ -348,6 +348,45 @@ object EventOps {
       .orderBy("lo")
   }
 
+  /** Half-life (days) for [[evDecayedValue]] — one halving per week
+    * of age. Fixed forever. */
+  val DecayHalfLifeDays = 7L
+
+  /** Time-decayed user value (`ev_decayed_value`) — the recency-
+    * weighted engagement score a data-selection pipeline uses where
+    * lifetime totals over-credit long-dormant users: each event
+    * contributes its value halved once per [[DecayHalfLifeDays]] of
+    * age (age measured against the corpus max date, broadcast as a
+    * scalar). Exactness: the decay is a QUANTIZED integer shift —
+    * value goes through the [[graft.functions.Exact.money]]
+    * DECIMAL(12,2) cast to exact cents, then `cents >> age_weeks`
+    * (arithmetic shift = floor-div by 2^weeks on the nonnegative
+    * event values; the per-event floor makes the sum order-
+    * independent, unlike any float pow(0.5, age) form). The one
+    * double is the final cents→value division. Plan: ONE combinable
+    * groupBy over events with the scalar max date broadcast —
+    * O(users) output, no window, identical at 100 TB. */
+  val evDecayedValue: Q = (s, d) => {
+    val maxd = ev(s, d).agg(max(to_date(col("ts"))).as("maxd"))
+    ev(s, d).crossJoin(broadcast(maxd))
+      .select(col("user_id"),
+        (money(col("value")) * 100).cast("long").as("cents"),
+        datediff(col("maxd"), to_date(col("ts"))).cast("long")
+          .as("age_days"))
+      .withColumn("decayed",
+        expr(s"shiftright(cents, cast(age_days div $DecayHalfLifeDays as int))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("raw_cents"),
+        sum(col("decayed")).as("decayed_cents"),
+        min(col("age_days")).as("last_age_days"))
+      .select(col("user_id"), col("n_events"), col("raw_cents"),
+        col("decayed_cents"), col("last_age_days"),
+        (col("decayed_cents").cast("double") / lit(100.0))
+          .as("decayed_value"))
+      .orderBy("user_id")
+  }
+
   /** MERGEABLE-HISTOGRAM quantile estimation
     * (`ev_histogram_quantiles`) — the sketch-shaped counterpart to
     * `q23_percentiles`' exact window rank: ONE map-side-combinable
@@ -1303,6 +1342,7 @@ object EventOps {
     "ev_conversion_window" -> evConversionWindow,
     "ev_rolling_wau" -> evRollingWau,
     "ev_value_bands" -> evValueBands,
+    "ev_decayed_value" -> evDecayedValue,
     "ev_histogram_quantiles" -> evHistogramQuantiles,
     "ev_histogram_merge" -> evHistogramMerge,
     "ev_histogram_by_type" -> evHistogramByType,
@@ -1420,6 +1460,25 @@ object EventOps {
            CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
          FROM dau JOIN wau ON dau.day = wau.day
          ORDER BY day_sec""",
+    // Decayed value: exact cents through the DECIMAL(12,2) cast, one
+    // arithmetic right-shift per event (floor-div by 2^age_weeks),
+    // order-independent integer sums, one final division.
+    "ev_decayed_value" ->
+      s"""WITH maxd AS (SELECT CAST(max(ts) AS DATE) AS maxd FROM events),
+          evx AS (
+            SELECT user_id,
+              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+              CAST(date_diff('day', CAST(ts AS DATE), maxd) AS BIGINT)
+                AS age_days
+            FROM events, maxd)
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(SUM(cents) AS BIGINT) AS raw_cents,
+            CAST(SUM(cents >> CAST(age_days // $DecayHalfLifeDays
+              AS INTEGER)) AS BIGINT) AS decayed_cents,
+            CAST(MIN(age_days) AS BIGINT) AS last_age_days,
+            CAST(SUM(cents >> CAST(age_days // $DecayHalfLifeDays
+              AS INTEGER)) AS DOUBLE) / 100.0 AS decayed_value
+          FROM evx GROUP BY user_id ORDER BY user_id""",
     "ev_value_bands" ->
       """WITH bands(band, lo, hi) AS (
            VALUES ('micro', 0.0, 50.0), ('small', 50.0, 150.0),

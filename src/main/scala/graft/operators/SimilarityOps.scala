@@ -1085,6 +1085,72 @@ object SimilarityOps {
           .as("dead_dim"))
       .orderBy("dim")
 
+  /** Class-separation audit (`emb_class_separation`) — the
+    * label-quality number a curation pipeline checks before trusting
+    * `label` as an IVF coarse quantizer or a stratification key: per
+    * label, the within-class scatter (mean squared radius around the
+    * class centroid) vs the squared distance to the NEAREST other
+    * class centroid, and the Fisher-style ratio of the two. A label
+    * whose nearest-centroid distance is under 4x its scatter (inside
+    * ~2 sigma) bleeds into its neighbor — IVF cells built on it
+    * over-probe, and semdedup across it merges distinct content.
+    * Exactness: runs on [[quantizedLong]]'s int8 lanes, so every
+    * moment is integer — within = sum_d (n*Q2_d - S_d^2) and between
+    * = sum_d (S_ad*n_b - S_bd*n_a)^2, both accumulated as
+    * DECIMAL(19,0)-widened products into DECIMAL(38,0) (the
+    * corpus_correlations discipline; exact to n_class <= 1.9e8 per
+    * the 256*n^2 cross-term bound, beyond which the lanes rescale);
+    * each reported number is one division of exact integers, and the
+    * ratio divides two such identically-derived doubles. Plan: one
+    * combinable (label, dim) rollup, then all cross-label work runs
+    * on the O(labels x dims) aggregate — the label-pair "self-join"
+    * is labels^2 x dims rows, catalog-sized, never corpus-sized.
+    * Needs >= 2 labels (a single-label corpus has no neighbor and
+    * yields no rows, by design). */
+  val embClassSeparation: Q = (s, d) => {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val labels = emb(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val perDim = quantizedLong(s, d).join(labels, "vec_id")
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q_int8")).as("sq"),
+        sum(col("q_int8") * col("q_int8")).as("q2"),
+        count(lit(1)).as("n"))
+    val within = perDim.groupBy(col("label"), col("n"))
+      .agg(sum(d19(col("n")) * d19(col("q2")) -
+        d19(col("sq")) * d19(col("sq"))).as("w_num"))
+    val a = perDim.select(col("label").as("la"), col("dim"),
+      col("sq").as("sa"), col("n").as("na"))
+    val b = perDim.select(col("label").as("lb"), col("dim"),
+      col("sq").as("sb"), col("n").as("nb"))
+    val dist = a.join(b, Seq("dim"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb"), col("na"), col("nb"),
+        (d19(col("sa")) * d19(col("nb")) - d19(col("sb")) * d19(col("na")))
+          .cast("decimal(19,0)").as("diff"))
+      .groupBy(col("la"), col("lb"), col("na"), col("nb"))
+      .agg(sum(col("diff") * col("diff")).as("d_num"))
+      .select(col("la"), col("lb"),
+        (col("d_num").cast("double") /
+          (d19(col("na") * col("nb")) * d19(col("na") * col("nb")))
+            .cast("double")).as("dist2"))
+    val nearestW = Window.partitionBy(col("la"))
+      .orderBy(col("dist2").asc, col("lb").asc)
+    val nearest = dist.withColumn("rn", row_number().over(nearestW))
+      .filter(col("rn") === 1)
+      .select(col("la").as("label"), col("lb").as("nearest_label"),
+        col("dist2").as("nearest_d2"))
+    within.join(nearest, "label")
+      .withColumn("intra_ms", col("w_num").cast("double") /
+        (col("n") * col("n")).cast("double"))
+      .select(col("label"), col("n"), col("intra_ms"),
+        col("nearest_label"), col("nearest_d2"),
+        when(col("intra_ms") > 0.0, col("nearest_d2") / col("intra_ms"))
+          .otherwise(lit(0.0)).as("sep_ratio"),
+        (col("nearest_d2") > col("intra_ms") * 4.0).as("separated"))
+      .orderBy("label")
+  }
+
   /** Principal-direction scale and power-iteration rounds for
     * [[embPrincipalDir]]. */
   val PcaVs = 1000000L
@@ -2043,6 +2109,7 @@ object SimilarityOps {
     "emb_semdedup" -> embSemdedup,
     "emb_semdedup_stats" -> embSemdedupStats,
     "emb_quantize" -> embQuantize,
+    "emb_class_separation" -> embClassSeparation,
     "emb_dim_variance" -> embDimVariance,
     "emb_principal_dir" -> embPrincipalDir,
     "ann_ivf_probe2" -> annIvfProbe2,
@@ -2841,6 +2908,69 @@ object SimilarityOps {
           LEFT JOIN ($sqlAnnProjRerank) p
             ON b.query_id = p.query_id AND b.cand_id = p.cand_id
           GROUP BY b.query_id ORDER BY b.query_id""",
+    // Class separation: HUGEINT mirrors the Spark side's
+    // DECIMAL(19,0)-widened products; every reported double is one
+    // division (or a ratio of two identically-derived doubles).
+    "emb_class_separation" ->
+      s"""WITH longf AS (
+            SELECT vec_id, idx.i - 1 AS dim,
+              CAST(embedding[idx.i] AS DOUBLE) AS v
+            FROM embeddings,
+              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx),
+          stats AS (
+            SELECT dim, MIN(v) AS lo, MAX(v) AS hi
+            FROM longf GROUP BY dim),
+          q AS (
+            SELECT l.vec_id, l.dim,
+              CASE WHEN hi > lo
+                THEN least(CAST(floor((v - lo) * 255.0 / (hi - lo))
+                  AS BIGINT), 255)
+                ELSE 0 END - 128 AS q_int8
+            FROM longf l JOIN stats s ON l.dim = s.dim),
+          ql AS (
+            SELECT q.dim, q.q_int8, CAST(e.label AS BIGINT) AS label
+            FROM q JOIN embeddings e ON q.vec_id = e.vec_id),
+          perdim AS (
+            SELECT label, dim, CAST(SUM(q_int8) AS BIGINT) AS sq,
+              CAST(SUM(q_int8 * q_int8) AS BIGINT) AS q2,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM ql GROUP BY label, dim),
+          within AS (
+            SELECT label, n,
+              SUM(CAST(n AS HUGEINT) * CAST(q2 AS HUGEINT)
+                - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)) AS w_num
+            FROM perdim GROUP BY label, n),
+          dist AS (
+            SELECT la, lb, CAST(d_num AS DOUBLE)
+              / CAST(CAST(na * nb AS HUGEINT)
+                * CAST(na * nb AS HUGEINT) AS DOUBLE) AS dist2
+            FROM (
+              SELECT a.label AS la, b.label AS lb, a.n AS na, b.n AS nb,
+                SUM((CAST(a.sq AS HUGEINT) * CAST(b.n AS HUGEINT)
+                     - CAST(b.sq AS HUGEINT) * CAST(a.n AS HUGEINT))
+                  * (CAST(a.sq AS HUGEINT) * CAST(b.n AS HUGEINT)
+                     - CAST(b.sq AS HUGEINT) * CAST(a.n AS HUGEINT)))
+                  AS d_num
+              FROM perdim a JOIN perdim b
+                ON a.dim = b.dim AND a.label <> b.label
+              GROUP BY 1, 2, 3, 4) p),
+          near AS (
+            SELECT la, lb, dist2,
+              row_number() OVER (PARTITION BY la ORDER BY dist2, lb)
+                AS rn
+            FROM dist),
+          scored AS (
+            SELECT w.label, w.n,
+              CAST(w.w_num AS DOUBLE) / CAST(w.n * w.n AS DOUBLE)
+                AS intra_ms,
+              nr.lb AS nearest_label, nr.dist2 AS nearest_d2
+            FROM within w JOIN near nr
+              ON nr.la = w.label AND nr.rn = 1)
+          SELECT label, n, intra_ms, nearest_label, nearest_d2,
+            CASE WHEN intra_ms > 0.0 THEN nearest_d2 / intra_ms
+              ELSE 0.0 END AS sep_ratio,
+            (nearest_d2 > intra_ms * 4.0) AS separated
+          FROM scored ORDER BY label""",
     "emb_quantize" ->
       s"""WITH longf AS (
             SELECT vec_id, idx.i - 1 AS dim,

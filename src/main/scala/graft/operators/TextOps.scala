@@ -1201,6 +1201,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID ambiguity audit (`text_langid_margin`) — the
+    * decision-confidence twin of [[textLangidNgram]]: per document,
+    * the top TWO profile overlaps and their margin. Per-language
+    * sampling, quota, and affinity selection all key on the
+    * classifier's argmax; a document whose runner-up profile scores
+    * within 80% of the winner (second·5 >= top·4, integer
+    * cross-multiplied — code-switched text, romance-language
+    * cognates, boilerplate-heavy pages) is routed to the fallback
+    * tier instead of being trusted. No-overlap documents are
+    * ambiguous by definition. Same plan shape as the classifier
+    * (broadcast |langs|·K profile onto the distinct-trigram explode,
+    * one combinable (doc, lang) count); the only addition is keeping
+    * rank <= 2 of the same WindowGroupLimit instead of rank = 1, then
+    * a one-row-per-doc conditional rollup. All integer — no FP in
+    * the decision. */
+  val textLangidMargin: Q = (s, d) => {
+    val N = 3
+    def grams(c: Column): Column = Hashing.charNgramHashes(c, N)
+    val docGrams = docs(s, d)
+      .filter(length(col("text")) >= N)
+      .select(col("doc_id"),
+        explode(array_distinct(grams(col("text")))).as("gh"))
+    val allGrams = docs(s, d)
+      .filter(length(col("text")) >= N)
+      .select(col("lang"), explode(grams(col("text"))).as("gh"))
+    val wProf = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("gh"))
+    val profiles = allGrams
+      .groupBy(col("lang"), col("gh"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wProf))
+      .filter(col("rn") <= LangidProfileSize)
+      .select(col("lang").as("cand_lang"), col("gh"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("overlap").desc, col("cand_lang"))
+    val top2 = docGrams.join(broadcast(profiles), "gh")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("rn") === 1, col("cand_lang"))).as("tl"),
+        max(when(col("rn") === 1, col("overlap"))).as("to"),
+        max(when(col("rn") === 2, col("cand_lang"))).as("sl"),
+        max(when(col("rn") === 2, col("overlap"))).as("so"))
+    docs(s, d).select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("labeled_lang"),
+        coalesce(col("tl"), lit("unknown")).as("top_lang"),
+        coalesce(col("to"), lit(0L)).as("top_overlap"),
+        coalesce(col("sl"), lit("none")).as("second_lang"),
+        coalesce(col("so"), lit(0L)).as("second_overlap"))
+      .select(col("doc_id"), col("labeled_lang"), col("top_lang"),
+        col("top_overlap"), col("second_lang"), col("second_overlap"),
+        (col("top_overlap") - col("second_overlap")).as("margin"),
+        (col("top_overlap") === 0L ||
+          col("second_overlap") * 5L >= col("top_overlap") * 4L)
+          .as("ambiguous"))
+      .orderBy("doc_id")
+  }
+
   /** Pearson correlations between integer document features
     * (n_tokens / n_distinct_tokens / n_chars) from EXACT integer
     * moments: every Σ is a DECIMAL(38,0) sum, and every product is
@@ -1764,7 +1825,119 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Pareto source-coverage audit per language
+    * (`doc_pareto_sources`) — the 80/20 complement of
+    * [[docSourceHhi]]: HHI says how concentrated a language's token
+    * mass is; this says how FEW sources you'd have to vet (or lose)
+    * to touch 80% of it. Per language: `n80` = the minimum number of
+    * sources (ranked by token mass, ties broken by source name)
+    * whose cumulative mass reaches 80% of the total, the classic
+    * Pareto flag (`n80` within 20% of the source count — mass and
+    * membership both integer cross-multiplied, no thresholds on
+    * doubles), and the largest single source's share. Exactness:
+    * coverage is counted as rows with `cum·5 < total·4` plus one
+    * (strictly-before-the-cut prefix), all BIGINT; the only doubles
+    * are two final single divisions. Plan: the window runs over the
+    * per-(lang,source) ROLLUP — O(sources-per-lang) rows, catalog-
+    * bounded however big the corpus — never over documents, so the
+    * 100 TB form is identical. Zero-token languages pin n80 = 0 and
+    * share 0.0 rather than a vacuous 1. */
+  val docParetoSources: Q = (s, d) => {
+    val perSource = docs(s, d)
+      .select(col("lang"), col("source"),
+        size(Hashing.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("nt")).as("t"))
+    val byMass = Window.partitionBy(col("lang"))
+      .orderBy(col("t").desc, col("source"))
+    val whole = Window.partitionBy(col("lang"))
+    perSource
+      .withColumn("cum", sum(col("t")).over(byMass))
+      .withColumn("total", sum(col("t")).over(whole))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        max(col("total")).as("total_tokens"),
+        max(col("t")).as("top_t"),
+        (sum(when(col("cum") * 5L < col("total") * 4L, 1L)
+          .otherwise(0L)) + 1L).as("n80_raw"))
+      .withColumn("n80",
+        when(col("total_tokens") > 0L, col("n80_raw")).otherwise(lit(0L)))
+      .select(col("lang"), col("n_sources"), col("total_tokens"),
+        col("n80"),
+        (col("total_tokens") > 0L &&
+          col("n80") * 5L <= col("n_sources")).as("pareto"),
+        when(col("total_tokens") > 0L,
+          col("top_t").cast("double") / col("total_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("top_share"))
+      .orderBy("lang")
+  }
+
+  /** Ingestion-batch width (docs per batch) for [[tfOovBurst]] —
+    * doc_id is the arrival order in the synthetic corpus, so
+    * `doc_id div 100` is the batch stand-in for a crawl's day
+    * partition. */
+  val OovBatchDocs = 100L
+
+  /** Out-of-vocabulary burst detector (`tf_oov_burst`) — the crawl
+    * drift alarm: per ingestion batch, the fraction of token
+    * OCCURRENCES whose token type is first seen in that batch. A
+    * healthy crawl's OOV rate decays monotonically toward the
+    * neologism floor; a rate that more than DOUBLES
+    * batch-over-batch means the pipeline started ingesting a new
+    * domain/language/spam cluster and the tokenizer + unigram
+    * models upstream are stale for it. Exactness: first-seen is
+    * `min(batch)` per type, the burst flag is the lag cross-product
+    * compare `new·prev_total > 2·prev_new·total` — all BIGINT, the
+    * rate is one final division; a 0 → positive rate transition
+    * flags (infinite increase), batch 0 never does (no baseline).
+    * Plan: explode → per-(batch,type) counts and per-type min-batch
+    * (both combinable) → one equi-join → O(batches) rollup; the
+    * unpartitioned lag window runs on the O(batches) time series,
+    * never on token rows, so the 100 TB form (batch = day) is
+    * identical. */
+  val tfOovBurst: Q = (s, d) => {
+    val tok = docs(s, d)
+      .select(floor(col("doc_id") / lit(OovBatchDocs)).cast("long")
+        .as("batch"), explode(Hashing.tokens(col("text"))).as("tok"))
+    val perBatchTok = tok.groupBy(col("batch"), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+    val first = perBatchTok.groupBy(col("tok"))
+      .agg(min(col("batch")).as("first_batch"))
+    val perBatch = perBatchTok.join(first, "tok")
+      .groupBy(col("batch"))
+      .agg(sum(col("occ")).as("total_occ"),
+        sum(when(col("first_batch") === col("batch"), col("occ"))
+          .otherwise(0L)).as("new_occ"),
+        sum(when(col("first_batch") === col("batch"), 1L)
+          .otherwise(0L)).as("new_types"))
+    val nDocs = docs(s, d)
+      .groupBy(floor(col("doc_id") / lit(OovBatchDocs)).cast("long")
+        .as("batch"))
+      .agg(count(lit(1)).as("n_docs"))
+    val series = nDocs.join(perBatch, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("total_occ"), lit(0L)).as("total_occ"),
+        coalesce(col("new_occ"), lit(0L)).as("new_occ"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val byBatch = Window.orderBy(col("batch"))
+    series
+      .withColumn("prev_total", lag(col("total_occ"), 1).over(byBatch))
+      .withColumn("prev_new", lag(col("new_occ"), 1).over(byBatch))
+      .select(col("batch"), col("n_docs"), col("total_occ"),
+        col("new_occ"), col("new_types"),
+        when(col("total_occ") > 0L,
+          col("new_occ").cast("double") / col("total_occ").cast("double"))
+          .otherwise(lit(0.0)).as("oov_rate"),
+        (col("prev_total").isNotNull && col("prev_total") > 0L &&
+          col("total_occ") > 0L &&
+          col("new_occ") * col("prev_total") >
+            col("prev_new") * col("total_occ") * 2L).as("burst"))
+      .orderBy("batch")
+  }
+
   val defs: Map[String, Q] = Map(
+    "tf_oov_burst" -> tfOovBurst,
+    "doc_pareto_sources" -> docParetoSources,
     "doc_length_ks" -> docLengthKs,
     "doc_source_hhi" -> docSourceHhi,
     "text_stats" -> textStats,
@@ -1810,6 +1983,7 @@ object TextOps {
     "doc_langid_confusion" -> docLangidConfusion,
     "tf_zipf" -> tfZipf,
     "text_langid_ngram" -> textLangidNgram,
+    "text_langid_margin" -> textLangidMargin,
     "corpus_correlations" -> corpusCorrelations,
     "text_pii_scrub" -> textPiiScrub,
     "doc_budget_waterfill" -> docBudgetWaterfill,
@@ -1865,6 +2039,80 @@ object TextOps {
           GROUP BY f.doc_id ORDER BY f.doc_id"""
 
   lazy val oracle: Map[String, String] = Map(
+    // OOV burst: first-seen = min(batch) per type; the burst flag is
+    // the BIGINT lag cross-product compare; rates are one division.
+    "tf_oov_burst" ->
+      s"""WITH tok AS (
+            SELECT doc_id // $OovBatchDocs AS batch, unnest($sqlToks) AS tok
+            FROM documents),
+          pbt AS (
+            SELECT batch, tok, CAST(COUNT(*) AS BIGINT) AS occ
+            FROM tok GROUP BY batch, tok),
+          fst AS (
+            SELECT tok, CAST(MIN(batch) AS BIGINT) AS first_batch
+            FROM pbt GROUP BY tok),
+          pb AS (
+            SELECT p.batch, CAST(SUM(p.occ) AS BIGINT) AS total_occ,
+              CAST(SUM(CASE WHEN f.first_batch = p.batch THEN p.occ
+                ELSE 0 END) AS BIGINT) AS new_occ,
+              CAST(SUM(CASE WHEN f.first_batch = p.batch THEN 1
+                ELSE 0 END) AS BIGINT) AS new_types
+            FROM pbt p JOIN fst f ON p.tok = f.tok GROUP BY p.batch),
+          nd AS (
+            SELECT doc_id // $OovBatchDocs AS batch,
+              CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1),
+          series AS (
+            SELECT nd.batch, nd.n_docs,
+              COALESCE(pb.total_occ, CAST(0 AS BIGINT)) AS total_occ,
+              COALESCE(pb.new_occ, CAST(0 AS BIGINT)) AS new_occ,
+              COALESCE(pb.new_types, CAST(0 AS BIGINT)) AS new_types
+            FROM nd LEFT JOIN pb ON nd.batch = pb.batch),
+          lagged AS (
+            SELECT *, lag(total_occ) OVER (ORDER BY batch) AS prev_total,
+              lag(new_occ) OVER (ORDER BY batch) AS prev_new
+            FROM series)
+          SELECT batch, n_docs, total_occ, new_occ, new_types,
+            CASE WHEN total_occ > 0
+              THEN CAST(new_occ AS DOUBLE) / CAST(total_occ AS DOUBLE)
+              ELSE 0.0 END AS oov_rate,
+            (prev_total IS NOT NULL AND prev_total > 0
+              AND total_occ > 0
+              AND new_occ * prev_total > prev_new * total_occ * 2)
+              AS burst
+          FROM lagged ORDER BY batch""",
+
+    // Pareto coverage: the window runs over the per-(lang,source)
+    // rollup; n80 = strictly-before-the-80%-cut prefix + 1, all
+    // BIGINT cross-multiplication; zero-token languages pin 0/0.0.
+    "doc_pareto_sources" ->
+      s"""WITH persrc AS (
+            SELECT lang, source,
+              CAST(SUM(length($sqlToks)) AS BIGINT) AS t
+            FROM documents GROUP BY lang, source),
+          cum AS (
+            SELECT lang, t,
+              CAST(SUM(t) OVER (PARTITION BY lang
+                ORDER BY t DESC, source) AS BIGINT) AS cum,
+              CAST(SUM(t) OVER (PARTITION BY lang) AS BIGINT) AS total
+            FROM persrc),
+          agg AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+              CAST(MAX(total) AS BIGINT) AS total_tokens,
+              CAST(MAX(t) AS BIGINT) AS top_t,
+              CAST(SUM(CASE WHEN cum * 5 < total * 4 THEN 1 ELSE 0 END)
+                + 1 AS BIGINT) AS n80_raw
+            FROM cum GROUP BY lang)
+          SELECT lang, n_sources, total_tokens,
+            CASE WHEN total_tokens > 0 THEN n80_raw
+              ELSE CAST(0 AS BIGINT) END AS n80,
+            (total_tokens > 0 AND
+              (CASE WHEN total_tokens > 0 THEN n80_raw ELSE 0 END) * 5
+                <= n_sources) AS pareto,
+            CASE WHEN total_tokens > 0
+              THEN CAST(top_t AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+              ELSE 0.0 END AS top_share
+          FROM agg ORDER BY lang""",
     "doc_source_hhi" ->
       s"""WITH persrc AS (
             SELECT lang, source,
@@ -2434,6 +2682,54 @@ object TextOps {
             CAST(COALESCE(b.overlap, 0) AS BIGINT) AS overlap
           FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
           ORDER BY d.doc_id"""
+    },
+    // Langid margin: same profile CTEs as text_langid_ngram, keeping
+    // rank <= 2; the ambiguity flag is the integer cross-product
+    // compare second*5 >= top*4 (or a zero-overlap top).
+    "text_langid_margin" -> {
+      val grams =
+        s"""${Hashing.sqlHashAll(
+          "list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))")}"""
+      s"""WITH dg AS (
+            SELECT doc_id, unnest(list_distinct($grams)) AS gh
+            FROM documents WHERE length(text) >= 3),
+          ag AS (
+            SELECT lang, unnest($grams) AS gh
+            FROM documents WHERE length(text) >= 3),
+          prof AS (
+            SELECT lang AS cand_lang, gh FROM (
+              SELECT lang, gh, ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY COUNT(*) DESC, gh) AS rn
+              FROM ag GROUP BY lang, gh) z
+            WHERE rn <= $LangidProfileSize),
+          ranked AS (
+            SELECT doc_id, cand_lang, overlap, rn FROM (
+              SELECT doc_id, cand_lang, COUNT(*) AS overlap,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY COUNT(*) DESC, cand_lang) AS rn
+              FROM dg JOIN prof ON dg.gh = prof.gh
+              GROUP BY doc_id, cand_lang) z
+            WHERE rn <= 2),
+          wide AS (
+            SELECT doc_id,
+              MAX(CASE WHEN rn = 1 THEN cand_lang END) AS tl,
+              MAX(CASE WHEN rn = 1 THEN overlap END) AS t_o,
+              MAX(CASE WHEN rn = 2 THEN cand_lang END) AS sl,
+              MAX(CASE WHEN rn = 2 THEN overlap END) AS s_o
+            FROM ranked GROUP BY doc_id),
+          base AS (
+            SELECT d.doc_id, d.lang AS labeled_lang,
+              COALESCE(w.tl, 'unknown') AS top_lang,
+              CAST(COALESCE(w.t_o, 0) AS BIGINT) AS top_overlap,
+              COALESCE(w.sl, 'none') AS second_lang,
+              CAST(COALESCE(w.s_o, 0) AS BIGINT) AS second_overlap
+            FROM documents d LEFT JOIN wide w ON d.doc_id = w.doc_id)
+          SELECT doc_id, labeled_lang, top_lang, top_overlap,
+            second_lang, second_overlap,
+            top_overlap - second_overlap AS margin,
+            (top_overlap = 0 OR second_overlap * 5 >= top_overlap * 4)
+              AS ambiguous
+          FROM base ORDER BY doc_id"""
     },
     "doc_langid_confusion" ->
       s"""WITH cells AS (
