@@ -1257,6 +1257,69 @@ object EventOps {
         col("tri_count"), col("clustering"))
       .orderBy("user_id")
 
+  /** Core order for [[evUserKcore]] — nodes must keep >= this many
+    * in-core neighbors to survive the peel. Fixed forever. */
+  val KcoreK = 3L
+  /** Peel rounds unrolled in the DuckDB oracle. Peeling strictly
+    * shrinks the edge set every non-final round and is a no-op after
+    * the fixpoint, so any unroll >= the true round count is exact;
+    * KcoreSpec pins convergence well inside this on the gate corpora
+    * (referral graphs peel shallow — hubs survive, chains vanish in
+    * round one). */
+  val KcorePeelUnroll = 16
+
+  /** Iterative k-core peel: drop every node with fewer than
+    * [[KcoreK]] surviving neighbors, remove its edges, repeat to the
+    * edge-count fixpoint. Each round is two semi-joins + one
+    * combinable degree count — all equi-joins on node keys, no
+    * windows — and cuts lineage through [[graft.Checkpointing.cut]]
+    * (reliable on a cluster when `spark.graft.checkpointDir` is set).
+    * Rounds are bounded by the peel DEPTH of the graph (the degeneracy
+    * layering), not its size: each round removes every currently
+    * sub-K node at once, so a 10⁹-node crawl graph with shallow
+    * layering peels in the same handful of rounds the gate corpus
+    * does. Termination is structural — the edge set strictly shrinks
+    * or the loop exits. */
+  private[graft] def kcoreOf(und0: DataFrame): DataFrame = {
+    val full = und0.transform(graft.Checkpointing.cut)
+    def degOf(e: DataFrame) = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var edges = full
+    var m = edges.count()
+    var done = m == 0L
+    while (!done) {
+      val keep = degOf(edges).filter(col("deg") >= KcoreK)
+      val next = edges
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .transform(graft.Checkpointing.cut)
+      val m2 = next.count()
+      done = m2 == m || m2 == 0L
+      edges = next
+      m = m2
+    }
+    degOf(edges).withColumnRenamed("deg", "core_degree")
+      .join(degOf(full).withColumnRenamed("deg", "degree"), Seq("node"))
+      .select(col("node"), col("degree"), col("core_degree"))
+  }
+
+  /** K-core membership (`ev_user_kcore`) — the cohesion CORE of the
+    * referral graph: users surviving the [[KcoreK]]-core peel, with
+    * their full-graph and in-core degrees. Where triangles score
+    * local cohesion per node, the k-core finds the maximal subgraph
+    * in which EVERYONE keeps k in-core neighbors — the standard
+    * community-engine / bot-ring-nucleus cut (a ring of mutually
+    * referring accounts survives any peel its size supports; organic
+    * long-tail users peel away in round one). Output is O(core).
+    * Scale/exactness shape in [[kcoreOf]]; everything is integer
+    * counts. */
+  val evUserKcore: Q = (s, d) =>
+    kcoreOf(referralUndirected(s, d))
+      .select(col("node").as("user_id"), col("degree"),
+        col("core_degree"))
+      .orderBy("user_id")
+
   /** Candidate watermark delays (seconds) audited by
     * [[evWatermarkAudit]]: no tolerance, 10 minutes, 1 hour (the
     * delay `stream_hourly_wm` actually runs with). */
@@ -1333,6 +1396,7 @@ object EventOps {
 
   val defs: Map[String, Q] = Map(
     "ev_user_triangles" -> evUserTriangles,
+    "ev_user_kcore" -> evUserKcore,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
     "ev_asof_join" -> evAsofJoin,
@@ -1980,6 +2044,58 @@ object EventOps {
            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          FROM deg d LEFT JOIN pern p ON p.node = d.node
          ORDER BY user_id""",
+
+    // K-core: the peel unrolled KcorePeelUnroll times — each round
+    // is a degree HAVING + two IN-filters, a no-op once the fixpoint
+    // is reached, so the unroll is exact for any graph that peels
+    // inside it (KcoreSpec pins the gate corpora peel far shallower).
+    "ev_user_kcore" -> {
+      // MATERIALIZED is load-bearing: each round reads its
+      // predecessor four times, so default CTE inlining would expand
+      // the chain 4^rounds-fold (observed as a too-many-open-files
+      // blowup on the base scan).
+      val rounds = (1 to KcorePeelUnroll).map { i =>
+        val prev = if (i == 1) "und" else s"e${i - 1}"
+        s"""d$i AS MATERIALIZED (
+             SELECT node FROM (
+               SELECT u AS node FROM $prev
+               UNION ALL SELECT v AS node FROM $prev) t
+             GROUP BY node HAVING COUNT(*) >= $KcoreK),
+           e$i AS MATERIALIZED (
+             SELECT u, v FROM $prev
+             WHERE u IN (SELECT node FROM d$i)
+               AND v IN (SELECT node FROM d$i))"""
+      }.mkString(",\n         ")
+      val last = s"e$KcorePeelUnroll"
+      s"""WITH seq AS (
+           SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_user
+           FROM events),
+         und AS MATERIALIZED (
+           SELECT DISTINCT least(user_id, next_user) AS u,
+             greatest(user_id, next_user) AS v
+           FROM seq
+           WHERE next_user IS NOT NULL
+             AND ${Hashing.sqlCharHash("CAST(user_id AS VARCHAR)")}
+               % 10 < $PrEngagedPct
+             AND user_id <> next_user),
+         $rounds,
+         fulldeg AS (
+           SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+             SELECT u AS node FROM und
+             UNION ALL SELECT v AS node FROM und) t
+           GROUP BY 1),
+         coredeg AS (
+           SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+             SELECT u AS node FROM $last
+             UNION ALL SELECT v AS node FROM $last) t
+           GROUP BY 1)
+         SELECT c.node AS user_id, f.degree, c.core_degree
+         FROM coredeg c JOIN fulldeg f ON f.node = c.node
+         ORDER BY user_id"""
+    },
 
     // HITS: one recursion carrying the HUB vector (authority is a
     // derived half-step); both L1 normalizations are the same
