@@ -694,6 +694,58 @@ object Relational {
           .otherwise("l_diverse").as("risk"))
       .orderBy("c_nationkey", "acct_band")
 
+  /** t-closeness bar for [[piiTCloseness]]: flag when the variational
+    * distance exceeds 1/5 — `t_num·5 > 2·n·N` in the integer
+    * cross-multiplied form. */
+  val PiiTClose5 = 5L
+
+  /** t-CLOSENESS AUDIT — the distributional-disclosure check
+    * l-diversity misses (Li et al., ICDE'07): a quasi-identifier
+    * group can hold l distinct sensitive values yet SKEW so far from
+    * the global distribution that placing a person in the group still
+    * shifts an attacker's belief (90% BUILDING in a group vs 20%
+    * globally). Per (nation, account-band) quasi-group: the
+    * variational distance between the group's sensitive-value
+    * (market-segment) distribution and the corpus's — for categorical
+    * attributes the Earth Mover's Distance degenerates to
+    * ½ Σ|p_i − q_i|, which cross-multiplies to the exact integer
+    * t_num = Σ_i |n_ci·N − N_i·n_c| over 2·n_c·N. Groups MISSING a
+    * segment still contribute |0 − N_i·n_c| — the class×segment grid
+    * is completed by crossing class sizes with the broadcast global
+    * histogram before the left join, so absence is counted, not
+    * skipped. All counting is combinable; every cross-class relation
+    * (global histogram, total) is a broadcast scalar/5-row table; the
+    * only double is the final division. Flags at t > 1/5
+    * ([[PiiTClose5]]). */
+  val piiTCloseness: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        (floor(col("c_acctbal") / lit(PiiAcctBand)) * lit(PiiAcctBand))
+          .as("acct_band"),
+        col("c_mktsegment"))
+    val global = base.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("gn"))
+    val total = global.agg(sum(col("gn")).as("nn"))
+    val cls = base.groupBy("c_nationkey", "acct_band", "c_mktsegment")
+      .agg(count(lit(1)).as("cn"))
+    val sizes = cls.groupBy("c_nationkey", "acct_band")
+      .agg(sum(col("cn")).as("n"))
+    sizes.crossJoin(broadcast(global))
+      .join(cls, Seq("c_nationkey", "acct_band", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("cn"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("c_nationkey"), col("acct_band"), col("n"), col("nn"))
+      .agg(sum(abs(col("cn") * col("nn") - col("gn") * col("n")))
+        .as("t_num"))
+      .select(col("c_nationkey"), col("acct_band"), col("n"),
+        col("t_num"),
+        (col("t_num").cast("double") /
+          (col("n") * col("nn") * 2L).cast("double")).as("t_dist"),
+        when(col("t_num") * PiiTClose5 > col("n") * col("nn") * 2L,
+          "distribution_skew_risk").otherwise("t_close").as("risk"))
+      .orderBy("c_nationkey", "acct_band")
+  }
+
   /** SUPPRESSION RELEASE (`pii_release_suppressed`) — the ENFORCEMENT
     * step paired with the [[piiKAnonymity]] detector: rows whose
     * quasi-identifier tuple fails the k floor ship with the tuple
@@ -808,6 +860,55 @@ object Relational {
       .agg(asD(sum(col("p_qty"))).as("sum_qty"),
         asD(sum(col("p_price"))).as("sum_base_price"),
         sum(col("p_n")).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Retraction residue for [[q37RetractDelta]]: line items whose
+    * (orderkey, linenumber) hash lands on this residue mod
+    * [[RetractMod]] are "today's deletions" (returns / GDPR
+    * erasures) — a deterministic ~5% of the fact table. */
+  val RetractTag = 3L
+  val RetractMod = 20L
+
+  /** RETRACTABLE aggregate maintenance (`q37_retract_delta`) — the
+    * delete-side of the IVM story [[q31AggDelta]] tells for inserts:
+    * a materialized per-group view is maintained under a DELETION
+    * batch by merging the checkpointed state with the deleted rows'
+    * partials at multiplicity −1 (sums negate, counts subtract —
+    * signed decimal partials are exactly associative, so the merged
+    * view is bit-identical to recomputing over the survivors, which
+    * is what the oracle does). Refresh cost is O(|delete batch| +
+    * |groups|), never a base rescan: the state side is a checkpoint
+    * leaf ("yesterday's store") and the delete side's residue
+    * predicate is pushed to the scan. The avg is ONE division of the
+    * merged exact partials. This covers the SUM/COUNT/AVG family;
+    * MIN/MAX are NOT retractable from partials alone (a deleted
+    * minimum needs the runner-up) — that is the documented boundary
+    * where a per-group heap or a recompute-on-touch step enters. */
+  val q37RetractDelta: Q = (s, d) => {
+    val isDeleted =
+      graft.functions.Hashing.charHash(concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))) % RetractMod === RetractTag
+    def partial(rows: DataFrame, sign: Int): DataFrame = rows
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(qty(col("l_quantity"))) * sign).as("p_qty"),
+        (sum(money(col("l_extendedprice"))) * sign).as("p_price"),
+        (count(lit(1)) * sign).as("p_n"))
+    val state = graft.Checkpointing.cut(partial(li(s, d), 1))
+    val retract = partial(li(s, d).filter(isDeleted), -1)
+    state.unionByName(retract)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(asD(sum(col("p_qty"))).as("sum_qty"),
+        asD(sum(col("p_price"))).as("sum_base_price"),
+        sum(col("p_n")).as("count_order"))
+      // a fully-retracted group leaves the view (its merged count is
+      // zero), exactly as it is absent from a survivor recompute
+      .filter(col("count_order") > 0L)
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("count_order"),
+        (col("sum_qty") / col("count_order").cast("double"))
+          .as("avg_qty"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -1079,6 +1180,7 @@ object Relational {
     "q35_basket_lift" -> q35BasketLift,
     "q36_rfm" -> q36Rfm,
     "q31_agg_delta" -> q31AggDelta,
+    "q37_retract_delta" -> q37RetractDelta,
     "q32_join_delta" -> q32JoinDelta,
     "q33_topk_delta" -> q33TopkDelta,
     "q34_join_skew" -> q34JoinSkew,
@@ -1087,6 +1189,7 @@ object Relational {
     "pii_pseudonymize" -> piiPseudonymize,
     "pii_k_anonymity" -> piiKAnonymity,
     "pii_l_diversity" -> piiLDiversity,
+    "pii_t_closeness" -> piiTCloseness,
     "pii_release_suppressed" -> piiReleaseSuppressed,
     "q30_zorder_layout" -> q30ZorderLayout,
     "q13_order_count_dist" -> q13OrderCountDist,
@@ -1207,6 +1310,42 @@ object Relational {
           FROM customer
           GROUP BY c_mktsegment, c_nationkey, acct_band
           ORDER BY c_mktsegment, c_nationkey, acct_band""",
+    // t-closeness: the class x segment grid is completed by crossing
+    // class sizes with the 5-row global histogram BEFORE the left
+    // join, so a segment absent from a class contributes |0 - N_i*n|.
+    "pii_t_closeness" ->
+      s"""WITH base AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             floor(c_acctbal / $PiiAcctBand) * $PiiAcctBand AS acct_band,
+             c_mktsegment
+           FROM customer),
+         global AS (
+           SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS gn
+           FROM base GROUP BY 1),
+         total AS (SELECT CAST(SUM(gn) AS BIGINT) AS nn FROM global),
+         cls AS (
+           SELECT c_nationkey, acct_band, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS cn
+           FROM base GROUP BY 1, 2, 3),
+         sizes AS (
+           SELECT c_nationkey, acct_band, CAST(SUM(cn) AS BIGINT) AS n
+           FROM cls GROUP BY 1, 2),
+         grid AS (
+           SELECT s.c_nationkey, s.acct_band, s.n, g.c_mktsegment,
+             g.gn, COALESCE(c.cn, CAST(0 AS BIGINT)) AS cn
+           FROM sizes s CROSS JOIN global g
+           LEFT JOIN cls c ON c.c_nationkey = s.c_nationkey
+             AND c.acct_band = s.acct_band
+             AND c.c_mktsegment = g.c_mktsegment),
+         agg AS (
+           SELECT c_nationkey, acct_band, n, t.nn,
+             CAST(SUM(abs(cn * t.nn - gn * n)) AS BIGINT) AS t_num
+           FROM grid, total t GROUP BY 1, 2, 3, 4)
+         SELECT c_nationkey, acct_band, n, t_num,
+           CAST(t_num AS DOUBLE) / CAST(n * nn * 2 AS DOUBLE) AS t_dist,
+           CASE WHEN t_num * $PiiTClose5 > n * nn * 2
+             THEN 'distribution_skew_risk' ELSE 't_close' END AS risk
+         FROM agg ORDER BY c_nationkey, acct_band""",
     "pii_l_diversity" ->
       s"""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
           floor(c_acctbal / $PiiAcctBand) * $PiiAcctBand AS acct_band,
@@ -1404,6 +1543,24 @@ object Relational {
           CAST(SUM(${sqlMoney("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
           COUNT(*) AS count_order
           FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    // the survivors recomputed from scratch — the signed-partial
+    // merge must be bit-identical to it by decimal associativity
+    "q37_retract_delta" ->
+      s"""WITH surv AS (
+            SELECT * FROM lineitem
+            WHERE ${graft.functions.Hashing.sqlCharHash(
+              "CAST(l_orderkey AS VARCHAR) || '|' || " +
+                "CAST(l_linenumber AS VARCHAR)")}
+              % $RetractMod <> $RetractTag)
+          SELECT l_returnflag, l_linestatus,
+            CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) AS sum_qty,
+            CAST(SUM(${sqlMoney("l_extendedprice")}) AS DOUBLE)
+              AS sum_base_price,
+            COUNT(*) AS count_order,
+            CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+          FROM surv GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
     // the full join recomputed from scratch — the three-term delta
     // must be row-identical to it by set algebra
