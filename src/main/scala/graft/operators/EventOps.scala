@@ -179,6 +179,69 @@ object EventOps {
       .orderBy("purchase_id")
   }
 
+  /** Purchase packing scale for [[evAttributionLinear]]: a purchase
+    * identity travels through the forward-min window as ONE BIGINT
+    * `tsec·scale + event_id`, so the earliest following purchase is a
+    * plain MIN (no struct ordering semantics to match cross-engine).
+    * Exact while event_id < 10⁷ (gate ids are ≤10⁶; the 100 TB form
+    * widens to DECIMAL or a two-column min_by). */
+  val AttrPackScale = 10000000L
+
+  /** Linear multi-touch attribution (`ev_attribution_linear`) — the
+    * fair-share counterpart of [[evAttribution]]'s last-touch: every
+    * click is assigned to the FIRST purchase at-or-after it in its
+    * user's stream (forward as-of via one packed-BIGINT min over the
+    * following frame), and each purchase's exact cents are split
+    * across its k touches by LARGEST REMAINDER — every touch gets
+    * `cents div k`, the first `cents mod k` touches in time order get
+    * one extra cent. Conservation is exact by construction: credits
+    * sum to the purchase's cents with no rounding residue (the
+    * property any float split violates), spec-pinned. Readout is the
+    * marketing view: credit by click HOUR-OF-DAY. Plan: one
+    * user-partitioned window (the attribution family's partitioning)
+    * + combinable per-purchase counts + an O(24) rollup; all integer
+    * until the final division. */
+  val evAttributionLinear: Q = (s, d) => {
+    val base = ev(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("event_type"),
+        col("value"), hour(col("ts")).as("hh"))
+    val u = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsec"), col("event_id"),
+        lit(0).as("tag"), col("hh"),
+        lit(null).cast("long").as("pcents"))
+      .unionByName(base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsec"), col("event_id"),
+          lit(1).as("tag"), lit(null).cast("int").as("hh"),
+          (money(col("value")) * 100).cast("long").as("pcents")))
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("tag"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val touches = u
+      .withColumn("nxt", min(when(col("tag") === 1,
+        col("tsec") * AttrPackScale + col("event_id"))).over(fwd))
+      .filter(col("tag") === 0 && col("nxt").isNotNull)
+      .select(col("hh"), col("tsec"), col("event_id"), col("nxt"))
+    val k = touches.groupBy(col("nxt")).agg(count(lit(1)).as("k"))
+    val pc = u.filter(col("tag") === 1)
+      .select((col("tsec") * AttrPackScale + col("event_id")).as("nxt"),
+        col("pcents"))
+    touches
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("nxt"))
+        .orderBy(col("tsec"), col("event_id"))))
+      .join(k, "nxt").join(pc, "nxt")
+      .withColumn("credit_c", expr(
+        "pcents div k + (case when rnk <= pcents % k then 1 else 0 end)"))
+      .groupBy(col("hh"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("nxt")).as("n_purchases"),
+        sum(col("credit_c")).as("credit_cents"))
+      .select(col("hh").cast("long").as("click_hour"), col("n_touches"),
+        col("n_purchases"), col("credit_cents"),
+        (col("credit_cents").cast("double") / lit(100.0)).as("credit"))
+      .orderBy("click_hour")
+  }
+
   /** [[evTopUsers]] computed skew-resistantly: phase 1 pre-aggregates
     * on (user_id, salt) so one hot user spreads across 16 reducers,
     * phase 2 combines the partials. Decimal partial sums re-associate
@@ -1413,6 +1476,7 @@ object EventOps {
     "ev_transitions" -> evTransitions,
     "ev_approx_stats" -> evApproxStats,
     "ev_attribution" -> evAttribution,
+    "ev_attribution_linear" -> evAttributionLinear,
     "ev_json_extract" -> evJson,
     "ev_hourly" -> evHourly,
     "ev_sessionize" -> evSessionize,
@@ -1726,6 +1790,55 @@ object EventOps {
            MIN(tsec) AS start_sec, MAX(tsec) AS end_sec
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    // Linear attribution: forward as-of via the packed-BIGINT min
+    // over the following frame; credit split is pure integer
+    // largest-remainder, conserving each purchase's cents exactly.
+    "ev_attribution_linear" ->
+      s"""WITH base AS (
+           SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type,
+             value, hour(ts) AS hh
+           FROM events),
+         u AS (
+           SELECT user_id, tsec, event_id, 0 AS tag, hh,
+             CAST(NULL AS BIGINT) AS pcents
+           FROM base WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, tsec, event_id, 1, NULL,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM base WHERE event_type = 'purchase'),
+         assigned AS (
+           SELECT *, MIN(CASE WHEN tag = 1
+               THEN tsec * $AttrPackScale + event_id END)
+             OVER (PARTITION BY user_id ORDER BY tsec, tag, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+           FROM u),
+         touches AS (
+           SELECT hh, tsec, event_id, nxt FROM assigned
+           WHERE tag = 0 AND nxt IS NOT NULL),
+         kk AS (
+           SELECT nxt, CAST(COUNT(*) AS BIGINT) AS k
+           FROM touches GROUP BY nxt),
+         pc AS (
+           SELECT tsec * $AttrPackScale + event_id AS nxt,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS pcents
+           FROM base WHERE event_type = 'purchase'),
+         ranked AS (
+           SELECT t.*, ROW_NUMBER() OVER (PARTITION BY nxt
+             ORDER BY tsec, event_id) AS rnk
+           FROM touches t),
+         credited AS (
+           SELECT r.hh, r.nxt,
+             pcents // k + CASE WHEN rnk <= pcents % k THEN 1 ELSE 0 END
+               AS credit_c
+           FROM ranked r JOIN kk USING (nxt) JOIN pc USING (nxt))
+         SELECT CAST(hh AS BIGINT) AS click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT nxt) AS BIGINT) AS n_purchases,
+           CAST(SUM(credit_c) AS BIGINT) AS credit_cents,
+           CAST(SUM(credit_c) AS DOUBLE) / 100.0 AS credit
+         FROM credited GROUP BY hh ORDER BY click_hour""",
     "ev_attribution" ->
       """WITH base AS (
            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,

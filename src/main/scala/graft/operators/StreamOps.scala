@@ -1423,8 +1423,80 @@ object StreamOps {
     out
   }
 
+  /** One micro-batch of the streaming decayed-value ledger: the
+    * batch's per-(user, day) exact-cents partials APPEND to the state
+    * store — no read, no rewrite, O(batch) per batch. Day is the
+    * decay quantum, so partials from different batches of the same
+    * day merge associatively at readout and batch boundaries cannot
+    * leak into the result. */
+  private[graft] def decayedValueBatch(batch: DataFrame,
+      stateDir: String): Unit =
+    batch.select(col("user_id"), to_date(col("ts")).as("day"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      .write.mode("append").parquet(stateDir)
+
+  /** Ledger compaction for [[streamDecayedValue]]: merge per-(user,
+    * day) partials, shift each day's cents by its age in half-lives
+    * against the ledger max day, roll up per user. Split out so the
+    * spec can drive manual micro-batches through the same readout. */
+  private[graft] def decayedValueReadout(s: SparkSession,
+      stateDir: String): DataFrame = {
+    val led = s.read.parquet(stateDir)
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+    val maxd = led.agg(max(col("day")).as("maxd"))
+    led.crossJoin(broadcast(maxd))
+      .select(col("user_id"), col("n"), col("cents"),
+        datediff(col("maxd"), col("day")).cast("long").as("age_days"))
+      .withColumn("decayed", expr("shiftright(cents, " +
+        s"cast(age_days div ${EventOps.DecayHalfLifeDays} as int))"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("cents")).as("raw_cents"),
+        sum(col("decayed")).as("decayed_cents"),
+        min(col("age_days")).as("last_age_days"))
+      .select(col("user_id"), col("n_events"), col("raw_cents"),
+        col("decayed_cents"), col("last_age_days"),
+        (col("decayed_cents").cast("double") / lit(100.0))
+          .as("decayed_value"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming decayed user value (`stream_decayed_value`) — the
+    * ingest twin of `ev_decayed_value`, DAY-quantized: the decay
+    * shift applies once per (user, day) partial at compaction instead
+    * of once per event (`(Σc) >> w` vs `Σ(c >> w)` — the day form
+    * floors once per day, so it loses at most one cent per user-day
+    * and is the tighter estimate; the oracle mirrors the day form
+    * exactly, so the gate pins it bit-for-bit, not approximately).
+    * Shifting at READOUT rather than ingest is what makes the ledger
+    * maintainable: a stored pre-shifted value would be stale the
+    * moment a newer day arrives and moves the reference date, but
+    * day partials are decay-agnostic and never rewritten. Hot path
+    * is [[decayedValueBatch]]'s append-only O(batch) aggregate —
+    * state is O(users × days) however long the stream runs. */
+  val streamDecayedValue: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-decay-state").toString
+    val q = eventsStream(s, d)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        decayedValueBatch(batch, stateDir)
+      }
+      .start()
+    q.awaitTermination()
+    val out = decayedValueReadout(s, stateDir)
+      .transform(graft.Checkpointing.cut)
+    deleteRecursively(new java.io.File(stateDir))
+    out
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_topk_value" -> streamTopkValue,
+    "stream_decayed_value" -> streamDecayedValue,
     "stream_sample_weighted" -> streamSampleWeighted,
     "stream_sample_weighted_quota" -> streamSampleWeightedQuota,
     "stream_bloom_gate" -> streamBloomGate,
@@ -1478,6 +1550,28 @@ object StreamOps {
             CAST(tv AS DOUBLE) AS total_value
           FROM ranked WHERE rnk <= $StreamTopkK
           ORDER BY event_type, rnk""",
+    // the DAY-quantized decay recomputed globally: per-(user, day)
+    // exact cents, one shift per day's age, integer rollup — equality
+    // says batch boundaries cannot leak into the compacted ledger
+    "stream_decayed_value" ->
+      s"""WITH maxd AS (SELECT CAST(max(ts) AS DATE) AS maxd FROM events),
+          pd AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+              CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS cents,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+          SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+            CAST(SUM(cents) AS BIGINT) AS raw_cents,
+            CAST(SUM(cents >> CAST(date_diff('day', day, maxd)
+              // ${EventOps.DecayHalfLifeDays} AS INTEGER)) AS BIGINT)
+              AS decayed_cents,
+            CAST(MIN(date_diff('day', day, maxd)) AS BIGINT)
+              AS last_age_days,
+            CAST(SUM(cents >> CAST(date_diff('day', day, maxd)
+              // ${EventOps.DecayHalfLifeDays} AS INTEGER)) AS DOUBLE)
+              / 100.0 AS decayed_value
+          FROM pd, maxd GROUP BY user_id ORDER BY user_id""",
     "stream_sample_weighted" -> TextOps.sqlSampleWeighted,
     "stream_sample_weighted_quota" ->
       TextOps.oracle("doc_sample_weighted_quota"),
