@@ -1266,6 +1266,60 @@ object DedupOps {
         count(lit(1)).as("cluster_size"))
       .orderBy("simhash")
 
+  /** SimHash band width (bits) for [[dedupHammingHistogram]]'s
+    * candidate join: 4 bands of 8 bits over the 32-bit fingerprint.
+    * By pigeonhole, every pair within Hamming distance < 4 shares at
+    * least one untouched band, so the histogram is EXACT below 4
+    * bits — the near-dup decision range — and candidates-only above. */
+  val SimhashBandBits = 8
+
+  /** SimHash threshold-calibration histogram
+    * (`dedup_hamming_histogram`) — the evidence behind choosing a
+    * simhash Hamming cutoff: candidate doc pairs (band-bucket join,
+    * never all-pairs — cost ∝ Σ bucket² per band) counted by exact
+    * Hamming distance `bit_count(a XOR b)`, with the cumulative pair
+    * count. A healthy corpus shows a spike at 0–2 (true near-dups)
+    * and a valley before the random-pair hump; the cutoff belongs in
+    * the valley — same calibration logic as the session-gap
+    * histogram, on the dedup axis. All integers; the only double is
+    * the cumulative share. Distances < 4 bits are complete by the
+    * [[SimhashBandBits]] pigeonhole; larger distances count only
+    * band-sharing pairs (documented — the decision range is what
+    * must be exact). */
+  val dedupHammingHistogram: Q = (s, d) => {
+    val sh = docs(s, d)
+      .withColumn("thashes", hashAll(tokens(col("text"))))
+      .select(col("doc_id"), simhash32(col("thashes")).as("sh"))
+      .transform(graft.Checkpointing.cut)
+    val bands = sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until 32 / SimhashBandBits).map(j =>
+          struct(lit(j).as("band"),
+            shiftrightunsigned(col("sh"), j * SimhashBandBits)
+              .bitwiseAND(lit((1L << SimhashBandBits) - 1))
+              .as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("sh"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sh").as("sa"), col("y.sh").as("sb"))
+      .distinct()
+    val hist = pairs
+      .select(expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("hamming"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = hist.agg(sum(col("n_pairs")).as("total"))
+    hist.withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("hamming"), col("n_pairs"), col("cum_pairs"),
+        (col("cum_pairs").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+      .orderBy("hamming")
+  }
+
   /** The curation MANIFEST — the relation a training run actually
     * consumes: per document, the absolute keep/drop decision with its
     * first failing rule ([[TextOps.docKeepDecision]]), the near-dup
@@ -1614,6 +1668,7 @@ object DedupOps {
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_edit_banded" -> dedupEditBanded,
     "dedup_simhash_clusters" -> dedupSimhashClusters,
+    "dedup_hamming_histogram" -> dedupHammingHistogram,
     "dedup_components" -> dedupComponents,
     "dedup_component_profile" -> dedupComponentProfile,
     "dedup_split_assign" -> dedupSplitAssign,
@@ -2539,5 +2594,38 @@ object DedupOps {
           FROM (SELECT doc_id,
                   ${sqlSimhash32(sqlHashAll(sqlTokens("text")))} AS simhash
                 FROM documents)
-          GROUP BY simhash ORDER BY simhash""")
+          GROUP BY simhash ORDER BY simhash""",
+    // Hamming histogram: same band-bucket candidate join (// and %
+    // mirror the unsigned shifts on the nonnegative 32-bit value);
+    // DuckDB's ^ is exponentiation, so XOR is the xor() function.
+    "dedup_hamming_histogram" ->
+      s"""WITH sh AS MATERIALIZED (
+            SELECT doc_id,
+              ${sqlSimhash32(sqlHashAll(sqlTokens("text")))} AS sh
+            FROM documents),
+          bands AS MATERIALIZED (
+            SELECT doc_id, sh, j.j AS band,
+              (sh // (CAST(1 AS BIGINT) << (j.j * $SimhashBandBits)))
+                % ${1L << SimhashBandBits} AS bv
+            FROM sh, (SELECT unnest(range(0,
+              ${32 / SimhashBandBits})) AS j) j),
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+              x.sh AS sa, y.sh AS sb
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bv = y.bv
+                AND x.doc_id < y.doc_id),
+          hist AS (
+            SELECT CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM hist)
+          SELECT hamming, n_pairs,
+            CAST(SUM(n_pairs) OVER (ORDER BY hamming
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pairs,
+            CAST(SUM(n_pairs) OVER (ORDER BY hamming
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+          FROM hist, tot ORDER BY hamming""")
 }

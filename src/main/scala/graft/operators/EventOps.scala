@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1320,6 +1320,99 @@ object EventOps {
         col("tri_count"), col("clustering"))
       .orderBy("user_id")
 
+  /** Purchase-value concentration (`ev_value_gini`) — the Gini
+    * coefficient and top-decile share of per-user purchase value: the
+    * inequality counterpart of the per-source HHI, on the user axis.
+    * A training-data pipeline weighting by engagement needs to know
+    * whether "engagement" means a broad base or three whales (a
+    * whale-dominated corpus turns any value-weighted sampler into a
+    * three-user sampler). Exactness: the classic rank form — G_num =
+    * 2·Σ(rank·cents) − (n+1)·Σcents over ascending (cents, user)
+    * rank — is exact integer (tie order cannot change the sum: tied
+    * values share Σ-of-coefficients), DECIMAL(19,0)-widened; Gini and
+    * the decile share are one division each. The rank window runs
+    * over the O(users) ROLLUP, never events. Zero total pins 0.0. */
+  val evValueGini: Q = (s, d) => {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val per = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum((money(col("value")) * 100).cast("long")).as("cents"))
+    val ranked = per.withColumn("rank",
+      row_number().over(Window.orderBy(col("cents"), col("user_id")))
+        .cast("long"))
+    val base = ranked.agg(count(lit(1)).as("n"),
+      sum(col("cents")).as("total_cents"),
+      sum(d19(col("rank")) * d19(col("cents"))).as("src"))
+    val withN = ranked.crossJoin(broadcast(base.select(col("n"))))
+    val top = withN
+      .filter(col("rank") > col("n") - expr("(n + 9) div 10"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("top_cents"))
+    base.crossJoin(broadcast(top))
+      .select(col("n").as("n_users"), col("total_cents"),
+        when(col("total_cents") > 0L,
+          (lit(2L).cast("decimal(19,0)") * col("src") -
+            d19(col("n") + 1L) * d19(col("total_cents")))
+            .cast("double") /
+            (col("n") * col("total_cents")).cast("double"))
+          .otherwise(lit(0.0)).as("gini"),
+        when(col("total_cents") > 0L,
+          col("top_cents").cast("double") /
+            col("total_cents").cast("double"))
+          .otherwise(lit(0.0)).as("top_decile_share"))
+  }
+
+  /** Degree assortativity (`ev_graph_assortativity`) — the mixing
+    * coefficient of the referral graph: the Pearson correlation of
+    * endpoint degrees over ordered edge instances (Newman, PRL'02).
+    * Positive = hubs refer hubs (organic social cores); strongly
+    * negative = hubs fan out to leaves (broadcast/spam shape) — the
+    * one-number summary that tells a curation pipeline which graph
+    * prior (pagerank damping, core order) to trust. Exactness: the
+    * corpus_correlations discipline — every moment is a
+    * DECIMAL(19,0)-widened product summed into DECIMAL(38,0)
+    * (degrees are bounded by n, so deg·deg products overflow a long
+    * at ~3e9-degree hubs; the widening removes the bound), r is ONE
+    * fixed double-expression tree over the cast moments, and the
+    * degenerate regular graph (zero variance) pins 0.0 via an exact
+    * integer zero-test, not a NaN. Both orientations of each edge
+    * enter, so the x/y moments coincide and only three sums are
+    * needed. Plan: degree join + ONE 1-row aggregate; output is a
+    * single row. */
+  val evGraphAssortativity: Q = (s, d) =>
+    assortativityOf(referralUndirected(s, d))
+
+  /** Moment core of [[evGraphAssortativity]] over distinct undirected
+    * edges (u < v) — split out so specs can plant edge sets. */
+  private[graft] def assortativityOf(und0: DataFrame): DataFrame = {
+    val und = und0.transform(graft.Checkpointing.cut)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val pairs = e.select(col("du").as("x"), col("dv").as("y"))
+      .unionAll(e.select(col("dv").as("x"), col("du").as("y")))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val agg = pairs.agg(count(lit(1)).as("m"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+      sum(d19(col("x")) * d19(col("y"))).as("sxy"),
+      min(col("x")).as("minx"), max(col("x")).as("maxx"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    agg.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), expr("m div 2").as("n_edges"),
+        // zero degree variance (regular graph) and the empty graph
+        // pin 0.0 exactly — the min = max test needs no wide product
+        when(col("m") === 0L || col("minx") === col("maxx"), lit(0.0))
+          .otherwise(
+            (col("m").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+            (col("m").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+          .as("assortativity"))
+  }
+
   /** Core order for [[evUserKcore]] — nodes must keep >= this many
     * in-core neighbors to survive the peel. Fixed forever. */
   val KcoreK = 3L
@@ -1460,6 +1553,8 @@ object EventOps {
   val defs: Map[String, Q] = Map(
     "ev_user_triangles" -> evUserTriangles,
     "ev_user_kcore" -> evUserKcore,
+    "ev_graph_assortativity" -> evGraphAssortativity,
+    "ev_value_gini" -> evValueGini,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
     "ev_asof_join" -> evAsofJoin,
@@ -2157,6 +2252,87 @@ object EventOps {
            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          FROM deg d LEFT JOIN pern p ON p.node = d.node
          ORDER BY user_id""",
+
+    // Gini: rank form over the per-user rollup, HUGEINT-widened;
+    // both reported numbers are one division; zero total pins 0.0.
+    "ev_value_gini" ->
+      s"""WITH per AS (
+           SELECT user_id,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+               AS BIGINT)) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id),
+         ranked AS (
+           SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents,
+             user_id) AS BIGINT) AS rnk
+           FROM per),
+         base AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             SUM(CAST(rnk AS HUGEINT) * CAST(cents AS HUGEINT)) AS src
+           FROM ranked),
+         top AS (
+           SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS top_cents
+           FROM ranked, base
+           WHERE rnk > n - (n + 9) // 10)
+         SELECT n AS n_users, total_cents,
+           CASE WHEN total_cents > 0
+             THEN CAST(2 * src - CAST(n + 1 AS HUGEINT)
+                 * CAST(total_cents AS HUGEINT) AS DOUBLE)
+               / CAST(n * total_cents AS DOUBLE)
+             ELSE 0.0 END AS gini,
+           CASE WHEN total_cents > 0
+             THEN CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             ELSE 0.0 END AS top_decile_share
+         FROM base, top""",
+
+    // Assortativity: HUGEINT moments mirror the decimal-widened
+    // Spark sums; r is one fixed double-expression tree; the
+    // regular/empty graph pins 0.0 via the exact min = max test.
+    "ev_graph_assortativity" ->
+      s"""WITH seq AS (
+           SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_user
+           FROM events),
+         und AS MATERIALIZED (
+           SELECT DISTINCT least(user_id, next_user) AS u,
+             greatest(user_id, next_user) AS v
+           FROM seq
+           WHERE next_user IS NOT NULL
+             AND ${Hashing.sqlCharHash("CAST(user_id AS VARCHAR)")}
+               % 10 < $PrEngagedPct
+             AND user_id <> next_user),
+         deg AS MATERIALIZED (
+           SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+             SELECT u AS node FROM und
+             UNION ALL SELECT v AS node FROM und) t
+           GROUP BY 1),
+         pairs AS (
+           SELECT a.deg AS x, b.deg AS y
+           FROM und JOIN deg a ON a.node = und.u
+             JOIN deg b ON b.node = und.v
+           UNION ALL
+           SELECT b.deg, a.deg
+           FROM und JOIN deg a ON a.node = und.u
+             JOIN deg b ON b.node = und.v),
+         agg AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             MIN(x) AS minx, MAX(x) AS maxx
+           FROM pairs),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+         SELECT n_nodes, m // 2 AS n_edges,
+           CASE WHEN m = 0 OR minx = maxx THEN 0.0
+             ELSE (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+             AS assortativity
+         FROM agg, nn""",
 
     // K-core: the peel unrolled KcorePeelUnroll times — each round
     // is a degree HAVING + two IN-filters, a no-op once the fixpoint

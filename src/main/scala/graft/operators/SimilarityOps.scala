@@ -385,6 +385,51 @@ object SimilarityOps {
       .filter(col("cos") >= 0.35)
   }
 
+  /** 1-NN label agreement (`emb_knn_label_agreement`) — the standard
+    * label-noise audit: each vector's nearest LSH-bucket neighbor
+    * votes with its own label, and per label we report how often the
+    * vote agrees. A label whose agreement collapses is either noisy
+    * (mislabeled rows) or not a real cluster in embedding space —
+    * either way it fails as a stratification key or IVF prior, and
+    * [[embClassSeparation]] tells which failure it is (centroids far
+    * apart + low agreement = noise; centroids close = no cluster).
+    * The neighbor search is bucket-local BY DESIGN (the LSH cell is
+    * the candidate set, cost ∝ Σ bucket² like every near-dup sweep —
+    * never all-pairs; vectors alone in their bucket are reported
+    * unscored, not silently dropped). Determinism: the 1-NN argmax
+    * breaks cosine ties by neighbor id; agreement is integer counts
+    * with one final division. */
+  val embKnnLabelAgreement: Q = (s, d) => {
+    val wb = bucketed(s, d)
+    val lab = emb(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cand = wb.as("x").join(wb.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
+        cosPre(col("x.embedding"), col("y.embedding"),
+          col("x.norm"), col("y.norm")).as("cos"))
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    val nn = cand.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .join(lab.select(col("vec_id").as("nbr"),
+        col("label").as("pred")), "nbr")
+      .select(col("vec_id"), col("pred"))
+    lab.join(nn, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred").isNotNull, 1L).otherwise(0L))
+          .as("n_scored"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("label"), col("n"), col("n_scored"), col("n_agree"),
+        when(col("n_scored") > 0L,
+          col("n_agree").cast("double") / col("n_scored").cast("double"))
+          .otherwise(lit(0.0)).as("agreement"))
+      .orderBy("label")
+  }
+
   /** SEMANTIC dedup clusters: connected components over the VERIFIED
     * embedding near-dup graph ([[embNearDup]]'s bucket-candidates +
     * cosine-threshold edges) — the vector-space analogue of
@@ -2099,6 +2144,7 @@ object SimilarityOps {
     "ann_lsh_probe" -> annLshProbe,
     "ann_ivf" -> annIvf,
     "emb_near_dup" -> embNearDup,
+    "emb_knn_label_agreement" -> embKnnLabelAgreement,
     "emb_label_stats" -> embLabelStats,
     "emb_centroids" -> embCentroids,
     "emb_centroid_drift" -> embCentroidDrift,
@@ -2746,6 +2792,41 @@ object SimilarityOps {
           FROM embeddings q JOIN embeddings c ON q.label = c.label
           WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", 3),
     "emb_near_dup" -> sqlEmbNearDup,
+    // 1-NN label agreement: bucket-local neighbor, cosine-then-id
+    // argmax, integer agreement counts, one final division; lone
+    // vectors in their bucket stay in n but not n_scored.
+    "emb_knn_label_agreement" ->
+      s"""WITH wb AS MATERIALIZED (
+            SELECT vec_id, embedding,
+              ${sqlBucket("embedding")} AS bucket
+            FROM embeddings),
+          nn AS (
+            SELECT vec_id, nbr FROM (
+              SELECT x.vec_id, y.vec_id AS nbr,
+                ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                  ORDER BY ${sqlCosine("x.embedding", "y.embedding")}
+                    DESC, y.vec_id) AS rn
+              FROM wb x JOIN wb y
+                ON x.bucket = y.bucket AND x.vec_id <> y.vec_id) z
+            WHERE rn = 1),
+          pred AS (
+            SELECT nn.vec_id, CAST(e.label AS BIGINT) AS pred
+            FROM nn JOIN embeddings e ON e.vec_id = nn.nbr)
+          SELECT CAST(e.label AS BIGINT) AS label,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN p.pred IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_scored,
+            CAST(SUM(CASE WHEN p.pred = CAST(e.label AS BIGINT)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+            CASE WHEN SUM(CASE WHEN p.pred IS NOT NULL THEN 1 ELSE 0
+                END) > 0
+              THEN CAST(SUM(CASE WHEN p.pred = CAST(e.label AS BIGINT)
+                  THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CASE WHEN p.pred IS NOT NULL THEN 1 ELSE 0
+                  END) AS DOUBLE)
+              ELSE 0.0 END AS agreement
+          FROM embeddings e LEFT JOIN pred p ON p.vec_id = e.vec_id
+          GROUP BY 1 ORDER BY label""",
     "emb_components" ->
       s"""WITH RECURSIVE $sqlEmbCompCtes
           SELECT vec_id, component_id FROM comp ORDER BY vec_id""",
