@@ -97,6 +97,52 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Top journeys kept by [[evSessionPaths]]. */
+  val SessionPathK = 20L
+
+  /** Session journey mining (`ev_session_paths`) — the top
+    * [[SessionPathK]] three-step event-type paths WITHIN sessions
+    * (the same 30-minute-gap sessionization as [[evSessionize]]):
+    * where `ev_transitions` counts memoryless bigrams over the whole
+    * stream, this mines bounded JOURNEYS — view>click>purchase vs
+    * view>view>view is the difference between a converting funnel and
+    * doomscrolling, and a path can never span a session boundary
+    * (spec-pinned). Plan: the sessionizer's one user-partitioned
+    * window + two leads per row, a combinable path count, and a rank
+    * window over the ≤|types|³-row aggregate (the q15 rule — the
+    * global window runs on the vocabulary, never the corpus). All
+    * integer counts. */
+  val evSessionPaths: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("tsec"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .withColumn("prev", lag(col("tsec"), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev").isNull || col("tsec") - col("prev") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("boundary")).over(
+          byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("path")))
+          .cast("long"))
+      .filter(col("rank") <= SessionPathK)
+      .select(col("rank"), col("path"), col("n"))
+      .orderBy("rank")
+  }
+
   /** Built-in `session_window` sessionization (the declarative twin of
     * [[evSessionize]]'s lag/cumsum plan): Spark merges session windows
     * per user in one pass. Event times are truncated to whole seconds
@@ -1555,6 +1601,7 @@ object EventOps {
     "ev_user_kcore" -> evUserKcore,
     "ev_graph_assortativity" -> evGraphAssortativity,
     "ev_value_gini" -> evValueGini,
+    "ev_session_paths" -> evSessionPaths,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
     "ev_asof_join" -> evAsofJoin,
@@ -2252,6 +2299,42 @@ object EventOps {
            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          FROM deg d LEFT JOIN pern p ON p.node = d.node
          ORDER BY user_id""",
+
+    // Session paths: the sessionize CTE + two leads inside each
+    // session; the rank window runs on the <=|types|^3 aggregate.
+    "ev_session_paths" ->
+      s"""WITH t AS (
+           SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, event_type, tsec,
+             CASE WHEN lag(tsec) OVER w IS NULL
+                    OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0
+               END AS boundary
+           FROM t WINDOW w AS (PARTITION BY user_id
+             ORDER BY tsec, event_id)),
+         sess AS (
+           SELECT user_id, event_id, event_type, tsec,
+             CAST(SUM(boundary) OVER (PARTITION BY user_id
+               ORDER BY tsec, event_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged),
+         paths AS (
+           SELECT event_type || '>' || lead(event_type, 1) OVER ws
+               || '>' || lead(event_type, 2) OVER ws AS path,
+             lead(event_type, 2) OVER ws AS e3
+           FROM sess
+           WINDOW ws AS (PARTITION BY user_id, session_id
+             ORDER BY tsec, event_id)),
+         counted AS (
+           SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+           FROM paths WHERE e3 IS NOT NULL GROUP BY path)
+         SELECT rank, path, n FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path)
+               AS BIGINT) AS rank, path, n
+           FROM counted) r
+         WHERE rank <= $SessionPathK ORDER BY rank""",
 
     // Gini: rank form over the per-user rollup, HUGEINT-widened;
     // both reported numbers are one division; zero total pins 0.0.
