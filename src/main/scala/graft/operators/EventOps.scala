@@ -354,6 +354,43 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Cohort LTV triangle (`ev_cohort_ltv`) — the revenue companion of
+    * [[evRetention]]'s presence triangle: users cohorted by FIRST
+    * purchase week, revenue accumulated per (cohort_week, age_week)
+    * cell, with cohort size and revenue-per-cohort-user. Reading a
+    * column down the triangle answers "is week-3 monetization
+    * improving cohort-over-cohort" — the payback-curve evidence
+    * behind any engagement-weighted selection or retention target.
+    * Exactness: weeks are integer epoch-day divisions, revenue goes
+    * through the exact DECIMAL(12,2) cents path and stays integer
+    * until the final per-user division; cohort size is a combinable
+    * distinct-by-construction count (first-week rows). Plan: two
+    * combinable groupBys + one broadcast-able cohort-size join;
+    * output is O(weeks²). */
+  val evCohortLtv: Q = (s, d) => {
+    val purchases = ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 604800").as("week"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+    val first = purchases.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    purchases.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_week"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("cohort_users"),
+        col("n_purchases"), col("revenue_cents"),
+        (col("revenue_cents").cast("double") /
+          (col("cohort_users") * 100L).cast("double"))
+          .as("revenue_per_user"))
+      .orderBy("cohort_week", "age_week")
+  }
+
   /** Per-type value stats; min/max of untouched doubles are exact. */
   val evTypeStats: Q = (s, d) =>
     ev(s, d)
@@ -1602,6 +1639,7 @@ object EventOps {
     "ev_graph_assortativity" -> evGraphAssortativity,
     "ev_value_gini" -> evValueGini,
     "ev_session_paths" -> evSessionPaths,
+    "ev_cohort_ltv" -> evCohortLtv,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
     "ev_asof_join" -> evAsofJoin,
@@ -2299,6 +2337,35 @@ object EventOps {
            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          FROM deg d LEFT JOIN pern p ON p.node = d.node
          ORDER BY user_id""",
+
+    // Cohort LTV: integer epoch-week cohorts, exact cents until the
+    // final per-user division (denominator scaled by 100 in one
+    // integer product, so it stays ONE division).
+    "ev_cohort_ltv" ->
+      s"""WITH p AS (
+           SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+           FROM events WHERE event_type = 'purchase'),
+         first AS (
+           SELECT user_id, CAST(MIN(week) AS BIGINT) AS cohort_week
+           FROM p GROUP BY user_id),
+         sizes AS (
+           SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+           FROM first GROUP BY cohort_week),
+         cells AS (
+           SELECT f.cohort_week, p.week - f.cohort_week AS age_week,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(p.cents) AS BIGINT) AS revenue_cents
+           FROM p JOIN first f ON p.user_id = f.user_id
+           GROUP BY 1, 2)
+         SELECT c.cohort_week, c.age_week, s.cohort_users,
+           c.n_purchases, c.revenue_cents,
+           CAST(c.revenue_cents AS DOUBLE)
+             / CAST(s.cohort_users * 100 AS DOUBLE) AS revenue_per_user
+         FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
+         ORDER BY c.cohort_week, c.age_week""",
 
     // Session paths: the sessionize CTE + two leads inside each
     // session; the rank window runs on the <=|types|^3 aggregate.

@@ -81,6 +81,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Script-mix audit (`text_script_mix`) — the homoglyph/spam
+    * detector: per document, character counts by script class (ASCII
+    * alphanumeric, CJK, accented Latin, space, other) and a
+    * mixed-script flag when two or more letter scripts co-occur.
+    * Mixed-script text is how spam evades keyword filters and how
+    * mojibake enters a corpus; a curation pipeline routes flagged
+    * docs to transliteration or drop. Counts are pure
+    * `length − length(regexp_replace(class, ''))` arithmetic — one
+    * codegen'd projection, no explode — using only character classes
+    * whose semantics agree between Java regex and RE2 (the
+    * [[BpePattern]] discipline; counts are UTF-16 units on the Spark
+    * side and codepoints in DuckDB, identical for the BMP scripts
+    * counted here). All integer; no doubles at all. */
+  val textScriptMix: Q = (s, d) => {
+    def cnt(re: String) =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), re, ""))).cast("long")
+    val ascii = cnt("[A-Za-z0-9]")
+    val cjk = cnt("[\\x{4e00}-\\x{9fff}]")
+    val accent = cnt("[àâçéèêëîïôùûüáíóúñ]")
+    val space = cnt("[ ]")
+    docs(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        ascii.as("n_ascii_alnum"), cjk.as("n_cjk"),
+        accent.as("n_accent"), space.as("n_space"),
+        (length(col("text")).cast("long") - ascii - cjk - accent - space)
+          .as("n_other"),
+        ((ascii > 0L).cast("int") + (cjk > 0L).cast("int") +
+          (accent > 0L).cast("int") >= 2).as("mixed_script"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: rolling char hash + 32-bit SimHash. */
   val textFingerprint: Q = (s, d) =>
     docs(s, d)
@@ -1943,6 +1975,7 @@ object TextOps {
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_script_mix" -> textScriptMix,
     "text_fingerprint" -> textFingerprint,
     "tf_compression_ratio" -> tfCompressionRatio,
     "text_token_count" -> textTokenCount,
@@ -2683,6 +2716,31 @@ object TextOps {
           FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
           ORDER BY d.doc_id"""
     },
+    // Script mix: same length-minus-replaced arithmetic; DuckDB's
+    // regexp_replace needs the 'g' flag to strip ALL matches.
+    "text_script_mix" ->
+      s"""WITH c AS (
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(length(text) - length(regexp_replace(text,
+                '[A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_ascii_alnum,
+              CAST(length(text) - length(regexp_replace(text,
+                '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
+              CAST(length(text) - length(regexp_replace(text,
+                '[àâçéèêëîïôùûüáíóúñ]', '', 'g')) AS BIGINT)
+                AS n_accent,
+              CAST(length(text) - length(regexp_replace(text,
+                '[ ]', '', 'g')) AS BIGINT) AS n_space
+            FROM documents)
+          SELECT doc_id, n_chars, n_ascii_alnum, n_cjk, n_accent,
+            n_space,
+            n_chars - n_ascii_alnum - n_cjk - n_accent - n_space
+              AS n_other,
+            (CASE WHEN n_ascii_alnum > 0 THEN 1 ELSE 0 END
+              + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END
+              + CASE WHEN n_accent > 0 THEN 1 ELSE 0 END) >= 2
+              AS mixed_script
+          FROM c ORDER BY doc_id""",
+
     // Langid margin: same profile CTEs as text_langid_ngram, keeping
     // rank <= 2; the ambiguity flag is the integer cross-product
     // compare second*5 >= top*4 (or a zero-overlap top).
