@@ -391,6 +391,91 @@ object EventOps {
       .orderBy("cohort_week", "age_week")
   }
 
+  /** Audience-overlap matrix (`ev_type_overlap`) — exact pairwise
+    * Jaccard of USER sets across event types: the audience-planning
+    * twin of the KMV cross-SOURCE matrix (`dedup_kmv_matrix`), exact
+    * here because the pair space is |types|² = tiny while the
+    * distinct (type, user) relation is one combinable projection.
+    * The full pair grid is completed from the broadcast size table
+    * before the left join, so disjoint audiences report Jaccard 0
+    * instead of vanishing (the t-closeness grid rule). One
+    * self-equi-join on user_id; all integer until the one division. */
+  val evTypeOverlap: Q = (s, d) => {
+    val tu = ev(s, d).select(col("event_type"), col("user_id"))
+      .distinct()
+      .transform(graft.Checkpointing.cut)
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val grid = sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))))
+      .filter(col("type_a") < col("type_b"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    grid.join(inter, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Seasonal lag (hours) for [[evSeasonalNaive]] — one week. */
+  val SeasonalLagHours = 168L
+
+  /** Seasonal-naive forecast audit (`ev_seasonal_naive`) — the
+    * capacity-planning sanity check: forecast each hour's event count
+    * with the count from the same hour LAST WEEK, and report per-type
+    * MAE and wMAPE. Any fancier forecaster must beat this floor; a
+    * type whose wMAPE is already near 0 is strongly weekly-periodic
+    * (schedule batch work around it), and a spike above the floor is
+    * the anomaly `ev_hourly_anomaly` localizes. Exactness: the hour
+    * GRID is completed from broadcast min/max scalars before joining
+    * actuals (a calendar join, not a row-offset lag — zero-event
+    * hours forecast and are forecast against), so every error term
+    * is an exact integer |a − f|; the two rates are one division
+    * each. Plan: combinable hourly rollup, grid of O(types·hours)
+    * rows, two broadcast-able joins; output O(types). */
+  val evSeasonalNaive: Q = (s, d) => {
+    val hourly = ev(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = hourly.agg(min(col("hour")).as("h0"),
+      max(col("hour")).as("h1"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val dense = grid.join(hourly, Seq("event_type", "hour"), "left")
+      .na.fill(0L, Seq("n"))
+    val eval = dense.as("now").join(
+        dense.select(col("event_type"),
+          (col("hour") + SeasonalLagHours).as("hour"),
+          col("n").as("f")),
+        Seq("event_type", "hour"))
+    eval.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n")).as("total_actual"),
+        sum(abs(col("n") - col("f"))).as("total_abs_err"))
+      .select(col("event_type"), col("n_hours"), col("total_actual"),
+        col("total_abs_err"),
+        (col("total_abs_err").cast("double") /
+          col("n_hours").cast("double")).as("mae"),
+        when(col("total_actual") > 0L,
+          col("total_abs_err").cast("double") /
+            col("total_actual").cast("double"))
+          .otherwise(lit(0.0)).as("wmape"))
+      .orderBy("event_type")
+  }
+
   /** Per-type value stats; min/max of untouched doubles are exact. */
   val evTypeStats: Q = (s, d) =>
     ev(s, d)
@@ -1640,6 +1725,8 @@ object EventOps {
     "ev_value_gini" -> evValueGini,
     "ev_session_paths" -> evSessionPaths,
     "ev_cohort_ltv" -> evCohortLtv,
+    "ev_type_overlap" -> evTypeOverlap,
+    "ev_seasonal_naive" -> evSeasonalNaive,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
     "ev_asof_join" -> evAsofJoin,
@@ -2337,6 +2424,73 @@ object EventOps {
            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          FROM deg d LEFT JOIN pern p ON p.node = d.node
          ORDER BY user_id""",
+
+    // Type overlap: grid completed from the size table, one user
+    // self-join, Jaccard = one division of exact BIGINTs.
+    "ev_type_overlap" ->
+      s"""WITH tu AS MATERIALIZED (
+           SELECT DISTINCT event_type, user_id FROM events),
+         sizes AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tu GROUP BY event_type),
+         grid AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n_a, b.n AS n_b
+           FROM sizes a CROSS JOIN sizes b
+           WHERE a.event_type < b.event_type),
+         inter AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+           FROM tu a JOIN tu b ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT g.type_a, g.type_b, g.n_a, g.n_b,
+           COALESCE(i.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+           g.n_a + g.n_b - COALESCE(i.n_inter, 0) AS n_union,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(g.n_a + g.n_b - COALESCE(i.n_inter, 0) AS DOUBLE)
+             AS jaccard
+         FROM grid g LEFT JOIN inter i
+           ON i.type_a = g.type_a AND i.type_b = g.type_b
+         ORDER BY g.type_a, g.type_b""",
+
+    // Seasonal naive: dense calendar grid from min/max hour scalars,
+    // forecast = same hour last week, integer error mass, one
+    // division per rate.
+    "ev_seasonal_naive" ->
+      s"""WITH hourly AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT CAST(MIN(hour) AS BIGINT) AS h0,
+             CAST(MAX(hour) AS BIGINT) AS h1
+           FROM hourly),
+         grid AS (
+           SELECT t.event_type, CAST(h.h AS BIGINT) AS hour
+           FROM (SELECT DISTINCT event_type FROM hourly) t,
+             (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) h),
+         dense AS MATERIALIZED (
+           SELECT g.event_type, g.hour,
+             COALESCE(hh.n, CAST(0 AS BIGINT)) AS n
+           FROM grid g LEFT JOIN hourly hh
+             ON hh.event_type = g.event_type AND hh.hour = g.hour),
+         eval AS (
+           SELECT a.event_type, a.n, f.n AS f
+           FROM dense a JOIN dense f
+             ON f.event_type = a.event_type
+               AND f.hour = a.hour - $SeasonalLagHours)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n) AS BIGINT) AS total_actual,
+           CAST(SUM(abs(n - f)) AS BIGINT) AS total_abs_err,
+           CAST(SUM(abs(n - f)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mae,
+           CASE WHEN SUM(n) > 0
+             THEN CAST(SUM(abs(n - f)) AS DOUBLE)
+               / CAST(SUM(n) AS DOUBLE)
+             ELSE 0.0 END AS wmape
+         FROM eval GROUP BY event_type ORDER BY event_type""",
 
     // Cohort LTV: integer epoch-week cohorts, exact cents until the
     // final per-user division (denominator scaled by 100 in one

@@ -190,6 +190,50 @@ object MultimodalOps {
         min(col("chunk_len")).as("chunk_len"))
       .orderBy("chunk_md5")
 
+  /** Storage-savings accounting (`mm_dedup_savings`) — the capacity
+    * number the content-addressed store earns: per media format, the
+    * payload bytes ingested (every chunk reference) vs the bytes
+    * actually STORED (each distinct chunk once, attributed to the
+    * format of its OWNING doc — min doc_id, the same ownership rule
+    * the GC and strip passes use). The savings ratio is the
+    * token-level `dedup_savings` on the byte axis — it sizes the
+    * store, not the corpus. Exactness: chunk lengths partition
+    * payload lengths by construction, so every number is an integer
+    * byte count off the persisted chunk store; the ratio is one
+    * division. Plan: two combinable rollups over the store + one
+    * broadcast-able format join; output is O(formats). */
+  val mmDedupSavings: Q = (s, d) => {
+    val fmt = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .select(col("doc_id"),
+        when(col("byte_len") % 3 === 0, "rgb")
+          .when(col("byte_len") % 3 === 1, "yuv")
+          .otherwise("gray").as("format"))
+    val store = chunkStore(s, d)
+    val ingested = store.join(fmt, "doc_id")
+      .groupBy(col("format"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_refs"),
+        sum(col("chunk_len")).as("total_bytes"))
+    val stored = store.groupBy(col("chunk_md5"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("chunk_len")).as("chunk_len"))
+      .join(fmt, "doc_id")
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_unique_chunks"),
+        sum(col("chunk_len")).as("stored_bytes"))
+    // left join: a format whose every chunk is owned by another
+    // format's doc still reports (with zero stored bytes), not drops
+    ingested.join(stored, Seq("format"), "left")
+      .na.fill(0L, Seq("n_unique_chunks", "stored_bytes"))
+      .select(col("format"), col("n_docs"), col("n_refs"),
+        col("total_bytes"), col("n_unique_chunks"), col("stored_bytes"),
+        ((col("total_bytes") - col("stored_bytes")).cast("double") /
+          col("total_bytes").cast("double")).as("savings"))
+      .orderBy("format")
+  }
+
   // ------------------------------------------------------------------
   // Perceptual near-dup: MinHash-LSH over the CDC chunk-digest SET,
   // with a SimHash fingerprint as the perceptual distance
@@ -503,6 +547,7 @@ object MultimodalOps {
     "mm_payload_dedup" -> mmPayloadDedup,
     "mm_cdc_chunk" -> mmCdcChunk,
     "mm_cdc_dedup" -> mmCdcDedup,
+    "mm_dedup_savings" -> mmDedupSavings,
     "mm_cdc_store_merge" -> mmCdcStoreMerge,
     "mm_store_gc" -> mmStoreGc,
     "mm_store_rewrite" -> mmStoreRewrite,
@@ -650,6 +695,67 @@ object MultimodalOps {
             COUNT(DISTINCT doc_id) AS n_docs,
             MIN(chunk_len) AS chunk_len
           FROM ch GROUP BY chunk_md5 ORDER BY chunk_md5"""
+    },
+    // Savings: the same chunk CTE, ingested vs owner-attributed
+    // stored bytes per format; LEFT join mirrors the Spark side's
+    // keep-zero-stored-formats rule.
+    "mm_dedup_savings" -> {
+      val W = graft.functions.CdcBoundaries.Window
+      val D = graft.functions.CdcBoundaries.Divisor
+      val P = graft.functions.Hashing.P
+      s"""WITH b AS (
+            SELECT doc_id, text, CAST($sqlByteLen AS BIGINT) AS n,
+              list_filter(range($W, CAST($sqlByteLen AS BIGINT)),
+                o -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(o - $W + 1, o + 1),
+                         j -> CAST(ascii(text[j]) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % $P) % $D = 0) AS bs
+            FROM documents WHERE $sqlByteLen > 0),
+          se AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(0 AS BIGINT), bs) AS starts,
+              list_append(bs, n) AS ends
+            FROM b),
+          ch AS MATERIALIZED (
+            SELECT doc_id,
+              md5(substring(text, CAST(starts[i] + 1 AS BIGINT),
+                CAST(ends[i] - starts[i] AS BIGINT))) AS chunk_md5,
+              ends[i] - starts[i] AS chunk_len
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, CAST(length(starts) + 1 AS BIGINT)))
+                      AS i
+                  FROM se) z),
+          fmt AS (
+            SELECT doc_id,
+              CASE CAST($sqlByteLen AS BIGINT) % 3
+                WHEN 0 THEN 'rgb' WHEN 1 THEN 'yuv' ELSE 'gray' END
+                AS format
+            FROM documents),
+          ingested AS (
+            SELECT f.format,
+              CAST(COUNT(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_refs,
+              CAST(SUM(ch.chunk_len) AS BIGINT) AS total_bytes
+            FROM ch JOIN fmt f ON f.doc_id = ch.doc_id
+            GROUP BY 1),
+          stored AS (
+            SELECT f.format,
+              CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+              CAST(SUM(o.chunk_len) AS BIGINT) AS stored_bytes
+            FROM (
+              SELECT chunk_md5, MIN(doc_id) AS doc_id,
+                MIN(chunk_len) AS chunk_len
+              FROM ch GROUP BY chunk_md5) o
+            JOIN fmt f ON f.doc_id = o.doc_id
+            GROUP BY 1)
+          SELECT i.format, i.n_docs, i.n_refs, i.total_bytes,
+            COALESCE(s.n_unique_chunks, CAST(0 AS BIGINT))
+              AS n_unique_chunks,
+            COALESCE(s.stored_bytes, CAST(0 AS BIGINT)) AS stored_bytes,
+            CAST(i.total_bytes - COALESCE(s.stored_bytes, 0) AS DOUBLE)
+              / CAST(i.total_bytes AS DOUBLE) AS savings
+          FROM ingested i LEFT JOIN stored s ON s.format = i.format
+          ORDER BY i.format"""
     },
     // from-scratch recompute of the per-digest owner rollup over the
     // raw corpus + the tombstone filter: bit-equality against Spark's
