@@ -863,6 +863,84 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Three-valued-logic pin (`q38_null_semantics`) — the classic
+    * NOT IN trap, run as ONE SQL string through Spark's parser (the
+    * `spark.sql` front door, reading `parquet.` paths so no session
+    * state is touched): against a probe list holding one planted
+    * NULL (`nullif(s_nationkey, 3)`), `IN`/`EXISTS` agree, but
+    * `NOT IN` is never true (x <> NULL is UNKNOWN for every x) while
+    * `NOT EXISTS` counts normally. An engine that "fixes" NOT IN to
+    * behave like the anti-join silently corrupts every pipeline that
+    * feeds it a nullable exclusion list — this query pins BOTH
+    * engines to the ANSI asymmetry, and the spec pins not_in = 0 /
+    * not_exists > 0 structurally. Plan: the subquery compiles to a
+    * broadcast null-aware anti join — the dedicated Spark operator
+    * for exactly this semantics. */
+  val q38NullSemantics: Q = (s, d) => s.sql(
+    s"""WITH probe AS (
+          SELECT nullif(s_nationkey, 3) AS k
+          FROM parquet.`$d/supplier.parquet`)
+        SELECT variant, n FROM (
+          SELECT 'in' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+          FROM parquet.`$d/customer.parquet`
+          WHERE c_nationkey IN (SELECT k FROM probe)
+          UNION ALL
+          SELECT 'exists', CAST(COUNT(*) AS BIGINT)
+          FROM parquet.`$d/customer.parquet` c
+          WHERE EXISTS (SELECT 1 FROM probe p
+            WHERE p.k = c.c_nationkey)
+          UNION ALL
+          SELECT 'not_in', CAST(COUNT(*) AS BIGINT)
+          FROM parquet.`$d/customer.parquet`
+          WHERE c_nationkey NOT IN (SELECT k FROM probe)
+          UNION ALL
+          SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+          FROM parquet.`$d/customer.parquet` c
+          WHERE NOT EXISTS (SELECT 1 FROM probe p
+            WHERE p.k = c.c_nationkey))
+        ORDER BY variant""")
+
+  /** Rank-distribution completeness (`q39_cume_dist`) — percent_rank
+    * and cume_dist per nation over customer balances, completing the
+    * window-rank family (row_number/rank/ntile are covered
+    * elsewhere). Both are ANSI-defined ratios of exact integers
+    * ((rank−1)/(n−1), peers_at_or_below/n), so ties produce identical
+    * plateaus on both engines; output carries the raw balance so tie
+    * groups are visible. One rank window per nation partition. */
+  val q39CumeDist: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("acctbal"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("c_custkey")
+  }
+
+  /** IGNORE NULLS semantics pin (`q40_ignore_nulls`) — running
+    * last-known-value imputation: a sparsely observed column (every
+    * 5th customer's balance by the deterministic custkey residue; all
+    * others NULL) is forward-filled per nation with
+    * `last_value(... IGNORE NULLS)` over the preceding frame — the
+    * gap-fill idiom every sensor/price pipeline uses. Rows before the
+    * first observation stay NULL (pinned); the fill is pure window
+    * machinery, no state. */
+  val q40IgnoreNulls: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        when(col("c_custkey") % 5 === 0,
+          col("c_acctbal").cast("double")).as("observed"))
+      .withColumn("filled", last(col("observed"), ignoreNulls = true)
+        .over(w))
+      .orderBy("c_custkey")
+  }
+
   /** Retraction residue for [[q37RetractDelta]]: line items whose
     * (orderkey, linenumber) hash lands on this residue mod
     * [[RetractMod]] are "today's deletions" (returns / GDPR
@@ -1181,6 +1259,9 @@ object Relational {
     "q36_rfm" -> q36Rfm,
     "q31_agg_delta" -> q31AggDelta,
     "q37_retract_delta" -> q37RetractDelta,
+    "q38_null_semantics" -> q38NullSemantics,
+    "q39_cume_dist" -> q39CumeDist,
+    "q40_ignore_nulls" -> q40IgnoreNulls,
     "q32_join_delta" -> q32JoinDelta,
     "q33_topk_delta" -> q33TopkDelta,
     "q34_join_skew" -> q34JoinSkew,
@@ -1544,6 +1625,48 @@ object Relational {
           COUNT(*) AS count_order
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+    // ANSI three-valued logic: both engines must show the NOT IN /
+    // NOT EXISTS asymmetry against the planted-NULL probe list.
+    "q38_null_semantics" ->
+      s"""WITH probe AS (
+            SELECT nullif(s_nationkey, 3) AS k FROM supplier)
+          SELECT variant, n FROM (
+            SELECT 'in' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer
+            WHERE c_nationkey IN (SELECT k FROM probe)
+            UNION ALL
+            SELECT 'exists', CAST(COUNT(*) AS BIGINT)
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM probe p
+              WHERE p.k = c.c_nationkey)
+            UNION ALL
+            SELECT 'not_in', CAST(COUNT(*) AS BIGINT)
+            FROM customer
+            WHERE c_nationkey NOT IN (SELECT k FROM probe)
+            UNION ALL
+            SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+              WHERE p.k = c.c_nationkey)) z
+          ORDER BY variant""",
+    "q39_cume_dist" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           percent_rank() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal) AS pct_rank,
+           cume_dist() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal) AS cume
+         FROM customer ORDER BY c_custkey""",
+    "q40_ignore_nulls" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CASE WHEN c_custkey % 5 = 0
+             THEN CAST(c_acctbal AS DOUBLE) END AS observed,
+           last_value(CASE WHEN c_custkey % 5 = 0
+               THEN CAST(c_acctbal AS DOUBLE) END IGNORE NULLS)
+             OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+         FROM customer ORDER BY c_custkey""",
     // the survivors recomputed from scratch — the signed-partial
     // merge must be bit-identical to it by decimal associativity
     "q37_retract_delta" ->
