@@ -1270,45 +1270,68 @@ object DedupOps {
     * candidate join: 4 bands of 8 bits over the 32-bit fingerprint.
     * By pigeonhole, every pair within Hamming distance < 4 shares at
     * least one untouched band, so the histogram is EXACT below 4
-    * bits — the near-dup decision range — and candidates-only above. */
+    * bits — the near-dup decision range — and candidates-only above.
+    * Band width is a corpus-size knob: 2^8 buckets per band keeps
+    * Σ bucket² tame at gate scale; a 100 TB corpus runs the same
+    * query over a wider fingerprint with proportionally wider bands
+    * (Manku et al., WWW'07) so buckets stay O(corpus/2^bits). */
   val SimhashBandBits = 8
+  /** Histogram range: the calibration decision lives inside this
+    * distance; the random-pair hump beyond it is noise, and cutting
+    * it HERE (inside the join projection, before any exchange) is
+    * what keeps the pair shuffle small. */
+  val HammingHistMax = 8L
 
   /** SimHash threshold-calibration histogram
     * (`dedup_hamming_histogram`) — the evidence behind choosing a
     * simhash Hamming cutoff: candidate doc pairs (band-bucket join,
     * never all-pairs — cost ∝ Σ bucket² per band) counted by exact
-    * Hamming distance `bit_count(a XOR b)`, with the cumulative pair
-    * count. A healthy corpus shows a spike at 0–2 (true near-dups)
-    * and a valley before the random-pair hump; the cutoff belongs in
-    * the valley — same calibration logic as the session-gap
-    * histogram, on the dedup axis. All integers; the only double is
-    * the cumulative share. Distances < 4 bits are complete by the
-    * [[SimhashBandBits]] pigeonhole; larger distances count only
+    * Hamming distance `bit_count(a XOR b)` up to [[HammingHistMax]],
+    * with the cumulative pair count. A healthy corpus shows a spike
+    * at 0–2 (true near-dups) and a valley before the random-pair
+    * hump; the cutoff belongs in the valley — same calibration logic
+    * as the session-gap histogram, on the dedup axis. All integers;
+    * the only double is the cumulative share. Distances < 4 bits are
+    * complete by the [[SimhashBandBits]] pigeonhole; 4..8 count only
     * band-sharing pairs (documented — the decision range is what
-    * must be exact). */
+    * must be exact). Perf shape — the multiplicity trick: a pair
+    * whose XOR leaves m of the 4 bands untouched is emitted by the
+    * band join exactly m times, and m is computable from the XOR in
+    * the join projection; so instead of a pair-level DISTINCT (the
+    * first cut shuffled 9M candidate pairs and was the bench's
+    * slowest query), the histogram groups the raw join stream by
+    * (hamming, m) — a map-side-combinable aggregate with ≤ 33·4
+    * cells — and recovers exact pair counts as Σ_m cnt(h, m) div m
+    * (each cell's count is divisible by its m by construction).
+    * Nothing pair-shaped is ever exchanged. */
   val dedupHammingHistogram: Q = (s, d) => {
+    val nBands = 32 / SimhashBandBits
     val sh = docs(s, d)
       .withColumn("thashes", hashAll(tokens(col("text"))))
       .select(col("doc_id"), simhash32(col("thashes")).as("sh"))
       .transform(graft.Checkpointing.cut)
     val bands = sh.select(col("doc_id"), col("sh"),
-        explode(array((0 until 32 / SimhashBandBits).map(j =>
+        explode(array((0 until nBands).map(j =>
           struct(lit(j).as("band"),
             shiftrightunsigned(col("sh"), j * SimhashBandBits)
               .bitwiseAND(lit((1L << SimhashBandBits) - 1))
               .as("bv"))): _*)).as("b"))
       .select(col("doc_id"), col("sh"),
         col("b.band").as("band"), col("b.bv").as("bv"))
-    val pairs = bands.as("x").join(bands.as("y"),
+    val mExpr = (0 until nBands).map(j =>
+        s"(CASE WHEN ((x.sh ^ y.sh) >> ${j * SimhashBandBits}) " +
+          s"& ${(1L << SimhashBandBits) - 1} = 0 THEN 1 ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    val hist = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.sh").as("sa"), col("y.sh").as("sb"))
-      .distinct()
-    val hist = pairs
-      .select(expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .selectExpr("CAST(bit_count(x.sh ^ y.sh) AS BIGINT) AS hamming",
+        s"$mExpr AS m")
+      .filter(col("hamming") <= HammingHistMax)
+      .groupBy(col("hamming"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("hamming"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(expr("cnt div m")).as("n_pairs"))
     val w = Window.orderBy(col("hamming"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = hist.agg(sum(col("n_pairs")).as("total"))
@@ -2609,16 +2632,22 @@ object DedupOps {
                 % ${1L << SimhashBandBits} AS bv
             FROM sh, (SELECT unnest(range(0,
               ${32 / SimhashBandBits})) AS j) j),
-          pairs AS (
-            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-              x.sh AS sa, y.sh AS sb
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.bv = y.bv
-                AND x.doc_id < y.doc_id),
+          cells AS (
+            SELECT hamming, m, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              SELECT CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT)
+                  AS hamming,
+                CAST(${(0 until 32 / SimhashBandBits).map(j =>
+                  s"(CASE WHEN (xor(x.sh, y.sh) >> ${j * SimhashBandBits}) " +
+                    s"& ${(1L << SimhashBandBits) - 1} = 0 THEN 1 ELSE 0 END)")
+                  .mkString(" + ")} AS BIGINT) AS m
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bv = y.bv
+                  AND x.doc_id < y.doc_id) z
+            WHERE hamming <= $HammingHistMax
+            GROUP BY hamming, m),
           hist AS (
-            SELECT CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
-              CAST(COUNT(*) AS BIGINT) AS n_pairs
-            FROM pairs GROUP BY 1),
+            SELECT hamming, CAST(SUM(cnt // m) AS BIGINT) AS n_pairs
+            FROM cells GROUP BY 1),
           tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM hist)
           SELECT hamming, n_pairs,
             CAST(SUM(n_pairs) OVER (ORDER BY hamming

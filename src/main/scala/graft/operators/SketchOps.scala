@@ -307,6 +307,60 @@ object SketchOps {
       .orderBy("doc_id")
   }
 
+  /** Deliberately SMALL address space for [[dedupBloomFpr]] — the
+    * production filter's 2^20 bits are so empty at gate scale that
+    * every measured rate would be 0; calibration needs occupancy. */
+  val CalBloomBits: Long = 1L << 12
+
+  /** Bloom-filter FPR calibration (`dedup_bloom_fpr`) — the
+    * measurement behind choosing k (hashes per key) for the dedup
+    * gate: for each k = 1..[[BloomK]], build the filter over the
+    * corpus fingerprints in a [[CalBloomBits]]-bit space, probe it
+    * with the TRUE NON-MEMBERS of the incoming batch (exact-dup
+    * probes are removed by an anti join first — a duplicate "hit" is
+    * correct, not false), and report occupancy and the measured
+    * false-positive rate. The textbook trade-off appears as data:
+    * occupancy grows with k while per-probe evidence compounds, so
+    * FPR dips then climbs — where it dips is the k to ship. All
+    * counting is integer; the two rates are one division each. Cost:
+    * BloomK passes over the O(distinct fps) relation, each bounded by
+    * the address space — corpus-size-independent after the fingerprint
+    * rollup. */
+  val dedupBloomFpr: Q = (s, d) => {
+    val dd = docs(s, d)
+    val fps = dd.filter(!isNew(col("doc_id")))
+      .select(Hashing.charHash(col("text")).as("fp")).distinct()
+      .transform(graft.Checkpointing.cut)
+    val nonMembers = dd.filter(isNew(col("doc_id")))
+      .select(col("doc_id"), Hashing.charHash(col("text")).as("fp"))
+      .join(fps, Seq("fp"), "left_anti")
+      .transform(graft.Checkpointing.cut)
+    (1 to BloomK).map { k =>
+      val bloom = fps
+        .select(explode(posArray(col("fp"), CalBloomBits, k)).as("pos"))
+        .distinct().withColumn("hit", lit(1L))
+      val bits = bloom.agg(count(lit(1)).as("bits_set"))
+      val probes = nonMembers
+        .select(col("doc_id"),
+          explode(posArray(col("fp"), CalBloomBits, k)).as("pos"))
+        .join(broadcast(bloom), Seq("pos"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("nhit"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("nhit") === k.toLong, 1L).otherwise(0L))
+            .as("n_false_pos"))
+      probes.crossJoin(broadcast(bits))
+        .select(lit(k.toLong).as("k"), col("bits_set"),
+          (col("bits_set").cast("double") / lit(CalBloomBits.toDouble))
+            .as("occupancy"),
+          col("n_probes"), col("n_false_pos"),
+          when(col("n_probes") > 0L,
+            col("n_false_pos").cast("double") /
+              col("n_probes").cast("double"))
+            .otherwise(lit(0.0)).as("fpr"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
+
   /** The (row, bucket, cnt) Count-Min cell matrix of a documents
     * relation — ≤ [[CmsDepth]]·[[CmsWidth]] rows regardless of corpus
     * size. Shared by the batch probe and the streaming monitor
@@ -956,6 +1010,7 @@ object SketchOps {
   val defs: Map[String, Q] = Map(
     "tf_hll_by_source" -> tfHllBySource,
     "dedup_bloom_probe" -> dedupBloomProbe,
+    "dedup_bloom_fpr" -> dedupBloomFpr,
     "dedup_kmv_distinct" -> dedupKmvDistinct,
     "dedup_kmv_merge" -> dedupKmvMerge,
     "dedup_kmv_overlap" -> dedupKmvOverlap,
@@ -1065,7 +1120,57 @@ object SketchOps {
         FROM agg"""
 
   // lazy: interpolates sibling-object constants (see TextOps.oracle)
+  /** Per-k position list for the FPR-calibration oracle. */
+  private def sqlCalPosList(k: Int): String =
+    (0 until k).map(i => sqlSketchPos("fp", i, CalBloomBits))
+      .mkString("[", ", ", "]")
+
   lazy val oracle: Map[String, String] = Map(
+    // FPR calibration: one bloom/probe CTE pair per k, generated from
+    // the same affine constants; exact-dup probes anti-joined away
+    // before probing (a dup hit is correct, not false).
+    "dedup_bloom_fpr" -> {
+      val perK = (1 to BloomK).map { k =>
+        s"""bloom$k AS MATERIALIZED (
+             SELECT DISTINCT pos FROM (
+               SELECT unnest(${sqlCalPosList(k)}) AS pos FROM fps)),
+           pr$k AS (
+             SELECT p.doc_id,
+               CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nhit
+             FROM (SELECT doc_id, unnest(${sqlCalPosList(k)}) AS pos
+                   FROM nm) p
+             LEFT JOIN bloom$k b ON b.pos = p.pos
+             GROUP BY p.doc_id),
+           agg$k AS (
+             SELECT CAST($k AS BIGINT) AS k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bloom$k)
+                 AS bits_set,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN nhit = $k THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_false_pos
+             FROM pr$k)"""
+      }.mkString(",\n         ")
+      val unions = (1 to BloomK)
+        .map(k => s"SELECT * FROM agg$k").mkString("\n           UNION ALL ")
+      s"""WITH fps AS MATERIALIZED (
+            SELECT DISTINCT ${Hashing.sqlCharHash("text")} AS fp
+            FROM documents WHERE NOT ($sqlIsNew)),
+          nm AS MATERIALIZED (
+            SELECT doc_id, fp FROM (
+              SELECT doc_id, ${Hashing.sqlCharHash("text")} AS fp
+              FROM documents WHERE $sqlIsNew) probe
+            WHERE fp NOT IN (SELECT fp FROM fps)),
+          $perK
+          SELECT k, bits_set,
+            CAST(bits_set AS DOUBLE) / ${CalBloomBits.toDouble}
+              AS occupancy,
+            n_probes, n_false_pos,
+            CASE WHEN n_probes > 0
+              THEN CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE)
+              ELSE 0.0 END AS fpr
+          FROM ($unions) z ORDER BY k"""
+    },
     "tf_hll_by_source" ->
       s"""WITH ${sqlShingleRows("source")},
             hs AS (SELECT DISTINCT tag AS source, h FROM shl),

@@ -22,10 +22,15 @@ class HammingHistogramSpec extends SparkSpec {
     assert(zero == clusterPairs,
       "identical fingerprints share every band, so no 0-distance " +
         "pair can escape the candidate join")
-    // CDF shape: distances sorted, counts positive, cum monotone to 1
+    // CDF shape: distances sorted within the calibration range,
+    // counts positive, cum monotone to 1
     assert(hist.map(_.getAs[Long]("hamming")).toSeq ==
       hist.map(_.getAs[Long]("hamming")).sorted.toSeq)
-    hist.foreach(r => assert(r.getAs[Long]("n_pairs") > 0L))
+    hist.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0L)
+      assert(r.getAs[Long]("hamming") <= DedupOps.HammingHistMax,
+        "out-of-range pairs must be cut before the shuffle")
+    }
     val cums = hist.map(_.getAs[Long]("cum_pairs")).toSeq
     assert(cums == hist.map(_.getAs[Long]("n_pairs"))
       .scanLeft(0L)(_ + _).tail.toSeq)
