@@ -29,7 +29,10 @@ pii_release_suppressed \
 q31_agg_delta tf_compression_ratio dedup_lsh_precision dedup_unicode dedup_component_profile \
 dedup_substring_spans dedup_spans_remove ev_user_hits emb_principal_dir \
 q33_topk_delta q34_join_skew doc_length_ks ann_footrule emb_dim_variance \
-doc_source_hhi ev_watermark_audit ev_gap_histogram stream_topk_value"
+doc_source_hhi ev_watermark_audit ev_gap_histogram stream_topk_value \
+ev_user_triangles ev_user_kcore ev_graph_assortativity \
+dedup_hamming_histogram emb_knn_label_agreement emb_class_separation \
+q35_basket_lift tf_oov_burst q37_retract_delta ev_session_paths"
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"

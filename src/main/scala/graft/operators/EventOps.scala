@@ -391,6 +391,33 @@ object EventOps {
       .orderBy("cohort_week", "age_week")
   }
 
+  /** Daily new-vs-returning split (`ev_new_vs_returning`) — the
+    * operational twin of the retention triangle: per active day, how
+    * many users are seen for the FIRST time vs returning, and the
+    * new-user share. Growth that is all new users with no returning
+    * base is churn in disguise — the one-glance health metric every
+    * ingest dashboard carries. Two combinable aggregates (distinct
+    * user-days; per-user min day) + one equi-join; all integer with
+    * one final division; output is O(days). */
+  val evNewVsReturning: Q = (s, d) => {
+    val days = ev(s, d)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id")
+      .agg(min(col("day")).as("first_day"))
+    days.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        (col("n_new").cast("double") / col("n_active").cast("double"))
+          .as("new_share"))
+      .orderBy("day")
+  }
+
   /** Audience-overlap matrix (`ev_type_overlap`) — exact pairwise
     * Jaccard of USER sets across event types: the audience-planning
     * twin of the KMV cross-SOURCE matrix (`dedup_kmv_matrix`), exact
@@ -1726,6 +1753,7 @@ object EventOps {
     "ev_session_paths" -> evSessionPaths,
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_type_overlap" -> evTypeOverlap,
+    "ev_new_vs_returning" -> evNewVsReturning,
     "ev_seasonal_naive" -> evSeasonalNaive,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
@@ -2424,6 +2452,26 @@ object EventOps {
            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          FROM deg d LEFT JOIN pern p ON p.node = d.node
          ORDER BY user_id""",
+
+    // New vs returning: distinct user-days, per-user min day, one
+    // equi-join; share is one division.
+    "ev_new_vs_returning" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+           FROM events),
+         first AS (
+           SELECT user_id, CAST(MIN(day) AS BIGINT) AS first_day
+           FROM days GROUP BY user_id)
+         SELECT d.day, CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(COUNT(*) - SUM(CASE WHEN d.day = f.first_day
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS new_share
+         FROM days d JOIN first f ON f.user_id = d.user_id
+         GROUP BY d.day ORDER BY d.day""",
 
     // Type overlap: grid completed from the size table, one user
     // self-join, Jaccard = one division of exact BIGINTs.

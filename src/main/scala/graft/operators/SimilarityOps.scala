@@ -1343,6 +1343,33 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Worst vectors surfaced per label by [[embPqDistortion]]. */
+  val DistortionTopK = 5
+
+  /** PQ distortion hotlist (`emb_pq_distortion`) — the reconstruction
+    * audit run before trusting PQ codes for serving: per label, the
+    * [[DistortionTopK]] vectors with the largest quantization error
+    * ([[embPqEncode]]'s `sq_err`, fixed-subspace-order fold — already
+    * engine-deterministic). A label over-represented here is poorly
+    * served by the shared codebook (its residuals are large → its ADC
+    * rankings degrade first) — the per-class complement of the global
+    * recall curves, deliberately rank-based so no distortion
+    * threshold constant has to be guessed. The per-label rank ≤ k
+    * compiles to WindowGroupLimit (top-k per group, never a full
+    * per-label sort). */
+  val embPqDistortion: Q = (s, d) => {
+    val lab = emb(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("sq_err").desc, col("vec_id"))
+    embPqEncode(s, d).select(col("vec_id"), col("sq_err"))
+      .join(lab, "vec_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= DistortionTopK)
+      .select(col("label"), col("rank"), col("vec_id"), col("sq_err"))
+      .orderBy("label", "rank")
+  }
+
   /** ANN search over the COMPRESSED index — asymmetric distance
     * computation (ADC), the reason PQ exists: each query precomputes a
     * distance LOOKUP TABLE (its subvector's distance to every
@@ -2165,6 +2192,7 @@ object SimilarityOps {
     "ann_filtered_recall" -> annFilteredRecall,
     "emb_dup_text_verify" -> embDupTextVerify,
     "emb_pq_encode" -> embPqEncode,
+    "emb_pq_distortion" -> embPqDistortion,
     "ann_pq_adc" -> annPqAdc,
     "ann_pq_recall" -> annPqRecall,
     "ann_pq_rerank" -> annPqRerank,
@@ -3168,6 +3196,22 @@ object SimilarityOps {
             ${sqlPick(0, "dist")} + ${sqlPick(1, "dist")}
               + ${sqlPick(2, "dist")} + ${sqlPick(3, "dist")} AS sq_err
           FROM pqa GROUP BY vec_id ORDER BY vec_id""",
+    "emb_pq_distortion" ->
+      s"""WITH $sqlPqCtes,
+          enc AS (
+            SELECT vec_id,
+              ${sqlPick(0, "dist")} + ${sqlPick(1, "dist")}
+                + ${sqlPick(2, "dist")} + ${sqlPick(3, "dist")}
+                AS sq_err
+            FROM pqa GROUP BY vec_id)
+          SELECT label, rank, vec_id, sq_err FROM (
+            SELECT CAST(e2.label AS BIGINT) AS label, enc.vec_id,
+              enc.sq_err,
+              CAST(ROW_NUMBER() OVER (PARTITION BY e2.label
+                ORDER BY enc.sq_err DESC, enc.vec_id) AS BIGINT)
+                AS rank
+            FROM enc JOIN embeddings e2 ON e2.vec_id = enc.vec_id) z
+          WHERE rank <= $DistortionTopK ORDER BY label, rank""",
     "ann_pq_adc" ->
       s"""WITH $sqlPqCtes, $sqlAdcCtes
           SELECT query_id, rank, cand_id, adc FROM (
