@@ -391,6 +391,105 @@ object EventOps {
       .orderBy("cohort_week", "age_week")
   }
 
+  /** A/A experiment harness (`ev_ab_lift`) — the calibration run
+    * every experimentation pipeline needs BEFORE real experiments:
+    * users split into two arms by a deterministic hash coin, view →
+    * purchase conversion compared with the two-proportion z statistic.
+    * Because the assignment is a hash of user_id, the two arms are
+    * exchangeable BY CONSTRUCTION — a |z| that is not small means the
+    * metric plumbing (dedup, sessionization, joins) leaks between
+    * arms, not that an effect exists. Exactness: conversion counting
+    * is integer (per-user EXISTS flags, one combinable rollup); the
+    * rates, lift, and z are ONE fixed double-expression tree over the
+    * four exact counts (sqrt is a single correctly-rounded IEEE op,
+    * same on both engines). Output is one row. */
+  val evAbLift: Q = (s, d) => {
+    val perUser = ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("viewed"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .filter(col("viewed") === 1L)
+      .select(
+        (Hashing.charHash(col("user_id").cast("string")) % 2L).as("arm"),
+        col("converted"))
+    val agg = perUser.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0L, col("converted")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("arm") === 1L, col("converted")).otherwise(0L))
+        .as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    // a degenerate pool (nobody or everybody converts) has zero
+    // variance and therefore no z — pinned to 0.0, matching the
+    // zero-variance convention everywhere else (and ANSI mode makes
+    // the unguarded /0 an error, not an Infinity)
+    val degenerate = col("n_a") === 0L || col("n_b") === 0L ||
+      col("conv_a") + col("conv_b") === 0L ||
+      col("conv_a") + col("conv_b") === col("n_a") + col("n_b")
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(col("n_a") > 0L, pa).otherwise(lit(0.0)).as("rate_a"),
+      when(col("n_b") > 0L, pb).otherwise(lit(0.0)).as("rate_b"),
+      when(degenerate, lit(0.0)).otherwise(pb - pa).as("lift"),
+      when(degenerate, lit(0.0))
+        .otherwise((pb - pa) /
+          sqrt(pool * (lit(1.0) - pool) *
+            (lit(1.0) / na + lit(1.0) / nb)))
+        .as("z"))
+  }
+
+  /** CUSUM change-point detection (`ev_cusum_change`) — the
+    * sequential-shift alarm `ev_hourly_anomaly` (pointwise) cannot
+    * raise: per event type, the cumulative sum of daily-count
+    * deviations from the corpus mean, its extreme, and the day it
+    * peaks — the classic level-shift locator (a crawl source turning
+    * off mid-month moves no single day far enough to flag pointwise,
+    * but the CUSUM walks away linearly from the shift onward).
+    * Exactness: the statistic is kept PRE-DIVISION — S'_t =
+    * Σ(x_i·D − T) = D·CUSUM_t with D = day count and T = total, all
+    * BIGINT on the dense calendar grid (zero days count) — so no
+    * mean ever materializes; the one double is the final
+    * normalization. Argmax ties break earliest-day. Window runs on
+    * the O(types·days) grid. */
+  val evCusumChange: Q = (s, d) => {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val dense = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    val totals = dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("dd"), sum(col("n")).as("tt"))
+    val wCum = Window.partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("day"))
+    dense.join(broadcast(totals), "event_type")
+      .withColumn("s", sum(col("n") * col("dd") - col("tt")).over(wCum))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("dd").as("n_days"),
+        col("tt").as("total"), col("day").as("change_day"),
+        abs(col("s")).as("max_abs_s"),
+        (abs(col("s")).cast("double") / col("dd").cast("double"))
+          .as("max_cusum"))
+      .orderBy("event_type")
+  }
+
   /** Daily new-vs-returning split (`ev_new_vs_returning`) — the
     * operational twin of the retention triangle: per active day, how
     * many users are seen for the FIRST time vs returning, and the
@@ -1754,6 +1853,8 @@ object EventOps {
     "ev_cohort_ltv" -> evCohortLtv,
     "ev_type_overlap" -> evTypeOverlap,
     "ev_new_vs_returning" -> evNewVsReturning,
+    "ev_ab_lift" -> evAbLift,
+    "ev_cusum_change" -> evCusumChange,
     "ev_seasonal_naive" -> evSeasonalNaive,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
@@ -2452,6 +2553,94 @@ object EventOps {
            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          FROM deg d LEFT JOIN pern p ON p.node = d.node
          ORDER BY user_id""",
+
+    // A/A harness: identical hash coin, integer conversion counts,
+    // one fixed double tree for rates/lift/z (sqrt is one IEEE op).
+    "ev_ab_lift" ->
+      s"""WITH pu AS (
+           SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS viewed,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+               ELSE 0 END) AS BIGINT) AS converted
+           FROM events GROUP BY user_id),
+         armed AS (
+           SELECT ${Hashing.sqlCharHash("CAST(user_id AS VARCHAR)")}
+               % 2 AS arm, converted
+           FROM pu WHERE viewed = 1),
+         agg AS (
+           SELECT
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_b
+           FROM armed)
+         SELECT n_a, n_b, conv_a, conv_b,
+           CASE WHEN n_a > 0
+             THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             ELSE 0.0 END AS rate_a,
+           CASE WHEN n_b > 0
+             THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             ELSE 0.0 END AS rate_b,
+           CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+               OR conv_a + conv_b = n_a + n_b THEN 0.0
+             ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+               - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END
+             AS lift,
+           CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+               OR conv_a + conv_b = n_a + n_b THEN 0.0
+             ELSE (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+               - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE)
+                 + 1.0 / CAST(n_b AS DOUBLE))) END AS z
+         FROM agg""",
+
+    // CUSUM: dense calendar grid, pre-division integer statistic
+    // S' = D*CUSUM, argmax with earliest-day tie-break.
+    "ev_cusum_change" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT CAST(MIN(day) AS BIGINT) AS d0,
+             CAST(MAX(day) AS BIGINT) AS d1
+           FROM daily),
+         dense AS (
+           SELECT t.event_type, CAST(g.day AS BIGINT) AS day,
+             COALESCE(dd.n, CAST(0 AS BIGINT)) AS n
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day
+                       FROM bounds) g
+           LEFT JOIN daily dd
+             ON dd.event_type = t.event_type AND dd.day = g.day),
+         totals AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dd,
+             CAST(SUM(n) AS BIGINT) AS tt
+           FROM dense GROUP BY event_type),
+         cum AS (
+           SELECT d.event_type, d.day, t.dd, t.tt,
+             CAST(SUM(d.n * t.dd - t.tt) OVER (PARTITION BY d.event_type
+               ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS s
+           FROM dense d JOIN totals t ON t.event_type = d.event_type),
+         picked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY abs(s) DESC, day) AS rn
+           FROM cum)
+         SELECT event_type, dd AS n_days, tt AS total,
+           day AS change_day, CAST(abs(s) AS BIGINT) AS max_abs_s,
+           CAST(abs(s) AS DOUBLE) / CAST(dd AS DOUBLE) AS max_cusum
+         FROM picked WHERE rn = 1 ORDER BY event_type""",
 
     // New vs returning: distinct user-days, per-user min day, one
     // equi-join; share is one division.
