@@ -25,7 +25,7 @@ step "check sf0.1 (DuckDB oracle, full surface — slow)"
 python3 scripts/check.py /root/testdata/sf0.1 /tmp/gate_sf01 \
   2>&1 | tail -4
 
-step "probe re-measure (round-11 binary: CC plans changed -> old reps stale)"
+step "probe re-measure (late-round-11 binary: Hamming-histogram plan rework + ten new probe-list queries -> old reps stale)"
 rm -f benchdata/probe_sf0.1_*.json benchdata/probe_sf1_*.json \
   benchdata/unif0.1_*.json benchdata/unif1_*.json \
   benchdata/skew0.1_*.json benchdata/skew1_*.json

@@ -1366,7 +1366,7 @@ object EventOps {
         s"HITS init mass 10^6 div n floors to 0 at n=$n — raise " +
           "HitsScale before running at this graph scale")
       val maxOutw = edges.groupBy("src").agg(sum(col("w")).as("tw"))
-        .agg(max(col("tw"))).head.getLong(0)
+        .agg(max(col("tw"))).head().getLong(0)
       require(maxOutw < (Long.MaxValue / HitsScale) / HitsScale,
         s"HITS normalize overflows at weighted out-degree $maxOutw " +
           s">= 2^63/HitsScale^2 — lower HitsScale (see Scaladoc)")
