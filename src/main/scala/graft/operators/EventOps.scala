@@ -391,6 +391,51 @@ object EventOps {
       .orderBy("cohort_week", "age_week")
   }
 
+  /** Bot-suspect triage (`ev_bot_score`) — the rule-based exclusion
+    * list a graph-weighted sampler consults before trusting
+    * engagement: a user is a SUSPECT on any of three exact integer
+    * rules and a BOT on two or more —
+    *   rate: more than 3× an equal share of corpus events
+    *     (`n_u·n_users > 3·total`, cross-multiplied);
+    *   all-hours: active in ≥ 20 of 24 hours-of-day (humans sleep;
+    *     click farms staff shifts);
+    *   ring: referral clustering ≥ 0.8 at degree ≥ 4
+    *     (`10·tri ≥ 4·d·(d−1)` — a reciprocally-referring clique,
+    *     the [[evUserTriangles]] cohesion signal as a rule).
+    * Rules are deliberately interpretable and separable (each bit
+    * ships, not just the verdict) so governance can audit WHY a user
+    * was excluded — the same per-rule discipline as
+    * `doc_keep_decision`. All counting combinable; the triangle side
+    * reuses the degree-oriented census; output is O(suspects). */
+  val evBotScore: Q = (s, d) => {
+    val perUser = ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(hour(col("ts"))).as("n_hours"))
+    val totals = perUser.agg(count(lit(1)).as("n_users"),
+      sum(col("n_events")).as("total_events"))
+    val tri = trianglesOf(referralUndirected(s, d))
+      .select(col("node").as("user_id"), col("degree"),
+        col("tri_count"))
+    perUser.crossJoin(broadcast(totals))
+      .join(tri, Seq("user_id"), "left")
+      .na.fill(0L, Seq("degree", "tri_count"))
+      .select(col("user_id"), col("n_events"), col("n_hours"),
+        col("degree"), col("tri_count"),
+        (col("n_events") * col("n_users") >
+          col("total_events") * 3L).as("rate_flag"),
+        (col("n_hours") >= 20L).as("allhours_flag"),
+        (col("degree") >= 4L &&
+          col("tri_count") * 10L >=
+            col("degree") * (col("degree") - 1L) * 4L).as("ring_flag"))
+      .withColumn("n_flags",
+        col("rate_flag").cast("long") + col("allhours_flag").cast("long") +
+          col("ring_flag").cast("long"))
+      .filter(col("n_flags") >= 1L)
+      .withColumn("bot", col("n_flags") >= 2L)
+      .orderBy("user_id")
+  }
+
   /** A/A experiment harness (`ev_ab_lift`) — the calibration run
     * every experimentation pipeline needs BEFORE real experiments:
     * users split into two arms by a deterministic hash coin, view →
@@ -1854,6 +1899,7 @@ object EventOps {
     "ev_type_overlap" -> evTypeOverlap,
     "ev_new_vs_returning" -> evNewVsReturning,
     "ev_ab_lift" -> evAbLift,
+    "ev_bot_score" -> evBotScore,
     "ev_cusum_change" -> evCusumChange,
     "ev_seasonal_naive" -> evSeasonalNaive,
     "ev_gap_histogram" -> evGapHistogram,
@@ -2552,6 +2598,76 @@ object EventOps {
                / CAST(d.degree * (d.degree - 1) AS DOUBLE)
            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          FROM deg d LEFT JOIN pern p ON p.node = d.node
+         ORDER BY user_id""",
+
+    // Bot triage: the triangle CTEs verbatim + per-user combinable
+    // counts; every rule is an integer cross-multiplication.
+    "ev_bot_score" ->
+      s"""WITH seq AS (
+           SELECT user_id,
+             lead(user_id) OVER (PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               AS next_user
+           FROM events),
+         und AS MATERIALIZED (
+           SELECT DISTINCT least(user_id, next_user) AS u,
+             greatest(user_id, next_user) AS v
+           FROM seq
+           WHERE next_user IS NOT NULL
+             AND ${Hashing.sqlCharHash("CAST(user_id AS VARCHAR)")}
+               % 10 < $PrEngagedPct
+             AND user_id <> next_user),
+         deg AS (
+           SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+             SELECT u AS node FROM und
+             UNION ALL SELECT v AS node FROM und) t
+           GROUP BY 1),
+         tri AS (
+           SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           FROM und e1
+           JOIN und e2 ON e2.u = e1.v
+           JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pern AS (
+           SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM (
+             SELECT x AS node FROM tri
+             UNION ALL SELECT y AS node FROM tri
+             UNION ALL SELECT z AS node FROM tri) t
+           GROUP BY 1),
+         pu AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT hour(ts)) AS BIGINT) AS n_hours
+           FROM events GROUP BY user_id),
+         tot AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_events) AS BIGINT) AS total_events
+           FROM pu),
+         scored AS (
+           SELECT pu.user_id, pu.n_events, pu.n_hours,
+             COALESCE(d.degree, CAST(0 AS BIGINT)) AS degree,
+             COALESCE(p.tri_count, CAST(0 AS BIGINT)) AS tri_count,
+             (pu.n_events * t.n_users > t.total_events * 3)
+               AS rate_flag,
+             (pu.n_hours >= 20) AS allhours_flag,
+             (COALESCE(d.degree, 0) >= 4
+               AND COALESCE(p.tri_count, 0) * 10
+                 >= COALESCE(d.degree, 0)
+                   * (COALESCE(d.degree, 0) - 1) * 4) AS ring_flag
+           FROM pu CROSS JOIN tot t
+           LEFT JOIN deg d ON d.node = pu.user_id
+           LEFT JOIN pern p ON p.node = pu.user_id)
+         SELECT user_id, n_events, n_hours, degree, tri_count,
+           rate_flag, allhours_flag, ring_flag,
+           CAST((CASE WHEN rate_flag THEN 1 ELSE 0 END)
+             + (CASE WHEN allhours_flag THEN 1 ELSE 0 END)
+             + (CASE WHEN ring_flag THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flags,
+           ((CASE WHEN rate_flag THEN 1 ELSE 0 END)
+             + (CASE WHEN allhours_flag THEN 1 ELSE 0 END)
+             + (CASE WHEN ring_flag THEN 1 ELSE 0 END)) >= 2 AS bot
+         FROM scored
+         WHERE (CASE WHEN rate_flag THEN 1 ELSE 0 END)
+             + (CASE WHEN allhours_flag THEN 1 ELSE 0 END)
+             + (CASE WHEN ring_flag THEN 1 ELSE 0 END) >= 1
          ORDER BY user_id""",
 
     // A/A harness: identical hash coin, integer conversion counts,

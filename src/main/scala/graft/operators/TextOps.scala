@@ -113,6 +113,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Readability scoring (`text_readability`) — the Flesch reading
+    * ease over exact integer counts: sentences (runs of [.!?];
+    * floor 1 so fragments score as one sentence), whitespace words,
+    * and a vowel-group syllable proxy (runs of [aeiouy] — the
+    * standard cheap estimator). Reading ease feeds the quality gate
+    * the same way stopword ratio does, but on the COMPLEXITY axis: a
+    * corpus stuffed with SEO keyword lists scores unreadably high
+    * syllable density, OCR soup scores absurd sentence lengths.
+    * Exactness: the three counts are integers from Java≡RE2 regex
+    * classes; the score is ONE fixed double-expression tree (both
+    * engines parse identical literals to identical doubles); the band
+    * thresholds compare those identical doubles. */
+  val textReadability: Q = (s, d) => {
+    val nSent = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"), lit(1L))
+    val nWords = size(toks).cast("long")
+    val nSyl = size(regexp_extract_all(col("text"),
+      lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+    val flesch = lit(206.835) -
+      lit(1.015) * (col("n_words").cast("double") /
+        col("n_sentences").cast("double")) -
+      lit(84.6) * (col("n_syllables").cast("double") /
+        col("n_words").cast("double"))
+    docs(s, d)
+      .select(col("doc_id"), nSent.as("n_sentences"),
+        nWords.as("n_words"), nSyl.as("n_syllables"))
+      .filter(col("n_words") > 0L)
+      .withColumn("flesch", flesch)
+      .withColumn("band",
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "medium").otherwise("hard"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: rolling char hash + 32-bit SimHash. */
   val textFingerprint: Q = (s, d) =>
     docs(s, d)
@@ -1976,6 +2011,7 @@ object TextOps {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_script_mix" -> textScriptMix,
+    "text_readability" -> textReadability,
     "text_fingerprint" -> textFingerprint,
     "tf_compression_ratio" -> tfCompressionRatio,
     "text_token_count" -> textTokenCount,
@@ -2716,6 +2752,30 @@ object TextOps {
           FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
           ORDER BY d.doc_id"""
     },
+    // Readability: integer counts from Java≡RE2 classes, one fixed
+    // double tree, bands compare identical doubles.
+    "text_readability" ->
+      s"""WITH c AS (
+            SELECT doc_id,
+              greatest(CAST(length(regexp_extract_all(text, '[.!?]+'))
+                AS BIGINT), 1) AS n_sentences,
+              CAST(length($sqlToks) AS BIGINT) AS n_words,
+              CAST(length(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                AS BIGINT) AS n_syllables
+            FROM documents),
+          scored AS (
+            SELECT doc_id, n_sentences, n_words, n_syllables,
+              206.835
+                - 1.015 * (CAST(n_words AS DOUBLE)
+                  / CAST(n_sentences AS DOUBLE))
+                - 84.6 * (CAST(n_syllables AS DOUBLE)
+                  / CAST(n_words AS DOUBLE)) AS flesch
+            FROM c WHERE n_words > 0)
+          SELECT doc_id, n_sentences, n_words, n_syllables, flesch,
+            CASE WHEN flesch >= 60.0 THEN 'easy'
+              WHEN flesch >= 30.0 THEN 'medium' ELSE 'hard' END AS band
+          FROM scored ORDER BY doc_id""",
+
     // Script mix: same length-minus-replaced arithmetic; DuckDB's
     // regexp_replace needs the 'g' flag to strip ALL matches.
     "text_script_mix" ->
