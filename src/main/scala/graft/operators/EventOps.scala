@@ -143,6 +143,43 @@ object EventOps {
       .orderBy("rank")
   }
 
+  /** Peak session concurrency (`ev_peak_concurrency`) — the classic
+    * SWEEP-LINE over the sessionizer's intervals: +1 at each session
+    * start, −1 one second past its inclusive end, running sum, max —
+    * the capacity number ("how many sessions were ever live at once")
+    * that no per-session aggregate can produce. Tie convention is
+    * pinned by ordering (time asc, delta ASC — departures before
+    * arrivals): a session starting the second another's inclusive
+    * end expires does NOT overlap it, while same-second start/start
+    * stack. (The running max is order-invariant within a same-delta
+    * tie group, so ROWS-frame peer order cannot leak into either
+    * output.) The boundary stream is O(2·sessions); the
+    * one unpartitioned window runs over it, never over events (the
+    * watermark-audit rule: at 100 TB shard the sweep by day with a
+    * carried seed). Earliest peak second reported on ties. All
+    * integer. */
+  val evPeakConcurrency: Q = (s, d) => {
+    val sessions = evSessionize(s, d)
+      .select(col("start_sec"), col("end_sec"))
+    val bounds = sessions
+      .select(col("start_sec").as("t"), lit(1L).as("delta"))
+      .unionAll(sessions
+        .select((col("end_sec") + 1L).as("t"), lit(-1L).as("delta")))
+    val sweep = Window.orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bounds
+      .withColumn("live", sum(col("delta")).over(sweep))
+    val peak = run.agg(max(col("live")).as("peak_concurrent"))
+    val n = sessions.agg(count(lit(1)).as("n_sessions"))
+    run.crossJoin(broadcast(peak))
+      .filter(col("live") === col("peak_concurrent"))
+      .agg(min(col("t")).as("first_peak_sec"))
+      .crossJoin(broadcast(peak))
+      .crossJoin(broadcast(n))
+      .select(col("n_sessions"), col("peak_concurrent"),
+        col("first_peak_sec"))
+  }
+
   /** Built-in `session_window` sessionization (the declarative twin of
     * [[evSessionize]]'s lag/cumsum plan): Spark merges session windows
     * per user in one pass. Event times are truncated to whole seconds
@@ -1900,6 +1937,7 @@ object EventOps {
     "ev_new_vs_returning" -> evNewVsReturning,
     "ev_ab_lift" -> evAbLift,
     "ev_bot_score" -> evBotScore,
+    "ev_peak_concurrency" -> evPeakConcurrency,
     "ev_cusum_change" -> evCusumChange,
     "ev_seasonal_naive" -> evSeasonalNaive,
     "ev_gap_histogram" -> evGapHistogram,
@@ -2599,6 +2637,47 @@ object EventOps {
            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          FROM deg d LEFT JOIN pern p ON p.node = d.node
          ORDER BY user_id""",
+
+    // Peak concurrency: the sessionize CTEs + the sweep line with the
+    // pinned (time asc, delta ASC) tie order — departures process
+    // before arrivals, so end+1 == start never fakes an overlap.
+    "ev_peak_concurrency" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         flagged AS (
+           SELECT user_id, tsec,
+             CASE WHEN lag(tsec) OVER w IS NULL
+                    OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0
+               END AS boundary
+           FROM t WINDOW w AS (PARTITION BY user_id
+             ORDER BY tsec, event_id)),
+         sess AS (
+           SELECT user_id, tsec,
+             CAST(SUM(boundary) OVER (PARTITION BY user_id
+               ORDER BY tsec ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS sid
+           FROM flagged),
+         iv AS (
+           SELECT MIN(tsec) AS start_sec, MAX(tsec) AS end_sec
+           FROM sess GROUP BY user_id, sid),
+         bounds AS (
+           SELECT start_sec AS t, CAST(1 AS BIGINT) AS delta FROM iv
+           UNION ALL
+           SELECT end_sec + 1, CAST(-1 AS BIGINT) FROM iv),
+         run AS (
+           SELECT t, CAST(SUM(delta) OVER (ORDER BY t ASC, delta ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS live
+           FROM bounds),
+         pk AS (SELECT CAST(MAX(live) AS BIGINT) AS peak_concurrent
+                FROM run),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM iv)
+         SELECT nn.n_sessions, pk.peak_concurrent,
+           (SELECT CAST(MIN(t) AS BIGINT) FROM run, pk
+            WHERE run.live = pk.peak_concurrent) AS first_peak_sec
+         FROM nn, pk""",
 
     // Bot triage: the triangle CTEs verbatim + per-user combinable
     // counts; every rule is an integer cross-multiplication.
