@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_lsh_bucket(emb) - 8-plane signed-projection LSH bucket", 1)(
       es => LshBucket(es.head, graft.operators.SimilarityOps.Planes,
         graft.operators.SimilarityOps.Dims))
+    register("graft_damerau",
+      "graft_damerau(a, b) - unrestricted Damerau-Levenshtein " +
+        "(Lowrance-Wagner, transposition-aware)", 2)(
+      es => DamerauLevenshtein(es(0), es(1)))
     register("graft_float_dot",
       "graft_float_dot(a, b) - sequential-fold dot product in double", 2)(
       es => FloatDot(es(0), es(1)))

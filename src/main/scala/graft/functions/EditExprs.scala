@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumn}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unrestricted Damerau–Levenshtein distance for the dedup verifier
+  * tier.
+  *
+  * Plain Levenshtein charges an adjacent transposition two edits, so
+  * the two commonest real-world duplicate generators — typos and
+  * column-swapping OCR — look twice as far away as they are.
+  * Spark ships `levenshtein` but nothing transposition-aware, so this
+  * is a custom codegen'd expression (preference order (b) of the
+  * build brief), NOT a UDF: the generated code calls one static
+  * kernel, stays inside whole-stage codegen, and ships no closures —
+  * the same pattern as [[NfcNormalize]].
+  *
+  * The kernel is Lowrance–Wagner (1975): the full unrestricted
+  * distance where a transposed pair may be edited again later —
+  * matching DuckDB's `damerau_levenshtein` (probed:
+  * DL('CA','ABC') = 2, not the restricted OSA's 3), so the oracle
+  * mirrors the engine exactly. Cost is O(len_a·len_b) time and
+  * O(len_a·len_b) ints — the caller gates lengths exactly like the
+  * Levenshtein tier ([[graft.operators.DedupOps.EditMaxLen]]).
+  *
+  * Unit parity note: the kernel walks Java chars (UTF-16 units) and
+  * DuckDB walks codepoints — identical on BMP text (all testdata);
+  * supplementary-plane text would need a codepoint walk here.
+  */
+object EditExprs {
+  /** Static target for the generated code: Lowrance–Wagner
+    * unrestricted Damerau–Levenshtein over UTF-16 units. */
+  def damerau(ua: UTF8String, ub: UTF8String): Long = {
+    val a = ua.toString
+    val b = ub.toString
+    val n = a.length
+    val m = b.length
+    if (n == 0) return m.toLong
+    if (m == 0) return n.toLong
+    val inf = n + m
+    // d is (n+2) x (m+2), row-major
+    val w = m + 2
+    val d = new Array[Int]((n + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= n) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k: Int = {
+          val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue()
+        }
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - 1 - k) + 1 + (j - 1 - l)
+        var best = sub
+        if (ins < best) best = ins
+        if (del < best) best = del
+        if (trans < best) best = trans
+        d((i + 1) * w + j + 1) = best
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d((n + 1) * w + m + 1).toLong
+  }
+
+  /** `damerauLevenshtein(a, b) -> long` as a Column. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    GraftColumn(DamerauLevenshtein(GraftColumn.expr(a), GraftColumn.expr(b)))
+}
+
+/** `graft_damerau(a, b) -> bigint`: unrestricted Damerau–Levenshtein
+  * distance (Lowrance–Wagner), transposition-aware. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_damerau"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (left, HashExprs.isString, "STRING"),
+      (right, HashExprs.isString, "STRING"))
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    EditExprs.damerau(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.EditExprs.damerau($a, $b)")
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
