@@ -1375,6 +1375,46 @@ object TextOps {
       .orderBy("pair")
   }
 
+  /** Occurrence floor for [[tfBurstiness]] — clumping estimates on
+    * rarer tokens are noise. */
+  val BurstMinOcc = 50L
+  /** Rows kept by [[tfBurstiness]]. */
+  val BurstTopK = 20L
+
+  /** Token burstiness (`tf_burstiness`) — the Church–Gale adaptation
+    * statistic: for every frequent token, total occurrences vs the
+    * DOCUMENTS containing it, and their ratio (mean occurrences per
+    * containing doc). A token with high clumping ("Francisco",
+    * navigation chrome, code identifiers) concentrates its mass in
+    * few docs — frequency alone over-prices it for vocab and
+    * unigram-model decisions ([[tfContinuationCounts]] is the
+    * context-side view of the same failure; this is the document
+    * side). Top-[[BurstTopK]] ordered by the scaled-INTEGER key
+    * `occ·2^20 div docs` with floor ties broken by token — fully
+    * deterministic, textually mirrored in the oracle, and no double
+    * is ever compared for the ORDER; the readable ratio is one final
+    * division. One explode + one combinable groupBy; the rank window
+    * runs on the ≥[[BurstMinOcc]] slice of the vocabulary. */
+  val tfBurstiness: Q = (s, d) => {
+    val perToken = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= BurstMinOcc)
+    // integer-exact ordering: occ/docs compared by cross-product via
+    // a scaled integer key (occ·2^20 div docs fits the gate range)
+    val rankKey = expr("(n_occ << 20) div n_docs")
+    perToken
+      .withColumn("rank", row_number().over(
+        Window.orderBy(rankKey.desc, col("tok"))).cast("long"))
+      .filter(col("rank") <= BurstTopK)
+      .select(col("rank"), col("tok"), col("n_occ"), col("n_docs"),
+        (col("n_occ").cast("double") / col("n_docs").cast("double"))
+          .as("occ_per_doc"))
+      .orderBy("rank")
+  }
+
   /** Zipf diagnostic: the top-50 tokens with frequency rank and the
     * rank·count product (roughly constant under Zipf's law — a flat
     * product column is the healthy-natural-corpus signature, and a
@@ -2004,6 +2044,7 @@ object TextOps {
 
   val defs: Map[String, Q] = Map(
     "tf_oov_burst" -> tfOovBurst,
+    "tf_burstiness" -> tfBurstiness,
     "doc_pareto_sources" -> docParetoSources,
     "doc_length_ks" -> docLengthKs,
     "doc_source_hhi" -> docSourceHhi,
@@ -2150,6 +2191,26 @@ object TextOps {
               AND new_occ * prev_total > prev_new * total_occ * 2)
               AS burst
           FROM lagged ORDER BY batch""",
+
+    // Burstiness: same scaled-integer ordering key, floor ties by
+    // token; the ratio is one final division.
+    "tf_burstiness" ->
+      s"""WITH pt AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (SELECT doc_id, unnest($sqlToks) AS tok
+                  FROM documents) x
+            GROUP BY tok
+            HAVING COUNT(*) >= $BurstMinOcc)
+          SELECT rank, tok, n_occ, n_docs,
+            CAST(n_occ AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              AS occ_per_doc
+          FROM (
+            SELECT CAST(ROW_NUMBER() OVER (
+                ORDER BY (n_occ << 20) // n_docs DESC, tok) AS BIGINT)
+                AS rank, tok, n_occ, n_docs
+            FROM pt) r
+          WHERE rank <= $BurstTopK ORDER BY rank""",
 
     // Pareto coverage: the window runs over the per-(lang,source)
     // rollup; n80 = strictly-before-the-80%-cut prefix + 1, all
