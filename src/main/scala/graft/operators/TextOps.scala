@@ -308,6 +308,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Decontamination drop bar: a doc sharing ≥ 1/[[DecontamBar]] of
+    * its distinct 5-grams with the benchmark set is dropped
+    * (`n_hits·DecontamBar ≥ n_grams`, integer cross-multiplied). */
+  val DecontamBar = 4L
+
+  /** Decontamination ENFORCEMENT (`doc_decontaminate`) — the action
+    * [[textContamination]]'s detector feeds, completing the
+    * detect→enforce pairs (`pii_k_anonymity`→`pii_release_suppressed`,
+    * `dedup_substring_spans`→`dedup_spans_remove`): every corpus doc
+    * gets a VERDICT — `benchmark` (the eval material itself, never
+    * trainable), `dropped_contaminated` (≥ 25% distinct-5-gram
+    * overlap with the benchmark — memorized-eval leakage), `kept`
+    * (below the bar), or `kept_short` (< 5 tokens, no grams to
+    * judge, kept with zero evidence rather than silently dropped).
+    * Same broadcast-benchmark equi-join as the detector; the verdict
+    * is integer cross-multiplication; output is the O(docs) manifest
+    * a training run consumes. */
+  val docDecontaminate: Q = (s, d) => {
+    val grams = docs(s, d)
+      .withColumn("toks", Hashing.tokens(col("text")))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Hashing.hashAll(Hashing.ngrams(col("toks"), 5)))).as("gh"))
+    val bench = grams.filter(col("doc_id") < 5)
+      .select(col("gh")).distinct()
+    val corpus = grams.filter(col("doc_id") >= 5)
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(bench), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs(s, d).select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        when(col("doc_id") < 5, "benchmark")
+          .when(col("n_grams") === 0L, "kept_short")
+          .when(col("n_hits") * DecontamBar >= col("n_grams"),
+            "dropped_contaminated")
+          .otherwise("kept").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition scoring: fraction of a document's word 3-grams that
     * are duplicates — the standard "excessive repetition" pre-training
     * quality filter (high ratio ⇒ boilerplate/spam/generated loops).
@@ -2059,6 +2102,7 @@ object TextOps {
     "text_longest_doc" -> textLongestDoc,
     "text_keyterms" -> textKeyterms,
     "text_contamination" -> textContamination,
+    "doc_decontaminate" -> docDecontaminate,
     "text_repetition" -> textRepetition,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_quota" -> docSampleQuota,
@@ -2405,6 +2449,36 @@ object TextOps {
               / CAST(t.n_grams AS DOUBLE) AS contamination
           FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
           ORDER BY t.doc_id""",
+    // Decontamination enforcement: the detector's CTEs + the integer
+    // cross-multiplied verdict over EVERY doc (benchmark material and
+    // gram-less shorts included, never silently dropped).
+    "doc_decontaminate" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+              unnest(list_distinct(${Hashing.sqlHashAll(
+                Hashing.sqlNgrams("toks", 5))})) AS gh
+            FROM (SELECT doc_id, $sqlToks AS toks FROM documents) t
+            WHERE length(toks) >= 5),
+          bench AS (SELECT DISTINCT gh FROM g WHERE doc_id < 5),
+          corpus AS (SELECT doc_id, gh FROM g WHERE doc_id >= 5),
+          totals AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM corpus GROUP BY doc_id),
+          hits AS (
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM corpus c JOIN bench b ON c.gh = b.gh GROUP BY c.doc_id)
+          SELECT d.doc_id,
+            COALESCE(t.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+            COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+            CASE WHEN d.doc_id < 5 THEN 'benchmark'
+              WHEN COALESCE(t.n_grams, 0) = 0 THEN 'kept_short'
+              WHEN COALESCE(h.n_hits, 0) * $DecontamBar
+                >= COALESCE(t.n_grams, 0) THEN 'dropped_contaminated'
+              ELSE 'kept' END AS verdict
+          FROM documents d
+          LEFT JOIN totals t ON t.doc_id = d.doc_id
+          LEFT JOIN hits h ON h.doc_id = d.doc_id
+          ORDER BY d.doc_id""",
     "text_repetition" ->
       s"""SELECT doc_id,
           CAST(length(g) AS BIGINT) AS n_grams,
