@@ -646,6 +646,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Calibration bins for [[docAffinityCalibration]] over the
+    * affinity range [−1, 1]. */
+  val AffinityCalBins = 10L
+
+  /** Affinity-classifier calibration (`doc_affinity_calibration`) —
+    * the evidence behind trusting the DSIR affinity score as a
+    * selection key: per fixed-width affinity bin, how often is the
+    * document actually target-language? A monotone target-rate curve
+    * says the score RANKS correctly (all any threshold/rank selection
+    * needs); a flat or folded curve says the hashed-bigram model is
+    * saturated or confused and no threshold is safe. Binning is
+    * exact-integer off the score's own numerators
+    * (`(n_pos − n_neg + n_feat)·BINS div (2·n_feat)`, top edge
+    * clipped) — no double is ever bucketed; target rate is one
+    * division. Runs on the O(docs) affinity relation; output is
+    * O(bins). */
+  val docAffinityCalibration: Q = (s, d) => {
+    val aff = docTargetAffinity(s, d)
+      .select(col("doc_id"), col("n_feat"), col("n_pos"), col("n_neg"))
+    val target = docs(s, d).select(col("doc_id"),
+      (col("lang") === "en").cast("long").as("is_target"))
+    aff.join(target, "doc_id")
+      .select(least(expr(
+        s"((n_pos - n_neg + n_feat) * $AffinityCalBins) div (2 * n_feat)"),
+        lit(AffinityCalBins - 1)).as("bin"), col("is_target"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_target")).as("n_target"))
+      .select(col("bin"),
+        ((col("bin") * 2 - AffinityCalBins).cast("double") /
+          AffinityCalBins.toDouble).as("bin_lo"),
+        col("n_docs"), col("n_target"),
+        (col("n_target").cast("double") / col("n_docs").cast("double"))
+          .as("target_rate"))
+      .orderBy("bin")
+  }
+
   /** Selection budget for [[docAffinitySelect]]: keep the top
     * [[AffKeepNum]]/[[AffKeepDen]] of each source by affinity. */
   val AffKeepNum = 2
@@ -2108,6 +2144,7 @@ object TextOps {
     "doc_sample_quota" -> docSampleQuota,
     "doc_unigram_score" -> docUnigramScore,
     "doc_target_affinity" -> docTargetAffinity,
+    "doc_affinity_calibration" -> docAffinityCalibration,
     "doc_affinity_select" -> docAffinitySelect,
     "doc_affinity_select_threshold" -> docAffinitySelectThreshold,
     "doc_mix_epochs" -> docMixEpochs,
@@ -2235,6 +2272,25 @@ object TextOps {
               AND new_occ * prev_total > prev_new * total_occ * 2)
               AS burst
           FROM lagged ORDER BY batch""",
+
+    // Affinity calibration: integer binning off the score's own
+    // numerators (top edge clipped); target rate one division.
+    "doc_affinity_calibration" ->
+      s"""WITH aff AS ($sqlDocAffinity),
+          binned AS (
+            SELECT least(((a.n_pos - a.n_neg + a.n_feat)
+                * $AffinityCalBins) // (2 * a.n_feat),
+                ${AffinityCalBins - 1}) AS bin,
+              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_target
+            FROM aff a JOIN documents d ON d.doc_id = a.doc_id)
+          SELECT bin,
+            CAST(bin * 2 - $AffinityCalBins AS DOUBLE)
+              / ${AffinityCalBins.toDouble} AS bin_lo,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(is_target) AS BIGINT) AS n_target,
+            CAST(SUM(is_target) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              AS target_rate
+          FROM binned GROUP BY bin ORDER BY bin""",
 
     // Burstiness: same scaled-integer ordering key, floor ties by
     // token; the ratio is one final division.
