@@ -933,6 +933,61 @@ object SimilarityOps {
       .select(col("clabel"), col("dim").cast("long").as("dim"), col("mean"))
       .orderBy("clabel", "dim")
 
+  /** Clustering stability audit (`kmeans_stability`) — the Rand
+    * index between two Lloyd's runs from DIFFERENT deterministic
+    * initializations (the label means vs hash-bucket means): the
+    * eval a team runs before trusting trained IVF cells as a serving
+    * layout. A clustering that survives an init perturbation (Rand
+    * near 1) reflects real structure; one that reshuffles is
+    * init-folklore and its cells will churn on every retrain —
+    * exactly the `ann_index_rewrite` cost the audit prices.
+    * Exactness: both runs are the engine's own decimal-exact Lloyd
+    * step; the Rand identity
+    * `C(n,2) − ΣC(a_i,2) − ΣC(b_j,2) + 2ΣC(n_ij,2)` is pure BIGINT
+    * over the k×k contingency table (bounds: n ≤ 4·10⁹ before
+    * C(n,2) needs DECIMAL), with ONE final division. Plan: two
+    * broadcast-argmin assigns, one k² contingency groupBy — the
+    * corpus is never shuffled by vector. */
+  val kmeansStability: Q = (s, d) => {
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    def train(init: DataFrame): DataFrame = {
+      var cents = init.transform(graft.Checkpointing.cut)
+      for (_ <- 1 to KmeansIters)
+        cents = toArrays(meansLong(assignToNearest(e, cents)
+          .select(col("clabel"), col("embedding"))))
+          .transform(graft.Checkpointing.cut)
+      cents
+    }
+    val initB = toArrays(meansLong(emb(s, d).select(
+      (Hashing.charHash(col("vec_id").cast("string")) % 10L)
+        .as("clabel"),
+      col("embedding"))))
+    val aA = assignToNearest(e, train(centroids(s, d)))
+      .select(col("vec_id"), col("clabel").as("a"))
+    val aB = assignToNearest(e, train(initB))
+      .select(col("vec_id"), col("clabel").as("b"))
+    val cont = aA.join(aB, "vec_id")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nij"))
+      .transform(graft.Checkpointing.cut)
+    val tot = cont.agg(sum(col("nij")).as("n"),
+      sum(expr("nij * (nij - 1) div 2")).as("s_ab"))
+    val ra = cont.groupBy("a").agg(sum(col("nij")).as("na"))
+      .agg(sum(expr("na * (na - 1) div 2")).as("s_a"),
+        count(lit(1)).as("k_a"))
+    val rb = cont.groupBy("b").agg(sum(col("nij")).as("nb"))
+      .agg(sum(expr("nb * (nb - 1) div 2")).as("s_b"),
+        count(lit(1)).as("k_b"))
+    tot.crossJoin(broadcast(ra)).crossJoin(broadcast(rb))
+      .select(col("n").as("n_vecs"), col("k_a").as("n_clusters_a"),
+        col("k_b").as("n_clusters_b"),
+        expr("n * (n - 1) div 2").as("pairs_total"),
+        (expr("n * (n - 1) div 2") + lit(2L) * col("s_ab") -
+          col("s_a") - col("s_b")).as("pairs_agree"),
+        ((expr("n * (n - 1) div 2") + lit(2L) * col("s_ab") -
+          col("s_a") - col("s_b")).cast("double") /
+          expr("n * (n - 1) div 2").cast("double")).as("rand_index"))
+  }
+
   /** IVF search over the ENGINE-TRAINED quantizer — the end of the
     * IVF story: [[kmeansTrain]] produces the cells, every vector is
     * assigned to its cell by the same broadcast-argmin step, and the
@@ -2177,6 +2232,7 @@ object SimilarityOps {
     "emb_centroid_drift" -> embCentroidDrift,
     "kmeans_assign" -> kmeansAssign,
     "kmeans_train" -> kmeansTrain,
+    "kmeans_stability" -> kmeansStability,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_recall" -> annIvfTrainedRecall,
     "emb_semdedup" -> embSemdedup,
@@ -2373,6 +2429,56 @@ object SimilarityOps {
     }
     b.result()
   }
+
+  /** Second Lloyd chain (hash-bucket init) for the stability oracle —
+    * same parameterized CTE generators, `b`-prefixed names. */
+  private def sqlLloydCtesB: Seq[String] = {
+    val b = Seq.newBuilder[String]
+    b += sqlByd("embeddings",
+      s"${graft.functions.Hashing.sqlCharHash(
+        "CAST(embeddings.vec_id AS VARCHAR)")} % 10", "bbyd0")
+    b += sqlCentFrom("bbyd0", "bcent0")
+    for (i <- 1 to KmeansIters) {
+      b += sqlAssignCte(s"bcent${i - 1}", s"ba$i")
+      b += sqlByd(s"ba$i", s"ba$i.clabel", s"bbyd$i")
+      b += sqlCentFrom(s"bbyd$i", s"bcent$i")
+    }
+    b.result()
+  }
+
+  private def sqlKmeansStability: String =
+    s"""WITH ${sqlLloydCtes.mkString(",\n")},
+        ${sqlLloydCtesB.mkString(",\n")},
+        ${sqlAssignCte(s"cent$KmeansIters", "fa")},
+        ${sqlAssignCte(s"bcent$KmeansIters", "fb")},
+        cont AS (
+          SELECT fa.clabel AS a, fb.clabel AS b,
+            CAST(COUNT(*) AS BIGINT) AS nij
+          FROM fa JOIN fb ON fa.vec_id = fb.vec_id
+          GROUP BY 1, 2),
+        t AS (
+          SELECT CAST(SUM(nij) AS BIGINT) AS n,
+            CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS s_ab
+          FROM cont),
+        rra AS (
+          SELECT CAST(SUM(na * (na - 1) // 2) AS BIGINT) AS s_a,
+            CAST(COUNT(*) AS BIGINT) AS k_a
+          FROM (SELECT CAST(SUM(nij) AS BIGINT) AS na
+                FROM cont GROUP BY a) z),
+        rrb AS (
+          SELECT CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS s_b,
+            CAST(COUNT(*) AS BIGINT) AS k_b
+          FROM (SELECT CAST(SUM(nij) AS BIGINT) AS nb
+                FROM cont GROUP BY b) z)
+        SELECT t.n AS n_vecs, rra.k_a AS n_clusters_a,
+          rrb.k_b AS n_clusters_b,
+          t.n * (t.n - 1) // 2 AS pairs_total,
+          t.n * (t.n - 1) // 2 + 2 * t.s_ab - rra.s_a - rrb.s_b
+            AS pairs_agree,
+          CAST(t.n * (t.n - 1) // 2 + 2 * t.s_ab - rra.s_a - rrb.s_b
+            AS DOUBLE) / CAST(t.n * (t.n - 1) // 2 AS DOUBLE)
+            AS rand_index
+        FROM t, rra, rrb"""
 
   private def sqlKmeansTrain: String =
     s"""WITH ${sqlLloydCtes.mkString(",\n")}
@@ -2973,6 +3079,7 @@ object SimilarityOps {
             FROM scored) z
           WHERE rn = 1 ORDER BY vec_id""",
     "kmeans_train" -> sqlKmeansTrain,
+    "kmeans_stability" -> sqlKmeansStability,
     "ann_ivf_trained" -> sqlAnnIvfTrained,
     "emb_semdedup" -> sqlEmbSemdedup,
     "emb_semdedup_stats" ->
