@@ -35,7 +35,7 @@ dedup_hamming_histogram emb_knn_label_agreement emb_class_separation \
 q35_basket_lift tf_oov_burst q37_retract_delta ev_session_paths \
 dedup_damerau ev_peak_concurrency ev_bot_score text_readability \
 ev_cusum_change tf_burstiness doc_decontaminate \
-doc_affinity_calibration kmeans_stability"
+doc_affinity_calibration kmeans_stability ev_conversion_latency"
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"

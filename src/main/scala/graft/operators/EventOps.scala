@@ -325,6 +325,42 @@ object EventOps {
       .orderBy("click_hour")
   }
 
+  /** Conversion-latency histogram (`ev_conversion_latency`) — the
+    * sizing evidence behind `ev_conversion_window`'s attribution
+    * window and `stream_interval_join`'s bounds: for every purchase
+    * with an attributed last click ([[evAttribution]]'s pairing,
+    * reused verbatim), the click→purchase latency bucketed in log
+    * decades (≤1s, ≤10s, …, >10⁴s) — the same decade framing as the
+    * session-gap histogram, on the conversion axis. A window cutting
+    * left of the mass under-attributes; the histogram shows exactly
+    * how much. Integer seconds end-to-end; the share is one
+    * division. Unattributed purchases are reported as their own
+    * `unattributed` bucket, not dropped. Plan: the attribution
+    * window + one combinable O(buckets) rollup. */
+  val evConversionLatency: Q = (s, d) => {
+    val att = evAttribution(s, d)
+      .select(col("purchase_tsec"), col("click_tsec"))
+    val bucket = when(col("click_tsec").isNull, "unattributed")
+      .when(col("purchase_tsec") - col("click_tsec") <= 1L, "d0_1s")
+      .when(col("purchase_tsec") - col("click_tsec") <= 10L, "d1_10s")
+      .when(col("purchase_tsec") - col("click_tsec") <= 100L,
+        "d2_100s")
+      .when(col("purchase_tsec") - col("click_tsec") <= 1000L,
+        "d3_1000s")
+      .when(col("purchase_tsec") - col("click_tsec") <= 10000L,
+        "d4_10000s")
+      .otherwise("d5_over")
+    val counts = att.select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy("bucket")
+  }
+
   /** [[evTopUsers]] computed skew-resistantly: phase 1 pre-aggregates
     * on (user_id, salt) so one hot user spreads across 16 reducers,
     * phase 2 combines the partials. Decimal partial sums re-associate
@@ -1957,6 +1993,7 @@ object EventOps {
     "ev_approx_stats" -> evApproxStats,
     "ev_attribution" -> evAttribution,
     "ev_attribution_linear" -> evAttributionLinear,
+    "ev_conversion_latency" -> evConversionLatency,
     "ev_json_extract" -> evJson,
     "ev_hourly" -> evHourly,
     "ev_sessionize" -> evSessionize,
@@ -2270,6 +2307,40 @@ object EventOps {
            MIN(tsec) AS start_sec, MAX(tsec) AS end_sec
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    // Conversion latency: the last-click ASOF pairing + decade
+    // buckets; unattributed purchases get their own bucket.
+    "ev_conversion_latency" ->
+      """WITH base AS (
+           SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type
+           FROM events),
+         clicks AS (
+           SELECT user_id, tsec, MAX(event_id) AS event_id
+           FROM base WHERE event_type = 'click' GROUP BY user_id, tsec),
+         purchases AS (
+           SELECT user_id, event_id, tsec FROM base
+           WHERE event_type = 'purchase'),
+         att AS (
+           SELECT p.tsec AS purchase_tsec, c.tsec AS click_tsec
+           FROM purchases p
+           ASOF LEFT JOIN clicks c
+             ON p.user_id = c.user_id AND p.tsec >= c.tsec),
+         counted AS (
+           SELECT CASE
+               WHEN click_tsec IS NULL THEN 'unattributed'
+               WHEN purchase_tsec - click_tsec <= 1 THEN 'd0_1s'
+               WHEN purchase_tsec - click_tsec <= 10 THEN 'd1_10s'
+               WHEN purchase_tsec - click_tsec <= 100 THEN 'd2_100s'
+               WHEN purchase_tsec - click_tsec <= 1000 THEN 'd3_1000s'
+               WHEN purchase_tsec - click_tsec <= 10000 THEN 'd4_10000s'
+               ELSE 'd5_over' END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM att GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counted)
+         SELECT bucket, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+         FROM counted, tot ORDER BY bucket""",
+
     // Linear attribution: forward as-of via the packed-BIGINT min
     // over the following frame; credit split is pure integer
     // largest-remainder, conserving each purchase's cents exactly.
