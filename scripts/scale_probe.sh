@@ -35,7 +35,11 @@ dedup_hamming_histogram emb_knn_label_agreement emb_class_separation \
 q35_basket_lift tf_oov_burst q37_retract_delta ev_session_paths \
 dedup_damerau ev_peak_concurrency ev_bot_score text_readability \
 ev_cusum_change tf_burstiness doc_decontaminate \
-doc_affinity_calibration kmeans_stability ev_conversion_latency"
+doc_affinity_calibration kmeans_stability ev_conversion_latency \
+stream_decayed_value stream_pii_gate stream_novelty_gate \
+stream_vec_dedup stream_unigram_gate stream_template_gate \
+stream_sessionize stream_cdc_candidates stream_hourly \
+stream_dedup_keys stream_takedown_gate stream_ann_upsert"
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
@@ -65,7 +69,7 @@ sys.exit(0 if set(sys.argv[2:]) <= set(d.get('queries',{})) else 1)" \
       continue
     fi
     echo "== $tag rep $rep =="
-    SPARK_GRAFT_SF_DIR="$dir" sbt -batch "runMain graft.Bench $QUERIES" \
+    SPARK_GRAFT_SF_DIR="$dir" scripts/java_bench.sh graft.Bench $QUERIES \
       >/dev/null 2>&1
     cp bench_result.json "benchdata/probe_${tag}_${rep}.json"
   done

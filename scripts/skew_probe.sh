@@ -23,7 +23,8 @@ emb_semdedup doc_target_affinity \
 ev_type_pagerank ev_user_pagerank ev_user_trustrank \
 doc_sample_weighted \
 dedup_containment tf_heavy_hitters stream_vec_dedup \
-stream_template_gate"
+stream_template_gate stream_topk_value stream_decayed_value \
+stream_pii_gate stream_novelty_gate stream_unigram_gate"
 
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
@@ -63,7 +64,7 @@ sys.exit(0 if set(sys.argv[2:]) <= set(d.get('queries',{})) else 1)" \
       continue
     fi
     echo "== $tag rep $rep =="
-    SPARK_GRAFT_SF_DIR="$dir" sbt -batch "runMain graft.Bench $QUERIES" \
+    SPARK_GRAFT_SF_DIR="$dir" scripts/java_bench.sh graft.Bench $QUERIES \
       >/dev/null 2>&1
     cp bench_result.json "benchdata/${tag}_${rep}.json"
   done

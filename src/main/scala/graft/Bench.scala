@@ -35,13 +35,26 @@ object Bench {
     "q0_scan", "q1_pricing_summary", "q2_revenue_by_nation",
     "ev_asof_join", "ev_type_stats", "text_token_count",
     "doc_unigram_score", "dedup_exact", "emb_rand_proj", "mm_meta")
-  val CanaryReps = 3
+  val CanaryReps = 5
   private[graft] val CanaryRefPath = "benchdata/canary_ref.json"
 
-  /** min-across-reps of the canary totals — the probe convention
-    * (noise only ever adds time on an otherwise idle host). */
-  private[graft] def canarySec(repTotals: Seq[Double]): Double =
-    repTotals.min
+  /** MEDIAN-across-reps of the canary totals. Round 11 used min-of-3
+    * — right on an idle host (noise only adds time) and wrong under
+    * bursty load: one lucky rep in a 31%-dispersed set minted a
+    * phantom 17% "regression" (two same-binary runs two hours apart
+    * disagreed by 22%). The median ignores one-sided outliers in BOTH
+    * directions; with 5 reps it is a 3-rep agreement. The rep spread
+    * ((max-min)/median, recorded in bench_canary.json) lets a
+    * dispersed canary flag itself. */
+  private[graft] def canarySec(repTotals: Seq[Double]): Double = {
+    val s = repTotals.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Relative rep dispersion: (max − min) / median. */
+  private[graft] def canarySpread(repTotals: Seq[Double]): Double =
+    (repTotals.max - repTotals.min) / canarySec(repTotals)
 
   /** The committed reference canary seconds, if present. */
   private[graft] def canaryRef(): Option[Double] = {
@@ -217,13 +230,23 @@ object Bench {
         val repsJson = reps.map(fmt).mkString("[", ",", "]")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_canary.json"),
-          s"""{"canary_sec":${fmt(sec)},"reps":$repsJson""" +
+          s"""{"canary_sec":${fmt(sec)},"statistic":"median",""" +
+            s""""spread":${fmt(canarySpread(reps))},"reps":$repsJson""" +
             ref.map(r => s""","ref_sec":${fmt(r)},"ratio":${fmt(sec / r)}""")
               .getOrElse("") +
             s""","names":${CanaryNames.map(n => s""""$n"""")
               .mkString("[", ",", "]")},"sf":"$sfDir"}\n""")
         Some((sec, ref))
       }
+    // canary-only probe mode: measure ambient host speed (warm-up +
+    // canary reps, bench_canary.json written above) and exit — the
+    // re-baselining tool for canary_ref.json, never set by the driver
+    if (sys.env.get("SPARK_GRAFT_CANARY_ONLY").contains("1")) {
+      spark.stop()
+      println(s"""{"metric":"canary_only","canary_sec":${
+        fmt(canary.map(_._1).getOrElse(-1.0))}}""")
+      return
+    }
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
     val listener = new ShuffleListener

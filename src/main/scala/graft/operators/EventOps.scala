@@ -827,6 +827,25 @@ object EventOps {
     * of age. Fixed forever. */
   val DecayHalfLifeDays = 7L
 
+  /** `cents >> age-in-half-lives`, with the shift CLAMPED to 63: Java
+    * shift semantics mask the amount mod 64, so an unclamped value
+    * ≥ 64 half-lives old (~15 months at the 7-day half-life) would
+    * WRAP and contribute its full undecayed cents — silent
+    * engine/oracle divergence on any corpus spanning that long
+    * (DuckDB's `>>` does not wrap). Shift 63 of nonnegative cents is
+    * 0, preserving decay-to-zero. [[sqlDecayShift]] is the DuckDB
+    * side of the same clamp. */
+  private[graft] def decayShift(cents: Column, ageDays: Column): Column =
+    call_function("shiftright", cents,
+      least(floor(ageDays / lit(DecayHalfLifeDays)), lit(63L)).cast("int"))
+
+  /** DuckDB mirror of [[decayShift]] over column exprs in cents /
+    * age-days. DuckDB `>>` doesn't wrap, but the clamp keeps both
+    * sides the SAME function of the data rather than agreeing only
+    * where the corpus is narrow. */
+  private[graft] def sqlDecayShift(cents: String, ageDays: String): String =
+    s"($cents >> CAST(least($ageDays // $DecayHalfLifeDays, 63) AS INT))"
+
   /** Time-decayed user value (`ev_decayed_value`) — the recency-
     * weighted engagement score a data-selection pipeline uses where
     * lifetime totals over-credit long-dormant users: each event
@@ -848,8 +867,7 @@ object EventOps {
         (money(col("value")) * 100).cast("long").as("cents"),
         datediff(col("maxd"), to_date(col("ts"))).cast("long")
           .as("age_days"))
-      .withColumn("decayed",
-        expr(s"shiftright(cents, cast(age_days div $DecayHalfLifeDays as int))"))
+      .withColumn("decayed", decayShift(col("cents"), col("age_days")))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("cents")).as("raw_cents"),
@@ -2118,11 +2136,11 @@ object EventOps {
             FROM events, maxd)
           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
             CAST(SUM(cents) AS BIGINT) AS raw_cents,
-            CAST(SUM(cents >> CAST(age_days // $DecayHalfLifeDays
-              AS INTEGER)) AS BIGINT) AS decayed_cents,
+            CAST(SUM(${sqlDecayShift("cents", "age_days")}) AS BIGINT)
+              AS decayed_cents,
             CAST(MIN(age_days) AS BIGINT) AS last_age_days,
-            CAST(SUM(cents >> CAST(age_days // $DecayHalfLifeDays
-              AS INTEGER)) AS DOUBLE) / 100.0 AS decayed_value
+            CAST(SUM(${sqlDecayShift("cents", "age_days")}) AS DOUBLE)
+              / 100.0 AS decayed_value
           FROM evx GROUP BY user_id ORDER BY user_id""",
     "ev_value_bands" ->
       """WITH bands(band, lo, hi) AS (
@@ -2718,7 +2736,7 @@ object EventOps {
              CAST(floor(epoch(ts)) AS BIGINT) AS tsec
            FROM events),
          flagged AS (
-           SELECT user_id, tsec,
+           SELECT user_id, event_id, tsec,
              CASE WHEN lag(tsec) OVER w IS NULL
                     OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0
                END AS boundary
@@ -2727,8 +2745,8 @@ object EventOps {
          sess AS (
            SELECT user_id, tsec,
              CAST(SUM(boundary) OVER (PARTITION BY user_id
-               ORDER BY tsec ROWS BETWEEN UNBOUNDED PRECEDING AND
-               CURRENT ROW) AS BIGINT) AS sid
+               ORDER BY tsec, event_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
            FROM flagged),
          iv AS (
            SELECT MIN(tsec) AS start_sec, MAX(tsec) AS end_sec

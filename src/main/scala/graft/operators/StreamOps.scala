@@ -36,26 +36,72 @@ object StreamOps {
   private val srcDirCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** readStream over the events parquet with the same schema-dispatched
-    * timestamp rebuild as the batch loader ([[Tables.events]]): legacy
-    * nanos-as-BIGINT files get the integer-division micros rebuild,
-    * native TIMESTAMP files a plain cast. The file stream source
-    * needs a *directory*, so the single parquet file is exposed via a
-    * symlink in a temp dir (zero-copy). */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  /** Files per micro-batch for the finite replays. Production parquet
+    * tables are DIRECTORIES of part files; capping the trigger makes
+    * a directory-shaped table drain as several micro-batches (the
+    * sf1 probe dirs split 4+ ways), so the cross-batch ledger/state
+    * paths are exercised by the probes, not just by unit specs. A
+    * single-file table still drains as one batch. */
+  private val MaxFilesPerTrigger = 8
+
+  /** Directory the file-stream source should list for `$d/$table
+    * .parquet`. The file stream source needs a *directory*: a
+    * single-file table is exposed via a symlink in a temp dir
+    * (zero-copy); a directory-shaped table (every production table,
+    * the sf1/skew probe dirs) is streamed in place — round 11
+    * symlinked the path unconditionally, and the source does not
+    * descend into a symlinked SUBDIRECTORY, so directory tables
+    * silently streamed ZERO files (the round-11 verdict's headline).
+    * [[awaitDrained]] is the backstop that turns any recurrence of
+    * that silence into a loud failure. */
+  private def streamSrcDir(d: String, table: String): String = {
     import java.nio.file.{Files, Paths}
-    val dir = srcDirCache.getOrElseUpdate(d, {
-      val t = Files.createTempDirectory("graft-stream-src")
+    val p = Paths.get(s"$d/$table.parquet")
+    if (Files.isDirectory(p)) p.toString
+    else srcDirCache.getOrElseUpdate(s"$d#$table", {
+      val t = Files.createTempDirectory(s"graft-stream-$table")
       t.toFile.deleteOnExit()
-      val link = t.resolve("events.parquet")
-      Files.createSymbolicLink(link, Paths.get(s"$d/events.parquet"))
+      val link = t.resolve(s"$table.parquet")
+      Files.createSymbolicLink(link, p)
       link.toFile.deleteOnExit()
       t.toString
     })
+  }
+
+  /** readStream over `$d/$table.parquet` (file or directory shaped).
+    * `pathGlobFilter` keeps writer-metadata files (`_SUCCESS`, probe
+    * sentinels) out of the listing. */
+  private def tableStream(s: SparkSession, d: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", MaxFilesPerTrigger.toString)
+      .parquet(streamSrcDir(d, table))
+
+  /** Await a finite replay's drain, then REQUIRE that the source
+    * actually delivered rows: a misconfigured file source lists zero
+    * files and "succeeds" instantly, and round 11 shipped sf1 probe
+    * numbers that measured exactly that silence. Every gate corpus
+    * here is non-empty by construction, so zero source rows is always
+    * a harness bug, never data. */
+  private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Unit = {
+    q.awaitTermination()
+    val rows = q.recentProgress.map(_.numInputRows).sum
+    require(rows > 0,
+      s"streaming replay drained ZERO source rows — file source " +
+        s"listed nothing (query=${Option(q.name).getOrElse(q.id)})")
+  }
+
+  /** readStream over the events parquet with the same schema-dispatched
+    * timestamp rebuild as the batch loader ([[Tables.events]]): legacy
+    * nanos-as-BIGINT files get the integer-division micros rebuild,
+    * native TIMESTAMP files a plain cast. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
     // the RAW file schema (pre-conversion), so the stream reader sees
     // exactly what is in the parquet footer
     val raw = Tables.load(s, d, "events")
-    val stream = s.readStream.schema(raw.schema).parquet(dir)
+    val stream = tableStream(s, d, "events", raw.schema)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -112,7 +158,7 @@ object StreamOps {
     val qn = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(qn)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitDrained(q)
     s.table(qn)
   }
 
@@ -402,6 +448,8 @@ object StreamOps {
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"))
+      // pre-cut: publish the dim once, not once per micro-batch
+      .transform(graft.Checkpointing.cut)
     val enriched = eventsStream(s, d)
       .filter(col("event_type") === "purchase")
       .join(dim, col("user_id") === col("c_custkey"))
@@ -465,7 +513,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("event_id", LongType),
@@ -476,21 +524,10 @@ object StreamOps {
     collectBatchOutput(s, outDir, schema, "event_id")
   }
 
-  /** readStream over the documents parquet (same symlink-dir trick as
-    * [[eventsStream]]) — the corpus-ingest stream. */
-  private def docsStream(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val dir = srcDirCache.getOrElseUpdate(s"$d#documents", {
-      val t = Files.createTempDirectory("graft-stream-docsrc")
-      t.toFile.deleteOnExit()
-      val link = t.resolve("documents.parquet")
-      Files.createSymbolicLink(link, Paths.get(s"$d/documents.parquet"))
-      link.toFile.deleteOnExit()
-      t.toString
-    })
-    val schema = Tables.load(s, d, "documents").schema
-    s.readStream.schema(schema).parquet(dir)
-  }
+  /** readStream over the documents parquet ([[tableStream]], file- or
+    * directory-shaped) — the corpus-ingest stream. */
+  private def docsStream(s: SparkSession, d: String): DataFrame =
+    tableStream(s, d, "documents", Tables.load(s, d, "documents").schema)
 
   /** Curation ON INGEST: the stateless [[TextOps.docKeepDecision]]
     * rules (min length, repetition — the corpus-wide exact-dup rule
@@ -569,10 +606,14 @@ object StreamOps {
     val s = replaySession(s0)
     def tagOf(id: Column) =
       graft.functions.Hashing.charHash(id.cast("string")) % 10
+    // materialized BEFORE the stream starts (the pre-cut audit rule:
+    // a lazy static closed over by the stream re-evaluates per
+    // micro-batch — round 11 paid 2.6x for that in the unigram gate)
     val tombprints = Tables.documents(s, d)
       .filter(tagOf(col("doc_id")) === DedupOps.TombTag)
       .select(md5(col("text").cast("binary")).as("tomb_md5"))
       .distinct()
+      .transform(graft.Checkpointing.cut)
     val incoming = docsStream(s, d)
       .filter(tagOf(col("doc_id")) === DedupOps.TombTag ||
         tagOf(col("doc_id")) === DedupOps.AddTag)
@@ -612,6 +653,8 @@ object StreamOps {
       .select(explode(grams(col("text"))).as("gh"))
       .distinct()
       .withColumn("seen", lit(1L))
+      // pre-cut: one gram-index build, not one per micro-batch
+      .transform(graft.Checkpointing.cut)
     val incoming = docsStream(s, d)
       .filter(tagOf(col("doc_id")) === DedupOps.AddTag)
       .select((col("doc_id") + DedupOps.DeltaIdOffset).as("doc_id"),
@@ -651,6 +694,8 @@ object StreamOps {
     val corpusIdx = DedupOps.bucketRows(Tables.documents(s, d))
       .filter(!isNew(col("doc_id")))
       .select(col("band"), col("bucket"), col("doc_id").as("cand_id"))
+      // pre-cut: one bucket-index build, not one per micro-batch
+      .transform(graft.Checkpointing.cut)
     val incoming = DedupOps.bucketRows(docsStream(s, d))
       .filter(isNew(col("doc_id")))
     val hits = incoming.join(corpusIdx, Seq("band", "bucket"))
@@ -659,21 +704,10 @@ object StreamOps {
       .orderBy("doc_id", "band", "bucket", "cand_id")
   }
 
-  /** readStream over the embeddings parquet (same symlink-dir trick
-    * as [[eventsStream]]) — the vector-ingest stream. */
-  private def embStream(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val dir = srcDirCache.getOrElseUpdate(s"$d#embeddings", {
-      val t = Files.createTempDirectory("graft-stream-embsrc")
-      t.toFile.deleteOnExit()
-      val link = t.resolve("embeddings.parquet")
-      Files.createSymbolicLink(link, Paths.get(s"$d/embeddings.parquet"))
-      link.toFile.deleteOnExit()
-      t.toString
-    })
-    val schema = Tables.load(s, d, "embeddings").schema
-    s.readStream.schema(schema).parquet(dir)
-  }
+  /** readStream over the embeddings parquet ([[tableStream]], file- or
+    * directory-shaped) — the vector-ingest stream. */
+  private def embStream(s: SparkSession, d: String): DataFrame =
+    tableStream(s, d, "embeddings", Tables.load(s, d, "embeddings").schema)
 
   /** Search-before-insert ON INGEST: each incoming vector's bucket +
     * norm (the same stateless [[SimilarityOps.probeRows]] projection
@@ -758,7 +792,7 @@ object StreamOps {
         vecDedupBatch(batch, corpus, ledgerDir, outDir)
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
@@ -836,6 +870,8 @@ object StreamOps {
       .filter(col("df") <= DedupOps.MaxChunkDf)
       .select("chunk_md5")
     val eligible = corpus.join(rare, Seq("chunk_md5"), "left_semi")
+      // pre-cut: one df-cap semi-join, not one per micro-batch
+      .transform(graft.Checkpointing.cut)
     val incoming = MultimodalOps.chunkDigestRows(docsStream(s, d))
       .filter(isNew(col("doc_id")))
     val hits = incoming.join(eligible, Seq("chunk_md5"))
@@ -874,6 +910,8 @@ object StreamOps {
       .agg(countDistinct(col("doc_id")).as("dfd"))
       .filter(col("dfd") <= DedupOps.MaxChunkDf)
       .select(col("chunk_md5"), lit(-1L).as("owner"))
+      // pre-cut: one df-cap rollup, not one per micro-batch
+      .transform(graft.Checkpointing.cut)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-cdc-strip").toString
     val q = docsStream(s, d)
@@ -885,7 +923,7 @@ object StreamOps {
           .write.mode("append").parquet(outDir)
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_chunks", org.apache.spark.sql.types.LongType),
@@ -955,7 +993,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     import s.implicits._
     merged.toSeq.flatMap { case (_, set) =>
       set.toSeq.zipWithIndex.map { case ((p, id, lg, wt), i) =>
@@ -1015,7 +1053,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -1032,11 +1070,16 @@ object StreamOps {
     val s = replaySession(s0)
     def isNew(id: Column) =
       graft.functions.Hashing.charHash(id.cast("string")) % 10 === 7
+    // pre-cut: round 11 left this lazy, and the stream re-ran the
+    // full corpus explode+groupBy inside the per-batch join (a 2.6x
+    // regression isolated); the template gate's `heavy` cut is the
+    // discipline, applied here
     val corpusTf = Tables.documents(s, d)
       .filter(!isNew(col("doc_id")))
       .select(explode(graft.functions.Hashing.tokens(col("text")))
         .as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
+      .transform(graft.Checkpointing.cut)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-unigram-gate").toString
     val q = docsStream(s, d)
@@ -1060,7 +1103,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
@@ -1092,6 +1135,8 @@ object StreamOps {
     // the batch scorer
     val model = TextOps.affinityModel(TextOps.affinityFeats(
       Tables.documents(s, d).filter(!isNew(col("doc_id"))), col("lang")))
+      // pre-cut: one model fit, not one per micro-batch
+      .transform(graft.Checkpointing.cut)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-affinity-gate").toString
     val q = docsStream(s, d)
@@ -1109,7 +1154,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_feat", org.apache.spark.sql.types.LongType),
@@ -1180,7 +1225,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -1231,7 +1276,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     import s.implicits._
     merged.toIndexedSeq.zipWithIndex
       .collect { case (cnt, i) if cnt > 0L =>
@@ -1275,7 +1320,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     import s.implicits._
     val regDf = merged.toIndexedSeq.zipWithIndex
       .collect { case (rho, reg) if rho > 0L => (reg.toLong, rho) }
@@ -1315,7 +1360,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     import s.implicits._
     SketchOps.kmvSummary(merged.toSeq.toDF("h"))
   }
@@ -1361,7 +1406,7 @@ object StreamOps {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     import s.implicits._
     merged.toSeq.map { case (p, id, lang, w) => (id, lang, w, p) }
       .toDF("doc_id", "lang", "weight", "priority")
@@ -1370,6 +1415,35 @@ object StreamOps {
 
   /** Group size of the streamed top-k ledger. */
   val StreamTopkK = 3L
+
+  /** Read a parquet ledger with its EXPLICIT schema, falling back to
+    * the correct empty relation when no batch ever appended a part
+    * file — the [[collectBatchOutput]] discipline applied to the
+    * state-dir readouts. Round 11's topk readout inferred instead and
+    * crashed (`UNABLE_TO_INFER_SCHEMA`) the moment the source bug
+    * delivered an empty stream; a readout must degrade to empty, not
+    * throw, so the harness assertion ([[awaitDrained]]) is what
+    * reports the real failure. */
+  private[graft] def readLedger(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val parts = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    if (!parts.exists(_.getName.endsWith(".parquet")))
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else s.read.schema(schema).parquet(dir)
+  }
+
+  /** State schema of [[topkValueBatch]]'s ledger: `sum(DECIMAL(12,2))`
+    * widens to DECIMAL(22,2). */
+  private[graft] val TopkStateSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tv",
+        org.apache.spark.sql.types.DecimalType(22, 2))))
 
   /** One micro-batch of the streaming top-k ledger (the testable
     * engine behind [[streamTopkValue]]): the batch's per-(type, user)
@@ -1406,11 +1480,24 @@ object StreamOps {
         topkValueBatch(batch, stateDir)
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
+    val out = topkValueReadout(s, stateDir)
+      .transform(graft.Checkpointing.cut)
+    deleteRecursively(new java.io.File(stateDir))
+    out
+  }
+
+  /** Ledger compaction for [[streamTopkValue]]: merge the per-batch
+    * decimal partials, rank per type. Explicit-schema readout
+    * ([[readLedger]]) — an untouched state dir compacts to the
+    * correct EMPTY ranking. Split out so the spec can drive manual
+    * micro-batches (and the empty case) through the same readout. */
+  private[graft] def topkValueReadout(s: SparkSession, stateDir: String)
+      : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"))
       .orderBy(col("tv").desc, col("user_id"))
-    val out = s.read.parquet(stateDir)
+    readLedger(s, stateDir, TopkStateSchema)
       .groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("tv")).as("tv"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1418,9 +1505,6 @@ object StreamOps {
       .select(col("event_type"), col("rank"), col("user_id"),
         asD(col("tv")).as("total_value"))
       .orderBy("event_type", "rank")
-      .transform(graft.Checkpointing.cut)
-    deleteRecursively(new java.io.File(stateDir))
-    out
   }
 
   /** One micro-batch of the streaming decayed-value ledger: the
@@ -1437,21 +1521,39 @@ object StreamOps {
       .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
       .write.mode("append").parquet(stateDir)
 
+  /** State schema of [[decayedValueBatch]]'s ledger. */
+  private[graft] val DecayStateSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+
   /** Ledger compaction for [[streamDecayedValue]]: merge per-(user,
     * day) partials, shift each day's cents by its age in half-lives
     * against the ledger max day, roll up per user. Split out so the
-    * spec can drive manual micro-batches through the same readout. */
+    * spec can drive manual micro-batches (and the untouched-dir empty
+    * case) through the same readout. The shift amount is clamped to
+    * 63 ([[EventOps.decayShift]]) — Java `>>` masks the shift mod 64,
+    * so an unclamped partial ≥ 64 half-lives old (~15 months at the
+    * 7-day half-life) would wrap and contribute its FULL undecayed
+    * cents; 63 keeps the decay-to-zero semantics for nonnegative
+    * cents. */
   private[graft] def decayedValueReadout(s: SparkSession,
       stateDir: String): DataFrame = {
-    val led = s.read.parquet(stateDir)
+    val led = readLedger(s, stateDir, DecayStateSchema)
       .groupBy(col("user_id"), col("day"))
       .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
     val maxd = led.agg(max(col("day")).as("maxd"))
     led.crossJoin(broadcast(maxd))
       .select(col("user_id"), col("n"), col("cents"),
         datediff(col("maxd"), col("day")).cast("long").as("age_days"))
-      .withColumn("decayed", expr("shiftright(cents, " +
-        s"cast(age_days div ${EventOps.DecayHalfLifeDays} as int))"))
+      .withColumn("decayed", EventOps.decayShift(col("cents"),
+        col("age_days")))
       .groupBy(col("user_id"))
       .agg(sum(col("n")).as("n_events"),
         sum(col("cents")).as("raw_cents"),
@@ -1487,7 +1589,7 @@ object StreamOps {
         decayedValueBatch(batch, stateDir)
       }
       .start()
-    q.awaitTermination()
+    awaitDrained(q)
     val out = decayedValueReadout(s, stateDir)
       .transform(graft.Checkpointing.cut)
     deleteRecursively(new java.io.File(stateDir))
@@ -1562,14 +1664,14 @@ object StreamOps {
               CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2)
           SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
-            CAST(SUM(cents) AS BIGINT) AS raw_cents,
-            CAST(SUM(cents >> CAST(date_diff('day', day, maxd)
-              // ${EventOps.DecayHalfLifeDays} AS INTEGER)) AS BIGINT)
+            CAST(SUM(${EventOps.sqlDecayShift("cents",
+              "date_diff('day', day, maxd)")}) AS BIGINT)
               AS decayed_cents,
+            CAST(SUM(cents) AS BIGINT) AS raw_cents,
             CAST(MIN(date_diff('day', day, maxd)) AS BIGINT)
               AS last_age_days,
-            CAST(SUM(cents >> CAST(date_diff('day', day, maxd)
-              // ${EventOps.DecayHalfLifeDays} AS INTEGER)) AS DOUBLE)
+            CAST(SUM(${EventOps.sqlDecayShift("cents",
+              "date_diff('day', day, maxd)")}) AS DOUBLE)
               / 100.0 AS decayed_value
           FROM pd, maxd GROUP BY user_id ORDER BY user_id""",
     "stream_sample_weighted" -> TextOps.sqlSampleWeighted,

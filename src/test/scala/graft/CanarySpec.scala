@@ -20,6 +20,19 @@ class CanarySpec extends SparkSpec {
     assert(Bench.CanaryNames.distinct.size == Bench.CanaryNames.size)
   }
 
+  test("canarySec is the MEDIAN of reps and canarySpread the relative " +
+      "dispersion (the round-11 min-of-3 convention minted a phantom " +
+      "17% regression from one lucky rep)") {
+    // round 11's actual dispersed rep set: min said 5.06, median 5.99
+    assert(Bench.canarySec(Seq(5.99, 6.62, 5.06)) === 5.99)
+    assert(Bench.canarySec(Seq(4.0, 1.0, 3.0, 2.0)) === 2.5)
+    assert(Bench.canarySec(Seq(7.0)) === 7.0)
+    assert(math.abs(Bench.canarySpread(Seq(5.99, 6.62, 5.06)) -
+      (6.62 - 5.06) / 5.99) < 1e-12)
+    assert(Bench.CanaryReps === 5,
+      "5 reps: the median is then a 3-rep agreement")
+  }
+
   test("result lines with the canary triple parse and the summary " +
       "stays inside the driver's 256 B tail window") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456)
@@ -73,5 +86,9 @@ class CanarySpec extends SparkSpec {
         "commit that changes the set")
     assert(j.get("sf").asText.endsWith("sf0.1"),
       "the reference must be measured at the driver's bench SF")
+    assert(j.get("statistic").asText == "median",
+      "canary_ref.json was measured under a DIFFERENT rep statistic " +
+        "than Bench.canarySec — re-measure the reference in the same " +
+        "commit that changes the statistic")
   }
 }

@@ -73,4 +73,27 @@ class DecayedValueSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("decayed_cents") == 250L,
       "six days is inside the first half-life -- no decay")
   }
+
+  test("an event >= 64 half-lives old decays to ZERO -- the shift is " +
+      "clamped, so Java's mod-64 shift wrap cannot resurrect full " +
+      "undecayed cents") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // age 448 days = exactly 64 half-lives: unclamped shiftright
+      // would wrap to shift 0 and contribute the FULL 800 cents
+      (1L, t("2022-11-10 00:00:00"), 1L, "buy", 8.00, "{}"),
+      // age 700 days = 100 half-lives: also wraps without the clamp
+      (2L, t("2022-03-03 00:00:00"), 1L, "buy", 8.00, "{}"),
+      // the max-date anchor (age 0, undecayed)
+      (3L, t("2024-02-01 00:00:00"), 1L, "buy", 1.00, "{}"))
+    val dir = tmpDir("decay-wrap")
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.evDecayedValue(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("raw_cents") == 1700L)
+    assert(out(1L).getAs[Long]("decayed_cents") == 100L,
+      "both ancient events must contribute 0, not 800 each")
+  }
 }

@@ -40,6 +40,21 @@ class StreamTopkSpec extends SparkSpec {
     assert(split.nonEmpty)
   }
 
+  test("an untouched (empty) state dir reads out as the correct " +
+      "EMPTY relation, never a schema-inference crash") {
+    // round 11's readout inferred the parquet schema and crashed
+    // (UNABLE_TO_INFER_SCHEMA) exactly when the source bug delivered
+    // an empty stream — masking the real failure
+    val topk = StreamOps.topkValueReadout(spark, tmpDir("topk-empty"))
+    assert(topk.count() == 0L)
+    assert(topk.columns.toSeq ==
+      Seq("event_type", "rank", "user_id", "total_value"))
+    val dec = StreamOps.decayedValueReadout(spark, tmpDir("decay-empty"))
+    assert(dec.count() == 0L)
+    assert(dec.columns.toSeq == Seq("user_id", "n_events", "raw_cents",
+      "decayed_cents", "last_age_days", "decayed_value"))
+  }
+
   test("the streaming run equals the batch mirror bit-for-bit") {
     val got = StreamOps.streamTopkValue(spark, Sf).collect()
     val want = rank(
