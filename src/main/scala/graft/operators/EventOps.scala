@@ -180,6 +180,53 @@ object EventOps {
         col("first_peak_sec"))
   }
 
+  /** Day-sharded peak concurrency (`ev_peak_concurrency_sharded`) —
+    * the 100 TB execution of [[evPeakConcurrency]]'s sweep, PROVING
+    * the "shard the sweep by day with a carried seed" plan the global
+    * form's scaladoc claims instead of just asserting it: boundary
+    * events shard by UTC day; each shard's running sum is seeded with
+    * the sum of ALL prior shards' deltas (one O(days) rollup + one
+    * prefix window over the O(days) series — never a corpus-sized
+    * unpartitioned exchange); the within-shard sweeps are ordinary
+    * day-PARTITIONED windows that run in parallel. Each `live` value
+    * — hence the peak and its first second — is IDENTICAL to the
+    * unpartitioned sweep by prefix-sum associativity (day blocks are
+    * t-ranges, the (t, delta asc) order within a day is the global
+    * order restricted to it, and a shard's seed is exactly the
+    * sessions still open at its midnight). Gated against the SAME
+    * oracle as the global form: equality IS the shard-decomposition
+    * proof, the `q33_topk_delta` gating pattern applied to a window
+    * plan. */
+  val evPeakConcurrencySharded: Q = (s, d) => {
+    val sessions = evSessionize(s, d)
+      .select(col("start_sec"), col("end_sec"))
+    val bounds = sessions
+      .select(col("start_sec").as("t"), lit(1L).as("delta"))
+      .unionAll(sessions
+        .select((col("end_sec") + 1L).as("t"), lit(-1L).as("delta")))
+      .withColumn("day", floor(col("t") / lit(86400L)))
+    val daySeeds = bounds.groupBy("day")
+      .agg(sum(col("delta")).as("day_sum"))
+      .withColumn("seed", coalesce(sum(col("day_sum")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("day", "seed")
+    val sweep = Window.partitionBy(col("day"))
+      .orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bounds.join(broadcast(daySeeds), Seq("day"))
+      .withColumn("live", col("seed") + sum(col("delta")).over(sweep))
+    val peak = run.agg(max(col("live")).as("peak_concurrent"))
+    val n = sessions.agg(count(lit(1)).as("n_sessions"))
+    run.crossJoin(broadcast(peak))
+      .filter(col("live") === col("peak_concurrent"))
+      .agg(min(col("t")).as("first_peak_sec"))
+      .crossJoin(broadcast(peak))
+      .crossJoin(broadcast(n))
+      .select(col("n_sessions"), col("peak_concurrent"),
+        col("first_peak_sec"))
+  }
+
   /** Built-in `session_window` sessionization (the declarative twin of
     * [[evSessionize]]'s lag/cumsum plan): Spark merges session windows
     * per user in one pass. Event times are truncated to whole seconds
@@ -1992,6 +2039,7 @@ object EventOps {
     "ev_ab_lift" -> evAbLift,
     "ev_bot_score" -> evBotScore,
     "ev_peak_concurrency" -> evPeakConcurrency,
+    "ev_peak_concurrency_sharded" -> evPeakConcurrencySharded,
     "ev_cusum_change" -> evCusumChange,
     "ev_seasonal_naive" -> evSeasonalNaive,
     "ev_gap_histogram" -> evGapHistogram,
@@ -2053,6 +2101,48 @@ object EventOps {
        FROM c ASOF LEFT JOIN v
          ON c.user_id = v.user_id AND v.ts_sec <= c.ts_sec
        ORDER BY c.event_id"""
+
+  // Peak-concurrency sweep (sessionize CTEs + sweep line, pinned
+  // (tsec, event_id) session tiebreaks and (t, delta asc) sweep tie
+  // order). ONE string, gated twice: by the global sweep and by the
+  // day-sharded execution, whose equality is the shard proof.
+  private lazy val sqlPeakConcurrency =
+    """WITH t AS (
+         SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+         FROM events),
+       flagged AS (
+         SELECT user_id, event_id, tsec,
+           CASE WHEN lag(tsec) OVER w IS NULL
+                  OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0
+             END AS boundary
+         FROM t WINDOW w AS (PARTITION BY user_id
+           ORDER BY tsec, event_id)),
+       sess AS (
+         SELECT user_id, tsec,
+           CAST(SUM(boundary) OVER (PARTITION BY user_id
+             ORDER BY tsec, event_id ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         FROM flagged),
+       iv AS (
+         SELECT MIN(tsec) AS start_sec, MAX(tsec) AS end_sec
+         FROM sess GROUP BY user_id, sid),
+       bounds AS (
+         SELECT start_sec AS t, CAST(1 AS BIGINT) AS delta FROM iv
+         UNION ALL
+         SELECT end_sec + 1, CAST(-1 AS BIGINT) FROM iv),
+       run AS (
+         SELECT t, CAST(SUM(delta) OVER (ORDER BY t ASC, delta ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS live
+         FROM bounds),
+       pk AS (SELECT CAST(MAX(live) AS BIGINT) AS peak_concurrent
+              FROM run),
+       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM iv)
+       SELECT nn.n_sessions, pk.peak_concurrent,
+         (SELECT CAST(MIN(t) AS BIGINT) FROM run, pk
+          WHERE run.live = pk.peak_concurrent) AS first_peak_sec
+       FROM nn, pk"""
 
   lazy val oracle: Map[String, String] = Map(
     "ev_asof_join" -> sqlAsof,
@@ -2729,44 +2819,12 @@ object EventOps {
 
     // Peak concurrency: the sessionize CTEs + the sweep line with the
     // pinned (time asc, delta ASC) tie order — departures process
-    // before arrivals, so end+1 == start never fakes an overlap.
-    "ev_peak_concurrency" ->
-      """WITH t AS (
-           SELECT user_id, event_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS tsec
-           FROM events),
-         flagged AS (
-           SELECT user_id, event_id, tsec,
-             CASE WHEN lag(tsec) OVER w IS NULL
-                    OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0
-               END AS boundary
-           FROM t WINDOW w AS (PARTITION BY user_id
-             ORDER BY tsec, event_id)),
-         sess AS (
-           SELECT user_id, tsec,
-             CAST(SUM(boundary) OVER (PARTITION BY user_id
-               ORDER BY tsec, event_id ROWS BETWEEN UNBOUNDED
-               PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-           FROM flagged),
-         iv AS (
-           SELECT MIN(tsec) AS start_sec, MAX(tsec) AS end_sec
-           FROM sess GROUP BY user_id, sid),
-         bounds AS (
-           SELECT start_sec AS t, CAST(1 AS BIGINT) AS delta FROM iv
-           UNION ALL
-           SELECT end_sec + 1, CAST(-1 AS BIGINT) FROM iv),
-         run AS (
-           SELECT t, CAST(SUM(delta) OVER (ORDER BY t ASC, delta ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS BIGINT) AS live
-           FROM bounds),
-         pk AS (SELECT CAST(MAX(live) AS BIGINT) AS peak_concurrent
-                FROM run),
-         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM iv)
-         SELECT nn.n_sessions, pk.peak_concurrent,
-           (SELECT CAST(MIN(t) AS BIGINT) FROM run, pk
-            WHERE run.live = pk.peak_concurrent) AS first_peak_sec
-         FROM nn, pk""",
+    // before arrivals, so end+1 == start never fakes an overlap;
+    // shared verbatim by the day-sharded execution.
+    "ev_peak_concurrency" -> sqlPeakConcurrency,
+    // the day-sharded execution gates against the SAME global sweep:
+    // equality is the shard-decomposition proof
+    "ev_peak_concurrency_sharded" -> sqlPeakConcurrency,
 
     // Bot triage: the triangle CTEs verbatim + per-user combinable
     // counts; every rule is an integer cross-multiplication.

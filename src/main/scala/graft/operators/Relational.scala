@@ -598,6 +598,72 @@ object Relational {
           .otherwise("k_anonymous").as("risk"))
       .orderBy("c_mktsegment", "c_nationkey", "acct_band")
 
+  /** GENERALIZATION LADDER (`pii_generalization`) — the third
+    * governance ENFORCEMENT lever, completing suppression
+    * ([[piiReleaseSuppressed]], drops rows) with coarsening (keeps
+    * every row at lower resolution): candidate releases at strictly
+    * increasing generalization of the quasi-identifier —
+    *
+    *   L0 (segment, nation, band)   — the current release,
+    *   L1 (segment, nation, 5×band) — coarser account bands,
+    *   L2 (segment, region, 5×band) — nations roll to regions,
+    *   L3 (segment)                 — quasi-identifier dropped,
+    *
+    * each reporting group count, min group size, risky groups/rows
+    * under [[PiiKAnon]], and the releasable verdict. Each level is a
+    * COARSENING of the previous (bands merge 5→1, nations merge into
+    * regions, everything merges into segment), so min_n is monotone
+    * nondecreasing and n_risky_rows monotone nonincreasing up the
+    * ladder — the release policy picks the first releasable level, the
+    * k-anonymity ladder of Samarati/Sweeney as a 4-row report.
+    *
+    * 100 TB plan: ONE scan builds the L0 rollup (combinable groupBy,
+    * O(groups) out), then every higher level aggregates THE ROLLUP —
+    * nested-floor identity `floor(floor(x/b)·b / 5b)·5b = floor(x/5b)·5b`
+    * makes L1's bands derivable from L0's, the 25-row nation→region
+    * map broadcasts, and the ladder costs O(groups), not O(rows). */
+  val piiGeneralization: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+      .select(col("c_mktsegment"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        (floor(col("c_acctbal") / lit(PiiAcctBand)) * lit(PiiAcctBand))
+          .as("acct_band"))
+      .groupBy("c_mktsegment", "c_nationkey", "acct_band")
+      .agg(count(lit(1)).as("n"))
+      // one scan; the whole ladder reads this rollup
+      .transform(graft.Checkpointing.cut)
+    val wideBand =
+      (floor(col("acct_band") / lit(5 * PiiAcctBand)) *
+        lit(5 * PiiAcctBand)).as("b")
+    val regions = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("c_nationkey"),
+        col("n_regionkey").cast("long").as("regionkey"))
+    val l1 = base.groupBy(col("c_mktsegment"), col("c_nationkey"), wideBand)
+      .agg(sum(col("n")).as("n"))
+    val l2 = base.join(broadcast(regions), Seq("c_nationkey"))
+      .groupBy(col("c_mktsegment"), col("regionkey"), wideBand)
+      .agg(sum(col("n")).as("n"))
+    val l3 = base.groupBy(col("c_mktsegment")).agg(sum(col("n")).as("n"))
+    def stats(level: Long, quasi: String, groups: org.apache.spark.sql.DataFrame) =
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        min(col("n")).as("min_n"),
+        sum(when(col("n") < PiiKAnon, 1L).otherwise(0L))
+          .as("n_risky_groups"),
+        sum(when(col("n") < PiiKAnon, col("n")).otherwise(0L))
+          .as("n_risky_rows"))
+        .select(lit(level).as("level"), lit(quasi).as("quasi"),
+          col("n_groups"), col("min_n"), col("n_risky_groups"),
+          col("n_risky_rows"))
+    stats(0L, "seg_nation_band", base)
+      .unionByName(stats(1L, "seg_nation_band5", l1))
+      .unionByName(stats(2L, "seg_region_band5", l2))
+      .unionByName(stats(3L, "seg", l3))
+      .withColumn("verdict", when(col("n_risky_rows") === 0L, "releasable")
+        .otherwise("needs_suppression"))
+      .orderBy("level")
+  }
+
   /** Per-dimension bucket resolution of the Z-order curve (8 bits →
     * 256 buckets per dimension, 16-bit z values). */
   val ZBits = 8
@@ -1269,6 +1335,7 @@ object Relational {
     "q0_scan" -> q0Scan,
     "pii_pseudonymize" -> piiPseudonymize,
     "pii_k_anonymity" -> piiKAnonymity,
+    "pii_generalization" -> piiGeneralization,
     "pii_l_diversity" -> piiLDiversity,
     "pii_t_closeness" -> piiTCloseness,
     "pii_release_suppressed" -> piiReleaseSuppressed,
@@ -1391,6 +1458,62 @@ object Relational {
           FROM customer
           GROUP BY c_mktsegment, c_nationkey, acct_band
           ORDER BY c_mktsegment, c_nationkey, acct_band""",
+    // the generalization ladder recomputed from scratch per level
+    // (the engine derives L1..L3 from the L0 rollup; equality of the
+    // ladder stats IS the nested-floor/coarsening-soundness proof)
+    "pii_generalization" ->
+      s"""WITH base AS (
+           SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             floor(c_acctbal / $PiiAcctBand) * $PiiAcctBand AS acct_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1, 2, 3),
+         l1 AS (
+           SELECT c_mktsegment, c_nationkey,
+             floor(acct_band / ${5 * PiiAcctBand}) * ${5 * PiiAcctBand} AS b,
+             CAST(SUM(n) AS BIGINT) AS n
+           FROM base GROUP BY 1, 2, 3),
+         l2 AS (
+           SELECT b0.c_mktsegment,
+             CAST(nt.n_regionkey AS BIGINT) AS regionkey,
+             floor(b0.acct_band / ${5 * PiiAcctBand}) * ${5 * PiiAcctBand} AS b,
+             CAST(SUM(b0.n) AS BIGINT) AS n
+           FROM base b0 JOIN nation nt ON nt.n_nationkey = b0.c_nationkey
+           GROUP BY 1, 2, 3),
+         l3 AS (
+           SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS n
+           FROM base GROUP BY 1),
+         stats AS (
+           SELECT CAST(0 AS BIGINT) AS level, 'seg_nation_band' AS quasi,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(MIN(n) AS BIGINT) AS min_n,
+             CAST(SUM(CASE WHEN n < $PiiKAnon THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+             CAST(SUM(CASE WHEN n < $PiiKAnon THEN n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows
+           FROM base
+           UNION ALL
+           SELECT CAST(1 AS BIGINT), 'seg_nation_band5',
+             CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+             CAST(SUM(CASE WHEN n < $PiiKAnon THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN n < $PiiKAnon THEN n ELSE 0 END) AS BIGINT)
+           FROM l1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'seg_region_band5',
+             CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+             CAST(SUM(CASE WHEN n < $PiiKAnon THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN n < $PiiKAnon THEN n ELSE 0 END) AS BIGINT)
+           FROM l2
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'seg',
+             CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+             CAST(SUM(CASE WHEN n < $PiiKAnon THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN n < $PiiKAnon THEN n ELSE 0 END) AS BIGINT)
+           FROM l3)
+         SELECT level, quasi, n_groups, min_n, n_risky_groups,
+           n_risky_rows,
+           CASE WHEN n_risky_rows = 0 THEN 'releasable'
+                ELSE 'needs_suppression' END AS verdict
+         FROM stats ORDER BY level""",
     // t-closeness: the class x segment grid is completed by crossing
     // class sizes with the 5-row global histogram BEFORE the left
     // join, so a segment absent from a class contributes |0 - N_i*n|.

@@ -126,12 +126,20 @@ object SimilarityOps {
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("norm").as("cn"), col("bucket"))
 
-  /** SQL mirror of [[dot]]: same element order, same fold. */
-  private def sqlDot(a: String, b: String): String =
+  /** SQL mirror of [[dot]] over the first m lanes: same element
+    * order, same double fold (m = [[Dims]] is the full dot). */
+  private def sqlDotM(a: String, b: String, m: Int): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        list_transform(range(1, $Dims + 1),
+        list_transform(range(1, $m + 1),
           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
         (acc, v) -> acc + v)"""
+
+  /** SQL mirror of [[dot]]: same element order, same fold. */
+  private def sqlDot(a: String, b: String): String = sqlDotM(a, b, Dims)
+
+  /** Prefix cosine mirror for [[embPrefixRecall]]. */
+  private def sqlCosineM(a: String, b: String, m: Int): String =
+    s"${sqlDotM(a, b, m)} / (sqrt(${sqlDotM(a, a, m)}) * sqrt(${sqlDotM(b, b, m)}))"
 
   private def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
@@ -763,6 +771,66 @@ object SimilarityOps {
           1L).otherwise(0L)).as("n_hits"),
         count(lit(1)).as("n_possible"))
       .orderBy("k")
+  }
+
+  /** Matryoshka prefix lengths audited by [[embPrefixRecall]].
+    * Fixed forever. */
+  val PrefixDims = Seq(8, 16, 32)
+
+  /** MATRYOSHKA PREFIX-RECALL AUDIT (`emb_prefix_recall`) — prices
+    * truncating the embedding column before committing to it: for
+    * each prefix length m ∈ [[PrefixDims]], exact brute-force cosine
+    * top-[[TopK]] using only the FIRST m dims, scored for recall
+    * against the full-[[Dims]] truth ([[knnBrute]]'s contract). A
+    * matryoshka-trained model front-loads information, so prefix
+    * recall tells you which truncation is safe — an 8× storage /
+    * bandwidth / probe-cost lever at 100 TB (a 64→8 truncation
+    * shrinks every ANN probe's dot products the same way PQ shrinks
+    * codes, but with zero decode step). Prefix cosines renormalize
+    * with PREFIX norms (`slice` + the same codegen'd [[FloatDot]] /
+    * one IEEE sqrt — bit-identical fold to the oracle's list_reduce
+    * over range(1, m+1)); the truth join completes the m grid from
+    * the 3-row broadcast so a zero-hit prefix reports 0.0, never a
+    * dropped row. All counting integer; one division per m. */
+  val embPrefixRecall: Q = (s, d) => {
+    import s.implicits._
+    val e = bucketed(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))
+    val c = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"))
+    val truth = topK(
+      c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("cand_id"),
+          cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos")),
+      TopK)
+      .select(col("query_id").as("t_q"), col("cand_id").as("t_c"))
+      .transform(graft.Checkpointing.cut)
+    val runs = PrefixDims.map { m =>
+      val pq = slice(col("qe"), 1, m)
+      val pc = slice(col("ce"), 1, m)
+      val cosP = dot(pq, pc) / (sqrt(dot(pq, pq)) * sqrt(dot(pc, pc)))
+      topK(
+        c.crossJoin(broadcast(q))
+          .select(col("query_id"), col("cand_id"), cosP.as("cos")),
+        TopK)
+        .select(lit(m.toLong).as("m"), col("query_id").as("p_query"),
+          col("cand_id").as("p_cand"))
+    }.reduce(_ unionByName _)
+    val hits = runs.join(truth,
+        col("p_query") === col("t_q") && col("p_cand") === col("t_c"))
+      .groupBy("m").agg(count(lit(1)).as("n_hits"))
+    val nPossible = truth.agg(count(lit(1)).as("n_possible"))
+    PrefixDims.map(_.toLong).toDF("m")
+      .join(hits, Seq("m"), "left")
+      .crossJoin(broadcast(nPossible))
+      .select(col("m"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_possible"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_possible").cast("double")).as("recall"))
+      .orderBy("m")
   }
 
   /** Decimal-exact per-(clabel, dim) means of a (clabel, embedding)
@@ -2244,6 +2312,7 @@ object SimilarityOps {
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
     "ann_recall_curve" -> annRecallCurve,
+    "emb_prefix_recall" -> embPrefixRecall,
     "ann_filtered" -> annFiltered,
     "ann_filtered_recall" -> annFilteredRecall,
     "emb_dup_text_verify" -> embDupTextVerify,
@@ -2552,6 +2621,41 @@ object SimilarityOps {
         FROM embeddings q, embeddings c
         WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""", TopK)
 
+  /** [[embPrefixRecall]]'s mirror: the full-dim truth and each
+    * prefix run recomputed from scratch, the m grid completed from a
+    * VALUES list so zero-hit prefixes report 0.0. */
+  private lazy val sqlPrefixRecall: String = {
+    val prefixRuns = PrefixDims.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS m, query_id, cand_id
+          FROM (${sqlTopK(
+        s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              ${sqlCosineM("q.embedding", "c.embedding", m)} AS cos
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""",
+        TopK)}) p$m"""
+    }.mkString("\n          UNION ALL\n          ")
+    val msValues = PrefixDims
+      .map(m => s"(CAST($m AS BIGINT))").mkString(", ")
+    s"""WITH truth AS (
+          SELECT query_id, cand_id FROM ($sqlKnnBrute) t),
+        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_possible FROM truth),
+        runs AS (
+          $prefixRuns),
+        hits AS (
+          SELECT r.m, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM runs r JOIN truth t ON t.query_id = r.query_id
+            AND t.cand_id = r.cand_id
+          GROUP BY r.m),
+        ms(m) AS (VALUES $msValues)
+        SELECT ms.m,
+          CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+          np.n_possible,
+          CAST(COALESCE(h.n_hits, 0) AS DOUBLE) /
+            CAST(np.n_possible AS DOUBLE) AS recall
+        FROM ms CROSS JOIN np LEFT JOIN hits h ON h.m = ms.m
+        ORDER BY ms.m"""
+  }
+
   /** The [[annMmrDiversify]] greedy loop unrolled as a CTE chain:
     * per step, max-sim against the selected set then a ROW_NUMBER
     * argmax mirroring the Spark side's max(struct(score, −cand_id)). */
@@ -2843,6 +2947,7 @@ object SimilarityOps {
             sqrt(${sqlDot("embedding", "embedding")}) AS norm
           FROM allv ORDER BY vec_id""",
     "knn_brute" -> sqlKnnBrute,
+    "emb_prefix_recall" -> sqlPrefixRecall,
     "ann_mmr_diversify" -> sqlMmrDiversify,
     "ann_hard_negatives" -> sqlTopK(
       s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -1507,6 +1507,58 @@ object StreamOps {
       .orderBy("event_type", "rank")
   }
 
+  /** Compact the topk ledger: merge the accumulated per-batch
+    * partials into ONE row per (type, user) and REPLACE the ledger
+    * with the merged relation — the lifecycle step that bounds ledger
+    * growth (partials accumulate O(batches × keys-touched-per-batch);
+    * compacted state is O(keys), and the hot path stays append-only
+    * because compaction runs out-of-band, the index-compaction
+    * discipline applied to streaming state). The merged sum is cast
+    * back to the ledger's canonical DECIMAL(22,2) — exact (decimal
+    * addition never leaves (22,2) at any corpus this side of 10^20
+    * cents), so a compacted ledger is indistinguishable to the
+    * readout by construction. Returns the compacted dir. */
+  private[graft] def compactTopkLedger(s: SparkSession, stateDir: String)
+      : String = {
+    val compactDir = java.nio.file.Files
+      .createTempDirectory("graft-topk-compact").toString
+    readLedger(s, stateDir, TopkStateSchema)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("tv")).cast(
+        org.apache.spark.sql.types.DecimalType(22, 2)).as("tv"))
+      .write.mode("overwrite").parquet(compactDir)
+    compactDir
+  }
+
+  /** Ledger-compaction lifecycle (`stream_topk_compact`): run the
+    * [[streamTopkValue]] ingest, COMPACT the ledger
+    * ([[compactTopkLedger]]), then read out of the compacted state.
+    * Gated against the SAME global-aggregate oracle — equality is the
+    * statement that compaction is lossless, exactly as the
+    * append→merge→compact index lifecycle queries gate their
+    * compacted indexes. Completes the streaming-state story at
+    * 100 TB: append-only O(batch) hot path ([[topkValueBatch]]),
+    * out-of-band O(keys) compaction (this), order-independent readout
+    * ([[topkValueReadout]]). */
+  val streamTopkCompact: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-topk-state2").toString
+    val q = eventsStream(s, d)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        topkValueBatch(batch, stateDir)
+      }
+      .start()
+    awaitDrained(q)
+    val compactDir = compactTopkLedger(s, stateDir)
+    val out = topkValueReadout(s, compactDir)
+      .transform(graft.Checkpointing.cut)
+    deleteRecursively(new java.io.File(stateDir))
+    deleteRecursively(new java.io.File(compactDir))
+    out
+  }
+
   /** One micro-batch of the streaming decayed-value ledger: the
     * batch's per-(user, day) exact-cents partials APPEND to the state
     * store — no read, no rewrite, O(batch) per batch. Day is the
@@ -1598,6 +1650,7 @@ object StreamOps {
 
   val defs: Map[String, Q] = Map(
     "stream_topk_value" -> streamTopkValue,
+    "stream_topk_compact" -> streamTopkCompact,
     "stream_decayed_value" -> streamDecayedValue,
     "stream_sample_weighted" -> streamSampleWeighted,
     "stream_sample_weighted_quota" -> streamSampleWeightedQuota,
@@ -1635,23 +1688,28 @@ object StreamOps {
   // would make the map's value depend on which object the JVM
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
+  // the global batch aggregate — equality says batch boundaries
+  // cannot leak into the ledger's compacted ranking; shared verbatim
+  // by the post-compaction readout (`stream_topk_compact`), where
+  // equality additionally states the compaction is lossless
+  private lazy val sqlTopkValue =
+    s"""WITH totals AS (
+          SELECT event_type, user_id,
+            SUM(${sqlMoney("value")}) AS tv
+          FROM events GROUP BY event_type, user_id),
+        ranked AS (
+          SELECT event_type, user_id, tv,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY tv DESC, user_id) AS rnk
+          FROM totals)
+        SELECT event_type, rnk AS rank, user_id,
+          CAST(tv AS DOUBLE) AS total_value
+        FROM ranked WHERE rnk <= $StreamTopkK
+        ORDER BY event_type, rnk"""
+
   lazy val oracle: Map[String, String] = Map(
-    // the global batch aggregate — equality says batch boundaries
-    // cannot leak into the ledger's compacted ranking
-    "stream_topk_value" ->
-      s"""WITH totals AS (
-            SELECT event_type, user_id,
-              SUM(${sqlMoney("value")}) AS tv
-            FROM events GROUP BY event_type, user_id),
-          ranked AS (
-            SELECT event_type, user_id, tv,
-              ROW_NUMBER() OVER (PARTITION BY event_type
-                ORDER BY tv DESC, user_id) AS rnk
-            FROM totals)
-          SELECT event_type, rnk AS rank, user_id,
-            CAST(tv AS DOUBLE) AS total_value
-          FROM ranked WHERE rnk <= $StreamTopkK
-          ORDER BY event_type, rnk""",
+    "stream_topk_value" -> sqlTopkValue,
+    "stream_topk_compact" -> sqlTopkValue,
     // the DAY-quantized decay recomputed globally: per-(user, day)
     // exact cents, one shift per day's age, integer rollup — equality
     // says batch boundaries cannot leak into the compacted ledger

@@ -59,4 +59,42 @@ class PeakConcurrencySpec extends SparkSpec {
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
     assert(r.getAs[Long]("first_peak_sec") == base + 60L)
   }
+
+  test("the day-sharded sweep equals the global sweep at sf0.001") {
+    val global = SparkEntry.queries("ev_peak_concurrency")(spark, Sf)
+      .collect()
+    val sharded =
+      SparkEntry.queries("ev_peak_concurrency_sharded")(spark, Sf)
+        .collect()
+    assert(sharded.toSeq == global.toSeq)
+  }
+
+  test("planted: a session OPEN ACROSS MIDNIGHT is carried into the " +
+      "next day's shard by the seed") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1's session spans midnight UTC (events 10 min apart stay
+    // in-session); users 2 and 3 are short sessions entirely inside
+    // day 2, stacking on top of the carried-open session 1
+    val events = Seq(
+      (1L, t("2024-01-01 23:50:00"), 1L),
+      (2L, t("2024-01-02 00:10:00"), 1L),
+      (3L, t("2024-01-02 00:05:00"), 2L),
+      (4L, t("2024-01-02 00:08:00"), 2L),
+      (5L, t("2024-01-02 00:06:00"), 3L),
+      (6L, t("2024-01-02 00:07:00"), 3L))
+    val dir = tmpDir("peak-midnight")
+    events.map { case (id, ts, u) => (id, ts, u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val g = EventOps.evPeakConcurrency(spark, dir).collect().head
+    val s = EventOps.evPeakConcurrencySharded(spark, dir).collect().head
+    assert(g.getAs[Long]("peak_concurrent") == 3L,
+      "the midnight-spanning session must count inside day 2")
+    assert(s.getAs[Long]("n_sessions") == g.getAs[Long]("n_sessions"))
+    assert(s.getAs[Long]("peak_concurrent") ==
+      g.getAs[Long]("peak_concurrent"))
+    assert(s.getAs[Long]("first_peak_sec") ==
+      g.getAs[Long]("first_peak_sec"))
+  }
 }

@@ -40,6 +40,26 @@ class StreamTopkSpec extends SparkSpec {
     assert(split.nonEmpty)
   }
 
+  test("compaction shrinks the ledger to O(keys) and the readout is " +
+      "bit-identical before and after") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val dir = tmpDir("topk-compact")
+    // three overlapping micro-batches -> multiple partials per key
+    StreamOps.topkValueBatch(ev.filter(col("event_id") % 3 === 0), dir)
+    StreamOps.topkValueBatch(ev.filter(col("event_id") % 3 === 1), dir)
+    StreamOps.topkValueBatch(ev.filter(col("event_id") % 3 === 2), dir)
+    val before = StreamOps.topkValueReadout(spark, dir).collect()
+    val rawRows = spark.read.parquet(dir).count()
+    val keys = spark.read.parquet(dir)
+      .select("event_type", "user_id").distinct().count()
+    assert(rawRows > keys, "the fixture must actually accumulate partials")
+    val compacted = StreamOps.compactTopkLedger(spark, dir)
+    assert(spark.read.parquet(compacted).count() == keys,
+      "compaction must merge to exactly one partial per key")
+    val after = StreamOps.topkValueReadout(spark, compacted).collect()
+    assert(after.toSeq == before.toSeq)
+  }
+
   test("an untouched (empty) state dir reads out as the correct " +
       "EMPTY relation, never a schema-inference crash") {
     // round 11's readout inferred the parquet schema and crashed
