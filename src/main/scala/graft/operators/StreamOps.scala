@@ -354,7 +354,9 @@ object StreamOps {
     * to whole seconds BEFORE watermarking/windowing so the watermark
     * and window arithmetic are integer-exact on both engines; the
     * oracle is the batch sessionization filtered to watermark-closed
-    * sessions (`end_ms <= wm`, the tumbling-window emission rule). */
+    * sessions (`end_ms <= wm`, the tumbling-window emission rule).
+    * (Hot-key posture: session-window merge is O(n log n) per key per
+    * batch, not quadratic — the skew probe holds it at ~1×.) */
   val streamSessionWindow: Q = (s0, d) => {
     val s = replaySession(s0)
     val agg = eventsStream(s, d)
@@ -381,7 +383,23 @@ object StreamOps {
     * whole seconds BEFORE the watermark so the interval arithmetic is
     * integer-exact on both engines. Inner-join matches are emitted
     * regardless of watermark progress, so the finite replay equals the
-    * batch range join the oracle runs. */
+    * batch range join the oracle runs.
+    *
+    * HOT-KEY BANDING: the equi-key is (user, hour bucket), not bare
+    * user — the round-12 skew probe caught the bare-user form at
+    * 187× under a 20%-one-user corpus (a bot/service account), because
+    * the symmetric hash join scans ALL of a key's state per input row:
+    * one hot key = one state partition doing O(n_p·n_c) comparisons
+    * single-threaded. Banding the range dimension into the key (the
+    * [[graft.operators.EventOps.evAsofBucketed]] trick, applied to
+    * streaming state) bounds each state cell to one user-HOUR and
+    * spreads the hot user across partitions. The purchase side
+    * explodes to its two candidate click-hours (a click in
+    * [p_ts − 1h, p_ts] sits in hour(p_ts) or hour(p_ts) − 1, and in
+    * exactly ONE of them — no duplicate pairs, no dedup pass); the
+    * exact range predicate stays in the join, so results are
+    * row-identical to the bare-user form at ≤ 2× purchase-side state
+    * and O(events-per-user-hour) comparisons per row. */
   val streamIntervalJoin: Q = (s0, d) => {
     val s = replaySession(s0)
     def side(tpe: String, prefix: String) =
@@ -391,8 +409,14 @@ object StreamOps {
           col("event_id").as(s"${prefix}_id"),
           timestamp_seconds(unix_timestamp(col("ts"))).as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "1 hour")
-    val joined = side("purchase", "p").join(side("click", "c"),
-      col("p_user") === col("c_user") &&
+    val purchases = side("purchase", "p")
+      .withColumn("hb", explode(array(
+        floor(unix_timestamp(col("p_ts")) / 3600L),
+        floor(unix_timestamp(col("p_ts")) / 3600L) - 1L)))
+    val clicks = side("click", "c")
+      .withColumn("hb", floor(unix_timestamp(col("c_ts")) / 3600L))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") && purchases("hb") === clicks("hb") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"))
     runToTable(s, joined, "append")
@@ -410,7 +434,16 @@ object StreamOps {
     * inner interval join: a view is emitted AT MOST ONCE however many
     * clicks match (no match multiplicity), and state on both sides is
     * bounded by watermark + range. Output: the converted view events;
-    * the per-day rate is the batch rollup's job. */
+    * the per-day rate is the batch rollup's job.
+    *
+    * Same HOT-KEY BANDING as [[streamIntervalJoin]], mirrored for the
+    * semi join: the CLICK side explodes to its two candidate
+    * view-hours (a view with a click in [v_ts, v_ts + 1h] sits in
+    * hour(c_ts) or hour(c_ts) − 1), the view side keys on its own
+    * hour. Exploding the PROBE side keeps left-semi semantics exact —
+    * each view row exists once, so "emitted iff any match" cannot
+    * double-emit, whereas exploding the view side would need a
+    * streaming dedup behind it. */
   val streamConversionWindow: Q = (s0, d) => {
     val s = replaySession(s0)
     def side(tpe: String, prefix: String) =
@@ -420,8 +453,14 @@ object StreamOps {
           col("event_id").as(s"${prefix}_id"),
           timestamp_seconds(unix_timestamp(col("ts"))).as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "1 hour")
-    val joined = side("view", "v").join(side("click", "c"),
-      col("v_user") === col("c_user") &&
+    val views = side("view", "v")
+      .withColumn("hb", floor(unix_timestamp(col("v_ts")) / 3600L))
+    val clicks = side("click", "c")
+      .withColumn("hb", explode(array(
+        floor(unix_timestamp(col("c_ts")) / 3600L),
+        floor(unix_timestamp(col("c_ts")) / 3600L) - 1L)))
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") && views("hb") === clicks("hb") &&
         col("c_ts") >= col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
       "left_semi")

@@ -887,6 +887,54 @@ object TextOps {
       .limit(50)
   }
 
+  /** Absolute discount for [[tfKnProb]] — Kneser-Ney's standard 0.75
+    * (exact in binary, so both engines' doubles agree bit-for-bit).
+    * Fixed forever. */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser-Ney bigram probability (`tf_kn_prob`) — the
+    * smoothed estimate the continuation counts exist FOR, completing
+    * that family into the quantity an LM pipeline actually consumes:
+    *
+    *   P_KN(w2|w1) = (c(w1,w2) − d)/c(w1·)
+    *               + d·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+    *
+    * (observed bigrams only, so the max(·,0) of the textbook form
+    * never binds). Every count is integer off ONE bigram-type rollup
+    * — left marginal + continuation types are O(types) aggregates of
+    * the rollup, never a second corpus pass — and p_kn is one fixed
+    * double tree over exactly-representable integers (d = 0.75 is an
+    * exact binary double), mirrored textually in the oracle. Top 50
+    * by (count DESC, bigram) for the gate. */
+  val tfKnProb: Q = (s, d) => {
+    val big = docs(s, d)
+      .select(explode(Hashing.ngrams(toks, 2)).as("bigram"))
+      .select(split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bigram"), lit(" "), lit(2)).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+      // one corpus pass; marginals/types/total all read this rollup
+      .transform(graft.Checkpointing.cut)
+    val leftMarg = big.groupBy("w1")
+      .agg(sum(col("c_bigram")).as("c_w1"),
+        count(lit(1)).as("right_types"))
+    val contLeft = big.groupBy("w2")
+      .agg(count(lit(1)).as("left_types"))
+    val total = big.agg(count(lit(1)).as("n_distinct_bigrams"))
+    big.join(leftMarg, Seq("w1"))
+      .join(contLeft, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_bigram"), col("c_w1"),
+        col("right_types"), col("left_types"), col("n_distinct_bigrams"),
+        (((col("c_bigram").cast("double") - lit(KnDiscount)) /
+          col("c_w1").cast("double")) +
+          (lit(KnDiscount) * col("right_types").cast("double") /
+            col("c_w1").cast("double")) *
+          (col("left_types").cast("double") /
+            col("n_distinct_bigrams").cast("double"))).as("p_kn"))
+      .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** Token window size / stride for [[docChunkTokens]] — overlap of
     * `ChunkTokens - ChunkStride` tokens between adjacent chunks. */
   val ChunkTokens = 32
@@ -2180,7 +2228,8 @@ object TextOps {
     "doc_budget_waterfill" -> docBudgetWaterfill,
     "doc_quality_tiers" -> docQualityTiers,
     "tf_ngram_novelty" -> tfNgramNovelty,
-    "tf_continuation_counts" -> tfContinuationCounts)
+    "tf_continuation_counts" -> tfContinuationCounts,
+    "tf_kn_prob" -> tfKnProb)
 
   // ------------------------------------------------------------------
 
@@ -3267,7 +3316,37 @@ object TextOps {
               / CAST(t.n_distinct_bigrams AS DOUBLE) AS p_continuation
           FROM l FULL OUTER JOIN r ON l.token = r.token
           CROSS JOIN tot t
-          ORDER BY left_types DESC, token LIMIT 50""")
+          ORDER BY left_types DESC, token LIMIT 50""",
+    // the same fixed double tree, parenthesized identically: the
+    // division/product order must match the engine's op-for-op
+    "tf_kn_prob" ->
+      s"""WITH big AS (
+            SELECT split_part(bigram, ' ', 1) AS w1,
+              split_part(bigram, ' ', 2) AS w2,
+              CAST(COUNT(*) AS BIGINT) AS c_bigram
+            FROM (SELECT unnest(list_transform(range(1, length($sqlToks)),
+                    i -> $sqlToks[i] || ' ' || $sqlToks[i+1])) AS bigram
+                  FROM documents) t
+            GROUP BY 1, 2),
+          lm AS (SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_w1,
+                   CAST(COUNT(*) AS BIGINT) AS right_types
+                 FROM big GROUP BY w1),
+          cl AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS left_types
+                 FROM big GROUP BY w2),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+                  FROM big)
+          SELECT big.w1, big.w2, big.c_bigram, lm.c_w1, lm.right_types,
+            cl.left_types, tot.n_distinct_bigrams,
+            ((CAST(big.c_bigram AS DOUBLE) - $KnDiscount)
+               / CAST(lm.c_w1 AS DOUBLE))
+            + ($KnDiscount * CAST(lm.right_types AS DOUBLE)
+               / CAST(lm.c_w1 AS DOUBLE))
+              * (CAST(cl.left_types AS DOUBLE)
+               / CAST(tot.n_distinct_bigrams AS DOUBLE)) AS p_kn
+          FROM big JOIN lm ON lm.w1 = big.w1
+          JOIN cl ON cl.w2 = big.w2
+          CROSS JOIN tot
+          ORDER BY big.c_bigram DESC, big.w1, big.w2 LIMIT 50""")
 
   /** The BPE training rounds as a DuckDB CTE chain: `words` (the
     * word-frequency relation), `r0` (char-level symbol repr with the
