@@ -1657,6 +1657,51 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** Compact the decayed-value ledger: merge accumulated per-batch
+    * partials to ONE row per (user, day) and REPLACE the ledger —
+    * [[compactTopkLedger]]'s discipline for the day-quantized state.
+    * Day partials are decay-agnostic (the shift applies at readout
+    * against the ledger max day), so compaction commutes with any
+    * future ingest and the readout is bit-identical by integer-sum
+    * associativity. Returns the compacted dir. */
+  private[graft] def compactDecayLedger(s: SparkSession, stateDir: String)
+      : String = {
+    val compactDir = java.nio.file.Files
+      .createTempDirectory("graft-decay-compact").toString
+    readLedger(s, stateDir, DecayStateSchema)
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+      .write.mode("overwrite").parquet(compactDir)
+    compactDir
+  }
+
+  /** Ledger-compaction lifecycle for the decayed-value state
+    * (`stream_decayed_compact`): ingest → [[compactDecayLedger]] →
+    * readout of the compacted state, gated against the SAME oracle as
+    * `stream_decayed_value` — compaction losslessness for the
+    * day-partial ledger, completing the lifecycle for both streaming
+    * ledgers (state here is O(users × days) however long the stream
+    * runs; compaction bounds the PARTIAL count, which otherwise grows
+    * O(batches × users-touched-per-batch)). */
+  val streamDecayedCompact: Q = (s0, d) => {
+    val s = replaySession(s0)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-decay-state2").toString
+    val q = eventsStream(s, d)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        decayedValueBatch(batch, stateDir)
+      }
+      .start()
+    awaitDrained(q)
+    val compactDir = compactDecayLedger(s, stateDir)
+    val out = decayedValueReadout(s, compactDir)
+      .transform(graft.Checkpointing.cut)
+    deleteRecursively(new java.io.File(stateDir))
+    deleteRecursively(new java.io.File(compactDir))
+    out
+  }
+
   /** Streaming decayed user value (`stream_decayed_value`) — the
     * ingest twin of `ev_decayed_value`, DAY-quantized: the decay
     * shift applies once per (user, day) partial at compaction instead
@@ -1691,6 +1736,7 @@ object StreamOps {
     "stream_topk_value" -> streamTopkValue,
     "stream_topk_compact" -> streamTopkCompact,
     "stream_decayed_value" -> streamDecayedValue,
+    "stream_decayed_compact" -> streamDecayedCompact,
     "stream_sample_weighted" -> streamSampleWeighted,
     "stream_sample_weighted_quota" -> streamSampleWeightedQuota,
     "stream_bloom_gate" -> streamBloomGate,
@@ -1727,6 +1773,30 @@ object StreamOps {
   // would make the map's value depend on which object the JVM
   // happened to initialize first (a mid-cycle read sees null). Lazy
   // defers interpolation past every clinit.
+  // the DAY-quantized decay recomputed globally: per-(user, day)
+  // exact cents, one shift per day's age, integer rollup — equality
+  // says batch boundaries cannot leak into the ledger; shared
+  // verbatim by the post-compaction readout (`stream_decayed_compact`)
+  private lazy val sqlDecayedValue =
+    s"""WITH maxd AS (SELECT CAST(max(ts) AS DATE) AS maxd FROM events),
+        pd AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+            CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS BIGINT) AS cents,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+          CAST(SUM(${EventOps.sqlDecayShift("cents",
+            "date_diff('day', day, maxd)")}) AS BIGINT)
+            AS decayed_cents,
+          CAST(SUM(cents) AS BIGINT) AS raw_cents,
+          CAST(MIN(date_diff('day', day, maxd)) AS BIGINT)
+            AS last_age_days,
+          CAST(SUM(${EventOps.sqlDecayShift("cents",
+            "date_diff('day', day, maxd)")}) AS DOUBLE)
+            / 100.0 AS decayed_value
+        FROM pd, maxd GROUP BY user_id ORDER BY user_id"""
+
   // the global batch aggregate — equality says batch boundaries
   // cannot leak into the ledger's compacted ranking; shared verbatim
   // by the post-compaction readout (`stream_topk_compact`), where
@@ -1749,28 +1819,8 @@ object StreamOps {
   lazy val oracle: Map[String, String] = Map(
     "stream_topk_value" -> sqlTopkValue,
     "stream_topk_compact" -> sqlTopkValue,
-    // the DAY-quantized decay recomputed globally: per-(user, day)
-    // exact cents, one shift per day's age, integer rollup — equality
-    // says batch boundaries cannot leak into the compacted ledger
-    "stream_decayed_value" ->
-      s"""WITH maxd AS (SELECT CAST(max(ts) AS DATE) AS maxd FROM events),
-          pd AS (
-            SELECT user_id, CAST(ts AS DATE) AS day,
-              CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
-                AS BIGINT)) AS BIGINT) AS cents,
-              CAST(COUNT(*) AS BIGINT) AS n
-            FROM events GROUP BY 1, 2)
-          SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
-            CAST(SUM(${EventOps.sqlDecayShift("cents",
-              "date_diff('day', day, maxd)")}) AS BIGINT)
-              AS decayed_cents,
-            CAST(SUM(cents) AS BIGINT) AS raw_cents,
-            CAST(MIN(date_diff('day', day, maxd)) AS BIGINT)
-              AS last_age_days,
-            CAST(SUM(${EventOps.sqlDecayShift("cents",
-              "date_diff('day', day, maxd)")}) AS DOUBLE)
-              / 100.0 AS decayed_value
-          FROM pd, maxd GROUP BY user_id ORDER BY user_id""",
+    "stream_decayed_value" -> sqlDecayedValue,
+    "stream_decayed_compact" -> sqlDecayedValue,
     "stream_sample_weighted" -> TextOps.sqlSampleWeighted,
     "stream_sample_weighted_quota" ->
       TextOps.oracle("doc_sample_weighted_quota"),

@@ -42,4 +42,22 @@ class StreamDecayedSpec extends SparkSpec {
     assert(strict > 0,
       "the floor inequality should be strict for someone at sf0.001")
   }
+
+  test("ledger compaction merges to one partial per (user, day) with " +
+      "a bit-identical readout") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val dir = tmpDir("decay-compact")
+    StreamOps.decayedValueBatch(ev.filter(col("event_id") % 3 === 0), dir)
+    StreamOps.decayedValueBatch(ev.filter(col("event_id") % 3 === 1), dir)
+    StreamOps.decayedValueBatch(ev.filter(col("event_id") % 3 === 2), dir)
+    val before = StreamOps.decayedValueReadout(spark, dir).collect()
+    val raw = spark.read.parquet(dir).count()
+    val keys = spark.read.parquet(dir)
+      .select("user_id", "day").distinct().count()
+    assert(raw > keys, "the fixture must actually accumulate partials")
+    val compacted = StreamOps.compactDecayLedger(spark, dir)
+    assert(spark.read.parquet(compacted).count() == keys)
+    val after = StreamOps.decayedValueReadout(spark, compacted).collect()
+    assert(after.toSeq == before.toSeq)
+  }
 }
