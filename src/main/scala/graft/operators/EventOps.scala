@@ -73,6 +73,57 @@ object EventOps {
       .orderBy("event_type", "hour_sec")
   }
 
+  /** ROBUST daily anomaly scoring (`ev_anomaly_mad`) — the
+    * median/MAD complement of [[evHourlyAnomaly]]'s z-score: mean and
+    * std are themselves dragged by the outliers they are supposed to
+    * flag (one 10× spike inflates σ enough to hide a 3× spike;
+    * breakdown point 0), while the median absolute deviation ignores
+    * up to half the days being garbage — the robust monitor you
+    * actually run against a corpus with real incidents. ALL-INTEGER:
+    * medians are kept ×2 as the sum of the two middle order
+    * statistics (`med2`, exact for even day counts with no halves),
+    * deviations as `dev2 = |2n − med2|` (= 4×MAD when medianed →
+    * `mad4`), and the 3-MAD flag is the cross-multiplication
+    * `2·dev2 > 3·mad4` — no double exists anywhere, so both engines
+    * agree to the bit. The standard caveat is preserved, not hidden:
+    * when over half the days share the median count, mad4 = 0 and ANY
+    * deviation flags. Scale shape: one combinable daily rollup, then
+    * two row_number windows over the O(types × days) series — the
+    * order statistics never touch the fact table. */
+  val evAnomalyMad: Q = (s, d) => {
+    val daily = ev(s, d)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        col("event_type"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.Checkpointing.cut)
+    val wT = Window.partitionBy(col("event_type"))
+    // 2×median of `vcol` per type: the sum of the two middle order
+    // statistics ((cnt+1) div 2 and cnt div 2 + 1 — equal when cnt is
+    // odd, so that row contributes twice)
+    def twoMid(vcol: String, out: String)(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(vcol), col("day"))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wT))
+        .withColumn("lo", expr("(cnt + 1) div 2"))
+        .withColumn("hi", expr("cnt div 2 + 1"))
+        .groupBy("event_type")
+        .agg(sum((col("rn") === col("lo")).cast("long") * col(vcol) +
+          (col("rn") === col("hi")).cast("long") * col(vcol)).as(out))
+    }
+    val med = daily.transform(twoMid("n", "med2"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(col("n") * 2L - col("med2")))
+    val mad = dev.transform(twoMid("dev2", "mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), (col("day") * 86400L).as("day_sec"),
+        col("n"), col("med2"), col("dev2"), col("mad4"),
+        when(col("dev2") * 2L > col("mad4") * 3L, "anomaly")
+          .otherwise("normal").as("verdict"))
+      .orderBy("event_type", "day_sec")
+  }
+
   /** Gap-based sessionization (30-minute inactivity), the batch
     * equivalent of a streaming session window: lag → boundary flag →
     * running sum = session id → per-session aggregate. One shuffle on
@@ -2070,6 +2121,7 @@ object EventOps {
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
     "ev_hourly_anomaly" -> evHourlyAnomaly,
+    "ev_anomaly_mad" -> evAnomalyMad,
     "ev_type_pagerank" -> evTypePagerank,
     "ev_user_pagerank" -> evUserPagerank,
     "ev_user_hits" -> evUserHits,
@@ -2377,6 +2429,47 @@ object EventOps {
              ELSE 0.0 END AS z
          FROM hourly h JOIN stats s ON h.event_type = s.event_type
          ORDER BY h.event_type, h.hour_sec""",
+    // MAD anomaly: 2x-medians as the sum of the two middle order
+    // statistics (identical rn picks and (value, day) tie order on
+    // both engines), all-integer 3-MAD cross-multiplication
+    "ev_anomaly_mad" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         med AS (
+           SELECT event_type,
+             CAST(SUM(CASE WHEN rn = (cnt + 1) // 2 THEN n ELSE 0 END
+               + CASE WHEN rn = cnt // 2 + 1 THEN n ELSE 0 END)
+               AS BIGINT) AS med2
+           FROM (SELECT event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY n, day) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                 FROM daily) z
+           GROUP BY 1),
+         dev AS (
+           SELECT d.event_type, d.day, d.n, m.med2,
+             abs(d.n * 2 - m.med2) AS dev2
+           FROM daily d JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type,
+             CAST(SUM(CASE WHEN rn = (cnt + 1) // 2 THEN dev2 ELSE 0 END
+               + CASE WHEN rn = cnt // 2 + 1 THEN dev2 ELSE 0 END)
+               AS BIGINT) AS mad4
+           FROM (SELECT event_type, dev2,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY dev2, day) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                 FROM dev) z
+           GROUP BY 1)
+         SELECT dev.event_type, dev.day * 86400 AS day_sec, dev.n,
+           dev.med2, dev.dev2, mad.mad4,
+           CASE WHEN dev.dev2 * 2 > mad.mad4 * 3 THEN 'anomaly'
+                ELSE 'normal' END AS verdict
+         FROM dev JOIN mad USING (event_type)
+         ORDER BY dev.event_type, day_sec""",
     "ev_retention" ->
       """WITH days AS (
            SELECT DISTINCT user_id,

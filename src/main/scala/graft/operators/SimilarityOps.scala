@@ -833,6 +833,48 @@ object SimilarityOps {
       .orderBy("m")
   }
 
+  /** Prefix length / shortlist depth for [[annPrefixRerank]].
+    * Fixed forever. */
+  val PrefixRerankM = 16
+  val PrefixShort = 20
+
+  /** MATRYOSHKA TWO-STAGE SEARCH (`ann_prefix_rerank`) — the search
+    * tier [[embPrefixRecall]]'s audit prices: candidate generation
+    * scores ONLY the first [[PrefixRerankM]] dims (¼ of the scan
+    * bandwidth — at 100 TB the prefix pass reads a 16-dim column
+    * slice, the storage win PQ gets from codes but with zero decode),
+    * keeps a top-[[PrefixShort]] shortlist per query, then reranks
+    * the shortlist with the FULL cosine — exact scores on ≤ 20
+    * vectors per query. Same output contract as every search tier
+    * (query_id, rank, cand_id, cos), same (cos desc, cand_id) tie
+    * order at both stages, oracle = the two stages as nested CTEs.
+    * Composes with IVF exactly as [[annProjRerank]]'s JL tier does —
+    * the prefix replaces the projection with a slice the model was
+    * trained to front-load. */
+  val annPrefixRerank: Q = (s, d) => {
+    val e = bucketed(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))
+    val c = e.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("norm").as("cn"))
+    val pq = slice(col("qe"), 1, PrefixRerankM)
+    val pc = slice(col("ce"), 1, PrefixRerankM)
+    val cosP = dot(pq, pc) / (sqrt(dot(pq, pq)) * sqrt(dot(pc, pc)))
+    val shortl = topK(
+      c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("cand_id"), cosP.as("cos")),
+      PrefixShort)
+      .select(col("query_id"), col("cand_id"))
+    val full = shortl
+      .join(q, Seq("query_id"))
+      .join(c, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosPre(col("qe"), col("ce"), col("qn"), col("cn")).as("cos"))
+    topK(full, TopK)
+  }
+
   /** Decimal-exact per-(clabel, dim) means of a (clabel, embedding)
     * relation, in long format — the k-means UPDATE step. Each float
     * element goes through its shortest string into DECIMAL(30,20)
@@ -2313,6 +2355,7 @@ object SimilarityOps {
     "ann_lsh_recall" -> annLshRecall,
     "ann_recall_curve" -> annRecallCurve,
     "emb_prefix_recall" -> embPrefixRecall,
+    "ann_prefix_rerank" -> annPrefixRerank,
     "ann_filtered" -> annFiltered,
     "ann_filtered_recall" -> annFilteredRecall,
     "emb_dup_text_verify" -> embDupTextVerify,
@@ -2948,6 +2991,19 @@ object SimilarityOps {
           FROM allv ORDER BY vec_id""",
     "knn_brute" -> sqlKnnBrute,
     "emb_prefix_recall" -> sqlPrefixRecall,
+    // the two stages as nested CTEs: prefix-cosine shortlist, exact
+    // rerank — both tie orders (cos DESC, cand_id) mirrored
+    "ann_prefix_rerank" -> sqlTopK(
+      s"""SELECT s.query_id, s.cand_id,
+          ${sqlCosine("q.embedding", "c.embedding")} AS cos
+          FROM (${sqlTopK(
+        s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            ${sqlCosineM("q.embedding", "c.embedding", PrefixRerankM)} AS cos
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries""",
+        PrefixShort)}) s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings c ON c.vec_id = s.cand_id""", TopK),
     "ann_mmr_diversify" -> sqlMmrDiversify,
     "ann_hard_negatives" -> sqlTopK(
       s"""SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -62,4 +62,41 @@ class PrefixRecallSpec extends SparkSpec {
     // pinned (just sanity that not all three are identical unless
     // truly equal in the mirror too) -- covered by exact equality
   }
+
+  test("ann_prefix_rerank matches a driver-side two-stage mirror at " +
+      "sf0.001 (prefix shortlist, exact rerank, same tie orders)") {
+    val ops = graft.operators.SimilarityOps
+    val vecs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    def pdot(a: Array[Float], b: Array[Float], m: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < m) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float], m: Int): Double =
+      pdot(a, b, m) / (math.sqrt(pdot(a, a, m)) * math.sqrt(pdot(b, b, m)))
+    val qs = vecs.filter(_._1 < ops.NQueries)
+    val cs = vecs.filter(_._1 >= ops.NQueries)
+    val want = qs.flatMap { case (qid, qe) =>
+      val shortl = cs
+        .map { case (cid, ce) => (cid, cos(qe, ce, ops.PrefixRerankM)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(ops.PrefixShort)
+      shortl
+        .map { case (cid, _) =>
+          (cid, cos(qe, cs.find(_._1 == cid).get._2, ops.Dims)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(ops.TopK)
+        .zipWithIndex
+        .map { case ((cid, c), i) => (qid, (i + 1).toLong, cid, c) }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("ann_prefix_rerank")(spark, Sf)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Double]("cos"))).toSeq
+    assert(got == want)
+  }
 }
