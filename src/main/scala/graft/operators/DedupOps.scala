@@ -741,6 +741,42 @@ object DedupOps {
         col("total_chars"), col("chars_saved"))
       .orderBy("canonical_id")
 
+  /** SURVIVORSHIP POLICY (`dedup_survivor`) — WHICH copy a
+    * keep-one-per-cluster pass keeps: per multi-member near-dup
+    * component, the information-richest member wins — most DISTINCT
+    * tokens, then longest text, then min doc_id — instead of the
+    * naive min-id rule (near-dup clusters are page REVISIONS; min id
+    * keeps the oldest, most-stale revision, throwing away every
+    * edit). All-integer ordering keys, one stats projection + one
+    * equi-join with the cached labeling + a per-component rank ≤ 1
+    * window (WindowGroupLimit — top-1 per group, never a full sort).
+    * `n_dropped` is the enforcement mass; `survivor_is_min_id` shows
+    * exactly where the policy disagrees with the naive rule. */
+  val dedupSurvivor: Q = (s, d) => {
+    val stats = docs(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(graft.functions.Hashing.tokens(col("text"))))
+          .cast("long").as("nd"),
+        col("n_chars"))
+    val ms = components(s, d).join(stats, "doc_id")
+    val sizes = ms.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("min_id"))
+      .filter(col("n_members") > 1)
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("nd").desc, col("n_chars").desc, col("doc_id"))
+    ms.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, Seq("comp"))
+      .select(col("comp").as("component_id"),
+        col("doc_id").as("survivor_id"), col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"),
+        col("nd").as("survivor_distinct_tokens"),
+        col("n_chars").as("survivor_chars"),
+        (col("doc_id") === col("min_id")).cast("long")
+          .as("survivor_is_min_id"))
+      .orderBy("component_id")
+  }
+
   /** Dedup-cluster quality profile: per multi-member near-dup
     * component, the member count, verified-edge count, and the
     * min/max EXACT shingle Jaccard over its candidate edges — the QA
@@ -1730,6 +1766,7 @@ object DedupOps {
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_hamming_histogram" -> dedupHammingHistogram,
     "dedup_components" -> dedupComponents,
+    "dedup_survivor" -> dedupSurvivor,
     "dedup_component_profile" -> dedupComponentProfile,
     "dedup_split_assign" -> dedupSplitAssign,
     "dedup_savings" -> dedupSavings,
@@ -2353,6 +2390,34 @@ object DedupOps {
     "dedup_components" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents
           SELECT doc_id, component_id FROM comp ORDER BY doc_id""",
+    // survivorship: same component CTEs, the (nd DESC, chars DESC,
+    // id) rank mirrored
+    "dedup_survivor" ->
+      s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents,
+          ms AS (
+            SELECT c.component_id, c.doc_id,
+              CAST(length(list_distinct(${graft.functions.Hashing
+        .sqlTokens("d.text")})) AS BIGINT) AS nd,
+              d.n_chars
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+          sz AS (
+            SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+              MIN(doc_id) AS min_id
+            FROM ms GROUP BY 1 HAVING COUNT(*) > 1),
+          rk AS (
+            SELECT component_id, doc_id, nd, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY component_id
+                ORDER BY nd DESC, n_chars DESC, doc_id) AS rn
+            FROM ms)
+          SELECT r.component_id, r.doc_id AS survivor_id, s.n_members,
+            s.n_members - 1 AS n_dropped,
+            r.nd AS survivor_distinct_tokens,
+            r.n_chars AS survivor_chars,
+            CAST(CASE WHEN r.doc_id = s.min_id THEN 1 ELSE 0 END
+              AS BIGINT) AS survivor_is_min_id
+          FROM rk r JOIN sz s USING (component_id)
+          WHERE r.rn = 1
+          ORDER BY r.component_id""",
     "dedup_component_profile" ->
       s"""WITH RECURSIVE $sqlSignatures, $sqlBuckets, $sqlComponents,
           sh AS (

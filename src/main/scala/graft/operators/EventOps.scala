@@ -73,6 +73,52 @@ object EventOps {
       .orderBy("event_type", "hour_sec")
   }
 
+  /** Discrete-time survival / hazard table (`ev_user_lifespan`) —
+    * the retention curve the cohort triangle cannot give you: per
+    * activity age a (days between a user's first and last event),
+    * the users still AT RISK at a (lifespan ≥ a), the users whose
+    * activity ENDED at exactly a, and the discrete hazard
+    * n_churned/n_at_risk — with RIGHT-CENSORING handled honestly:
+    * a user whose last event falls on the corpus max day has not
+    * churned, their lifespan is merely cut off by the observation
+    * window, so they leave the risk set without entering the event
+    * count (dropping censoring inflates late-age hazard, the classic
+    * survival-analysis bug). All integer except the one hazard
+    * division; the risk set is a reverse cumulative sum over the
+    * O(ages) series, never a per-user window. Scale shape: one
+    * combinable min/max groupBy over events (O(users) out), one
+    * O(lifespans) rollup, one O(ages) window. */
+  val evUserLifespan: Q = (s, d) => {
+    val spans = ev(s, d)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val maxd = spans.agg(max(col("d1")).as("maxd"))
+    val ls = spans.crossJoin(broadcast(maxd))
+      .select((col("d1") - col("d0")).as("lifespan"),
+        (col("d1") === col("maxd")).cast("long").as("cens"))
+      .groupBy("lifespan")
+      .agg(count(lit(1)).as("n_total"), sum(col("cens")).as("n_cens"))
+      .transform(graft.Checkpointing.cut)
+    val grid = ls.agg(max(col("lifespan")).as("mx"))
+      .select(explode(sequence(lit(0L), col("mx"))).as("age_days"))
+    val wRev = Window.orderBy(col("age_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(ls, grid("age_days") === ls("lifespan"), "left")
+      .select(col("age_days"),
+        coalesce(col("n_total"), lit(0L)).as("n_here"),
+        coalesce(col("n_cens"), lit(0L)).as("n_censored"),
+        (coalesce(col("n_total"), lit(0L)) -
+          coalesce(col("n_cens"), lit(0L))).as("n_churned"))
+      .withColumn("n_at_risk", sum(col("n_here")).over(wRev))
+      .select(col("age_days"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        (col("n_churned").cast("double") /
+          col("n_at_risk").cast("double")).as("hazard"))
+      .orderBy("age_days")
+  }
+
   /** ROBUST daily anomaly scoring (`ev_anomaly_mad`) — the
     * median/MAD complement of [[evHourlyAnomaly]]'s z-score: mean and
     * std are themselves dragged by the outliers they are supposed to
@@ -2122,6 +2168,7 @@ object EventOps {
     "ev_retention" -> evRetention,
     "ev_hourly_anomaly" -> evHourlyAnomaly,
     "ev_anomaly_mad" -> evAnomalyMad,
+    "ev_user_lifespan" -> evUserLifespan,
     "ev_type_pagerank" -> evTypePagerank,
     "ev_user_pagerank" -> evUserPagerank,
     "ev_user_hits" -> evUserHits,
@@ -2429,6 +2476,41 @@ object EventOps {
              ELSE 0.0 END AS z
          FROM hourly h JOIN stats s ON h.event_type = s.event_type
          ORDER BY h.event_type, h.hour_sec""",
+    // survival: lifespan rollup, ages grid from range(), reverse
+    // cumulative risk set, censored-on-max-day excluded from events
+    "ev_user_lifespan" ->
+      """WITH spans AS (
+           SELECT user_id,
+             MIN(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d1
+           FROM events GROUP BY user_id),
+         maxd AS (SELECT MAX(d1) AS maxd FROM spans),
+         ls AS (
+           SELECT d1 - d0 AS lifespan,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN d1 = maxd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cens
+           FROM spans, maxd GROUP BY 1),
+         grid AS (
+           SELECT unnest(range(0,
+             (SELECT MAX(lifespan) FROM ls) + 1)) AS age_days),
+         j AS (
+           SELECT g.age_days,
+             COALESCE(l.n_total, 0) AS n_here,
+             COALESCE(l.n_cens, 0) AS n_censored,
+             COALESCE(l.n_total, 0) - COALESCE(l.n_cens, 0) AS n_churned
+           FROM grid g LEFT JOIN ls l ON l.lifespan = g.age_days)
+         SELECT age_days,
+           CAST(SUM(n_here) OVER (ORDER BY age_days DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CAST(n_churned AS DOUBLE) /
+             CAST(SUM(n_here) OVER (ORDER BY age_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS hazard
+         FROM j ORDER BY age_days""",
     // MAD anomaly: 2x-medians as the sum of the two middle order
     // statistics (identical rn picks and (value, day) tie order on
     // both engines), all-integer 3-MAD cross-multiplication
