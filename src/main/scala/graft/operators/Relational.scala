@@ -598,6 +598,39 @@ object Relational {
           .otherwise("k_anonymous").as("risk"))
       .orderBy("c_mktsegment", "c_nationkey", "acct_band")
 
+  /** Customer spend deciles (`q44_spend_deciles`) — the NTILE
+    * revenue-concentration report (which decile of customers carries
+    * which share of spend — the curve behind every "top 10% of
+    * customers" claim): exact decimal per-customer spend, a global
+    * NTILE(10) over (spend DESC, custkey), per-decile count /
+    * min / max / total and the revenue share as ONE double division
+    * against the broadcast grand total. NTILE's remainder rule
+    * (earlier buckets get the extra row) is identical on both
+    * engines, and the (spend, custkey) order is total, so bucket
+    * edges are deterministic. The one unpartitioned window runs over
+    * the O(customers) spend rollup, never over orders; at 100 TB
+    * you'd range-partition the rollup by spend and seed bucket
+    * boundaries exactly like the day-sharded sweep. */
+  val q44SpendDeciles: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(price6(col("o_totalprice"))).as("spend"))
+    val grand = spend.agg(sum(col("spend")).as("grand"))
+    spend
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("spend").desc, col("o_custkey"))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        asD(min(col("spend"))).as("min_spend"),
+        asD(max(col("spend"))).as("max_spend"),
+        sum(col("spend")).as("total"))
+      .crossJoin(broadcast(grand))
+      .select(col("decile"), col("n_customers"), col("min_spend"),
+        col("max_spend"), asD(col("total")).as("total_spend"),
+        (asD(col("total")) / asD(col("grand"))).as("revenue_share"))
+      .orderBy("decile")
+  }
+
   /** GENERALIZATION LADDER (`pii_generalization`) — the third
     * governance ENFORCEMENT lever, completing suppression
     * ([[piiReleaseSuppressed]], drops rows) with coarsening (keeps
@@ -1328,6 +1361,7 @@ object Relational {
     "q38_null_semantics" -> q38NullSemantics,
     "q39_cume_dist" -> q39CumeDist,
     "q40_ignore_nulls" -> q40IgnoreNulls,
+    "q44_spend_deciles" -> q44SpendDeciles,
     "q32_join_delta" -> q32JoinDelta,
     "q33_topk_delta" -> q33TopkDelta,
     "q34_join_skew" -> q34JoinSkew,
@@ -1808,6 +1842,29 @@ object Relational {
               / CAST(COUNT(*) AS DOUBLE) AS avg_qty
           FROM surv GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+    // deciles: NTILE with the identical remainder rule and the total
+    // (spend DESC, custkey) order; decimal sums, doubles only at the
+    // final projection
+    "q44_spend_deciles" ->
+      s"""WITH spend AS (
+            SELECT o_custkey,
+              SUM(${sqlPrice6("o_totalprice")}) AS spend
+            FROM orders GROUP BY o_custkey),
+          grand AS (SELECT SUM(spend) AS grand FROM spend),
+          dec AS (
+            SELECT o_custkey, spend,
+              CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey)
+                AS BIGINT) AS decile
+            FROM spend)
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+            CAST(MIN(spend) AS DOUBLE) AS min_spend,
+            CAST(MAX(spend) AS DOUBLE) AS max_spend,
+            CAST(SUM(spend) AS DOUBLE) AS total_spend,
+            CAST(SUM(spend) AS DOUBLE) / CAST(grand.grand AS DOUBLE)
+              AS revenue_share
+          FROM dec CROSS JOIN grand
+          GROUP BY decile, grand.grand
+          ORDER BY decile""",
     // the full join recomputed from scratch — the three-term delta
     // must be row-identical to it by set algebra
     "q32_join_delta" ->

@@ -1246,6 +1246,47 @@ object SimilarityOps {
     * [[embDimVariance]]: (vec_id, dim, q_int8) via the per-dim
     * min/max affine map. The per-dim stats relation is tiny ([[Dims]]
     * rows) and broadcast. */
+  /** Pairs reported by [[embDimCorr]]. Fixed forever. */
+  val DimCorrTopK = 20
+
+  /** DIMENSION-CORRELATION AUDIT (`emb_dim_corr`) — the off-diagonal
+    * complement of `emb_dim_variance`: the top-[[DimCorrTopK]] dim
+    * PAIRS by absolute covariance of the int8 lanes, ranked on the
+    * ALL-BIGINT numerator `n·Σqᵢqⱼ − Σqᵢ·Σqⱼ` (the lanes share one
+    * min-max scale, so covariance ranks like correlation without a
+    * sqrt ever appearing — no double in the query at all; worst case
+    * \|n·P\| ≤ 2·10⁴·128²·2·10⁴ ≈ 7·10¹² « 2⁶³). Strongly-correlated
+    * pairs mean redundant capacity — the evidence for PQ subspace
+    * grouping (co-varying dims belong in one codebook) and for how
+    * hard `emb_principal_dir`'s anisotropy bites. Plan: pair products
+    * from ONE self-join co-partitioned on vec_id (O(vecs·dims²/2)
+    * codegen rows into a combinable groupBy with O(dims²) groups);
+    * per-dim sums and n are O(dims)/scalar broadcasts. */
+  val embDimCorr: Q = (s, d) => {
+    val q = quantizedLong(s, d).transform(graft.Checkpointing.cut)
+    val n = q.agg((count(lit(1)) / lit(Dims)).cast("long").as("n"))
+    val sums = q.groupBy("dim").agg(sum(col("q_int8")).as("s"))
+    val a = q.select(col("vec_id"), col("dim").as("di"),
+      col("q_int8").as("qi"))
+    val b = q.select(col("vec_id"), col("dim").as("dj"),
+      col("q_int8").as("qj"))
+    val pij = a.join(b, Seq("vec_id"))
+      .filter(col("di") < col("dj"))
+      .groupBy("di", "dj")
+      .agg(sum(col("qi") * col("qj")).as("p"))
+    pij
+      .join(broadcast(sums.select(col("dim").as("di"), col("s").as("si"))),
+        Seq("di"))
+      .join(broadcast(sums.select(col("dim").as("dj"), col("s").as("sj"))),
+        Seq("dj"))
+      .crossJoin(broadcast(n))
+      .select(col("di"), col("dj"), col("n"), col("p"), col("si"),
+        col("sj"), (col("n") * col("p") - col("si") * col("sj"))
+          .as("cov_num"))
+      .orderBy(abs(col("cov_num")).desc, col("di"), col("dj"))
+      .limit(DimCorrTopK)
+  }
+
   private def quantizedLong(s: SparkSession, d: String): DataFrame = {
     val longf = emb(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -2350,6 +2391,7 @@ object SimilarityOps {
     "emb_quantize" -> embQuantize,
     "emb_class_separation" -> embClassSeparation,
     "emb_dim_variance" -> embDimVariance,
+    "emb_dim_corr" -> embDimCorr,
     "emb_principal_dir" -> embPrincipalDir,
     "ann_ivf_probe2" -> annIvfProbe2,
     "ann_lsh_recall" -> annLshRecall,
@@ -3364,6 +3406,42 @@ object SimilarityOps {
               ELSE 0 END - 128 AS q_int8
           FROM longf l JOIN stats s ON l.dim = s.dim
           ORDER BY vec_id, l.dim""",
+    // dim-pair covariance: the quantize CTE verbatim, pair products
+    // from the same self-join, |cov| ranking on the BIGINT numerator
+    "emb_dim_corr" ->
+      s"""WITH longf AS (
+            SELECT vec_id, idx.i - 1 AS dim,
+              CAST(embedding[idx.i] AS DOUBLE) AS v
+            FROM embeddings,
+              (SELECT unnest(range(1, ${Dims + 1})) AS i) idx),
+          stats AS (
+            SELECT dim, MIN(v) AS lo, MAX(v) AS hi
+            FROM longf GROUP BY dim),
+          q AS (
+            SELECT vec_id, l.dim,
+              CASE WHEN hi > lo
+                THEN least(CAST(floor((v - lo) * 255.0 / (hi - lo))
+                  AS BIGINT), 255)
+                ELSE 0 END - 128 AS q_int8
+            FROM longf l JOIN stats s ON l.dim = s.dim),
+          nn AS (SELECT CAST(COUNT(*) // ${Dims} AS BIGINT) AS n FROM q),
+          sums AS (
+            SELECT dim, CAST(SUM(q_int8) AS BIGINT) AS s
+            FROM q GROUP BY dim),
+          pij AS (
+            SELECT a.dim AS di, b.dim AS dj,
+              CAST(SUM(a.q_int8 * b.q_int8) AS BIGINT) AS p
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim < b.dim
+            GROUP BY 1, 2)
+          SELECT di, dj, nn.n, pij.p,
+            sa.s AS si, sb.s AS sj,
+            CAST(nn.n * pij.p - sa.s * sb.s AS BIGINT) AS cov_num
+          FROM pij
+          JOIN sums sa ON sa.dim = pij.di
+          JOIN sums sb ON sb.dim = pij.dj
+          CROSS JOIN nn
+          ORDER BY abs(nn.n * pij.p - sa.s * sb.s) DESC, di, dj
+          LIMIT $DimCorrTopK""",
     "emb_dim_variance" ->
       s"""WITH longf AS (
             SELECT vec_id, idx.i - 1 AS dim,
