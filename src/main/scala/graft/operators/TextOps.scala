@@ -887,6 +887,52 @@ object TextOps {
       .limit(50)
   }
 
+  /** Gopher-rule constants ([[docGopherRules]]). Fixed forever. */
+  val GopherMinTokens = 25L
+  val GopherMaxTokens = 100000L
+  val GopherMinStops = 2L
+
+  /** Gopher quality-filter rules (`doc_gopher_rules`) — the
+    * Rae et al. 2112.11446 repetition-free subset applicable to a
+    * plain-text corpus, each rule shipped as its own bit (the
+    * `doc_keep_decision` auditability discipline — a pipeline review
+    * needs to know WHICH rule dropped a document, not just that one
+    * did): word count in [[[GopherMinTokens]], [[GopherMaxTokens]]],
+    * mean word length in [3, 10] (cross-multiplied:
+    * `3·n_tokens ≤ Σlen ≤ 10·n_tokens` — no division), ≥
+    * [[GopherMinStops]] DISTINCT required stopwords (the "is this
+    * prose at all" test), and ≥ 80% purely-alphabetic tokens
+    * (`5·n_alpha ≥ 4·n_tokens`). ALL integer; keep iff every rule
+    * passes. One codegen'd projection per doc — zero shuffle at any
+    * scale. */
+  val docGopherRules: Q = (s, d) => {
+    val nTokens = size(toks).cast("long")
+    val sumLen = length(concat_ws("", toks)).cast("long")
+    val nStops = size(array_intersect(array_distinct(toks),
+      array(Stopwords.map(lit): _*))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("^[a-zA-Z]+$")))
+      .cast("long")
+    docs(s, d)
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        sumLen.as("sum_token_chars"), nStops.as("n_distinct_stops"),
+        nAlpha.as("n_alpha_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_token_chars"),
+        col("n_distinct_stops"), col("n_alpha_tokens"),
+        (col("n_tokens") >= GopherMinTokens &&
+          col("n_tokens") <= GopherMaxTokens).cast("long").as("wc_ok"),
+        (col("sum_token_chars") >= col("n_tokens") * 3L &&
+          col("sum_token_chars") <= col("n_tokens") * 10L)
+          .cast("long").as("mwl_ok"),
+        (col("n_distinct_stops") >= GopherMinStops).cast("long")
+          .as("stop_ok"),
+        (col("n_alpha_tokens") * 5L >= col("n_tokens") * 4L)
+          .cast("long").as("alpha_ok"))
+      .withColumn("verdict",
+        when(col("wc_ok") + col("mwl_ok") + col("stop_ok") +
+          col("alpha_ok") === 4L, "keep").otherwise("drop"))
+      .orderBy("doc_id")
+  }
+
   /** Absolute discount for [[tfKnProb]] — Kneser-Ney's standard 0.75
     * (exact in binary, so both engines' doubles agree bit-for-bit).
     * Fixed forever. */
@@ -2229,7 +2275,8 @@ object TextOps {
     "doc_quality_tiers" -> docQualityTiers,
     "tf_ngram_novelty" -> tfNgramNovelty,
     "tf_continuation_counts" -> tfContinuationCounts,
-    "tf_kn_prob" -> tfKnProb)
+    "tf_kn_prob" -> tfKnProb,
+    "doc_gopher_rules" -> docGopherRules)
 
   // ------------------------------------------------------------------
 
@@ -3346,7 +3393,45 @@ object TextOps {
           FROM big JOIN lm ON lm.w1 = big.w1
           JOIN cl ON cl.w2 = big.w2
           CROSS JOIN tot
-          ORDER BY big.c_bigram DESC, big.w1, big.w2 LIMIT 50""")
+          ORDER BY big.c_bigram DESC, big.w1, big.w2 LIMIT 50""",
+    // gopher rules: the identical integer cross-multiplications;
+    // regexp_full_match = the anchored rlike
+    "doc_gopher_rules" ->
+      s"""WITH st AS (
+            SELECT doc_id,
+              CAST(length($sqlToks) AS BIGINT) AS n_tokens,
+              CAST(length(list_aggregate($sqlToks, 'string_agg', ''))
+                AS BIGINT) AS sum_token_chars,
+              CAST(length(list_intersect(list_distinct($sqlToks),
+                [${Stopwords.map(w => s"'$w'").mkString(", ")}]))
+                AS BIGINT) AS n_distinct_stops,
+              CAST(length(list_filter($sqlToks,
+                t -> regexp_full_match(t, '[a-zA-Z]+')))
+                AS BIGINT) AS n_alpha_tokens
+            FROM documents)
+          SELECT doc_id, n_tokens, sum_token_chars, n_distinct_stops,
+            n_alpha_tokens,
+            CAST(CASE WHEN n_tokens >= $GopherMinTokens
+              AND n_tokens <= $GopherMaxTokens THEN 1 ELSE 0 END
+              AS BIGINT) AS wc_ok,
+            CAST(CASE WHEN sum_token_chars >= n_tokens * 3
+              AND sum_token_chars <= n_tokens * 10 THEN 1 ELSE 0 END
+              AS BIGINT) AS mwl_ok,
+            CAST(CASE WHEN n_distinct_stops >= $GopherMinStops
+              THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+            CAST(CASE WHEN n_alpha_tokens * 5 >= n_tokens * 4
+              THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+            CASE WHEN
+              (CASE WHEN n_tokens >= $GopherMinTokens
+                 AND n_tokens <= $GopherMaxTokens THEN 1 ELSE 0 END)
+              + (CASE WHEN sum_token_chars >= n_tokens * 3
+                 AND sum_token_chars <= n_tokens * 10 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_distinct_stops >= $GopherMinStops
+                 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_alpha_tokens * 5 >= n_tokens * 4
+                 THEN 1 ELSE 0 END) = 4
+              THEN 'keep' ELSE 'drop' END AS verdict
+          FROM st ORDER BY doc_id""")
 
   /** The BPE training rounds as a DuckDB CTE chain: `words` (the
     * word-frequency relation), `r0` (char-level symbol repr with the
