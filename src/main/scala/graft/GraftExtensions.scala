@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_damerau(a, b) - unrestricted Damerau-Levenshtein " +
         "(Lowrance-Wagner, transposition-aware)", 2)(
       es => DamerauLevenshtein(es(0), es(1)))
+    register("graft_jaro",
+      "graft_jaro(a, b) - Jaro similarity over UTF-8 bytes " +
+        "(DuckDB-parity convention)", 2)(
+      es => JaroSimilarity(es(0), es(1)))
+    register("graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (prefix " +
+        "boost cap 4, threshold 0.7)", 2)(
+      es => JaroWinklerSimilarity(es(0), es(1)))
     register("graft_float_dot",
       "graft_float_dot(a, b) - sequential-fold dot product in double", 2)(
       es => FloatDot(es(0), es(1)))

@@ -550,6 +550,40 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Jaro–Winkler verification (`dedup_jaro_winkler`) — the
+    * record-linkage similarity tier: where edit distance charges an
+    * out-of-position match its full movement cost, Jaro scores
+    * windowed out-of-order matches directly and Winkler's prefix
+    * boost rewards the shared-head shape of real entity duplicates
+    * (names, titles, URLs). Both scores come from the codegen'd
+    * [[graft.functions.EditExprs.jaro]] kernel — a custom Catalyst
+    * expression (brief preference (b)), NOT a UDF — whose byte-walk
+    * convention is fuzz-pinned bit-for-bit against DuckDB's
+    * `jaro_winkler_similarity` on 30k random multibyte pairs, so the
+    * oracle's builtin IS the engine's function. The tier CASE routes:
+    * ≥0.9 duplicate, ≥0.8 near, else far (Winkler's own thresholds).
+    * Same LSH candidates, same [[EditMaxLen]] gate as the edit tiers
+    * — cost is O(len·window) per pair, candidates only, never
+    * all-pairs. */
+  val dedupJaroWinkler: Q = (s, d) => {
+    val pairs = lshCandidatePairs(s, d)
+    val txt = docs(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) <= EditMaxLen)
+    pairs
+      .join(txt.as("ja"), col("doc_a") === col("ja.doc_id"))
+      .join(txt.as("jb"), col("doc_b") === col("jb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.EditExprs
+          .jaroSimilarity(col("ja.text"), col("jb.text")).as("jaro"),
+        graft.functions.EditExprs
+          .jaroWinklerSimilarity(col("ja.text"), col("jb.text")).as("jw"))
+      .withColumn("tier",
+        when(col("jw") >= 0.9, "dup")
+          .when(col("jw") >= 0.8, "near")
+          .otherwise("far"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Verification-tier edit THRESHOLD: a candidate pair more than
     * this many edits apart is "not a near-dup" — and the banded
     * verifier stops paying for the exact answer. */
@@ -1762,6 +1796,7 @@ object DedupOps {
     "dedup_char_ngram" -> dedupCharNgram,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_damerau" -> dedupDamerau,
+    "dedup_jaro_winkler" -> dedupJaroWinkler,
     "dedup_edit_banded" -> dedupEditBanded,
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_hamming_histogram" -> dedupHammingHistogram,
@@ -2366,6 +2401,27 @@ object DedupOps {
             1.0 - CAST(damerau_levenshtein(da.text, db.text) AS DOUBLE)
               / CAST(greatest(length(da.text), length(db.text))
                 AS DOUBLE) AS sim
+          FROM pairs p
+          JOIN documents da ON p.doc_a = da.doc_id
+          JOIN documents db ON p.doc_b = db.doc_id
+          WHERE length(da.text) <= $EditMaxLen
+            AND length(db.text) <= $EditMaxLen
+          ORDER BY doc_a, doc_b""",
+    // Jaro-Winkler tier: DuckDB's jaro_winkler_similarity is the
+    // SAME byte-walk convention as the engine's codegen'd kernel
+    // (fuzz-pinned bit-for-bit on 30k random multibyte pairs)
+    "dedup_jaro_winkler" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          $sqlCandPairs
+          SELECT p.doc_a, p.doc_b,
+            jaro_similarity(da.text, db.text) AS jaro,
+            jaro_winkler_similarity(da.text, db.text) AS jw,
+            CASE
+              WHEN jaro_winkler_similarity(da.text, db.text) >= 0.9
+                THEN 'dup'
+              WHEN jaro_winkler_similarity(da.text, db.text) >= 0.8
+                THEN 'near'
+              ELSE 'far' END AS tier
           FROM pairs p
           JOIN documents da ON p.doc_a = da.doc_id
           JOIN documents db ON p.doc_b = db.doc_id
