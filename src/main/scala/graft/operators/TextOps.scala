@@ -1824,13 +1824,12 @@ object TextOps {
         col("c").as("pair_count"))
       .orderBy("step")
 
-  /** ENCODE step: the trained merges applied to the vocab in step
-    * order, emitting each word's segmentation and symbol count — the
-    * corpus-compression report (Σ freq·n_symbols is the token count
-    * training would see). Applying M merges is M broadcast-1-row
+  /** The trained merge table applied to the vocab in step order —
+    * the (word, freq, repr) relation both the encode report and the
+    * fertility rollup read. Applying M merges is M broadcast-1-row
     * joins + projections over the vocab relation; the corpus itself
     * is never re-scanned. */
-  val tfBpeEncode: Q = (s, d) => {
+  private def bpeEncodedVocab(s: SparkSession, d: String): DataFrame = {
     val merges = bpeMergeTable(s, d)
     var cur = bpeVocabRepr(s, d)
     for (i <- 1 to BpeMerges) {
@@ -1840,11 +1839,52 @@ object TextOps {
         .withColumn("repr", bpeApplyMerge(col("repr"), col("mgram")))
         .drop("mgram")
     }
-    cur.select(col("word"), col("freq"),
+    cur
+  }
+
+  /** ENCODE step: the trained merges applied to the vocab in step
+    * order, emitting each word's segmentation and symbol count — the
+    * corpus-compression report (Σ freq·n_symbols is the token count
+    * training would see). */
+  val tfBpeEncode: Q = (s, d) =>
+    bpeEncodedVocab(s, d).select(col("word"), col("freq"),
         length(col("word")).cast("long").as("n_chars"),
         size(split(trim(col("repr")), "  ")).cast("long").as("n_symbols"),
         replace(trim(col("repr")), lit("  "), lit(" ")).as("encoded"))
       .orderBy("word")
+
+  /** Tokenizer fertility by language (`tf_fertility`) — tokens per
+    * word and bytes per token under the TRAINED tokenizer, the
+    * standard tokenizer-bias report (a language whose fertility runs
+    * high pays more sequence length for the same text, so its
+    * training mix is effectively down-weighted). Unlike
+    * `tf_compression_ratio` (heuristic language, regex proto-tokens),
+    * this prices each language through the LEARNED merge table — the
+    * number an actual training run would see.
+    *
+    * Scale shape: the corpus collapses to the O(langs × vocab)
+    * (lang, word) count rollup (combinable), joins the vocab-sized
+    * encoded relation on `word`, and re-aggregates to O(langs) —
+    * the corpus is scanned once and never carries the merge chain.
+    * Ratios are single IEEE divisions of exact integer sums. */
+  val tfFertility: Q = (s, d) => {
+    val enc = bpeEncodedVocab(s, d)
+      .select(col("word"),
+        size(split(trim(col("repr")), "  ")).cast("long").as("n_symbols"))
+    docs(s, d)
+      .select(col("lang"), explode(toks).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(enc, "word")
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_symbols")).as("n_bpe_tokens"),
+        sum(col("cnt") * octet_length(col("word")).cast("long"))
+          .as("n_word_bytes"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        col("n_word_bytes"),
+        ratio(col("n_bpe_tokens"), col("n_words")).as("fertility"),
+        ratio(col("n_word_bytes"), col("n_bpe_tokens")).as("bytes_per_bpe"))
+      .orderBy("lang")
   }
 
   // ------------------------------------------------------------------
@@ -2262,6 +2302,7 @@ object TextOps {
     "tf_bpe_pairs" -> tfBpePairs,
     "tf_bpe_train" -> tfBpeTrain,
     "tf_bpe_encode" -> tfBpeEncode,
+    "tf_fertility" -> tfFertility,
     "doc_quality_gate" -> docQualityGate,
     "tf_bigram_lift" -> tfBigramLift,
     "text_remove_boilerplate" -> textRemoveBoilerplate,
@@ -2982,6 +3023,29 @@ object TextOps {
               AS n_symbols,
             replace(trim(repr), '  ', ' ') AS encoded
           FROM r$BpeMerges ORDER BY word""",
+    // fertility: same merge-chain CTEs; the (lang, word) rollup joins
+    // the encoded vocab and re-aggregates to O(langs)
+    "tf_fertility" ->
+      s"""WITH ${sqlBpeCtes(BpeMerges)},
+          enc AS (
+            SELECT word,
+              CAST(length(string_split(trim(repr), '  ')) AS BIGINT)
+                AS n_symbols
+            FROM r$BpeMerges),
+          lwc AS (
+            SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT lang, unnest($sqlToks) AS word FROM documents) u
+            GROUP BY lang, word)
+          SELECT lang,
+            CAST(SUM(cnt) AS BIGINT) AS n_words,
+            CAST(SUM(cnt * n_symbols) AS BIGINT) AS n_bpe_tokens,
+            CAST(SUM(cnt * strlen(word)) AS BIGINT) AS n_word_bytes,
+            CAST(SUM(cnt * n_symbols) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+              AS fertility,
+            CAST(SUM(cnt * strlen(word)) AS DOUBLE)
+              / CAST(SUM(cnt * n_symbols) AS DOUBLE) AS bytes_per_bpe
+          FROM lwc JOIN enc USING (word)
+          GROUP BY lang ORDER BY lang""",
     "corpus_correlations" -> {
       def branch(name: String, sx: String, sy: String,
           sxx: String, syy: String, sxy: String) = {
