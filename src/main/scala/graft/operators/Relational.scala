@@ -631,6 +631,44 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** Spend-quartile mobility (`q45_quartile_mobility`) — the
+    * customer-movement transition matrix: each customer's spend
+    * quartile in the FIRST half of the order-date range vs the
+    * SECOND (calendar midpoint = integer mean of min/max epoch-day,
+    * exact on both engines), with quartile 0 meaning "absent that
+    * half" — the churn/upsell report behind every "are our big
+    * customers growing" review. NTILE(4) runs per half over
+    * (spend DESC, custkey) — a total order, so bucket edges are
+    * deterministic — and the halves meet in ONE full-outer join on
+    * the O(customers) rollups. Spend is exact decimal; every output
+    * cell is a BIGINT count. 100 TB shape: one orders scan → the
+    * combinable (half, custkey) rollup; the windows and the join run
+    * over O(customers), never orders, and the same range-partitioned
+    * NTILE seeding as `q44_spend_deciles` applies. */
+  val q45QuartileMobility: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        price6(col("o_totalprice")).as("p"))
+    val bounds = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("(d0 + d1) div 2").as("mid"))
+    val halves = o.crossJoin(broadcast(bounds))
+      .withColumn("half", when(col("day") <= col("mid"), 1L).otherwise(2L))
+      .groupBy(col("half"), col("o_custkey"))
+      .agg(sum(col("p")).as("spend"))
+      .withColumn("q", ntile(4).over(Window.partitionBy(col("half"))
+        .orderBy(col("spend").desc, col("o_custkey"))).cast("long"))
+    val h1 = halves.filter(col("half") === 1L)
+      .select(col("o_custkey"), col("q").as("q_first"))
+    val h2 = halves.filter(col("half") === 2L)
+      .select(col("o_custkey"), col("q").as("q_second"))
+    h1.join(h2, Seq("o_custkey"), "full_outer")
+      .na.fill(0L, Seq("q_first", "q_second"))
+      .groupBy("q_first", "q_second")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("q_first", "q_second")
+  }
+
   /** GENERALIZATION LADDER (`pii_generalization`) — the third
     * governance ENFORCEMENT lever, completing suppression
     * ([[piiReleaseSuppressed]], drops rows) with coarsening (keeps
@@ -1362,6 +1400,7 @@ object Relational {
     "q39_cume_dist" -> q39CumeDist,
     "q40_ignore_nulls" -> q40IgnoreNulls,
     "q44_spend_deciles" -> q44SpendDeciles,
+    "q45_quartile_mobility" -> q45QuartileMobility,
     "q32_join_delta" -> q32JoinDelta,
     "q33_topk_delta" -> q33TopkDelta,
     "q34_join_skew" -> q34JoinSkew,
@@ -1865,6 +1904,32 @@ object Relational {
           FROM dec CROSS JOIN grand
           GROUP BY decile, grand.grand
           ORDER BY decile""",
+    // quartile mobility: integer epoch-day midpoint split, NTILE(4)
+    // per half on the (spend DESC, custkey) total order, COALESCE 0
+    // for a half the customer is absent from
+    "q45_quartile_mobility" ->
+      s"""WITH o AS (
+            SELECT o_custkey,
+              CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+              ${sqlPrice6("o_totalprice")} AS p
+            FROM orders),
+          b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM o),
+          sp AS (
+            SELECT CASE WHEN day <= b.mid THEN 1 ELSE 2 END AS half,
+              o_custkey, SUM(p) AS spend
+            FROM o CROSS JOIN b GROUP BY 1, 2),
+          qq AS (
+            SELECT half, o_custkey,
+              CAST(NTILE(4) OVER (PARTITION BY half
+                ORDER BY spend DESC, o_custkey) AS BIGINT) AS q
+            FROM sp),
+          h1 AS (SELECT o_custkey, q FROM qq WHERE half = 1),
+          h2 AS (SELECT o_custkey, q FROM qq WHERE half = 2)
+          SELECT COALESCE(h1.q, 0) AS q_first,
+            COALESCE(h2.q, 0) AS q_second,
+            CAST(COUNT(*) AS BIGINT) AS n_customers
+          FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     // the full join recomputed from scratch — the three-term delta
     // must be row-identical to it by set algebra
     "q32_join_delta" ->
