@@ -752,6 +752,57 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Lag-1 autocorrelation of daily counts (`ev_autocorr_daily`) —
+    * per event type, the Pearson correlation between consecutive
+    * days' volumes on the dense calendar grid (zero days count, as in
+    * [[evCusumChange]]): the one-number answer to "is this source's
+    * volume momentum or noise", which decides whether yesterday's
+    * spike predicts today's (autocorrelated sources need trend-aware
+    * alarms; white-noise ones can use pointwise bands). Exactness
+    * follows `corpus_correlations`: every Σ is a DECIMAL(38,0) sum of
+    * DECIMAL(19,0)-widened products (overflow-free at any volume) and
+    * r is ONE fixed double tree over the cast moments, with the
+    * degenerate zero-variance branch pinned to 0.0 on both engines
+    * (evaluated on the same doubles, so the CASE routes identically).
+    * One scan → the O(types·days) grid; the lead() and moments run
+    * there, never over events. */
+  val evAutocorrDaily: Q = (s, d) => {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val dense = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    val wLead = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = dense
+      .select(col("event_type"), col("n").as("x"),
+        lead(col("n"), 1).over(wLead).as("y"))
+      .filter(col("y").isNotNull)
+    def m(x: Column) = sum(x.cast("decimal(38,0)"))
+    def m2(x: Column, y: Column) =
+      sum(x.cast("decimal(19,0)") * y.cast("decimal(19,0)"))
+    val agg = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_pairs"),
+      m(col("x")).as("sx"), m(col("y")).as("sy"),
+      m2(col("x"), col("x")).as("sxx"), m2(col("y"), col("y")).as("syy"),
+      m2(col("x"), col("y")).as("sxy"))
+    val n = col("n_pairs").cast("double")
+    def D(cn: String) = col(cn).cast("double")
+    val vx = n * D("sxx") - D("sx") * D("sx")
+    val vy = n * D("syy") - D("sy") * D("sy")
+    agg.select(col("event_type"), col("n_pairs"),
+        when(vx <= 0.0 || vy <= 0.0, lit(0.0))
+          .otherwise((n * D("sxy") - D("sx") * D("sy")) /
+            (sqrt(vx) * sqrt(vy))).as("r_lag1"))
+      .orderBy("event_type")
+  }
+
   /** Daily new-vs-returning split (`ev_new_vs_returning`) — the
     * operational twin of the retention triangle: per active day, how
     * many users are seen for the FIRST time vs returning, and the
@@ -2138,6 +2189,7 @@ object EventOps {
     "ev_peak_concurrency" -> evPeakConcurrency,
     "ev_peak_concurrency_sharded" -> evPeakConcurrencySharded,
     "ev_cusum_change" -> evCusumChange,
+    "ev_autocorr_daily" -> evAutocorrDaily,
     "ev_seasonal_naive" -> evSeasonalNaive,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
@@ -3158,6 +3210,53 @@ object EventOps {
            day AS change_day, CAST(abs(s) AS BIGINT) AS max_abs_s,
            CAST(abs(s) AS DOUBLE) / CAST(dd AS DOUBLE) AS max_cusum
          FROM picked WHERE rn = 1 ORDER BY event_type""",
+
+    // lag-1 autocorrelation: same dense grid as the CUSUM; HUGEINT
+    // moments, the identical double tree, zero-variance branch 0.0
+    "ev_autocorr_daily" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT CAST(MIN(day) AS BIGINT) AS d0,
+             CAST(MAX(day) AS BIGINT) AS d1
+           FROM daily),
+         dense AS (
+           SELECT t.event_type, CAST(g.day AS BIGINT) AS day,
+             COALESCE(dd.n, CAST(0 AS BIGINT)) AS n
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day
+                       FROM bounds) g
+           LEFT JOIN daily dd
+             ON dd.event_type = t.event_type AND dd.day = g.day),
+         pr AS (
+           SELECT event_type, n AS x,
+             lead(n) OVER (PARTITION BY event_type ORDER BY day) AS y
+           FROM dense),
+         m AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+           FROM pr WHERE y IS NOT NULL GROUP BY event_type)
+         SELECT event_type, n_pairs,
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+               OR (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+             THEN 0.0
+             ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END AS r_lag1
+         FROM m ORDER BY event_type""",
 
     // New vs returning: distinct user-days, per-user min day, one
     // equi-join; share is one division.

@@ -1887,6 +1887,81 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Encoding-health audit per source (`text_encoding_audit`) — the
+    * mojibake report every web-crawl ingest runs before spending
+    * tokenizer budget on garbage: replacement characters (U+FFFD, the
+    * scar a lossy transcode leaves), raw C0 control characters
+    * (excluding tab/newline/CR — binary-in-text contamination), and
+    * the ASCII share of each source's characters. A source whose
+    * replacement-char rate spikes changed its upstream charset; one
+    * codegen'd regex projection + one combinable O(sources) groupBy,
+    * ratios as single divisions of exact integer sums. The regex
+    * subset (char classes, \\x escapes) has identical semantics in
+    * Java regex and RE2. */
+  val textEncodingAudit: Q = (s, d) => {
+    val nRepl = regexp_count(col("text"), lit("�")).cast("long")
+    val nCtrl = regexp_count(col("text"),
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+    val nAscii = length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+      .cast("long")
+    docs(s, d)
+      .select(col("source"), nRepl.as("r"), nCtrl.as("c"),
+        nAscii.as("a"), length(col("text")).cast("long").as("len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("r") > 0L).cast("long")).as("docs_with_replacement"),
+        sum(col("r")).as("n_replacement_chars"),
+        sum((col("c") > 0L).cast("long")).as("docs_with_control"),
+        sum(col("c")).as("n_control_chars"),
+        sum(col("a")).as("n_ascii_chars"),
+        sum(col("len")).as("n_chars"))
+      .withColumn("ascii_ratio",
+        ratio(col("n_ascii_chars"), col("n_chars")))
+      .orderBy("source")
+  }
+
+  /** Heaps-law vocabulary growth (`tf_vocab_growth`) — distinct
+    * vocabulary vs corpus size at ten corpus prefixes (deciles of the
+    * doc_id order): new types per decile, cumulative vocabulary,
+    * cumulative tokens, and the type–token ratio. The curve that
+    * sizes tokenizer vocabularies and detects a corpus going stale
+    * (new-type flow drying up under dedup is healthy; under fresh
+    * crawl volume it means the source is recycling itself).
+    *
+    * Scale shape: ONE corpus scan builds the O(vocab) (word,
+    * first_doc) rollup (combinable min), the decile thresholds come
+    * from an O(docs) NTILE over the doc_id total order, and each
+    * word's first decile is a broadcast range-join against the 10-row
+    * threshold relation — the cumulative windows then run on 10 rows.
+    * All counts integer; ttr is one division. */
+  val tfVocabGrowth: Q = (s, d) => {
+    val deciles = docs(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("ntok"))
+      .withColumn("decade",
+        ntile(10).over(Window.orderBy(col("doc_id"))).cast("long"))
+      .groupBy("decade")
+      .agg(max(col("doc_id")).as("thr"), count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"))
+    val firstDoc = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .groupBy("word").agg(min(col("doc_id")).as("first_doc"))
+    val newWords = firstDoc
+      .join(broadcast(deciles.select(col("decade"), col("thr"))),
+        col("first_doc") <= col("thr"))
+      .groupBy("word").agg(min(col("decade")).as("decade"))
+      .groupBy("decade").agg(count(lit(1)).as("new_words"))
+    val w = Window.orderBy("decade")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.join(newWords, Seq("decade"), "left")
+      .na.fill(0L, Seq("new_words"))
+      .select(col("decade"), col("n_docs"), col("n_tokens"),
+        col("new_words"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_words")).over(w))
+      .withColumn("ttr", ratio(col("cum_vocab"), col("cum_tokens")))
+      .orderBy("decade")
+  }
+
   // ------------------------------------------------------------------
   // Raw-text PII audit + token-budget allocation + quality tiers
   // ------------------------------------------------------------------
@@ -2303,6 +2378,8 @@ object TextOps {
     "tf_bpe_train" -> tfBpeTrain,
     "tf_bpe_encode" -> tfBpeEncode,
     "tf_fertility" -> tfFertility,
+    "tf_vocab_growth" -> tfVocabGrowth,
+    "text_encoding_audit" -> textEncodingAudit,
     "doc_quality_gate" -> docQualityGate,
     "tf_bigram_lift" -> tfBigramLift,
     "text_remove_boilerplate" -> textRemoveBoilerplate,
@@ -3046,6 +3123,68 @@ object TextOps {
               / CAST(SUM(cnt * n_symbols) AS DOUBLE) AS bytes_per_bpe
           FROM lwc JOIN enc USING (word)
           GROUP BY lang ORDER BY lang""",
+    // encoding audit: same regex subset, 'g' flag for the RE2 strip
+    "text_encoding_audit" ->
+      s"""WITH t AS (
+            SELECT source,
+              CAST(length(regexp_extract_all(text, '�')) AS BIGINT) AS r,
+              CAST(length(regexp_extract_all(text,
+                '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS c,
+              CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                AS BIGINT) AS a,
+              CAST(length(text) AS BIGINT) AS len
+            FROM documents)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS docs_with_replacement,
+            CAST(SUM(r) AS BIGINT) AS n_replacement_chars,
+            CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS docs_with_control,
+            CAST(SUM(c) AS BIGINT) AS n_control_chars,
+            CAST(SUM(a) AS BIGINT) AS n_ascii_chars,
+            CAST(SUM(len) AS BIGINT) AS n_chars,
+            CAST(SUM(a) AS DOUBLE) / CAST(SUM(len) AS DOUBLE)
+              AS ascii_ratio
+          FROM t GROUP BY source ORDER BY source""",
+    // vocab growth: NTILE(10) prefix thresholds + the (word,
+    // first_doc) rollup range-joined to them; windows run on 10 rows
+    "tf_vocab_growth" ->
+      s"""WITH dt AS (
+            SELECT doc_id, CAST(length($sqlToks) AS BIGINT) AS ntok,
+              CAST(NTILE(10) OVER (ORDER BY doc_id) AS BIGINT) AS decade
+            FROM documents),
+          dec AS (
+            SELECT decade, MAX(doc_id) AS thr,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(ntok) AS BIGINT) AS n_tokens
+            FROM dt GROUP BY decade),
+          fd AS (
+            SELECT word, MIN(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest($sqlToks) AS word
+                  FROM documents) u
+            GROUP BY word),
+          wd AS (
+            SELECT word, MIN(decade) AS decade
+            FROM fd JOIN dec ON fd.first_doc <= dec.thr
+            GROUP BY word),
+          nw AS (SELECT decade, CAST(COUNT(*) AS BIGINT) AS new_words
+                 FROM wd GROUP BY decade),
+          j AS (
+            SELECT dec.decade, dec.n_docs, dec.n_tokens,
+              CAST(COALESCE(nw.new_words, 0) AS BIGINT) AS new_words
+            FROM dec LEFT JOIN nw ON dec.decade = nw.decade)
+          SELECT decade, n_docs, n_tokens, new_words,
+            CAST(SUM(n_tokens) OVER (ORDER BY decade ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_tokens,
+            CAST(SUM(new_words) OVER (ORDER BY decade ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_vocab,
+            CAST(SUM(new_words) OVER (ORDER BY decade ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(SUM(n_tokens) OVER (ORDER BY decade ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ttr
+          FROM j ORDER BY decade""",
     "corpus_correlations" -> {
       def branch(name: String, sx: String, sy: String,
           sxx: String, syy: String, sxy: String) = {
