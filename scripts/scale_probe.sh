@@ -43,10 +43,12 @@ stream_dedup_keys stream_takedown_gate stream_ann_upsert \
 stream_topk_compact stream_decayed_compact \
 ev_peak_concurrency_sharded pii_generalization emb_prefix_recall \
 tf_kn_prob ann_prefix_rerank ev_anomaly_mad ev_user_lifespan \
-dedup_survivor emb_dim_corr q44_spend_deciles"
-# the last line is the round-12 post-close carry: first measured by
-# the round-13 probe run (the resumable cache re-measures on the
-# grown list)
+dedup_survivor emb_dim_corr q44_spend_deciles \
+dedup_jaro_winkler tf_fertility q45_quartile_mobility \
+text_encoding_audit tf_vocab_growth ev_autocorr_daily"
+# everything from ev_peak_concurrency_sharded on is the round-12
+# post-close carry: first measured by the round-13 probe run (the
+# resumable cache re-measures on the grown list)
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
