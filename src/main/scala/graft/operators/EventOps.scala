@@ -803,6 +803,62 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Theil–Sen trend (`ev_theilsen_trend`) — the robust slope of each
+    * type's daily volume: the MEDIAN of all pairwise day-pair slopes
+    * on the dense calendar grid, the estimator a single crawl-outage
+    * day cannot drag (least-squares slope has breakdown point 0; this
+    * one survives ~29% contamination). Completes the robust triad:
+    * MAD (level, `ev_anomaly_mad`), CUSUM (shift), Theil–Sen (slope).
+    *
+    * Determinism: each slope is the exact rational (n₂−n₁)/(d₂−d₁)
+    * with positive denominator; pairs sort by the mirrored double
+    * value with (num, den, d1, d2) tiebreaks — a TOTAL order, so both
+    * engines rank identically even where distinct rationals share a
+    * double — and the median is the (cnt+1) div 2 / (cnt+2) div 2
+    * rank pair (one row when odd), averaged as one mirrored division.
+    * Cost: the grid is O(types·days) and pairs O(types·days²) — days
+    * grow with CALENDAR SPAN, not corpus size, so 10× rows costs ~1×;
+    * a multi-year span would band pairs by week the way the interval
+    * join bands by hour. */
+  val evTheilsenTrend: Q = (s, d) => {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val dense = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    val pairs = dense.as("a")
+      .join(dense.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.n") - col("a.n")).as("num"),
+        (col("b.day") - col("a.day")).as("den"),
+        col("a.day").as("d1"), col("b.day").as("d2"))
+      .withColumn("slope_d",
+        col("num").cast("double") / col("den").cast("double"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_d"), col("num"), col("den"),
+        col("d1"), col("d2"))
+    val wCnt = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(cnt + 1) div 2") ||
+        col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy(col("event_type"), col("cnt").as("n_pairs"))
+      .agg((sum(col("slope_d")) / count(lit(1)).cast("double"))
+        .as("median_slope"))
+      .select(col("event_type"), col("n_pairs"), col("median_slope"))
+      .orderBy("event_type")
+  }
+
   /** Daily new-vs-returning split (`ev_new_vs_returning`) — the
     * operational twin of the retention triangle: per active day, how
     * many users are seen for the FIRST time vs returning, and the
@@ -2190,6 +2246,7 @@ object EventOps {
     "ev_peak_concurrency_sharded" -> evPeakConcurrencySharded,
     "ev_cusum_change" -> evCusumChange,
     "ev_autocorr_daily" -> evAutocorrDaily,
+    "ev_theilsen_trend" -> evTheilsenTrend,
     "ev_seasonal_naive" -> evSeasonalNaive,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
@@ -3257,6 +3314,47 @@ object EventOps {
                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              END AS r_lag1
          FROM m ORDER BY event_type""",
+
+    // Theil-Sen: same dense grid; total-ordered pair ranking with
+    // (num, den, d1, d2) tiebreaks, the (cnt+1)//2 / (cnt+2)//2 mids
+    "ev_theilsen_trend" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT CAST(MIN(day) AS BIGINT) AS d0,
+             CAST(MAX(day) AS BIGINT) AS d1
+           FROM daily),
+         dense AS (
+           SELECT t.event_type, CAST(g.day AS BIGINT) AS day,
+             COALESCE(dd.n, CAST(0 AS BIGINT)) AS n
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day
+                       FROM bounds) g
+           LEFT JOIN daily dd
+             ON dd.event_type = t.event_type AND dd.day = g.day),
+         p AS (
+           SELECT a.event_type, b.n - a.n AS num, b.day - a.day AS den,
+             a.day AS d1, b.day AS d2,
+             CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+               AS slope_d
+           FROM dense a JOIN dense b
+             ON a.event_type = b.event_type AND a.day < b.day),
+         r AS (
+           SELECT event_type, slope_d,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY slope_d, num, den, d1, d2) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS cnt
+           FROM p)
+         SELECT event_type, cnt AS n_pairs,
+           SUM(slope_d) / CAST(COUNT(*) AS DOUBLE) AS median_slope
+         FROM r
+         WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+         GROUP BY event_type, cnt
+         ORDER BY event_type""",
 
     // New vs returning: distinct user-days, per-user min day, one
     // equi-join; share is one division.

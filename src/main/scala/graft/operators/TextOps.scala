@@ -386,6 +386,41 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"))
       .orderBy("occurrences")
 
+  /** Good–Turing adjusted counts (`tf_good_turing`) — the smoothing
+    * the frequency-of-frequencies table exists FOR (the same
+    * completion move as `tf_kn_prob` over the continuation counts):
+    * for each observed count r, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r and the per-type probability r* / N — the
+    * estimate that discounts observed types to reserve N_1/N (the
+    * r = 1 row's mass) for unseen types. N_{r+1} comes from a self
+    * equi-join of the O(distinct counts) table on r+1 (0 when the
+    * next count class is empty — r* = 0, the textbook gap case), and
+    * N = Σ r·N_r off the same relation, so the corpus is scanned
+    * exactly once. Every numerator is an exact integer product;
+    * r_star and gt_prob are the mirrored divisions. */
+  val tfGoodTuring: Q = (s, d) => {
+    val fof = docs(s, d)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"))
+      .groupBy("occurrences")
+      .agg(count(lit(1)).as("n_types"))
+    val total = fof.agg(
+      sum(col("occurrences") * col("n_types")).as("n_total"))
+    fof.as("a")
+      .join(fof.as("b").select(col("occurrences").as("next_occ"),
+          col("n_types").as("n_types_next")),
+        col("occurrences") + 1 === col("next_occ"), "left")
+      .na.fill(0L, Seq("n_types_next"))
+      .crossJoin(broadcast(total))
+      .select(col("occurrences"), col("n_types"), col("n_types_next"),
+        col("n_total"),
+        (((col("occurrences") + 1L) * col("n_types_next")).cast("double") /
+          col("n_types").cast("double")).as("r_star"))
+      .withColumn("gt_prob", col("r_star") / col("n_total").cast("double"))
+      .orderBy("occurrences")
+  }
+
   /** Output shards for [[docTrainOrder]]. */
   val TrainShards = 8
 
@@ -2365,6 +2400,7 @@ object TextOps {
     "corpus_integrity" -> corpusIntegrity,
     "tf_vocab_coverage" -> tfVocabCoverage,
     "tf_freq_of_freq" -> tfFreqOfFreq,
+    "tf_good_turing" -> tfGoodTuring,
     "doc_train_order" -> docTrainOrder,
     "doc_keep_decision" -> docKeepDecision,
     "text_boilerplate_ngrams" -> textBoilerplateNgrams,
@@ -2798,6 +2834,31 @@ object TextOps {
             FROM (SELECT unnest($sqlToks) AS token FROM documents) t
             GROUP BY token) z
           GROUP BY occurrences ORDER BY occurrences""",
+    // Good-Turing: the same freq-of-freq rollup self-joined on r+1;
+    // N = sum(r * N_r) off the rollup, mirrored divisions
+    "tf_good_turing" ->
+      s"""WITH fof AS (
+            SELECT occurrences, CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences
+              FROM (SELECT unnest($sqlToks) AS token FROM documents) t
+              GROUP BY token) z
+            GROUP BY occurrences),
+          tot AS (
+            SELECT CAST(SUM(occurrences * n_types) AS BIGINT) AS n_total
+            FROM fof)
+          SELECT a.occurrences, a.n_types,
+            CAST(COALESCE(b.n_types, 0) AS BIGINT) AS n_types_next,
+            tot.n_total,
+            CAST((a.occurrences + 1) * COALESCE(b.n_types, 0) AS DOUBLE)
+              / CAST(a.n_types AS DOUBLE) AS r_star,
+            (CAST((a.occurrences + 1) * COALESCE(b.n_types, 0) AS DOUBLE)
+              / CAST(a.n_types AS DOUBLE)) / CAST(tot.n_total AS DOUBLE)
+              AS gt_prob
+          FROM fof a
+          LEFT JOIN fof b ON a.occurrences + 1 = b.occurrences
+          CROSS JOIN tot
+          ORDER BY a.occurrences""",
     // rarest_token ties break lexicographically on both sides: Spark
     // min(struct(tf, token)) ≡ conditional MIN at the windowed min tf
     "doc_unigram_score" ->
