@@ -584,6 +584,58 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sorted-neighborhood window: each doc pairs with this many
+    * successors in the sort-key order. */
+  val SnWindow = 3
+  /** Sort-key length for [[dedupSortedNeighborhood]]. */
+  val SnKeyLen = 12
+
+  /** Sorted-neighborhood blocking (`dedup_sorted_neighborhood`) — the
+    * classic record-linkage ALTERNATIVE to LSH banding (Hernández &
+    * Stolfo '95): sort the corpus by a normalized key (first
+    * [[SnKeyLen]] alphanumerics, lowercased) and pair each doc with
+    * its [[SnWindow]] successors, then verify with the Jaro–Winkler
+    * tier. Catches the near-dups LSH's shingle hashing can miss when
+    * edits are concentrated in one spot but the HEAD of the record is
+    * stable (names, titles, product codes) — and its candidate count
+    * is exactly linear (w·n pairs), the property that makes it the
+    * standard blocking for entity resolution. The window runs over
+    * the verifier-eligible slice (the [[EditMaxLen]] gate at the
+    * relation head, mirrored in the oracle).
+    *
+    * Scale shape: ONE sort (the window's ORDER BY — at 100 TB,
+    * range-partition by key prefix and overlap partitions by w rows,
+    * the textbook SN sharding), lead() projections, and the pair
+    * verification is w·n codegen'd kernel calls — no shuffle beyond
+    * the sort, no bucket blowup to cap. */
+  val dedupSortedNeighborhood: Q = (s, d) => {
+    val keyed = docs(s, d)
+      .filter(length(col("text")) <= EditMaxLen)
+      .select(col("doc_id"), col("text"),
+        substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")),
+          1, SnKeyLen).as("skey"))
+    val w = Window.orderBy(col("skey"), col("doc_id"))
+    val neighbors = keyed.select(
+      col("doc_id") +: col("skey") +:
+        (1 to SnWindow).map(k =>
+          lead(col("doc_id"), k).over(w).as(s"n$k")): _*)
+    val pairs = neighbors
+      .select(col("doc_id").as("doc_a"),
+        explode(array((1 to SnWindow).map(k => col(s"n$k")): _*))
+          .as("doc_b"))
+      .filter(col("doc_b").isNotNull)
+    val txt = docs(s, d).select(col("doc_id"), col("text"))
+    pairs
+      .join(txt.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(txt.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.EditExprs
+          .jaroWinklerSimilarity(col("sa.text"), col("sb.text")).as("jw"))
+      .withColumn("verdict",
+        when(col("jw") >= 0.9, "dup").otherwise("distinct"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Verification-tier edit THRESHOLD: a candidate pair more than
     * this many edits apart is "not a near-dup" — and the banded
     * verifier stops paying for the exact answer. */
@@ -1797,6 +1849,7 @@ object DedupOps {
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_damerau" -> dedupDamerau,
     "dedup_jaro_winkler" -> dedupJaroWinkler,
+    "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "dedup_edit_banded" -> dedupEditBanded,
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_hamming_histogram" -> dedupHammingHistogram,
@@ -2428,6 +2481,34 @@ object DedupOps {
           WHERE length(da.text) <= $EditMaxLen
             AND length(db.text) <= $EditMaxLen
           ORDER BY doc_a, doc_b""",
+    // sorted-neighborhood: one window over the normalized-key order,
+    // lead() successors, the JW builtin as the verifier
+    "dedup_sorted_neighborhood" -> {
+      val leads = (1 to SnWindow)
+        .map(k => s"lead(doc_id, $k) OVER w AS n$k").mkString(", ")
+      val unnestList = (1 to SnWindow).map(k => s"n$k").mkString("[", ", ", "]")
+      s"""WITH k AS (
+            SELECT doc_id, text,
+              substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+                1, $SnKeyLen) AS skey
+            FROM documents
+            WHERE length(text) <= $EditMaxLen),
+          o AS (
+            SELECT doc_id, $leads
+            FROM k WINDOW w AS (ORDER BY skey, doc_id)),
+          p AS (
+            SELECT doc_id AS doc_a, unnest($unnestList) AS doc_b
+            FROM o)
+          SELECT p.doc_a, p.doc_b,
+            jaro_winkler_similarity(da.text, db.text) AS jw,
+            CASE WHEN jaro_winkler_similarity(da.text, db.text) >= 0.9
+              THEN 'dup' ELSE 'distinct' END AS verdict
+          FROM p
+          JOIN documents da ON p.doc_a = da.doc_id
+          JOIN documents db ON p.doc_b = db.doc_id
+          WHERE p.doc_b IS NOT NULL
+          ORDER BY doc_a, doc_b"""
+    },
     // FULL distance + post-hoc threshold: bit-equality proves the
     // banded early-exit verifier returns exactly the capped answer
     "dedup_edit_banded" ->
