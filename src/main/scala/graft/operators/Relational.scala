@@ -1037,6 +1037,38 @@ object Relational {
             WHERE p.k = c.c_nationkey))
         ORDER BY variant""")
 
+  /** Correlated-scalar-subquery pin (`q46_correlated_spend`) —
+    * customers whose spend exceeds 2× their nation's per-customer
+    * average, written as TWO correlated scalar subqueries through the
+    * SQL front door (the `q38_null_semantics` convention): the ANSI
+    * form every analyst writes first, and the one Catalyst must
+    * DECORRELATE (RewriteCorrelatedScalarSubquery) into aggregate +
+    * join instead of re-running per outer row. The average never
+    * materializes — the predicate is the integer-exact decimal
+    * cross-multiplication `sp·n_nation > 2·total_nation`, so both
+    * engines compare exact decimals and the gate pins the
+    * decorrelated rewrite to the textbook semantics. At 100 TB the
+    * decorrelated plan is two combinable rollups + one broadcast-able
+    * join — the correlated reading would be O(customers) subquery
+    * executions. */
+  val q46CorrelatedSpend: Q = (s, d) => s.sql(
+    s"""WITH spend AS (
+          SELECT c_custkey, c_nationkey,
+            SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sp
+          FROM parquet.`$d/customer.parquet` c
+          JOIN parquet.`$d/orders.parquet` o
+            ON o.o_custkey = c.c_custkey
+          GROUP BY c_custkey, c_nationkey)
+        SELECT s.c_custkey,
+          CAST(s.c_nationkey AS BIGINT) AS nationkey,
+          CAST(s.sp AS DOUBLE) AS spend
+        FROM spend s
+        WHERE s.sp * (SELECT COUNT(*) FROM spend s2
+                      WHERE s2.c_nationkey = s.c_nationkey)
+            > 2 * (SELECT SUM(s3.sp) FROM spend s3
+                   WHERE s3.c_nationkey = s.c_nationkey)
+        ORDER BY s.c_custkey""")
+
   /** Rank-distribution completeness (`q39_cume_dist`) — percent_rank
     * and cume_dist per nation over customer balances, completing the
     * window-rank family (row_number/rank/ntile are covered
@@ -1397,6 +1429,7 @@ object Relational {
     "q31_agg_delta" -> q31AggDelta,
     "q37_retract_delta" -> q37RetractDelta,
     "q38_null_semantics" -> q38NullSemantics,
+    "q46_correlated_spend" -> q46CorrelatedSpend,
     "q39_cume_dist" -> q39CumeDist,
     "q40_ignore_nulls" -> q40IgnoreNulls,
     "q44_spend_deciles" -> q44SpendDeciles,
@@ -1845,6 +1878,25 @@ object Relational {
             WHERE NOT EXISTS (SELECT 1 FROM probe p
               WHERE p.k = c.c_nationkey)) z
           ORDER BY variant""",
+    // the identical correlated form — DuckDB decorrelates too, so the
+    // gate pins both engines' rewrites to the same exact-decimal
+    // cross-multiplication semantics
+    "q46_correlated_spend" ->
+      s"""WITH spend AS (
+            SELECT c_custkey, c_nationkey,
+              SUM(${sqlPrice6("o_totalprice")}) AS sp
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c_custkey, c_nationkey)
+          SELECT s.c_custkey,
+            CAST(s.c_nationkey AS BIGINT) AS nationkey,
+            CAST(s.sp AS DOUBLE) AS spend
+          FROM spend s
+          WHERE s.sp * (SELECT COUNT(*) FROM spend s2
+                        WHERE s2.c_nationkey = s.c_nationkey)
+              > 2 * (SELECT SUM(s3.sp) FROM spend s3
+                     WHERE s3.c_nationkey = s.c_nationkey)
+          ORDER BY s.c_custkey""",
     "q39_cume_dist" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
            CAST(c_acctbal AS DOUBLE) AS acctbal,
