@@ -1069,6 +1069,32 @@ object Relational {
                    WHERE s3.c_nationkey = s.c_nationkey)
         ORDER BY s.c_custkey""")
 
+  /** LATERAL top-k pin (`q47_lateral_topk`) — each nation's top-3
+    * customers by exact-decimal spend, written as a correlated
+    * LATERAL derived table with ORDER BY + LIMIT: the ANSI spelling
+    * of per-group top-k, and the decorrelation path (DomainJoin +
+    * window rewrite) that is NOT the `rank() <= k` form the rest of
+    * the suite pins — an engine can get one right and the other
+    * wrong. The (spend DESC, custkey) tie order makes the LIMIT cut
+    * deterministic on both engines; zero-order nations drop on both
+    * (inner lateral). At scale the rewrite IS the WindowGroupLimit
+    * plan — per-nation partitions, no per-outer-row re-execution. */
+  val q47LateralTopk: Q = (s, d) => s.sql(
+    s"""SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
+          t.c_custkey, CAST(t.sp AS DOUBLE) AS spend
+        FROM parquet.`$d/nation.parquet` n,
+        LATERAL (
+          SELECT c_custkey,
+            SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sp
+          FROM parquet.`$d/customer.parquet` c
+          JOIN parquet.`$d/orders.parquet` o
+            ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          GROUP BY c_custkey
+          ORDER BY sp DESC, c_custkey LIMIT 3
+        ) t
+        ORDER BY nationkey, spend DESC, c_custkey""")
+
   /** Rank-distribution completeness (`q39_cume_dist`) — percent_rank
     * and cume_dist per nation over customer balances, completing the
     * window-rank family (row_number/rank/ntile are covered
@@ -1430,6 +1456,7 @@ object Relational {
     "q37_retract_delta" -> q37RetractDelta,
     "q38_null_semantics" -> q38NullSemantics,
     "q46_correlated_spend" -> q46CorrelatedSpend,
+    "q47_lateral_topk" -> q47LateralTopk,
     "q39_cume_dist" -> q39CumeDist,
     "q40_ignore_nulls" -> q40IgnoreNulls,
     "q44_spend_deciles" -> q44SpendDeciles,
@@ -1897,6 +1924,22 @@ object Relational {
               > 2 * (SELECT SUM(s3.sp) FROM spend s3
                      WHERE s3.c_nationkey = s.c_nationkey)
           ORDER BY s.c_custkey""",
+    // the identical LATERAL spelling — DuckDB's lateral executes the
+    // textbook semantics the decorrelated Spark plan must reproduce
+    "q47_lateral_topk" ->
+      s"""SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
+            t.c_custkey, CAST(t.sp AS DOUBLE) AS spend
+          FROM nation n,
+          LATERAL (
+            SELECT c_custkey,
+              SUM(${sqlPrice6("o_totalprice")}) AS sp
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = n.n_nationkey
+            GROUP BY c_custkey
+            ORDER BY sp DESC, c_custkey LIMIT 3
+          ) t
+          ORDER BY nationkey, spend DESC, c_custkey""",
     "q39_cume_dist" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
            CAST(c_acctbal AS DOUBLE) AS acctbal,
