@@ -428,7 +428,18 @@ object EventOps {
     * user-partitioned window (the attribution family's partitioning)
     * + combinable per-purchase counts + an O(24) rollup; all integer
     * until the final division. */
-  val evAttributionLinear: Q = (s, d) => {
+  val evAttributionLinear: Q = (s, d) =>
+    attrRankedTouches(s, d)
+      .withColumn("credit_c", expr(
+        "pcents div k + (case when rnk <= pcents % k then 1 else 0 end)"))
+      .transform(attrHourRollup)
+
+  /** The multi-touch machinery shared by `ev_attribution_linear` and
+    * `ev_attribution_position`: every click joined to its NEXT
+    * purchase (packed (tsec, event_id) key), with the touch's 1-based
+    * rank inside its conversion path, the path length k, and the
+    * purchase cents — the relation every credit-split model prices. */
+  private def attrRankedTouches(s: SparkSession, d: String): DataFrame = {
     val base = ev(s, d)
       .select(col("user_id"), col("event_id"),
         unix_timestamp(col("ts")).as("tsec"), col("event_type"),
@@ -457,8 +468,11 @@ object EventOps {
       .withColumn("rnk", row_number().over(Window.partitionBy(col("nxt"))
         .orderBy(col("tsec"), col("event_id"))))
       .join(k, "nxt").join(pc, "nxt")
-      .withColumn("credit_c", expr(
-        "pcents div k + (case when rnk <= pcents % k then 1 else 0 end)"))
+  }
+
+  /** Shared by-click-hour rollup of a credited touch relation. */
+  private def attrHourRollup(credited: DataFrame): DataFrame =
+    credited
       .groupBy(col("hh"))
       .agg(count(lit(1)).as("n_touches"),
         countDistinct(col("nxt")).as("n_purchases"),
@@ -467,7 +481,34 @@ object EventOps {
         col("n_purchases"), col("credit_cents"),
         (col("credit_cents").cast("double") / lit(100.0)).as("credit"))
       .orderBy("click_hour")
-  }
+
+  /** Position-based (U-shaped) attribution
+    * (`ev_attribution_position`) — the third standard credit model,
+    * completing last-touch (`ev_attribution`) and linear
+    * (`ev_attribution_linear`): 40% to the FIRST touch, 40% to the
+    * LAST, the middle 20% split across interior touches — the model
+    * that prices discovery and closing above nurture. All-integer on
+    * cents with exact conservation by construction: the endpoint
+    * shares are `(pcents·40) div 100` each, the middle pool is the
+    * REMAINDER `pcents − 2·first` (never a third rounding), interior
+    * touches take `pool div (k−2)` with the leftover going +1 to the
+    * earliest interior ranks; k = 1 takes everything, k = 2 splits
+    * `pcents − pcents div 2 / pcents div 2`. Same touch machinery,
+    * same O(hours) rollup as the siblings. */
+  val evAttributionPosition: Q = (s, d) =>
+    attrRankedTouches(s, d)
+      .withColumn("credit_c", expr(
+        """case
+             when k = 1 then pcents
+             when k = 2 then case when rnk = 1
+               then pcents - pcents div 2 else pcents div 2 end
+             when rnk = 1 or rnk = k then (pcents * 40) div 100
+             else (pcents - 2 * ((pcents * 40) div 100)) div (k - 2)
+               + (case when rnk - 1 <=
+                   (pcents - 2 * ((pcents * 40) div 100)) % (k - 2)
+                 then 1 else 0 end)
+           end"""))
+      .transform(attrHourRollup)
 
   /** Conversion-latency histogram (`ev_conversion_latency`) — the
     * sizing evidence behind `ev_conversion_window`'s attribution
@@ -2265,6 +2306,7 @@ object EventOps {
     "ev_approx_stats" -> evApproxStats,
     "ev_attribution" -> evAttribution,
     "ev_attribution_linear" -> evAttributionLinear,
+    "ev_attribution_position" -> evAttributionPosition,
     "ev_conversion_latency" -> evConversionLatency,
     "ev_json_extract" -> evJson,
     "ev_hourly" -> evHourly,
@@ -2775,6 +2817,62 @@ object EventOps {
            SELECT r.hh, r.nxt,
              pcents // k + CASE WHEN rnk <= pcents % k THEN 1 ELSE 0 END
                AS credit_c
+           FROM ranked r JOIN kk USING (nxt) JOIN pc USING (nxt))
+         SELECT CAST(hh AS BIGINT) AS click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT nxt) AS BIGINT) AS n_purchases,
+           CAST(SUM(credit_c) AS BIGINT) AS credit_cents,
+           CAST(SUM(credit_c) AS DOUBLE) / 100.0 AS credit
+         FROM credited GROUP BY hh ORDER BY click_hour""",
+    // position-based: identical touch CTEs, the U-shaped 40/20/40
+    // integer split (endpoints floor, middle pool = the remainder)
+    "ev_attribution_position" ->
+      s"""WITH base AS (
+           SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type,
+             value, hour(ts) AS hh
+           FROM events),
+         u AS (
+           SELECT user_id, tsec, event_id, 0 AS tag, hh,
+             CAST(NULL AS BIGINT) AS pcents
+           FROM base WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, tsec, event_id, 1, NULL,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           FROM base WHERE event_type = 'purchase'),
+         assigned AS (
+           SELECT *, MIN(CASE WHEN tag = 1
+               THEN tsec * $AttrPackScale + event_id END)
+             OVER (PARTITION BY user_id ORDER BY tsec, tag, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+           FROM u),
+         touches AS (
+           SELECT hh, tsec, event_id, nxt FROM assigned
+           WHERE tag = 0 AND nxt IS NOT NULL),
+         kk AS (
+           SELECT nxt, CAST(COUNT(*) AS BIGINT) AS k
+           FROM touches GROUP BY nxt),
+         pc AS (
+           SELECT tsec * $AttrPackScale + event_id AS nxt,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS pcents
+           FROM base WHERE event_type = 'purchase'),
+         ranked AS (
+           SELECT t.*, ROW_NUMBER() OVER (PARTITION BY nxt
+             ORDER BY tsec, event_id) AS rnk
+           FROM touches t),
+         credited AS (
+           SELECT r.hh, r.nxt,
+             CASE
+               WHEN k = 1 THEN pcents
+               WHEN k = 2 THEN CASE WHEN rnk = 1
+                 THEN pcents - pcents // 2 ELSE pcents // 2 END
+               WHEN rnk = 1 OR rnk = k THEN (pcents * 40) // 100
+               ELSE (pcents - 2 * ((pcents * 40) // 100)) // (k - 2)
+                 + (CASE WHEN rnk - 1 <=
+                     (pcents - 2 * ((pcents * 40) // 100)) % (k - 2)
+                   THEN 1 ELSE 0 END)
+             END AS credit_c
            FROM ranked r JOIN kk USING (nxt) JOIN pc USING (nxt))
          SELECT CAST(hh AS BIGINT) AS click_hour,
            CAST(COUNT(*) AS BIGINT) AS n_touches,
