@@ -636,6 +636,51 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Blocking-strategy audit (`dedup_blocking_overlap`) — which
+    * candidate generator finds which duplicates: the LSH-band pairs
+    * vs the sorted-neighborhood pairs on the SAME verifier-eligible
+    * slice, tagged `both` / `lsh_only` / `sn_only`, each bucket
+    * reporting its pair count, how many verify as Jaro–Winkler dups
+    * (≥ 0.9), and the dup rate. The report that decides whether a
+    * second blocker pays for itself: `sn_only` dups are recall LSH is
+    * leaving on the table; a near-zero `sn_only` dup rate says the
+    * window is wasted verification. Pairs normalize to (min, max) id
+    * orientation before the full-outer alignment; counts integer,
+    * the rate one division. Cost: both generators are already linear
+    * candidate streams; the alignment is one equi-join on pair keys. */
+  val dedupBlockingOverlap: Q = (s, d) => {
+    val txt = docs(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) <= EditMaxLen)
+    val ids = txt.select(col("doc_id"))
+    val lsh = lshCandidatePairs(s, d)
+      .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+        "left_semi")
+      .withColumn("in_lsh", lit(1L))
+    val sn = dedupSortedNeighborhood(s, d)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .withColumn("in_sn", lit(1L))
+    lsh.join(sn, Seq("doc_a", "doc_b"), "full_outer")
+      .na.fill(0L, Seq("in_lsh", "in_sn"))
+      .withColumn("tag",
+        when(col("in_lsh") === 1L && col("in_sn") === 1L, "both")
+          .when(col("in_lsh") === 1L, "lsh_only")
+          .otherwise("sn_only"))
+      .join(txt.as("oa"), col("doc_a") === col("oa.doc_id"))
+      .join(txt.as("ob"), col("doc_b") === col("ob.doc_id"))
+      .select(col("tag"),
+        (graft.functions.EditExprs
+          .jaroWinklerSimilarity(col("oa.text"), col("ob.text")) >= 0.9)
+          .cast("long").as("is_dup"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("is_dup")).as("n_dup"))
+      .withColumn("dup_rate",
+        col("n_dup").cast("double") / col("n_pairs").cast("double"))
+      .orderBy("tag")
+  }
+
   /** Verification-tier edit THRESHOLD: a candidate pair more than
     * this many edits apart is "not a near-dup" — and the banded
     * verifier stops paying for the exact answer. */
@@ -1850,6 +1895,7 @@ object DedupOps {
     "dedup_damerau" -> dedupDamerau,
     "dedup_jaro_winkler" -> dedupJaroWinkler,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
+    "dedup_blocking_overlap" -> dedupBlockingOverlap,
     "dedup_edit_banded" -> dedupEditBanded,
     "dedup_simhash_clusters" -> dedupSimhashClusters,
     "dedup_hamming_histogram" -> dedupHammingHistogram,
@@ -2508,6 +2554,54 @@ object DedupOps {
           JOIN documents db ON p.doc_b = db.doc_id
           WHERE p.doc_b IS NOT NULL
           ORDER BY doc_a, doc_b"""
+    },
+    // blocking overlap: LSH pairs + SN pairs on the eligible slice,
+    // (min,max)-normalized, full-outer aligned, JW-verified per tag
+    "dedup_blocking_overlap" -> {
+      val leads = (1 to SnWindow)
+        .map(k => s"lead(doc_id, $k) OVER w AS n$k").mkString(", ")
+      val unnestList = (1 to SnWindow).map(k => s"n$k").mkString("[", ", ", "]")
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          $sqlCandPairs,
+          el AS (
+            SELECT doc_id, text FROM documents
+            WHERE length(text) <= $EditMaxLen),
+          lsh AS (
+            SELECT p.doc_a, p.doc_b FROM pairs p
+            JOIN el a ON a.doc_id = p.doc_a
+            JOIN el b ON b.doc_id = p.doc_b),
+          sk AS (
+            SELECT doc_id,
+              substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+                1, $SnKeyLen) AS skey
+            FROM el),
+          so AS (
+            SELECT doc_id, $leads
+            FROM sk WINDOW w AS (ORDER BY skey, doc_id)),
+          sp0 AS (
+            SELECT doc_id AS a, unnest($unnestList) AS b FROM so),
+          snp AS (
+            SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b
+            FROM sp0 WHERE b IS NOT NULL),
+          allp AS (
+            SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+              COALESCE(l.doc_b, s.doc_b) AS doc_b,
+              CASE WHEN l.doc_a IS NOT NULL AND s.doc_a IS NOT NULL
+                  THEN 'both'
+                WHEN l.doc_a IS NOT NULL THEN 'lsh_only'
+                ELSE 'sn_only' END AS tag
+            FROM lsh l FULL OUTER JOIN snp s
+              ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b)
+          SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(CASE WHEN jaro_winkler_similarity(da.text, db.text)
+                >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+            CAST(SUM(CASE WHEN jaro_winkler_similarity(da.text, db.text)
+                >= 0.9 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+          FROM allp
+          JOIN documents da ON allp.doc_a = da.doc_id
+          JOIN documents db ON allp.doc_b = db.doc_id
+          GROUP BY tag ORDER BY tag"""
     },
     // FULL distance + post-hoc threshold: bit-equality proves the
     // banded early-exit verifier returns exactly the capped answer
