@@ -48,7 +48,7 @@ dedup_jaro_winkler tf_fertility q45_quartile_mobility \
 text_encoding_audit tf_vocab_growth ev_autocorr_daily \
 tf_good_turing ev_theilsen_trend dedup_sorted_neighborhood \
 q46_correlated_spend q47_lateral_topk ev_attribution_position \
-dedup_blocking_overlap"
+dedup_blocking_overlap ev_changepoint_binseg"
 # everything from ev_peak_concurrency_sharded on is the round-12
 # post-close carry: first measured by the round-13 probe run (the
 # resumable cache re-measures on the grown list)

@@ -900,6 +900,67 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Binary-segmentation changepoints (`ev_changepoint_binseg`) —
+    * the two-level extension of [[evCusumChange]]: the full-series
+    * CUSUM argmax splits each type's dense daily grid, then the SAME
+    * statistic re-runs inside the left and right segments — the
+    * classic recursive scheme (Scott & Knott) that finds the second
+    * shift a single CUSUM walks past (a source that turns off AND
+    * later recovers has two level shifts; the full-series statistic
+    * peaks at one of them and shadows the other). One long row per
+    * (type, segment ∈ full/left/right): the segment bounds, its
+    * length and total, the in-segment argmax day and the pre-division
+    * |S'| extreme — all BIGINT on the grid exactly as the parent
+    * (S'_t = Σ(x·D_seg − T_seg), ties earliest-day). A length-1
+    * segment degenerates to S' = 0 at its only day, identically on
+    * both engines. Cost: the level-0 pick is an O(types) relation
+    * joined back once; every window still runs on the O(types·days)
+    * grid — two passes of the parent's plan, never more. */
+  val evChangepointBinseg: Q = (s, d) => {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("d0"),
+      max(col("day")).as("d1"))
+    val dense = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    // one segmented CUSUM pass: per (type, seg) totals -> prefix
+    // S' -> argmax (|S'| desc, day asc)
+    def pick(seg: DataFrame): DataFrame = {
+      val totals = seg.groupBy(col("event_type"), col("seg"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+      val wCum = Window.partitionBy(col("event_type"), col("seg"))
+        .orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy(col("event_type"), col("seg"))
+        .orderBy(abs(col("s")).desc, col("day"))
+      seg.join(totals, Seq("event_type", "seg"))
+        .withColumn("s", sum(col("n") * col("n_days") - col("total"))
+          .over(wCum))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("seg"), col("n_days"),
+          col("total"), col("day").as("change_day"),
+          abs(col("s")).as("max_abs_s"))
+    }
+    val full = pick(dense.withColumn("seg", lit("full")))
+    val c0 = full.select(col("event_type"),
+      col("change_day").as("c0"))
+    val children = dense.join(c0, "event_type")
+      .withColumn("seg",
+        when(col("day") <= col("c0"), "left").otherwise("right"))
+      .drop("c0")
+    full.unionByName(pick(children))
+      .select(col("event_type"), col("seg"), col("n_days"),
+        col("total"), col("change_day"), col("max_abs_s"))
+      .orderBy("event_type", "seg")
+  }
+
   /** Daily new-vs-returning split (`ev_new_vs_returning`) — the
     * operational twin of the retention triangle: per active day, how
     * many users are seen for the FIRST time vs returning, and the
@@ -2288,6 +2349,7 @@ object EventOps {
     "ev_cusum_change" -> evCusumChange,
     "ev_autocorr_daily" -> evAutocorrDaily,
     "ev_theilsen_trend" -> evTheilsenTrend,
+    "ev_changepoint_binseg" -> evChangepointBinseg,
     "ev_seasonal_naive" -> evSeasonalNaive,
     "ev_gap_histogram" -> evGapHistogram,
     "ev_watermark_audit" -> evWatermarkAudit,
@@ -3412,6 +3474,78 @@ object EventOps {
                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              END AS r_lag1
          FROM m ORDER BY event_type""",
+
+    // binseg: the CUSUM oracle twice — level-0 pick splits the grid,
+    // the identical segmented statistic re-picks inside each child
+    "ev_changepoint_binseg" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT CAST(MIN(day) AS BIGINT) AS d0,
+             CAST(MAX(day) AS BIGINT) AS d1
+           FROM daily),
+         dense AS (
+           SELECT t.event_type, CAST(g.day AS BIGINT) AS day,
+             COALESCE(dd.n, CAST(0 AS BIGINT)) AS n
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day
+                       FROM bounds) g
+           LEFT JOIN daily dd
+             ON dd.event_type = t.event_type AND dd.day = g.day),
+         t0 AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS total
+           FROM dense GROUP BY event_type),
+         c0 AS (
+           SELECT d.event_type, d.day, t.n_days, t.total,
+             CAST(SUM(d.n * t.n_days - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s
+           FROM dense d JOIN t0 t ON t.event_type = d.event_type),
+         full0 AS (
+           SELECT event_type, 'full' AS seg, n_days, total,
+             day AS change_day, CAST(abs(s) AS BIGINT) AS max_abs_s,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY abs(s) DESC, day) AS rn
+           FROM c0),
+         fullpick AS (
+           SELECT event_type, seg, n_days, total, change_day, max_abs_s
+           FROM full0 WHERE rn = 1),
+         segs AS (
+           SELECT d.event_type, d.day, d.n,
+             CASE WHEN d.day <= f.change_day THEN 'left'
+               ELSE 'right' END AS seg
+           FROM dense d JOIN fullpick f ON f.event_type = d.event_type),
+         t1 AS (
+           SELECT event_type, seg, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS total
+           FROM segs GROUP BY event_type, seg),
+         c1 AS (
+           SELECT s.event_type, s.seg, t.n_days, t.total, s.day,
+             CAST(SUM(s.n * t.n_days - t.total) OVER (
+               PARTITION BY s.event_type, s.seg ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s2
+           FROM segs s JOIN t1 t
+             ON t.event_type = s.event_type AND t.seg = s.seg),
+         childpick AS (
+           SELECT event_type, seg, n_days, total, day AS change_day,
+             CAST(abs(s2) AS BIGINT) AS max_abs_s,
+             ROW_NUMBER() OVER (PARTITION BY event_type, seg
+               ORDER BY abs(s2) DESC, day) AS rn
+           FROM c1)
+         SELECT event_type, seg, n_days, total, change_day, max_abs_s
+         FROM (
+           SELECT event_type, seg, n_days, total, change_day, max_abs_s
+           FROM fullpick
+           UNION ALL
+           SELECT event_type, seg, n_days, total, change_day, max_abs_s
+           FROM childpick WHERE rn = 1) z
+         ORDER BY event_type, seg""",
 
     // Theil-Sen: same dense grid; total-ordered pair ranking with
     // (num, den, d1, d2) tiebreaks, the (cnt+1)//2 / (cnt+2)//2 mids
