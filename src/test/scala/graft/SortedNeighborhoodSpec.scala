@@ -36,6 +36,47 @@ class SortedNeighborhoodSpec extends SparkSpec {
     assert(got == expected, "window pairing mirrors the sort exactly")
   }
 
+  test("planted typo-dense twin: scattered one-char edits destroy " +
+      "every shingle (LSH blind) but SN pairs it and JW verifies — " +
+      "the recall case the operator exists for") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => f"word$i%02dbodypart")
+    val clean = words.mkString(" ")
+    // every THIRD word (from the fourth on, keeping the sort-key head
+    // intact) gets one inner char swapped: every 3 consecutive words
+    // contain an edit, so every shingle but the head triple dies
+    // (set Jaccard ~0.01, far under the LSH S-curve), while the
+    // strings stay ~97% char-identical (JW 0.906, DuckDB-probed)
+    val typoed = words.zipWithIndex.map { case (w, i) =>
+      if (i >= 3 && i % 3 == 0) w.updated(6, 'x') else w
+    }.mkString(" ")
+    val docs = Seq((1L, clean), (2L, typoed)) ++
+      (10L to 15L).map(i => (i,
+        (1 to 15).map(j => s"filler$i$j unrelated$i$j").mkString(" ")))
+    val dir = tmpDir("sn-planted")
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val sn = SparkEntry.queries("dedup_sorted_neighborhood")(spark, dir)
+      .collect()
+    val pair = sn.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L)
+    assert(pair.isDefined, "the shared head key makes them neighbors")
+    assert(pair.get.getAs[Double]("jw") >= 0.9, "JW sees the twin")
+    assert(pair.get.getAs[String]("verdict") == "dup")
+    val lsh = SparkEntry.queries("dedup_lsh_pairs")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(!lsh.contains((1L, 2L)),
+      "shingle MinHash cannot see a typo-dense twin")
+    val overlap = SparkEntry.queries("dedup_blocking_overlap")(spark, dir)
+      .collect()
+      .find(_.getAs[String]("tag") == "sn_only")
+    assert(overlap.isDefined && overlap.get.getAs[Long]("n_dup") >= 1L,
+      "the audit reports the recall LSH left on the table")
+  }
+
   test("jw in [0,1]; verdict routes on the 0.9 threshold") {
     SparkEntry.queries("dedup_sorted_neighborhood")(spark, Sf)
       .collect().foreach { r =>
