@@ -10,24 +10,63 @@ package graft
   * numbers measure the plan rather than whichever query happened to
   * touch a table first.
   *
+  * FORMAT v2 (round 13): the headline `value` is the sum of
+  * PER-QUERY MEDIANS over [[BenchReps]] interleaved full passes
+  * (pass 1 all queries, pass 2 all queries, …), the probe harness's
+  * own discipline applied to the committed bench. Round 12 proved a
+  * single-pass total cannot be reproduced on a bursty host (two
+  * same-binary runs disagreed 10% raw) and that normalizing by a
+  * canary scalar measured at one instant AMPLIFIES the noise (45%
+  * apart normalized): a 6-minute suite samples host load once per
+  * query, so the only honest statistic is per-query, with the reps
+  * spread ~6 minutes apart in time. The canary stays measured and
+  * serialized as a HOST-HEALTH flag (`canary_ratio` far from 1.0 =
+  * don't trust cross-round comparison), but `value_canary_norm` is
+  * retired — nothing is normalized any more. `value_pass1` retains
+  * the v1 single-pass raw total for cross-round continuity.
+  *
   * The JSON result line is printed to stdout AND written to
   * `bench_result.json` in the working directory — under sbt the
   * logger prefixes stdout lines, which round 1 showed breaks the
-  * driver's parse.
+  * driver's parse. Per-rep per-query raw times land in
+  * `bench_reps.json` so dispersion is auditable per query.
   */
 object Bench {
   private[graft] def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Full interleaved suite passes for the committed bench. 3 is the
+    * probe scripts' own rep count; the per-query median of 3 passes
+    * ~6 minutes apart is robust to one bursty window in either
+    * direction. Filtered (arg-list) invocations default to ONE pass
+    * because the probe harness supplies its own outer rep loop;
+    * SPARK_GRAFT_BENCH_REPS overrides both. */
+  val BenchReps = 3
+
+  /** Median of the non-negative (successful) rep times; -1.0 when
+    * every rep failed — the v1 single-run failure convention, kept so
+    * downstream tooling's `filter(_ >= 0)` math is unchanged. */
+  private[graft] def medianRep(reps: Seq[Double]): Double = {
+    val ok = reps.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0
+    else if (ok.size % 2 == 1) ok(ok.size / 2)
+    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+  }
+
   /** Fixed host-speed canary: 10 cheap queries spanning scan, hash
     * agg, join, as-of window, text codegen, fingerprint groupBy and
-    * vector math — run 3× (post-warm-up, pre-suite) so every
-    * committed bench carries its own measurement of AMBIENT HOST
-    * SPEED. Two rounds on drifted hardware showed a uniform 1.34×
-    * swing on queries with zero-line plan diffs; the canary ratio
-    * (canary_sec / committed reference) turns that judgement call
-    * into arithmetic: `value_canary_norm = value / ratio` is the
-    * headline a same-speed host would have produced. The set is
+    * vector math — run (post-warm-up, pre-suite) so every committed
+    * bench carries its own measurement of AMBIENT HOST SPEED. Two
+    * rounds on drifted hardware showed a uniform 1.34× swing on
+    * queries with zero-line plan diffs; the canary ratio
+    * (canary_sec / committed reference) flags that. HOST-HEALTH FLAG
+    * ONLY since format v2: round 12 proved a scalar measured at one
+    * instant cannot normalize a 6-minute suite on a bursty host (two
+    * same-binary runs normalized 45% apart — the division AMPLIFIED
+    * noise), so `value_canary_norm` is retired and the headline is
+    * the per-query median over interleaved passes instead. A ratio
+    * far from 1.0 still means "different host speed than the
+    * reference — don't read cross-round deltas literally". The set is
     * FROZEN — changing it invalidates `benchdata/canary_ref.json`
     * (re-measure the reference in the same commit, CanarySpec pins
     * the pairing). */
@@ -90,13 +129,14 @@ object Bench {
         }
     }
 
-  private def normField(total: Double,
-      c: Option[(Double, Option[Double])]): String =
-    c match {
-      case Some((sec, Some(r))) if sec > 0.0 =>
-        s""","value_canary_norm":${fmt(total / (sec / r))}"""
-      case _ => ""
-    }
+  /** v2 continuity/provenance fields: the v1 single-pass raw total
+    * (pass 1's sum — what every BENCH_r{N<13} "value" measured) and
+    * the pass count behind the per-query medians. Empty for
+    * single-pass runs, whose `value` IS the v1 statistic. */
+  private def repFields(passTotals: Seq[Double]): String =
+    if (passTotals.size <= 1) ""
+    else s""","format":"v2","reps":${passTotals.size}""" +
+      s""","value_pass1":${fmt(passTotals.head)}"""
 
   /** `"cache_build":…` field — the warm-up phase's wall seconds,
     * reported as its OWN line item so shared index/cache construction
@@ -109,29 +149,32 @@ object Bench {
   private def cacheBuildField(c: Option[Double]): String =
     c.map(s => s""","cache_build":${fmt(s)}""").getOrElse("")
 
-  /** Full per-query JSON — grows with the query count, so it is NOT
-    * the final stdout line (see below). */
+  /** Full per-query JSON (values = per-query medians under v2) —
+    * grows with the query count, so it is NOT the final stdout line
+    * (see below). */
   private[graft] def fullLine(results: Seq[(String, Double)], sfDir: String,
       canary: Option[(Double, Option[Double])] = None,
-      cacheBuild: Option[Double] = None): String = {
+      cacheBuild: Option[Double] = None,
+      passTotals: Seq[Double] = Nil): String = {
     val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      canaryFields(canary) + normField(total, canary) +
+      repFields(passTotals) + canaryFields(canary) +
       cacheBuildField(cacheBuild) +
       s""","queries":$qs,"sf":"$sfDir"}"""
   }
 
-  /** Compact fixed-size summary (~110 B raw, ~215 B with the canary
-    * triple and cache_build; bounded ≤256 B by DriverContractSpec)
-    * printed as the very last stdout line. */
+  /** Compact fixed-size summary (~110 B raw, ~250 B with the canary
+    * triple, rep fields and cache_build; bounded ≤256 B by
+    * DriverContractSpec) printed as the very last stdout line. */
   private[graft] def summaryLine(results: Seq[(String, Double)], sfDir: String,
       canary: Option[(Double, Option[Double])] = None,
-      cacheBuild: Option[Double] = None): String = {
+      cacheBuild: Option[Double] = None,
+      passTotals: Seq[Double] = Nil): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      canaryFields(canary) + normField(total, canary) +
+      repFields(passTotals) + canaryFields(canary) +
       cacheBuildField(cacheBuild) +
       s""","n_queries":${results.size},"sf":"$sfDir"}"""
   }
@@ -249,10 +292,19 @@ object Bench {
     }
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
+    // v2 pass count: full-suite (driver) runs take the per-query
+    // median of BenchReps interleaved passes; filtered runs stay
+    // single-pass because the probe harness reps OUTSIDE the JVM
+    // (cold-index measurements must not warm across reps)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+      .getOrElse(if (args.nonEmpty) 1 else BenchReps)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val listener = new ShuffleListener
     spark.sparkContext.addSparkListener(listener)
     def flush(): Unit =
       org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
+    // pass 1 carries the shuffle attribution (bytes are a plan
+    // property — identical across passes); later passes time only
     val tracked = names.map { n =>
       flush()
       val (b0, s0) = (listener.bytes.get(), listener.stages.get())
@@ -260,7 +312,13 @@ object Bench {
       flush()
       (n, sec, listener.bytes.get() - b0, listener.stages.get() - s0)
     }
-    val results = tracked.map { case (n, sec, _, _) => n -> sec }
+    val perPass: Seq[Seq[(String, Double)]] =
+      tracked.map { case (n, sec, _, _) => n -> sec } +:
+        (2 to reps).map(_ => names.map(n => n -> run(n)))
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> medianRep(perPass.map(_(i)._2))
+    }
+    val passTotals = perPass.map(_.map(_._2).filter(_ >= 0).sum)
     // per-query shuffle attribution sidecar (NOT on stdout — the
     // driver's tail window is for the two result lines only)
     java.nio.file.Files.writeString(
@@ -268,6 +326,14 @@ object Bench {
       tracked.map { case (n, _, b, st) =>
         s""""$n":{"shuffle_bytes":$b,"stages":$st}"""
       }.mkString("""{"queries":{""", ",", s"""},"sf":"$sfDir"}""") + "\n")
+    // per-pass raw times sidecar: the dispersion audit trail behind
+    // every committed median (flags a query whose reps disagree)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_reps.json"),
+      names.zipWithIndex.map { case (n, i) =>
+        s""""$n":${perPass.map(p => fmt(p(i)._2)).mkString("[", ",", "]")}"""
+      }.mkString("""{"reps":""" + reps + ""","queries":{""", ",",
+        s"""},"sf":"$sfDir"}""") + "\n")
     // The driver parses a ~2.2 KB tail of stdout. The full per-query
     // line grows with the query count (≈2.9 KB at 88 queries) and
     // overflowed that window for three rounds — so the LAST line is
@@ -277,11 +343,11 @@ object Bench {
     // parses.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"),
-      fullLine(results, sfDir, canary, cacheBuild) + "\n")
+      fullLine(results, sfDir, canary, cacheBuild, passTotals) + "\n")
     // stop FIRST so no shutdown logging can land after the JSON: the
     // driver reads the tail of stdout and must see these lines last
     spark.stop()
-    println(fullLine(results, sfDir, canary, cacheBuild))
-    println(summaryLine(results, sfDir, canary, cacheBuild))
+    println(fullLine(results, sfDir, canary, cacheBuild, passTotals))
+    println(summaryLine(results, sfDir, canary, cacheBuild, passTotals))
   }
 }

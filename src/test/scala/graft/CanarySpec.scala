@@ -43,11 +43,13 @@ class CanarySpec extends SparkSpec {
     assert(full.get("canary_ref_sec").asDouble === 5.1)
     val ratio = full.get("canary_ratio").asDouble
     assert(math.abs(ratio - 5.432 / 5.1) < 0.001)
-    // normalized = raw / ratio: the headline a same-speed host would
-    // have produced (ratio is serialized at 6 decimals, so the
-    // implied relation holds to ~1e-6 relative)
-    assert(math.abs(full.get("value_canary_norm").asDouble -
-      full.get("value").asDouble / ratio) < 0.05)
+    // format v2 RETIRED the normalized headline: round 12's two
+    // same-binary runs normalized 45% apart (raw only 10%) — a scalar
+    // sampled at one instant amplifies burstiness instead of removing
+    // it. The ratio stays as a host-health flag; nothing divides by it.
+    assert(full.get("value_canary_norm") == null,
+      "value_canary_norm is retired in format v2 — the canary is a " +
+        "host-health flag, not a normalizer")
     val summary = Bench.summaryLine(results, sfDir, canary)
     assert(summary.length <= 256,
       s"canary fields pushed the final line past the tail window: " +
@@ -64,7 +66,6 @@ class CanarySpec extends SparkSpec {
       Bench.fullLine(results, "sf", Some((5.432, None))))
     assert(line.get("canary_sec").asDouble === 5.432)
     assert(line.get("canary_ratio") == null)
-    assert(line.get("value_canary_norm") == null)
     val noCanary = mapper.readTree(Bench.fullLine(results, "sf", None))
     assert(noCanary.get("canary_sec") == null)
   }

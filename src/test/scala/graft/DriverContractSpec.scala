@@ -81,4 +81,35 @@ class DriverContractSpec extends SparkSpec {
     assert(s.get("value").asDouble > 0.0)
     assert(s.get("n_queries").asInt === SparkEntry.queries.size)
   }
+
+  test("format v2: rep fields serialize, the summary still fits the " +
+      "tail window, and the per-query median is failure-aware") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456)
+    val sfDir = "/root/testdata/sf0.1"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val canary = Some((5.432, Some(5.1)))
+    val passes = Seq(40615.0, 40712.5, 40333.1)
+
+    val full = mapper.readTree(
+      Bench.fullLine(results, sfDir, canary, Some(31.3), passes))
+    assert(full.get("format").asText === "v2")
+    assert(full.get("reps").asInt === 3)
+    assert(full.get("value_pass1").asDouble === 40615.0)
+
+    val summary = Bench.summaryLine(results, sfDir, canary, Some(31.3), passes)
+    assert(summary.length <= 256,
+      s"v2 rep fields pushed the final line past the driver's tail " +
+        s"window: ${summary.length}B")
+    val s = mapper.readTree(summary)
+    assert(s.get("value").asDouble > 0.0)
+
+    // single-pass runs keep the exact v1 shape (no rep fields)
+    val v1 = mapper.readTree(Bench.summaryLine(results, sfDir, canary))
+    assert(v1.get("format") == null && v1.get("value_pass1") == null)
+
+    // median ignores failed (-1.0) reps; all-failed stays -1.0
+    assert(Bench.medianRep(Seq(2.0, -1.0, 1.0)) === 1.5)
+    assert(Bench.medianRep(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(Bench.medianRep(Seq(-1.0, -1.0)) === -1.0)
+  }
 }
