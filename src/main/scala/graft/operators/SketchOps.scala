@@ -503,16 +503,68 @@ object SketchOps {
     * verified heavy sets, so the join is a few-row full-outer —
     * corpus cost is two heavy-hitter passes, each sketch-bounded. */
   val tfHeavyDelta: Q = (s, d) => {
+    // FUSED single-scan form (round 13). The r11/r12 plan ran the
+    // whole [[heavyReportOf]] pipeline TWICE (base = 90% of the
+    // corpus, after = 100%): two shingle explodes, two checkpoint
+    // materializations, two CMS groupBys, two distinct+verify passes
+    // — ~2× the corpus work for a delta both sides of which read the
+    // SAME gram stream. Fused: ONE explode carries an `is_new` flag
+    // per gram, ONE d×w groupBy builds BOTH matrices as (cnt_base,
+    // cnt_after) cell pairs, ONE distinct probes both, ONE verify
+    // counts both. Every per-side number (cell count, total,
+    // threshold, estimate, exact count) is arithmetic-identical to
+    // the two-pass form — cnt_base sums exactly the !is_new
+    // occurrences the base matrix counted — so the heavy sets, hence
+    // the emerging/vanished/persistent statuses, are equal by
+    // construction (the oracle still computes both sides
+    // independently; hash-equality is the fusion proof). A gram with
+    // zero base occurrences can reach the base probe via the shared
+    // distinct, but collisions-only est_base either misses the bar or
+    // is voided by true_base = 0 at verification — CMS admits no
+    // false negatives and verification kills the false positives,
+    // same as the two-pass form.
     def isNew(id: Column) =
       Hashing.charHash(id.cast("string")) % 10 === 7
-    val base = heavyGramsOf(docs(s, d).filter(!isNew(col("doc_id"))))
-      .withColumn("in_base", lit(1L))
-    val after = heavyGramsOf(docs(s, d))
-      .withColumn("in_after", lit(1L))
-    after.join(base, Seq("g"), "full_outer")
+    val grams = docs(s, d)
+      .withColumn("toks", Hashing.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(Hashing.shingles(col("toks"))).as("g"),
+        isNew(col("doc_id")).as("is_new"))
+      .transform(graft.Checkpointing.cut)
+    val baseCnt = sum(when(!col("is_new"), 1L).otherwise(0L))
+    val cms = grams
+      .select(col("is_new"), posexplode(
+        posArray(Hashing.charHash(col("g")), HeavyCmsWidth, CmsDepth)))
+      .toDF("is_new", "row", "bucket")
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt_after"), baseCnt.as("cnt_base"))
+    val totals = grams.agg(count(lit(1)).as("n_after"),
+      baseCnt.as("n_base"))
+    def thr(n: String) = greatest(expr(s"$n div $HeavyDen"),
+      lit(HeavyMinCnt))
+    val cand = grams.select("g").distinct()
+      .select(col("g"), posexplode(
+        posArray(Hashing.charHash(col("g")), HeavyCmsWidth, CmsDepth)))
+      .toDF("g", "row", "bucket")
+      .join(broadcast(cms), Seq("row", "bucket"))
+      .groupBy("g")
+      .agg(min(col("cnt_after")).as("est_after"),
+        min(col("cnt_base")).as("est_base"))
+      .crossJoin(broadcast(totals))
+      .filter(col("est_after") >= thr("n_after") ||
+        col("est_base") >= thr("n_base"))
+    val exact = grams
+      .join(broadcast(cand.select("g")), Seq("g"), "left_semi")
+      .groupBy("g")
+      .agg(count(lit(1)).as("true_after"), baseCnt.as("true_base"))
+    cand.join(exact, "g")
       .select(col("g").as("gram"),
-        when(col("in_base").isNull, "emerging")
-          .when(col("in_after").isNull, "vanished")
+        (col("true_base") >= thr("n_base")).as("in_base"),
+        (col("true_after") >= thr("n_after")).as("in_after"))
+      .filter(col("in_base") || col("in_after"))
+      .select(col("gram"),
+        when(!col("in_base"), "emerging")
+          .when(!col("in_after"), "vanished")
           .otherwise("persistent").as("status"))
       .orderBy("gram")
   }
