@@ -443,7 +443,15 @@ object StreamOps {
     * hour. Exploding the PROBE side keeps left-semi semantics exact —
     * each view row exists once, so "emitted iff any match" cannot
     * double-emit, whereas exploding the view side would need a
-    * streaming dedup behind it. */
+    * streaming dedup behind it. BANDING PRICE, measured (round 13,
+    * isolated 5-rep medians at sf0.1): 2.52 s here vs 2.96 s for the
+    * mirrored view-exploded orientation
+    * ([[streamConversionWindowAlt]]) — and vs r11's unbanded 3.07 s
+    * suite number, i.e. the banding that bought the 187×→3×
+    * skew-probe fix costs ~nothing at uniform key mix once measured
+    * honestly (the r12 "2× regression" was a single-shot bench
+    * reading the cold-streaming first rep; per-query medians dissolve
+    * it). */
   val streamConversionWindow: Q = (s0, d) => {
     val s = replaySession(s0)
     def side(tpe: String, prefix: String) =
@@ -464,6 +472,46 @@ object StreamOps {
         col("c_ts") >= col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
       "left_semi")
+    runToTable(s, joined, "append")
+      .select(col("v_id").as("view_id"), col("v_user").as("user_id"),
+        unix_timestamp(col("v_ts")).as("view_tsec"))
+      .orderBy("view_id")
+  }
+
+  /** ORIENTATION EXPERIMENT (round-13 directive): the mirrored
+    * banding for [[streamConversionWindow]] — the VIEW side explodes
+    * to its two candidate click-hours and clicks stay unexploded,
+    * with a `dropDuplicatesWithinWatermark` on the view id behind the
+    * semi join restoring emit-at-most-once (the exploded left side
+    * can match in both hour cells). PRICED AND REJECTED: isolated
+    * 5-rep medians at sf0.1 were 2.52 s (click-exploded, registered)
+    * vs 2.96 s (this form) — the event sides are equal-cardinality
+    * (~20% of events each), so exploding either side costs the same
+    * state, and this orientation ADDS a stateful dedup operator the
+    * probe-side explode never needs. Kept unregistered,
+    * oracle-equality spec-pinned, as the committed record of why the
+    * registered orientation is the floor. */
+  private[graft] val streamConversionWindowAlt: Q = (s0, d) => {
+    val s = replaySession(s0)
+    def side(tpe: String, prefix: String) =
+      eventsStream(s, d)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val views = side("view", "v")
+      .withColumn("hb", explode(array(
+        floor(unix_timestamp(col("v_ts")) / 3600L),
+        floor(unix_timestamp(col("v_ts")) / 3600L) + 1L)))
+    val clicks = side("click", "c")
+      .withColumn("hb", floor(unix_timestamp(col("c_ts")) / 3600L))
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") && views("hb") === clicks("hb") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+      .dropDuplicatesWithinWatermark("v_id")
     runToTable(s, joined, "append")
       .select(col("v_id").as("view_id"), col("v_user").as("user_id"),
         unix_timestamp(col("v_ts")).as("view_tsec"))
@@ -1777,6 +1825,24 @@ object StreamOps {
   // exact cents, one shift per day's age, integer rollup — equality
   // says batch boundaries cannot leak into the ledger; shared
   // verbatim by the post-compaction readout (`stream_decayed_compact`)
+  // one oracle for BOTH conversion-window orientations: the banding
+  // is an execution choice, the EXISTS semantics are the contract
+  private lazy val sqlConversionWindow =
+    """WITH base AS (
+         SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events),
+       v AS (SELECT event_id, user_id, ts_sec FROM base
+             WHERE event_type = 'view'),
+       c AS (SELECT user_id, ts_sec FROM base
+             WHERE event_type = 'click')
+       SELECT v.event_id AS view_id, v.user_id, v.ts_sec AS view_tsec
+       FROM v WHERE EXISTS (
+         SELECT 1 FROM c
+         WHERE c.user_id = v.user_id
+           AND c.ts_sec >= v.ts_sec AND c.ts_sec <= v.ts_sec + 3600)
+       ORDER BY view_id"""
+
   private lazy val sqlDecayedValue =
     s"""WITH maxd AS (SELECT CAST(max(ts) AS DATE) AS maxd FROM events),
         pd AS (
@@ -1920,21 +1986,7 @@ object StreamOps {
     "stream_ann_upsert" -> SimilarityOps.sqlAnnUpsertHits,
     "stream_vec_dedup" -> SimilarityOps.sqlAnnUpsertDedupHits,
     "stream_neardup_candidates" -> DedupOps.sqlNeardupCandidates,
-    "stream_conversion_window" ->
-      """WITH base AS (
-           SELECT event_id, user_id, event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
-           FROM events),
-         v AS (SELECT event_id, user_id, ts_sec FROM base
-               WHERE event_type = 'view'),
-         c AS (SELECT user_id, ts_sec FROM base
-               WHERE event_type = 'click')
-         SELECT v.event_id AS view_id, v.user_id, v.ts_sec AS view_tsec
-         FROM v WHERE EXISTS (
-           SELECT 1 FROM c
-           WHERE c.user_id = v.user_id
-             AND c.ts_sec >= v.ts_sec AND c.ts_sec <= v.ts_sec + 3600)
-         ORDER BY view_id""",
+    "stream_conversion_window" -> sqlConversionWindow,
     "stream_novelty_gate" -> {
       val tag = s"${graft.functions.Hashing
         .sqlCharHash("CAST(doc_id AS VARCHAR)")} % 10"
