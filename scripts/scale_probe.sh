@@ -41,7 +41,7 @@ stream_vec_dedup stream_unigram_gate stream_template_gate \
 stream_sessionize stream_cdc_candidates stream_hourly \
 stream_dedup_keys stream_takedown_gate stream_ann_upsert \
 stream_topk_compact stream_decayed_compact \
-ev_peak_concurrency_sharded pii_generalization emb_prefix_recall \
+ev_peak_concurrency_audit pii_generalization emb_prefix_recall \
 tf_kn_prob ann_prefix_rerank ev_anomaly_mad ev_user_lifespan \
 dedup_survivor emb_dim_corr q44_spend_deciles \
 dedup_jaro_winkler tf_fertility q45_quartile_mobility \
@@ -49,7 +49,7 @@ text_encoding_audit tf_vocab_growth ev_autocorr_daily \
 tf_good_turing ev_theilsen_trend dedup_sorted_neighborhood \
 q46_correlated_spend q47_lateral_topk ev_attribution_position \
 dedup_blocking_overlap ev_changepoint_binseg"
-# everything from ev_peak_concurrency_sharded on is the round-12
+# everything from ev_peak_concurrency_audit on is the round-12
 # post-close carry: first measured by the round-13 probe run (the
 # resumable cache re-measures on the grown list)
 

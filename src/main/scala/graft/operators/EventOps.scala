@@ -240,20 +240,24 @@ object EventOps {
       .orderBy("rank")
   }
 
-  /** Peak session concurrency (`ev_peak_concurrency`) — the classic
-    * SWEEP-LINE over the sessionizer's intervals: +1 at each session
-    * start, −1 one second past its inclusive end, running sum, max —
-    * the capacity number ("how many sessions were ever live at once")
+  /** Global-sweep peak concurrency (`ev_peak_concurrency_audit`) —
+    * the AUDIT TIER: the classic SWEEP-LINE over the sessionizer's
+    * intervals as one unpartitioned window: +1 at each session start,
+    * −1 one second past its inclusive end, running sum, max — the
+    * capacity number ("how many sessions were ever live at once")
     * that no per-session aggregate can produce. Tie convention is
     * pinned by ordering (time asc, delta ASC — departures before
     * arrivals): a session starting the second another's inclusive
     * end expires does NOT overlap it, while same-second start/start
     * stack. (The running max is order-invariant within a same-delta
     * tie group, so ROWS-frame peer order cannot leak into either
-    * output.) The boundary stream is O(2·sessions); the
-    * one unpartitioned window runs over it, never over events (the
-    * watermark-audit rule: at 100 TB shard the sweep by day with a
-    * carried seed). Earliest peak second reported on ties. All
+    * output.) The boundary stream is O(2·sessions), so this form is
+    * fine on a small interval grid and is the SPEC of the semantics —
+    * but the single unpartitioned window measured 3.4× at 10× rows,
+    * so the PRODUCTION name `ev_peak_concurrency` carries the
+    * day-sharded execution ([[evPeakConcurrencySharded]]), the q23
+    * three-tier precedent applied to a window plan (round-13
+    * demotion). Earliest peak second reported on ties. All
     * integer. */
   val evPeakConcurrency: Q = (s, d) => {
     val sessions = evSessionize(s, d)
@@ -277,10 +281,12 @@ object EventOps {
         col("first_peak_sec"))
   }
 
-  /** Day-sharded peak concurrency (`ev_peak_concurrency_sharded`) —
-    * the 100 TB execution of [[evPeakConcurrency]]'s sweep, PROVING
-    * the "shard the sweep by day with a carried seed" plan the global
-    * form's scaladoc claims instead of just asserting it: boundary
+  /** Day-sharded peak concurrency — the PRODUCTION plan registered
+    * as `ev_peak_concurrency` (round 13 promoted it over the global
+    * sweep, now the `_audit` tier): the 100 TB execution of
+    * [[evPeakConcurrency]]'s sweep, PROVING the "shard the sweep by
+    * day with a carried seed" plan instead of just asserting it:
+    * boundary
     * events shard by UTC day; each shard's running sum is seeded with
     * the sum of ALL prior shards' deltas (one O(days) rollup + one
     * prefix window over the O(days) series — never a corpus-sized
@@ -2344,8 +2350,8 @@ object EventOps {
     "ev_new_vs_returning" -> evNewVsReturning,
     "ev_ab_lift" -> evAbLift,
     "ev_bot_score" -> evBotScore,
-    "ev_peak_concurrency" -> evPeakConcurrency,
-    "ev_peak_concurrency_sharded" -> evPeakConcurrencySharded,
+    "ev_peak_concurrency" -> evPeakConcurrencySharded,
+    "ev_peak_concurrency_audit" -> evPeakConcurrency,
     "ev_cusum_change" -> evCusumChange,
     "ev_autocorr_daily" -> evAutocorrDaily,
     "ev_theilsen_trend" -> evTheilsenTrend,
@@ -3265,10 +3271,11 @@ object EventOps {
     // pinned (time asc, delta ASC) tie order — departures process
     // before arrivals, so end+1 == start never fakes an overlap;
     // shared verbatim by the day-sharded execution.
-    "ev_peak_concurrency" -> sqlPeakConcurrency,
-    // the day-sharded execution gates against the SAME global sweep:
+    // the production name carries the day-sharded execution, gated
+    // against the SAME global-sweep oracle as the audit form:
     // equality is the shard-decomposition proof
-    "ev_peak_concurrency_sharded" -> sqlPeakConcurrency,
+    "ev_peak_concurrency" -> sqlPeakConcurrency,
+    "ev_peak_concurrency_audit" -> sqlPeakConcurrency,
 
     // Bot triage: the triangle CTEs verbatim + per-user combinable
     // counts; every rule is an integer cross-multiplication.

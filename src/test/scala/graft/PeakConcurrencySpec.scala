@@ -60,13 +60,13 @@ class PeakConcurrencySpec extends SparkSpec {
     assert(r.getAs[Long]("first_peak_sec") == base + 60L)
   }
 
-  test("the day-sharded sweep equals the global sweep at sf0.001") {
-    val global = SparkEntry.queries("ev_peak_concurrency")(spark, Sf)
+  test("the registered (day-sharded) plan equals the global audit " +
+      "sweep at sf0.001") {
+    val audit = SparkEntry.queries("ev_peak_concurrency_audit")(spark, Sf)
       .collect()
-    val sharded =
-      SparkEntry.queries("ev_peak_concurrency_sharded")(spark, Sf)
-        .collect()
-    assert(sharded.toSeq == global.toSeq)
+    val production = SparkEntry.queries("ev_peak_concurrency")(spark, Sf)
+      .collect()
+    assert(production.toSeq == audit.toSeq)
   }
 
   test("planted: a session OPEN ACROSS MIDNIGHT is carried into the " +
