@@ -15,6 +15,7 @@ dedup_index_merge dedup_index_compact \
 dedup_index_rewrite dedup_index_stats text_cdc_dedup text_cdc_remove \
 mm_store_gc mm_store_rewrite \
 ev_top_users ev_top_users_salted stream_sessionize stream_interval_join \
+stream_conversion_window dedup_sorted_neighborhood tf_heavy_delta \
 ev_asof_join ev_asof_bucketed ev_overlap_count stream_asof \
 doc_sample_quota doc_keep_decision \
 emb_near_dup emb_components ann_lsh_buckets ann_lsh_probe \

@@ -77,6 +77,44 @@ class SortedNeighborhoodSpec extends SparkSpec {
       "the audit reports the recall LSH left on the table")
   }
 
+  test("planted shard-boundary pairs: the registered range-sharded " +
+      "plan finds pairs its partitioned window alone cannot see, " +
+      "including a hop OVER a one-row shard, and equals the global " +
+      "audit form exactly") {
+    import spark.implicits._
+    // five docs whose normalized sort keys land in three different
+    // 2-char prefix shards: aa{1,2} | ab{3} | ac{4,5}. With w = 3 the
+    // global pairing must produce (2,3) and (3,4) across adjacent
+    // boundaries and (2,4)/(2,5) hopping over the ONE-ROW shard ab —
+    // pairs a shard-partitioned window can never emit, so their
+    // presence proves the w-row boundary overlap, and set equality
+    // with the audit (global-window) form proves the decomposition.
+    val docs = Seq(
+      (1L, "aaa alpha body text"),
+      (2L, "aab beta body text"),
+      (3L, "abc gamma body text"),
+      (4L, "aca delta body text"),
+      (5L, "acb epsilon body text"))
+    val dir = tmpDir("sn-boundary")
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def pairsOf(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        .toSeq
+    val sharded = pairsOf("dedup_sorted_neighborhood")
+    val audit = pairsOf("dedup_sorted_neighborhood_audit")
+    assert(sharded == audit, "range-sharded == global window, rows and order")
+    val expected = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L))
+    assert(sharded.sorted == expected,
+      "w*n - w(w+1)/2 pairs over the planted key order")
+    assert(sharded.contains((2L, 4L)) && sharded.contains((2L, 5L)),
+      "pairs hopping over the one-row shard 'ab' must survive")
+  }
+
   test("jw in [0,1]; verdict routes on the 0.9 threshold") {
     SparkEntry.queries("dedup_sorted_neighborhood")(spark, Sf)
       .collect().foreach { r =>
