@@ -60,14 +60,16 @@ def ratio_table(name, base, num):
 
 
 def canary_headline():
-    """Print the committed bench headline raw AND canary-normalized.
+    """Print the committed bench headline.
 
-    bench_result.json carries canary_sec (this run's host-speed
-    measurement) and, when benchdata/canary_ref.json existed at run
-    time, canary_ratio; value_canary_norm = value / ratio is the
-    headline a reference-speed host would have produced. Cross-round
-    comparisons should use the normalized number; the raw number is
-    the committed artifact."""
+    Format v2 (round 13): `value` is the sum of per-query MEDIANS over
+    `reps` interleaved full passes — compare THIS across rounds;
+    `value_pass1` is the old v1 single-pass raw total kept for
+    continuity. The canary (canary_sec / canary_ratio) is a
+    HOST-HEALTH flag only: a ratio far from 1.0 means the host ran at
+    a different speed than the committed reference, so read
+    cross-round deltas with suspicion — but nothing divides by it
+    (r12 proved one-instant normalization amplifies burstiness)."""
     br = os.path.join(BD, "..", "bench_result.json")
     if not os.path.exists(br):
         return None
@@ -75,16 +77,23 @@ def canary_headline():
         d = json.load(f)
     out = {"value": d.get("value")}
     print("\n== bench headline ==")
-    print(f"  raw total: {d.get('value')} s ({len(d.get('queries', {}))} queries)")
+    if d.get("format") == "v2":
+        out.update(format="v2", reps=d.get("reps"),
+                   value_pass1=d.get("value_pass1"))
+        print(f"  v2 median-of-{d.get('reps')} total: {d.get('value')} s"
+              f" ({len(d.get('queries', {}))} queries)"
+              f"  <- compare THIS across rounds")
+        print(f"  pass-1 raw total (v1 continuity): {d.get('value_pass1')} s")
+    else:
+        print(f"  raw total: {d.get('value')} s"
+              f" ({len(d.get('queries', {}))} queries)")
     if "canary_ratio" in d:
         out.update(canary_sec=d["canary_sec"],
                    canary_ref_sec=d["canary_ref_sec"],
-                   canary_ratio=d["canary_ratio"],
-                   value_canary_norm=d["value_canary_norm"])
-        print(f"  canary: {d['canary_sec']} s vs ref {d['canary_ref_sec']} s"
-              f" -> host ratio {d['canary_ratio']}x")
-        print(f"  canary-normalized total: {d['value_canary_norm']} s"
-              f"  <- compare THIS across rounds")
+                   canary_ratio=d["canary_ratio"])
+        print(f"  canary host-health: {d['canary_sec']} s vs ref"
+              f" {d['canary_ref_sec']} s -> ratio {d['canary_ratio']}x"
+              f" (flag only; nothing is normalized by this)")
     elif "canary_sec" in d:
         out["canary_sec"] = d["canary_sec"]
         print(f"  canary: {d['canary_sec']} s (no committed reference)")

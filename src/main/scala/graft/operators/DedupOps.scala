@@ -599,14 +599,35 @@ object DedupOps {
     * prefix form keeps the decomposition proof oracle-checkable. */
   val SnShardPrefix = 2
 
-  /** The verifier-eligible (doc_id, skey) relation both SN pair
-    * generators sort. */
-  private def snKeyed(s: SparkSession, d: String): DataFrame =
+  /** The HEAD sort key: first [[SnKeyLen]] normalized alphanumerics
+    * — stable-head/edited-tail recall. */
+  private def snHeadKey: Column =
+    substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")),
+      1, SnKeyLen)
+
+  /** The TAIL sort key: first [[SnKeyLen]] chars of the REVERSED
+    * normalized text — the multi-pass complement (Hernández–Stolfo
+    * run SN over SEVERAL independent keys precisely because one key
+    * is blind to edits inside its own prefix): an edited-head/
+    * stable-tail twin sorts far apart under the head key but adjacent
+    * under this one. The normalization strips to ASCII alphanumerics
+    * BEFORE reversing, so both engines reverse the same byte-per-char
+    * string (no multibyte reversal convention to pin). */
+  private def snTailKey: Column =
+    substring(reverse(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", ""))),
+      1, SnKeyLen)
+
+  /** The verifier-eligible (doc_id, skey) relation under an
+    * arbitrary sort key. */
+  private def snKeyedBy(s: SparkSession, d: String, key: Column): DataFrame =
     docs(s, d)
       .filter(length(col("text")) <= EditMaxLen)
-      .select(col("doc_id"),
-        substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")),
-          1, SnKeyLen).as("skey"))
+      .select(col("doc_id"), key.as("skey"))
+
+  /** The verifier-eligible (doc_id, skey) relation both SN pair
+    * generators sort (head-key pass). */
+  private def snKeyed(s: SparkSession, d: String): DataFrame =
+    snKeyedBy(s, d, snHeadKey)
 
   /** lead()-successor pairs of `keyed` (must carry doc_id, skey,
     * shard) under window spec `w`, emitting both endpoints' shards —
@@ -665,8 +686,14 @@ object DedupOps {
     * with [[snPairsGlobal]] is oracle-gated (the registered query
     * runs THIS plan against the global-window SQL) and spec-pinned on
     * a planted boundary-crossing near-dup pair. */
-  private[graft] def snPairsSharded(s: SparkSession, d: String): DataFrame = {
-    val keyed = snKeyed(s, d)
+  private[graft] def snPairsSharded(s: SparkSession, d: String): DataFrame =
+    snPairsShardedBy(s, d, snHeadKey)
+
+  /** [[snPairsSharded]] under an arbitrary sort key — the multi-pass
+    * seam ([[dedupSnMultipass]] runs it once per key). */
+  private[graft] def snPairsShardedBy(s: SparkSession, d: String,
+      key: Column): DataFrame = {
+    val keyed = snKeyedBy(s, d, key)
       .withColumn("shard", substring(col("skey"), 1, SnShardPrefix))
     val wIn = Window.partitionBy(col("shard"))
       .orderBy(col("skey"), col("doc_id"))
@@ -729,6 +756,49 @@ object DedupOps {
   /** The audit tier: the one-unpartitioned-window textbook form. */
   val dedupSortedNeighborhoodAudit: Q = (s, d) =>
     snVerified(s, d, snPairsGlobal(s, d))
+
+  /** MULTI-PASS sorted neighborhood (`dedup_sn_multipass`) — the form
+    * Hernández & Stolfo actually recommend for production linkage:
+    * one SN pass per INDEPENDENT sort key, pair sets unioned, because
+    * any single key is blind to edits inside its own prefix (a twin
+    * whose first words were rewritten sorts far from its original
+    * under the head key however identical the rest is). Two passes
+    * here: the head key ([[snHeadKey]], the single-pass key) and the
+    * reversed-text tail key ([[snTailKey]]); each runs the SAME
+    * range-sharded w-row-overlap execution as the registered
+    * single-pass query, pairs normalize to (min, max) orientation (a
+    * twin can be found by both passes in opposite sort orders), and
+    * the full-outer alignment tags each pair `head_only` /
+    * `tail_only` / `both` before ONE Jaro–Winkler verification — the
+    * provenance that prices whether the second pass pays for itself
+    * (`tail_only` dups are recall the single-pass query leaves on the
+    * table, the blocking-overlap question asked between SN passes).
+    * Cost: exactly 2× the linear single-pass candidate stream plus
+    * one O(pairs) equi-join — still no bucket blowup to cap. */
+  val dedupSnMultipass: Q = (s, d) => {
+    def normalized(pairs: DataFrame, flag: String) = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .withColumn(flag, lit(1L))
+    val head = normalized(snPairsShardedBy(s, d, snHeadKey), "in_head")
+    val tail = normalized(snPairsShardedBy(s, d, snTailKey), "in_tail")
+    val tagged = head.join(tail, Seq("doc_a", "doc_b"), "full_outer")
+      .na.fill(0L, Seq("in_head", "in_tail"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("in_head") === 1L && col("in_tail") === 1L, "both")
+          .when(col("in_head") === 1L, "head_only")
+          .otherwise("tail_only").as("passes"))
+    val txt = docs(s, d).select(col("doc_id"), col("text"))
+    tagged
+      .join(txt.as("ma"), col("doc_a") === col("ma.doc_id"))
+      .join(txt.as("mb"), col("doc_b") === col("mb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("passes"),
+        graft.functions.EditExprs
+          .jaroWinklerSimilarity(col("ma.text"), col("mb.text")).as("jw"))
+      .withColumn("verdict",
+        when(col("jw") >= 0.9, "dup").otherwise("distinct"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Blocking-strategy audit (`dedup_blocking_overlap`) — which
     * candidate generator finds which duplicates: the LSH-band pairs
@@ -1994,6 +2064,7 @@ object DedupOps {
     "dedup_jaro_winkler" -> dedupJaroWinkler,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "dedup_sorted_neighborhood_audit" -> dedupSortedNeighborhoodAudit,
+    "dedup_sn_multipass" -> dedupSnMultipass,
     "dedup_blocking_overlap" -> dedupBlockingOverlap,
     "dedup_edit_banded" -> dedupEditBanded,
     "dedup_simhash_clusters" -> dedupSimhashClusters,
@@ -2208,6 +2279,50 @@ object DedupOps {
         JOIN documents da ON p.doc_a = da.doc_id
         JOIN documents db ON p.doc_b = db.doc_id
         WHERE p.doc_b IS NOT NULL
+        ORDER BY doc_a, doc_b"""
+  }
+
+  /** The multi-pass SN oracle: one global window per sort key,
+    * (min,max)-normalized union with pass provenance, one JW verify
+    * — like [[sqlSortedNeighborhood]] twice plus the alignment. */
+  private lazy val sqlSnMultipass: String = {
+    def pass(keyExpr: String, cte: String) = {
+      val leads = (1 to SnWindow)
+        .map(k => s"lead(doc_id, $k) OVER w AS n$k").mkString(", ")
+      val unnestList = (1 to SnWindow).map(k => s"n$k")
+        .mkString("[", ", ", "]")
+      s"""${cte}o AS (
+            SELECT doc_id, $leads
+            FROM (SELECT doc_id, $keyExpr AS skey FROM el)
+            WINDOW w AS (ORDER BY skey, doc_id)),
+          ${cte}p AS (
+            SELECT least(doc_id, nb) AS doc_a,
+              greatest(doc_id, nb) AS doc_b
+            FROM (SELECT doc_id, unnest($unnestList) AS nb FROM ${cte}o)
+            WHERE nb IS NOT NULL)"""
+    }
+    val norm = "lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))"
+    s"""WITH el AS (
+          SELECT doc_id, text FROM documents
+          WHERE length(text) <= $EditMaxLen),
+        ${pass(s"substr($norm, 1, $SnKeyLen)", "hd")},
+        ${pass(s"substr(reverse($norm), 1, $SnKeyLen)", "tl")},
+        ap AS (
+          SELECT COALESCE(h.doc_a, t.doc_a) AS doc_a,
+            COALESCE(h.doc_b, t.doc_b) AS doc_b,
+            CASE WHEN h.doc_a IS NOT NULL AND t.doc_a IS NOT NULL
+                THEN 'both'
+              WHEN h.doc_a IS NOT NULL THEN 'head_only'
+              ELSE 'tail_only' END AS passes
+          FROM hdp h FULL OUTER JOIN tlp t
+            ON h.doc_a = t.doc_a AND h.doc_b = t.doc_b)
+        SELECT ap.doc_a, ap.doc_b, ap.passes,
+          jaro_winkler_similarity(da.text, db.text) AS jw,
+          CASE WHEN jaro_winkler_similarity(da.text, db.text) >= 0.9
+            THEN 'dup' ELSE 'distinct' END AS verdict
+        FROM ap
+        JOIN documents da ON ap.doc_a = da.doc_id
+        JOIN documents db ON ap.doc_b = db.doc_id
         ORDER BY doc_a, doc_b"""
   }
 
@@ -2662,6 +2777,7 @@ object DedupOps {
     // shard-decomposition proof
     "dedup_sorted_neighborhood" -> sqlSortedNeighborhood,
     "dedup_sorted_neighborhood_audit" -> sqlSortedNeighborhood,
+    "dedup_sn_multipass" -> sqlSnMultipass,
     // blocking overlap: LSH pairs + SN pairs on the eligible slice,
     // (min,max)-normalized, full-outer aligned, JW-verified per tag
     "dedup_blocking_overlap" -> {

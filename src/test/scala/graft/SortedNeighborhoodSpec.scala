@@ -115,6 +115,53 @@ class SortedNeighborhoodSpec extends SparkSpec {
       "pairs hopping over the one-row shard 'ab' must survive")
   }
 
+  test("multi-pass: a planted edited-head/stable-tail twin is " +
+      "invisible to the head-key pass, paired by the tail-key pass, " +
+      "tagged tail_only, and verified — plus per-pass partition laws") {
+    import spark.implicits._
+    // the dual of the typo-dense-twin recall case: the FIRST word is
+    // rewritten (destroying the head sort key and the Winkler prefix
+    // boost) while the tail is untouched. The tail is DISTINCT-char
+    // on purpose: Jaro's greedy matcher scrambles repeated characters
+    // into transpositions (a 1-char head edit on a 40-word repetitive
+    // tail scores only ~0.83, DuckDB-probed), while an all-distinct
+    // tail matches in order — jw 0.95 here, above the dup bar with
+    // the boost gone
+    val tail = "0123456789 bcdefghijklmnopqrstuvwxyz"
+    val a = s"aaa $tail"
+    val b = s"zzz $tail"
+    val docs = Seq((1L, a), (2L, b)) ++
+      (10L to 15L).map(i => (i,
+        (1 to 15).map(j => s"filler$i$j unrelated$i$j").mkString(" ")))
+    val dir = tmpDir("sn-multipass")
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val single = SparkEntry.queries("dedup_sorted_neighborhood")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!single.contains((1L, 2L)) && !single.contains((2L, 1L)),
+      "the head-key pass must NOT see the edited-head twin (else " +
+        "this corpus no longer tests the second pass)")
+    val multi = SparkEntry.queries("dedup_sn_multipass")(spark, dir)
+      .collect()
+    val pair = multi.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L)
+    assert(pair.isDefined, "the reversed-key pass must pair the twin")
+    assert(pair.get.getAs[String]("passes") == "tail_only")
+    assert(pair.get.getAs[Double]("jw") >= 0.9)
+    assert(pair.get.getAs[String]("verdict") == "dup")
+    // partition laws: head_only + both = the single-pass pair set
+    val headTagged = multi.filter(r =>
+      r.getAs[String]("passes") != "tail_only")
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val singleNorm = single.map { case (x, y) =>
+      (math.min(x, y), math.max(x, y)) }
+    assert(headTagged == singleNorm,
+      "head_only ∪ both must equal the single-pass pair set exactly")
+  }
+
   test("jw in [0,1]; verdict routes on the 0.9 threshold") {
     SparkEntry.queries("dedup_sorted_neighborhood")(spark, Sf)
       .collect().foreach { r =>
