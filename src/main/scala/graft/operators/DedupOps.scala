@@ -698,13 +698,18 @@ object DedupOps {
     val wIn = Window.partitionBy(col("shard"))
       .orderBy(col("skey"), col("doc_id"))
     val within = snLeadPairs(keyed, wIn).select("doc_a", "doc_b")
+    // head slice: rn_a <= w; tail slice: rn_a > n_shard - w (i.e. the
+    // position-from-the-end rank w+1..n). The per-shard count shares
+    // the ascending window's partitioning AND sort, so the edge
+    // relation costs ONE exchange + ONE sort — not a second
+    // opposite-order sort of the whole relation per pass
     val rnA = row_number().over(Window.partitionBy(col("shard"))
       .orderBy(col("skey").asc, col("doc_id").asc))
-    val rnD = row_number().over(Window.partitionBy(col("shard"))
-      .orderBy(col("skey").desc, col("doc_id").desc))
+    val nShard = count(lit(1)).over(Window.partitionBy(col("shard")))
     val edge = keyed
-      .withColumn("rn_a", rnA).withColumn("rn_d", rnD)
-      .filter(col("rn_a") <= SnWindow || col("rn_d") <= SnWindow)
+      .withColumn("rn_a", rnA).withColumn("n_shard", nShard)
+      .filter(col("rn_a") <= SnWindow ||
+        col("rn_a") > col("n_shard") - SnWindow)
       .select("doc_id", "skey", "shard")
     val cross = snLeadPairs(edge,
       Window.orderBy(col("skey"), col("doc_id")))
