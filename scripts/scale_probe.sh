@@ -48,7 +48,7 @@ dedup_jaro_winkler tf_fertility q45_quartile_mobility \
 text_encoding_audit tf_vocab_growth ev_autocorr_daily \
 tf_good_turing ev_theilsen_trend dedup_sorted_neighborhood \
 dedup_sorted_neighborhood_audit dedup_sn_multipass stream_interval_join \
-stream_conversion_window \
+stream_conversion_window doc_kn_rarity \
 q46_correlated_spend q47_lateral_topk ev_attribution_position \
 dedup_blocking_overlap ev_changepoint_binseg doc_gopher_rules"
 # everything from ev_peak_concurrency_audit on is the round-12

@@ -987,7 +987,11 @@ object TextOps {
     * double tree over exactly-representable integers (d = 0.75 is an
     * exact binary double), mirrored textually in the oracle. Top 50
     * by (count DESC, bigram) for the gate. */
-  val tfKnProb: Q = (s, d) => {
+  /** The full bigram KN-probability relation (one row per bigram
+    * TYPE with counts, marginals and `p_kn`) — shared by the
+    * [[tfKnProb]] report and the [[docKnRarity]] filter so the
+    * smoothing arithmetic cannot drift between them. */
+  private def knBigramRel(s: SparkSession, d: String): DataFrame = {
     val big = docs(s, d)
       .select(explode(Hashing.ngrams(toks, 2)).as("bigram"))
       .select(split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
@@ -1012,8 +1016,57 @@ object TextOps {
             col("c_w1").cast("double")) *
           (col("left_types").cast("double") /
             col("n_distinct_bigrams").cast("double"))).as("p_kn"))
+  }
+
+  val tfKnProb: Q = (s, d) =>
+    knBigramRel(s, d)
       .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
       .limit(50)
+
+  /** Rarity bar for [[docKnRarity]]: 2⁻¹⁰, exact in binary, so the
+    * `p_kn < bar` comparison is deterministic given the pinned
+    * double tree. Fixed forever. */
+  val KnRareThreshold = 0.0009765625
+
+  /** KN-rarity document filter (`doc_kn_rarity`) — the
+    * perplexity-filter analog a pipeline without a neural LM runs:
+    * score each document by the fraction of its bigram OCCURRENCES
+    * whose corpus-wide interpolated Kneser–Ney probability
+    * ([[knBigramRel]], the `tf_kn_prob` arithmetic verbatim) falls
+    * below [[KnRareThreshold]] — a document made of improbable
+    * transitions (mojibake, word salad, boilerplate navigation soup)
+    * is exactly a document a bigram LM assigns low probability. The
+    * context-sensitivity `doc_unigram_score` cannot have: a doc of
+    * individually-common words in nonsense ORDER scores rare here.
+    * The keep decision is one integer cross-multiplication
+    * (quarantine iff 4·n_rare > n_bigrams, i.e. >25% rare
+    * transitions); the only doubles are the per-bigram `p_kn < bar`
+    * tests on the pinned tree. Docs with < 2 tokens have no bigrams
+    * and are absent by construction (mirrored in the oracle).
+    *
+    * Scale shape: the corpus-scale side is one (doc_id, w1, w2)
+    * explode equi-joined to the O(bigram-types) p_kn rollup — a
+    * plain shuffle hash join on the bigram key with map-side partial
+    * counts after it; no window, no all-pairs, and the rollup is the
+    * same single corpus pass `tf_kn_prob` already makes. */
+  val docKnRarity: Q = (s, d) => {
+    val pkn = knBigramRel(s, d).select("w1", "w2", "p_kn")
+    docs(s, d)
+      .select(col("doc_id"), explode(Hashing.ngrams(toks, 2)).as("bigram"))
+      .select(col("doc_id"),
+        split_part(col("bigram"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bigram"), lit(" "), lit(2)).as("w2"))
+      .join(pkn, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_kn") < KnRareThreshold, 1L).otherwise(0L))
+          .as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") /
+          col("n_bigrams").cast("double")).as("rare_rate"),
+        when(col("n_rare") * 4 > col("n_bigrams"), "quarantined_rare")
+          .otherwise("admitted").as("decision"))
+      .orderBy("doc_id")
   }
 
   /** Token window size / stride for [[docChunkTokens]] — overlap of
@@ -2430,6 +2483,7 @@ object TextOps {
     "tf_ngram_novelty" -> tfNgramNovelty,
     "tf_continuation_counts" -> tfContinuationCounts,
     "tf_kn_prob" -> tfKnProb,
+    "doc_kn_rarity" -> docKnRarity,
     "doc_gopher_rules" -> docGopherRules)
 
   // ------------------------------------------------------------------
@@ -2478,6 +2532,36 @@ object TextOps {
               / CAST(COUNT(*) AS DOUBLE) AS affinity
           FROM feats f JOIN model m ON f.b = m.b
           GROUP BY f.doc_id ORDER BY f.doc_id"""
+
+  /** The KN bigram CTEs (rollup + marginals + continuation + total)
+    * shared verbatim by the `tf_kn_prob` report and the
+    * `doc_kn_rarity` filter oracles. */
+  private lazy val sqlKnCtes =
+    s"""big AS (
+            SELECT split_part(bigram, ' ', 1) AS w1,
+              split_part(bigram, ' ', 2) AS w2,
+              CAST(COUNT(*) AS BIGINT) AS c_bigram
+            FROM (SELECT unnest(list_transform(range(1, length($sqlToks)),
+                    i -> $sqlToks[i] || ' ' || $sqlToks[i+1])) AS bigram
+                  FROM documents) t
+            GROUP BY 1, 2),
+          lm AS (SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_w1,
+                   CAST(COUNT(*) AS BIGINT) AS right_types
+                 FROM big GROUP BY w1),
+          cl AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS left_types
+                 FROM big GROUP BY w2),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+                  FROM big)"""
+
+  /** The interpolated-KN double tree, parenthesized identically to
+    * the engine's Column expression — shared by both KN oracles. */
+  private lazy val sqlKnPExpr =
+    s"""((CAST(big.c_bigram AS DOUBLE) - $KnDiscount)
+               / CAST(lm.c_w1 AS DOUBLE))
+            + ($KnDiscount * CAST(lm.right_types AS DOUBLE)
+               / CAST(lm.c_w1 AS DOUBLE))
+              * (CAST(cl.left_types AS DOUBLE)
+               / CAST(tot.n_distinct_bigrams AS DOUBLE))"""
 
   lazy val oracle: Map[String, String] = Map(
     // OOV burst: first-seen = min(batch) per type; the burst flag is
@@ -3631,33 +3715,41 @@ object TextOps {
     // the same fixed double tree, parenthesized identically: the
     // division/product order must match the engine's op-for-op
     "tf_kn_prob" ->
-      s"""WITH big AS (
-            SELECT split_part(bigram, ' ', 1) AS w1,
-              split_part(bigram, ' ', 2) AS w2,
-              CAST(COUNT(*) AS BIGINT) AS c_bigram
-            FROM (SELECT unnest(list_transform(range(1, length($sqlToks)),
-                    i -> $sqlToks[i] || ' ' || $sqlToks[i+1])) AS bigram
-                  FROM documents) t
-            GROUP BY 1, 2),
-          lm AS (SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_w1,
-                   CAST(COUNT(*) AS BIGINT) AS right_types
-                 FROM big GROUP BY w1),
-          cl AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS left_types
-                 FROM big GROUP BY w2),
-          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
-                  FROM big)
+      s"""WITH $sqlKnCtes
           SELECT big.w1, big.w2, big.c_bigram, lm.c_w1, lm.right_types,
-            cl.left_types, tot.n_distinct_bigrams,
-            ((CAST(big.c_bigram AS DOUBLE) - $KnDiscount)
-               / CAST(lm.c_w1 AS DOUBLE))
-            + ($KnDiscount * CAST(lm.right_types AS DOUBLE)
-               / CAST(lm.c_w1 AS DOUBLE))
-              * (CAST(cl.left_types AS DOUBLE)
-               / CAST(tot.n_distinct_bigrams AS DOUBLE)) AS p_kn
+            cl.left_types, tot.n_distinct_bigrams, $sqlKnPExpr AS p_kn
           FROM big JOIN lm ON lm.w1 = big.w1
           JOIN cl ON cl.w2 = big.w2
           CROSS JOIN tot
           ORDER BY big.c_bigram DESC, big.w1, big.w2 LIMIT 50""",
+    // doc-level rarity off the SAME p_kn tree: the per-bigram test
+    // compares bit-identical doubles; the keep bit is integer
+    "doc_kn_rarity" ->
+      s"""WITH $sqlKnCtes,
+          pk AS (
+            SELECT big.w1, big.w2, $sqlKnPExpr AS p_kn
+            FROM big JOIN lm ON lm.w1 = big.w1
+            JOIN cl ON cl.w2 = big.w2
+            CROSS JOIN tot),
+          db AS (
+            SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+              split_part(bigram, ' ', 2) AS w2
+            FROM (SELECT doc_id,
+                    unnest(list_transform(range(1, length($sqlToks)),
+                      i -> $sqlToks[i] || ' ' || $sqlToks[i+1])) AS bigram
+                  FROM documents) t)
+          SELECT db.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+            CAST(SUM(CASE WHEN pk.p_kn < $KnRareThreshold
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+            CAST(SUM(CASE WHEN pk.p_kn < $KnRareThreshold
+              THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS rare_rate,
+            CASE WHEN SUM(CASE WHEN pk.p_kn < $KnRareThreshold
+                THEN 1 ELSE 0 END) * 4 > COUNT(*)
+              THEN 'quarantined_rare' ELSE 'admitted' END AS decision
+          FROM db JOIN pk ON pk.w1 = db.w1 AND pk.w2 = db.w2
+          GROUP BY db.doc_id ORDER BY db.doc_id""",
     // gopher rules: the identical integer cross-multiplications;
     // regexp_full_match = the anchored rlike
     "doc_gopher_rules" ->
