@@ -50,10 +50,29 @@ tf_good_turing ev_theilsen_trend dedup_sorted_neighborhood \
 dedup_sorted_neighborhood_audit dedup_sn_multipass stream_interval_join \
 stream_conversion_window doc_kn_rarity \
 q46_correlated_spend q47_lateral_topk ev_attribution_position \
-dedup_blocking_overlap ev_changepoint_binseg doc_gopher_rules"
-# everything from ev_peak_concurrency_audit on is the round-12
-# post-close carry: first measured by the round-13 probe run (the
-# resumable cache re-measures on the grown list)
+dedup_blocking_overlap ev_changepoint_binseg doc_gopher_rules \
+stream_session_window dedup_bbit_minhash text_boilerplate_fraction \
+dedup_char_ngram dedup_bloom_fpr text_langid_margin \
+text_boilerplate_ngrams ann_mmr_diversify dedup_weighted_jaccard \
+text_keyterms q32_join_delta stream_hourly_wm q18_large_orders \
+q27_profile q27_profile_audit q16_distinct_counts_audit \
+dedup_minhash_est q26_grouping_sets dedup_jaccard enrich_pipeline \
+ann_ivf_pq ann_ivf_pq_recall doc_quality_tiers text_cdc_remove \
+text_contamination tf_hll_by_source tf_ngram_novelty \
+text_langid_ngram doc_quality_gate stream_affinity_gate \
+stream_static_join stream_cdc_strip stream_asof q28_ntile \
+ev_attribution_linear"
+# List history (each block first measured by that round's probe run;
+# the resumable cache re-measures every rep whenever the list grows):
+#  - ev_peak_concurrency_audit .. emb_prefix_recall-era names through
+#    q46_correlated_spend .. doc_gopher_rules: the round-12 post-close
+#    carry plus the round-13 additions (dedup_sorted_neighborhood[_audit],
+#    dedup_sn_multipass, doc_kn_rarity, stream_conversion_window,
+#    dedup_blocking_overlap), first measured by the round-13 run.
+#  - stream_session_window .. ev_attribution_linear: the round-14
+#    sweep of every previously-unprobed query costing >=1 s at sf0.1
+#    (round-13 verdict item 3), plus the q16/q27 audit tiers so the
+#    round-14 plan promotions carry side-by-side scale numbers.
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"

@@ -25,7 +25,20 @@ ev_type_pagerank ev_user_pagerank ev_user_trustrank \
 doc_sample_weighted \
 dedup_containment tf_heavy_hitters stream_vec_dedup \
 stream_template_gate stream_topk_value stream_decayed_value \
-stream_pii_gate stream_novelty_gate stream_unigram_gate"
+stream_pii_gate stream_novelty_gate stream_unigram_gate \
+stream_session_window dedup_bbit_minhash text_boilerplate_fraction \
+dedup_char_ngram dedup_bloom_fpr text_langid_margin \
+text_boilerplate_ngrams ann_mmr_diversify dedup_weighted_jaccard \
+text_keyterms stream_hourly_wm dedup_minhash_est ann_ivf_pq \
+ann_ivf_pq_recall doc_quality_tiers text_contamination \
+tf_hll_by_source tf_ngram_novelty text_langid_ngram \
+doc_quality_gate stream_affinity_gate stream_static_join \
+stream_cdc_strip ev_attribution_linear"
+# the last block (stream_session_window ..) is the round-14 sweep of
+# the previously-unprobed >=1 s queries that read a table SkewData
+# actually skews (documents/events/embeddings — it copies
+# orders/lineitem unmodified, so the relational tail is scale-probe
+# only)
 
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"

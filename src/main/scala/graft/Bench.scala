@@ -303,35 +303,47 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
     def flush(): Unit =
       org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
-    // pass 1 carries the shuffle attribution (bytes are a plan
-    // property — identical across passes); later passes time only
-    val tracked = names.map { n =>
-      flush()
-      val (b0, s0) = (listener.bytes.get(), listener.stages.get())
-      val sec = run(n)
-      flush()
-      (n, sec, listener.bytes.get() - b0, listener.stages.get() - s0)
+    // every pass snapshots the listener around each query (the flush
+    // barrier costs ms); the sidecar attributes each query's bytes/
+    // stages from its FIRST SUCCESSFUL rep — round-13 ADVICE: a
+    // query that fails pass 1 but succeeds later must not record the
+    // failed partial run's bytes as "the plan". IndexedSeq so the
+    // per-index lookups below stay O(1).
+    val idxNames = names.toIndexedSeq
+    val passes: IndexedSeq[IndexedSeq[(Double, Long, Long)]] =
+      (1 to reps).map { _ =>
+        idxNames.map { n =>
+          flush()
+          val (b0, s0) = (listener.bytes.get(), listener.stages.get())
+          val sec = run(n)
+          flush()
+          (sec, listener.bytes.get() - b0, listener.stages.get() - s0)
+        }
+      }.toIndexedSeq
+    val results = idxNames.zipWithIndex.map { case (n, i) =>
+      n -> medianRep(passes.map(_(i)._1))
     }
-    val perPass: Seq[Seq[(String, Double)]] =
-      tracked.map { case (n, sec, _, _) => n -> sec } +:
-        (2 to reps).map(_ => names.map(n => n -> run(n)))
-    val results = names.zipWithIndex.map { case (n, i) =>
-      n -> medianRep(perPass.map(_(i)._2))
-    }
-    val passTotals = perPass.map(_.map(_._2).filter(_ >= 0).sum)
+    val passTotals = passes.map(_.map(_._1).filter(_ >= 0).sum)
     // per-query shuffle attribution sidecar (NOT on stdout — the
-    // driver's tail window is for the two result lines only)
+    // driver's tail window is for the two result lines only); a
+    // query with no successful rep is marked rather than silently
+    // publishing a failed run's partial bytes
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_shuffle.json"),
-      tracked.map { case (n, _, b, st) =>
-        s""""$n":{"shuffle_bytes":$b,"stages":$st}"""
+      idxNames.zipWithIndex.map { case (n, i) =>
+        passes.find(_(i)._1 >= 0).map(_(i)) match {
+          case Some((_, b, st)) =>
+            s""""$n":{"shuffle_bytes":$b,"stages":$st}"""
+          case None =>
+            s""""$n":{"shuffle_bytes":-1,"stages":-1,"all_reps_failed":true}"""
+        }
       }.mkString("""{"queries":{""", ",", s"""},"sf":"$sfDir"}""") + "\n")
     // per-pass raw times sidecar: the dispersion audit trail behind
     // every committed median (flags a query whose reps disagree)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_reps.json"),
-      names.zipWithIndex.map { case (n, i) =>
-        s""""$n":${perPass.map(p => fmt(p(i)._2)).mkString("[", ",", "]")}"""
+      idxNames.zipWithIndex.map { case (n, i) =>
+        s""""$n":${passes.map(p => fmt(p(i)._1)).mkString("[", ",", "]")}"""
       }.mkString("""{"reps":""" + reps + ""","queries":{""", ",",
         s"""},"sf":"$sfDir"}""") + "\n")
     // The driver parses a ~2.2 KB tail of stdout. The full per-query

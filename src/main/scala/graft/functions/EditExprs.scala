@@ -33,10 +33,30 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object EditExprs {
   /** Static target for the generated code: Lowrance–Wagner
-    * unrestricted Damerau–Levenshtein over UTF-16 units. */
+    * unrestricted Damerau–Levenshtein over UTF-16 units.
+    *
+    * Common prefix/suffix TRIM (round 14): the O(n·m) DP (and its
+    * (n+2)·(m+2)-int matrix) runs only over the differing core —
+    * dl(p·x·s, p·y·s) = dl(x, y). Near-dup candidates share long
+    * affixes, so on `dedup_damerau`'s LSH pairs this removes most of
+    * the quadratic work and allocation while leaving every distance
+    * bit-identical: the unchanged DuckDB oracle gates it at both SFs,
+    * and DamerauSpec's recursive-mirror fuzz covers forced-affix
+    * shapes (the transposition-anchor-across-the-boundary corner a
+    * wrong trim would break). */
   def damerau(ua: UTF8String, ub: UTF8String): Long = {
-    val a = ua.toString
-    val b = ub.toString
+    val a0 = ua.toString
+    val b0 = ub.toString
+    var lo = 0
+    val maxLo = if (a0.length < b0.length) a0.length else b0.length
+    while (lo < maxLo && a0.charAt(lo) == b0.charAt(lo)) lo += 1
+    var hiA = a0.length
+    var hiB = b0.length
+    while (hiA > lo && hiB > lo && a0.charAt(hiA - 1) == b0.charAt(hiB - 1)) {
+      hiA -= 1; hiB -= 1
+    }
+    val a = a0.substring(lo, hiA)
+    val b = b0.substring(lo, hiB)
     val n = a.length
     val m = b.length
     if (n == 0) return m.toLong

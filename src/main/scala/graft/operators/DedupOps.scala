@@ -598,6 +598,14 @@ object DedupOps {
     * `repartitionByRange` splits instead of literal prefixes; the
     * prefix form keeps the decomposition proof oracle-checkable. */
   val SnShardPrefix = 2
+  // the boundary-window faithfulness proof in snPairsShardedBy
+  // requires the shard prefix to be a PROPER prefix of the sort key
+  // (equal lengths would make every shard a single-key run whose
+  // within-shard order no longer refines the global (skey, doc_id)
+  // order across equal keys split by the edge slice) — pin it so a
+  // constant tweak can't silently invalidate the decomposition
+  require(SnShardPrefix < SnKeyLen,
+    s"SnShardPrefix ($SnShardPrefix) must be < SnKeyLen ($SnKeyLen)")
 
   /** The HEAD sort key: first [[SnKeyLen]] normalized alphanumerics
     * — stable-head/edited-tail recall. */
@@ -718,16 +726,48 @@ object DedupOps {
     within.unionAll(cross)
   }
 
+  /** EXACT length-ratio prune for the Jaro–Winkler verify tier
+    * (round 14). The kernel walks UTF-8 bytes, so with byte lengths
+    * la ≤ lb: matches m ≤ la gives jaro = (m/la + m/lb + (m−t)/m)/3
+    * ≤ (1 + la/lb + 1)/3, and the Winkler boost is capped at
+    * 4·0.1·(1−jaro), so jw ≤ 0.6·jaro + 0.4 ≤ 0.8 + 0.2·(la/lb).
+    * A pair with 2·la < lb therefore has jw < 0.9 — provably below
+    * the dup bar before running the O(la·lb) kernel; a pair at
+    * exactly 2·la = lb can still score 0.9 (a 4-byte-prefix-sharing
+    * ordered substring hits the bound with equality) and is kept.
+    * One integer comparison per pair, ~la·lb byte probes saved on
+    * every pruned one — the SN families' verify tier is the
+    * top-of-bench constant and its candidates are length-arbitrary
+    * sort neighbors, exactly where this bites. Mirrored verbatim in
+    * every consumer's oracle (`strlen` = bytes in DuckDB), and
+    * JwPruneSpec pins the bound: a planted hopeless-ratio pair's
+    * direct-kernel jw lands under 0.9, a planted pair at the exact
+    * bound scores 0.9 and survives, and a 2k-pair fuzz confirms no
+    * pruned pair ever reaches the bar. */
+  private[graft] def jwFeasible(a: Column, b: Column): Column = {
+    val la = octet_length(a)
+    val lb = octet_length(b)
+    least(la, lb) * lit(2) >= greatest(la, lb)
+  }
+
+  /** The SQL mirror of [[jwFeasible]]. */
+  private def sqlJwFeasible(a: String, b: String): String =
+    s"2 * least(strlen($a), strlen($b)) >= greatest(strlen($a), strlen($b))"
+
   /** Jaro–Winkler verification + verdict of an SN candidate-pair
     * relation — the single verify tier both registered SN queries
     * share (the kernel runs ONCE per pair per consumer; round 12's
-    * overlap audit recomputed it through a nested full query). */
+    * overlap audit recomputed it through a nested full query).
+    * Pairs failing the [[jwFeasible]] length-ratio bound are elided
+    * before the kernel — they are provably `distinct`-verdict rows,
+    * and the oracle elides them identically. */
   private def snVerified(s: SparkSession, d: String,
       pairs: DataFrame): DataFrame = {
     val txt = docs(s, d).select(col("doc_id"), col("text"))
     pairs
       .join(txt.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(txt.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(jwFeasible(col("sa.text"), col("sb.text")))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.EditExprs
           .jaroWinklerSimilarity(col("sa.text"), col("sb.text")).as("jw"))
@@ -797,6 +837,7 @@ object DedupOps {
     tagged
       .join(txt.as("ma"), col("doc_a") === col("ma.doc_id"))
       .join(txt.as("mb"), col("doc_b") === col("mb.doc_id"))
+      .filter(jwFeasible(col("ma.text"), col("mb.text")))
       .select(col("doc_a"), col("doc_b"), col("passes"),
         graft.functions.EditExprs
           .jaroWinklerSimilarity(col("ma.text"), col("mb.text")).as("jw"))
@@ -843,10 +884,15 @@ object DedupOps {
           .otherwise("sn_only"))
       .join(txt.as("oa"), col("doc_a") === col("oa.doc_id"))
       .join(txt.as("ob"), col("doc_b") === col("ob.doc_id"))
+      // aggregate-internal [[jwFeasible]] prune: every pair stays in
+      // n_pairs, but a pair the length-ratio bound proves sub-bar is
+      // scored 0 without running the kernel (CASE branches evaluate
+      // lazily in codegen) — output-identical, oracle untouched
       .select(col("tag"),
-        (graft.functions.EditExprs
-          .jaroWinklerSimilarity(col("oa.text"), col("ob.text")) >= 0.9)
-          .cast("long").as("is_dup"))
+        when(!jwFeasible(col("oa.text"), col("ob.text")), lit(0L))
+          .otherwise((graft.functions.EditExprs
+            .jaroWinklerSimilarity(col("oa.text"), col("ob.text")) >= 0.9)
+            .cast("long")).as("is_dup"))
       .groupBy("tag")
       .agg(count(lit(1)).as("n_pairs"), sum(col("is_dup")).as("n_dup"))
       .withColumn("dup_rate",
@@ -2284,6 +2330,7 @@ object DedupOps {
         JOIN documents da ON p.doc_a = da.doc_id
         JOIN documents db ON p.doc_b = db.doc_id
         WHERE p.doc_b IS NOT NULL
+          AND ${sqlJwFeasible("da.text", "db.text")}
         ORDER BY doc_a, doc_b"""
   }
 
@@ -2328,6 +2375,7 @@ object DedupOps {
         FROM ap
         JOIN documents da ON ap.doc_a = da.doc_id
         JOIN documents db ON ap.doc_b = db.doc_id
+        WHERE ${sqlJwFeasible("da.text", "db.text")}
         ORDER BY doc_a, doc_b"""
   }
 

@@ -762,7 +762,14 @@ object SimilarityOps {
     val p = annLshProbe(s, d).select(col("query_id").as("p_query"),
       col("cand_id").as("p_cand"), col("rank").as("p_rank"))
     val ks = Seq(1L, 3L, 5L).toDF("k")
-    b.join(p, col("query_id") === col("p_query") &&
+    // explicit broadcast pin (round 14): both join sides are tiny
+    // (NQueries·TopK rows) and AQE was flipping this left join
+    // between broadcast and shuffled strategies run-to-run (shuffle
+    // bytes 2.4 ↔ 4.3 KB on identical data), permanently blinding
+    // the zero-flag drift tripwire on this name. The hint makes the
+    // probe side the build side deterministically — the plan the
+    // flip's cheaper half already chose.
+    b.join(broadcast(p), col("query_id") === col("p_query") &&
         col("cand_id") === col("p_cand"), "left")
       .crossJoin(broadcast(ks))
       .filter(col("t_rank") <= col("k"))

@@ -1181,7 +1181,7 @@ object TextOps {
     * Scale shape: two STACKED map-side-combinable aggregates — per
     * (doc, gram) occurrence counts first, then per-gram (df, n) over
     * the already-collapsed rows — never a COUNT(DISTINCT) Expand over
-    * the exploded fact (the q16b lesson). At 100 TB you'd group on
+    * the exploded fact (the q16 pre-dedup lesson). At 100 TB you'd group on
     * the gram's 64-bit hash instead of the string to shrink the
     * shuffle payload — same plan shape. */
   val textBoilerplateNgrams: Q = (s, d) =>

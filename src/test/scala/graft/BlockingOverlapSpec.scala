@@ -24,8 +24,17 @@ class BlockingOverlapSpec extends SparkSpec {
       .join(eligible.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
         "left_semi")
       .count()
-    val snPairs = SparkEntry.queries("dedup_sorted_neighborhood")(spark, Sf)
+    // the overlap audit counts every GENERATED pair (its prune is
+    // aggregate-internal — sub-bar pairs stay in n_pairs, only the
+    // kernel is skipped), so the SN conservation law compares against
+    // the pair generator, NOT the registered SN query whose verify
+    // tier elides length-ratio-hopeless rows (round 14)
+    val snPairs = graft.operators.DedupOps.snPairsSharded(spark, Sf)
       .count()
+    val snVerifiedRows =
+      SparkEntry.queries("dedup_sorted_neighborhood")(spark, Sf).count()
+    assert(snVerifiedRows <= snPairs,
+      "the verified output is the prune-surviving subset of the generator")
     assert(n("both") + n("lsh_only") == lshEligible,
       "LSH side conserved")
     assert(n("both") + n("sn_only") == snPairs, "SN side conserved")

@@ -62,6 +62,24 @@ class DamerauSpec extends SparkSpec {
     }
   }
 
+  test("affix trim is invisible: forced shared prefixes/suffixes " +
+      "over a 2-char alphabet still match the mirror (the " +
+      "transposition-anchor-across-the-trim-boundary corner)") {
+    val rnd = new scala.util.Random(1414)
+    def mk(n: Int, k: Int) =
+      Seq.fill(n)(('a' + rnd.nextInt(k)).toChar).mkString
+    (1 to 600).foreach { _ =>
+      // alphabet size 2: maximal chance a trimmed prefix/suffix char
+      // could anchor a cross-boundary transposition if the trim were
+      // unsound — lengths small enough for the exponential mirror
+      val p = mk(rnd.nextInt(4), 2)
+      val s = mk(rnd.nextInt(4), 2)
+      val a = p + mk(rnd.nextInt(5), 2) + s
+      val b = p + mk(rnd.nextInt(5), 2) + s
+      assert(dl(a, b) == refDl(a, b), s"'$a' vs '$b'")
+    }
+  }
+
   test("query: DL never exceeds Levenshtein on the real candidates; " +
       "the gain column is their exact difference") {
     val rows = SparkEntry.queries("dedup_damerau")(spark, Sf).collect()

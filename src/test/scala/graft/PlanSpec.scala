@@ -155,16 +155,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("exact-distinct variants: Expand plan vs pre-deduped combinable aggs") {
-    // q16 is Spark's single-pass plan: one Expand that triples the
-    // fact rows before the shuffle; q16b is the scale-path rewrite —
-    // no Expand, each distinct key set deduped with map-side partial
+    // the audit tier is Spark's single-pass plan: one Expand that
+    // triples the fact rows before the shuffle; the production name
+    // carries the scale-path rewrite (round-14 promotion) — no
+    // Expand, each distinct key set deduped with map-side partial
     // aggregation before its own shuffle
-    assert(physical("q16_distinct_counts").contains("Expand"))
-    val p = physical("q16b_prededup_counts")
+    assert(physical("q16_distinct_counts_audit").contains("Expand"))
+    val p = physical("q16_distinct_counts")
     assert(!p.contains("Expand"),
-      s"pre-dedup form must not plan an Expand:\n${p.take(1500)}")
+      s"production pre-dedup form must not plan an Expand:\n${p.take(1500)}")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
       "each distinct key set needs partial+final aggregate pairs")
+    // q27's production plan is the same promotion: long-format
+    // pre-dedup, no Expand (the one-Expand form is the audit tier)
+    val q27 = physical("q27_profile")
+    assert(!q27.contains("Expand"),
+      s"q27 production form must not plan an Expand:\n${q27.take(1500)}")
+    assert(physical("q27_profile_audit").contains("Expand"))
   }
 
   test("token chunking is narrow and packing needs exactly one shuffle") {

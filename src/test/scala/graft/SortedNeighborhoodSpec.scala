@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   */
 class SortedNeighborhoodSpec extends SparkSpec {
 
-  test("pair set matches a driver mirror of the sorted window; " +
-      "count is exactly w*n - w(w+1)/2") {
+  test("pair set matches a driver mirror of the sorted window with " +
+      "the length-ratio prune; generator law w*n - w(w+1)/2 holds " +
+      "pre-prune and the prune bites") {
     val rows = SparkEntry.queries("dedup_sorted_neighborhood")(spark, Sf)
       .collect()
     assert(rows.nonEmpty)
@@ -19,21 +20,33 @@ class SortedNeighborhoodSpec extends SparkSpec {
       .filter(length(col("text")) <= graft.operators.DedupOps.EditMaxLen)
       .select(col("doc_id"),
         substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")),
-          1, graft.operators.DedupOps.SnKeyLen).as("skey"))
+          1, graft.operators.DedupOps.SnKeyLen).as("skey"),
+        octet_length(col("text")).as("blen"))
       .collect()
-      .map(r => (r.getAs[String]("skey"), r.getAs[Long]("doc_id")))
-      .sorted
+      .map(r => (r.getAs[String]("skey"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("blen").toLong))
+      .sortBy(t => (t._1, t._2))
     val n = keyed.length
-    assert(rows.length == w * n - w * (w + 1) / 2,
-      "every doc pairs with its w successors; only the tail closes short")
-    val expected = (for {
+    val generated = (for {
       i <- keyed.indices
       k <- 1 to w
       if i + k < n
-    } yield (keyed(i)._2, keyed(i + k)._2)).toSet
+    } yield (keyed(i), keyed(i + k)))
+    assert(generated.size == w * n - w * (w + 1) / 2,
+      "every doc pairs with its w successors; only the tail closes short")
+    // the verify tier elides pairs the byte-length bound proves
+    // sub-bar (jw <= 0.8 + 0.2*min/max < 0.9 when 2*min < max)
+    val expected = generated
+      .filter { case (a, b) =>
+        2 * math.min(a._3, b._3) >= math.max(a._3, b._3) }
+      .map { case (a, b) => (a._2, b._2) }.toSet
+    assert(expected.size < generated.size,
+      "the prune must drop at least one pair on this corpus, or the " +
+        "test no longer exercises it")
     val got = rows
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    assert(got == expected, "window pairing mirrors the sort exactly")
+    assert(got == expected,
+      "window pairing + length-ratio prune mirrors the sort exactly")
   }
 
   test("planted typo-dense twin: scattered one-char edits destroy " +
