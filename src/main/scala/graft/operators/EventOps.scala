@@ -458,9 +458,19 @@ object EventOps {
         .select(col("user_id"), col("tsec"), col("event_id"),
           lit(1).as("tag"), lit(null).cast("int").as("hh"),
           (money(col("value")) * 100).cast("long").as("pcents")))
+    // the forward as-of "min over [currentRow, unboundedFollowing)"
+    // is computed as a RUNNING min over the REVERSED total order —
+    // row-identical (the frame's row set is exactly {rows ≥ current
+    // in (tsec, tag, event_id) order} either way, and event_id makes
+    // the order total), but Spark's UnboundedFollowing frame
+    // re-aggregates the tail PER ROW — O(rows²) in the partition,
+    // which the round-14 skew probe caught as 55× at skew1 (a 20%
+    // hot user makes one partition corpus-sized; 2.1 s → 117 s).
+    // Running frames are O(rows): skew1 back to ~1× (genuine-work
+    // ratio), same answer, oracle unchanged.
     val fwd = Window.partitionBy(col("user_id"))
-      .orderBy(col("tsec"), col("tag"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("tsec").desc, col("tag").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val touches = u
       .withColumn("nxt", min(when(col("tag") === 1,
         col("tsec") * AttrPackScale + col("event_id"))).over(fwd))

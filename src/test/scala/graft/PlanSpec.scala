@@ -174,6 +174,16 @@ class PlanSpec extends SparkSpec {
     assert(physical("q27_profile_audit").contains("Expand"))
   }
 
+  test("attribution forward as-of runs as a RUNNING frame, never an " +
+      "UnboundedFollowing frame (Spark re-aggregates those per row — " +
+      "O(rows^2) on a hot-user partition, 55x at skew1)") {
+    Seq("ev_attribution_linear", "ev_attribution_position").foreach { q =>
+      val p = physical(q)
+      assert(!p.toUpperCase.contains("UNBOUNDED FOLLOWING"),
+        s"$q must not plan a per-row-reaggregated tail frame:\n${p.take(1500)}")
+    }
+  }
+
   test("token chunking is narrow and packing needs exactly one shuffle") {
     // chunking: tokenize + per-row explode, nothing to shuffle (the
     // orderBy is a range exchange for presentation only)
