@@ -776,6 +776,45 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** PRUNE-SIZING AUDIT (`dedup_sn_prune_audit`) — how much the
+    * [[jwFeasible]] length-ratio prune saves and why it is safe, as
+    * a query over the LIVE corpus instead of a one-off spec corpus:
+    * the SN candidate pairs bucket into `kept` / `pruned`, each
+    * bucket reporting its pair count, its share of all candidates,
+    * and the MAXIMUM theoretical Jaro–Winkler bound
+    * 0.8 + 0.2·(min_bytes/max_bytes) — the `pruned` bucket's
+    * max_jw_bound printing strictly under the 0.9 dup bar IS the
+    * safety proof, re-derived on every corpus this runs against
+    * (and the `kept` share prices the verify tier's remaining
+    * kernel work). Pairs come from the production range-sharded
+    * generator while the oracle runs the textbook global window —
+    * so this audit also re-proves the shard decomposition on every
+    * gate run. Cost: the pair generator + one O(pairs) projection
+    * and an O(2) rollup — no JW kernel anywhere. */
+  val dedupSnPruneAudit: Q = (s, d) => {
+    val txt = docs(s, d).select(col("doc_id"), col("text"))
+    val la = octet_length(col("sa.text")).cast("long")
+    val lb = octet_length(col("sb.text")).cast("long")
+    val mn = least(la, lb)
+    val mx = greatest(la, lb)
+    val agg = snPairsSharded(s, d)
+      .join(txt.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(txt.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        when(mn * lit(2L) >= mx, "kept").otherwise("pruned").as("tag"),
+        (lit(0.8) + lit(0.2) *
+          (mn.cast("double") / mx.cast("double"))).as("jw_bound"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jw_bound")).as("max_jw_bound"))
+    val tot = agg.agg(sum(col("n_pairs")).as("total"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("tag"), col("n_pairs"), col("max_jw_bound"),
+        (col("n_pairs").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy("tag")
+  }
+
   /** Sorted-neighborhood blocking (`dedup_sorted_neighborhood`) — the
     * classic record-linkage ALTERNATIVE to LSH banding (Hernández &
     * Stolfo '95): sort the corpus by a normalized key (first
@@ -2115,6 +2154,7 @@ object DedupOps {
     "dedup_jaro_winkler" -> dedupJaroWinkler,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "dedup_sorted_neighborhood_audit" -> dedupSortedNeighborhoodAudit,
+    "dedup_sn_prune_audit" -> dedupSnPruneAudit,
     "dedup_sn_multipass" -> dedupSnMultipass,
     "dedup_blocking_overlap" -> dedupBlockingOverlap,
     "dedup_edit_banded" -> dedupEditBanded,
@@ -2332,6 +2372,45 @@ object DedupOps {
         WHERE p.doc_b IS NOT NULL
           AND ${sqlJwFeasible("da.text", "db.text")}
         ORDER BY doc_a, doc_b"""
+  }
+
+  /** The prune-audit oracle: the textbook GLOBAL window (the
+    * sharded generator's semantics spec), bound arithmetic in the
+    * identical double tree (0.8 + 0.2·(min/max) on byte lengths). */
+  private lazy val sqlSnPruneAudit: String = {
+    val leads = (1 to SnWindow)
+      .map(k => s"lead(doc_id, $k) OVER w AS n$k").mkString(", ")
+    val unnestList = (1 to SnWindow).map(k => s"n$k").mkString("[", ", ", "]")
+    val mn = "least(strlen(da.text), strlen(db.text))"
+    val mx = "greatest(strlen(da.text), strlen(db.text))"
+    s"""WITH k AS (
+          SELECT doc_id, text,
+            substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+              1, $SnKeyLen) AS skey
+          FROM documents
+          WHERE length(text) <= $EditMaxLen),
+        o AS (
+          SELECT doc_id, $leads
+          FROM k WINDOW w AS (ORDER BY skey, doc_id)),
+        p AS (
+          SELECT doc_id AS doc_a, unnest($unnestList) AS doc_b
+          FROM o),
+        pr AS (
+          SELECT CASE WHEN 2 * $mn >= $mx THEN 'kept' ELSE 'pruned' END
+              AS tag,
+            0.8 + 0.2 * (CAST($mn AS DOUBLE) / CAST($mx AS DOUBLE))
+              AS jw_bound
+          FROM p
+          JOIN documents da ON p.doc_a = da.doc_id
+          JOIN documents db ON p.doc_b = db.doc_id
+          WHERE p.doc_b IS NOT NULL),
+        ag AS (
+          SELECT tag, COUNT(*) AS n_pairs, MAX(jw_bound) AS max_jw_bound
+          FROM pr GROUP BY tag)
+        SELECT tag, n_pairs, max_jw_bound,
+          CAST(n_pairs AS DOUBLE) /
+            CAST((SELECT SUM(n_pairs) FROM ag) AS DOUBLE) AS share
+        FROM ag ORDER BY tag"""
   }
 
   /** The multi-pass SN oracle: one global window per sort key,
@@ -2830,6 +2909,7 @@ object DedupOps {
     // shard-decomposition proof
     "dedup_sorted_neighborhood" -> sqlSortedNeighborhood,
     "dedup_sorted_neighborhood_audit" -> sqlSortedNeighborhood,
+    "dedup_sn_prune_audit" -> sqlSnPruneAudit,
     "dedup_sn_multipass" -> sqlSnMultipass,
     // blocking overlap: LSH pairs + SN pairs on the eligible slice,
     // (min,max)-normalized, full-outer aligned, JW-verified per tag

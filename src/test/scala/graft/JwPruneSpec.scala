@@ -67,6 +67,31 @@ class JwPruneSpec extends SparkSpec {
     assert(multi.contains((3L, 4L)))
   }
 
+  test("prune-sizing audit: buckets partition the generator's pair " +
+      "set, the pruned bucket's max bound sits under the dup bar, " +
+      "shares conserve") {
+    val rows = SparkEntry.queries("dedup_sn_prune_audit")(spark, Sf)
+      .collect()
+      .map(r => r.getAs[String]("tag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("max_jw_bound"),
+          r.getAs[Double]("share"))).toMap
+    val generated =
+      graft.operators.DedupOps.snPairsSharded(spark, Sf).count()
+    assert(rows.values.map(_._1).sum == generated,
+      "kept + pruned must partition the generated pair set exactly")
+    assert(rows.contains("pruned"),
+      "the gate corpus must exercise the prune, or this audit is vacuous")
+    assert(rows("pruned")._2 < 0.9,
+      "the pruned bucket's max theoretical jw must sit under the bar " +
+        "— this line IS the corpus-local safety proof")
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-12)
+    // the kept bucket equals the registered query's row count
+    val kept = SparkEntry.queries("dedup_sorted_neighborhood")(spark, Sf)
+      .count()
+    assert(rows("kept")._1 == kept,
+      "kept pairs are exactly the rows the verify tier emits")
+  }
+
   test("fuzz: jw <= 0.8 + 0.2*min/max on arbitrary byte pairs, so " +
       "no prunable pair reaches 0.9") {
     val rnd = new scala.util.Random(140)
