@@ -250,10 +250,19 @@ object DedupOps {
     lshCandidatePairs(s, d)
       .orderBy("doc_a", "doc_b")
 
-  /** LSH candidates verified with exact shingle-set Jaccard, computed
-    * by explode-join (set-intersection as a token equi-join, never
-    * materializing per-pair set products). */
-  val dedupJaccard: Q = (s, d) => {
+  /** The UNPRUNED exact shingle-Jaccard scorer over every LSH
+    * candidate pair — set-intersection as a token equi-join, never
+    * materializing per-pair set products. This is the nested verifier
+    * the CALIBRATION reports consume ([[dedupLshPrecision]],
+    * [[dedupMinhashEst]], [[dedupBbitMinhash]],
+    * [[dedupComponentProfile]]): each of those is a statement about
+    * the FULL candidate distribution (precision of the LSH geometry,
+    * estimator error across the similarity range, per-cluster edge
+    * extremes), so the size-ratio prune the registered verify tier
+    * runs ([[dedupJaccard]]) would change what they measure, not just
+    * what they cost. */
+  private[graft] def jaccardScoredAll(s: SparkSession, d: String)
+      : DataFrame = {
     val pairs = lshCandidatePairs(s, d)
     val sh = docs(s, d)
       .withColumn("toks", tokens(col("text")))
@@ -276,6 +285,84 @@ object DedupOps {
         (col("za.n") + col("zb.n") - col("n_inter")).as("n_union"),
         (col("n_inter").cast("double") /
           (col("za.n") + col("zb.n") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Working-threshold FLOOR for the registered Jaccard verify tier:
+    * [[SweepThresholds]].head — the bottom of the calibration grid,
+    * i.e. the lowest similarity any downstream dedup policy sweeps.
+    * The prune bound is stated against this floor, so the two are
+    * frozen together. */
+  lazy val JaccardFloor: Double = SweepThresholds.head
+
+  /** EXACT size-ratio prune for the Jaccard verify tier (round 15,
+    * the [[jwFeasible]] discipline on set sizes): for distinct-shingle
+    * sets with |A| ≤ |B|, the intersection is at most |A| and the
+    * union at least |B|, so J = |A∩B|/|A∪B| ≤ |A|/|B|. A pair with
+    * 2·|A| < |B| therefore has J < 0.5 = [[JaccardFloor]] — provably
+    * below every threshold the calibration grid sweeps, BEFORE the
+    * explode-join intersection runs; a pair at exactly 2·|A| = |B|
+    * can still land on the floor (A ⊆ B gives J = |A|/|B| = 1/2
+    * exactly) and is kept. One integer comparison per pair against
+    * set sizes the verify tier already materializes — the
+    * intersection equi-join, the verifier's whole cost, then runs
+    * only on feasible pairs. Mirrored verbatim in the oracle;
+    * JaccardPruneSpec pins a planted hopeless pair, a kept pair at
+    * the exact bound scoring 0.5 on the nose, and a fuzz of the
+    * bound. */
+  private[graft] def jaccardFeasible(na: Column, nb: Column): Column =
+    least(na, nb) * lit(2L) >= greatest(na, nb)
+
+  /** The SQL mirror of [[jaccardFeasible]]. */
+  private def sqlJaccardFeasible(na: String, nb: String): String =
+    s"2 * least($na, $nb) >= greatest($na, $nb)"
+
+  /** LSH candidates verified with exact shingle-set Jaccard
+    * (`dedup_jaccard`) — the REGISTERED verify tier. Pairs failing
+    * the [[jaccardFeasible]] size-ratio bound are elided before the
+    * intersection join: they are provably below [[JaccardFloor]],
+    * the lowest working threshold any consumer sweeps, so scoring
+    * them buys nothing (the calibration reports that do need the
+    * full distribution consume [[jaccardScoredAll]] instead). Two
+    * further cost∝candidates moves (round 15): shingles are computed
+    * only for docs that are IN some candidate pair (the
+    * [[dedupCharNgram]] members semi-join — the corpus-wide explode
+    * was the verifier's real 10×-rows cost, invisible at sf0.1 where
+    * corpus ≈ members), and the shingle relation is lineage-cut once
+    * and reused by the size and intersection subtrees — one
+    * tokenize+shingle pass instead of three. */
+  val dedupJaccard: Q = (s, d) => {
+    val pairs = lshCandidatePairs(s, d)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs(s, d)
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks")))).as("sh"))
+      .transform(graft.Checkpointing.cut)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val feasible = pairs
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("za.n").as("na"), col("zb.n").as("nb"))
+      .filter(jaccardFeasible(col("na"), col("nb")))
+    val inter = feasible.select(col("doc_a"), col("doc_b"))
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    feasible
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
           .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -350,12 +437,14 @@ object DedupOps {
     * (low precision at the working threshold means the bands are too
     * permissive and the verify stage is paying for junk candidates).
     * Cost ∝ candidate pairs × |thresholds| (a 5-element literal array
-    * exploded per pair — never all-pairs); reuses [[dedupJaccard]]'s
-    * exact intersection-as-equi-join verifier. Thresholds compare as
+    * exploded per pair — never all-pairs); reuses the UNPRUNED
+    * [[jaccardScoredAll]] verifier — precision is a statement about
+    * ALL candidates, so the registered tier's size-ratio prune would
+    * change what this measures. Thresholds compare as
     * DOUBLE on both engines (the oracle casts its grid) so a Jaccard
     * landing exactly on a grid point decides identically. */
   val dedupLshPrecision: Q = (s, d) =>
-    dedupJaccard(s, d)
+    jaccardScoredAll(s, d)
       .select(col("jaccard"),
         explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
       .groupBy(col("threshold"))
@@ -426,7 +515,7 @@ object DedupOps {
     def matches: Column = (0 until K).map(i =>
       when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    dedupJaccard(s, d)
+    jaccardScoredAll(s, d)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -464,7 +553,7 @@ object DedupOps {
     val cFrac = matchesB.cast("double") / lit(K.toDouble)
     val r = lit(1.0 / mod)
     def est = (cFrac - r) / (lit(1.0) - r)
-    dedupJaccard(s, d)
+    jaccardScoredAll(s, d)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -790,14 +879,17 @@ object DedupOps {
     * generator while the oracle runs the textbook global window —
     * so this audit also re-proves the shard decomposition on every
     * gate run. Cost: the pair generator + one O(pairs) projection
-    * and an O(2) rollup — no JW kernel anywhere. */
+    * and an O(2) rollup — no JW kernel anywhere; the share
+    * denominator is a window sum OVER the 2-row aggregate (round-15
+    * ADVICE: the earlier self-referencing total planned the pair
+    * stream twice). */
   val dedupSnPruneAudit: Q = (s, d) => {
     val txt = docs(s, d).select(col("doc_id"), col("text"))
     val la = octet_length(col("sa.text")).cast("long")
     val lb = octet_length(col("sb.text")).cast("long")
     val mn = least(la, lb)
     val mx = greatest(la, lb)
-    val agg = snPairsSharded(s, d)
+    snPairsSharded(s, d)
       .join(txt.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(txt.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(
@@ -807,10 +899,51 @@ object DedupOps {
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("n_pairs"),
         max(col("jw_bound")).as("max_jw_bound"))
-    val tot = agg.agg(sum(col("n_pairs")).as("total"))
-    agg.crossJoin(broadcast(tot))
       .select(col("tag"), col("n_pairs"), col("max_jw_bound"),
-        (col("n_pairs").cast("double") / col("total").cast("double"))
+        (col("n_pairs").cast("double") /
+          sum(col("n_pairs")).over(Window.partitionBy()).cast("double"))
+          .as("share"))
+      .orderBy("tag")
+  }
+
+  /** PRUNE-SIZING AUDIT for the Jaccard verify tier
+    * (`dedup_jaccard_prune_audit`) — [[dedupSnPruneAudit]]'s pattern
+    * applied to the round-15 size-ratio prune: LSH candidate pairs
+    * bucket into `kept`/`pruned` by [[jaccardFeasible]] on their
+    * distinct-shingle-set sizes, each bucket reporting its pair
+    * count, share, and MAXIMUM theoretical Jaccard bound
+    * min(|A|,|B|)/max(|A|,|B|) — the `pruned` bucket's max_j_bound
+    * printing strictly under [[JaccardFloor]] IS the prune's safety
+    * proof, re-derived on every corpus each gate run (and the `kept`
+    * share prices the intersection join the registered tier still
+    * pays). Cost: the candidate generator + one members-only size
+    * groupBy + an O(pairs) projection and an O(2) rollup — no
+    * intersection join anywhere. */
+  val dedupJaccardPruneAudit: Q = (s, d) => {
+    val pairs = lshCandidatePairs(s, d)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sizes = docs(s, d)
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks")))).as("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val mn = least(col("za.n"), col("zb.n"))
+    val mx = greatest(col("za.n"), col("zb.n"))
+    pairs
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(
+        when(mn * lit(2L) >= mx, "kept").otherwise("pruned").as("tag"),
+        (mn.cast("double") / mx.cast("double")).as("j_bound"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("j_bound")).as("max_j_bound"))
+      .select(col("tag"), col("n_pairs"), col("max_j_bound"),
+        (col("n_pairs").cast("double") /
+          sum(col("n_pairs")).over(Window.partitionBy()).cast("double"))
           .as("share"))
       .orderBy("tag")
   }
@@ -1174,7 +1307,8 @@ object DedupOps {
     * BEFORE a keep-one policy fires on them. min/max rather than mean
     * keeps double parity exact (a mean would sum doubles in
     * engine-specific order). Reuses the cached component labeling and
-    * [[dedupJaccard]]'s verified edges: one equi-join (an edge's
+    * [[jaccardScoredAll]]'s verified edges (unpruned — min/max over
+    * a cluster's edges must see every edge): one equi-join (an edge's
     * component is its doc_a's — doc_b's is equal by construction) +
     * two combinable groupBys. */
   val dedupComponentProfile: Q = (s, d) => {
@@ -1182,7 +1316,7 @@ object DedupOps {
     val sizes = members.groupBy(col("comp"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
-    val edges = dedupJaccard(s, d)
+    val edges = jaccardScoredAll(s, d)
       .join(members.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_edges"),
@@ -2155,6 +2289,7 @@ object DedupOps {
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "dedup_sorted_neighborhood_audit" -> dedupSortedNeighborhoodAudit,
     "dedup_sn_prune_audit" -> dedupSnPruneAudit,
+    "dedup_jaccard_prune_audit" -> dedupJaccardPruneAudit,
     "dedup_sn_multipass" -> dedupSnMultipass,
     "dedup_blocking_overlap" -> dedupBlockingOverlap,
     "dedup_edit_banded" -> dedupEditBanded,
@@ -2660,22 +2795,49 @@ object DedupOps {
             FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
             WHERE length(toks) >= 3),
           sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          feas AS (
+            SELECT p.doc_a, p.doc_b, za.n AS na, zb.n AS nb
+            FROM pairs p
+            JOIN sizes za ON p.doc_a = za.doc_id
+            JOIN sizes zb ON p.doc_b = zb.doc_id
+            WHERE ${sqlJaccardFeasible("za.n", "zb.n")}),
           inter AS (
             SELECT doc_a, doc_b, COUNT(*) AS n_inter
-            FROM pairs
+            FROM feas
             JOIN sh sa ON doc_a = sa.doc_id
             JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
             GROUP BY doc_a, doc_b)
-          SELECT p.doc_a, p.doc_b,
+          SELECT f.doc_a, f.doc_b,
             COALESCE(i.n_inter, 0) AS n_inter,
-            za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union,
+            f.na + f.nb - COALESCE(i.n_inter, 0) AS n_union,
             CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-              / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
-          FROM pairs p
-          LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
-          JOIN sizes za ON p.doc_a = za.doc_id
-          JOIN sizes zb ON p.doc_b = zb.doc_id
+              / CAST(f.na + f.nb - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+          FROM feas f
+          LEFT JOIN inter i ON f.doc_a = i.doc_a AND f.doc_b = i.doc_b
           ORDER BY 1, 2""",
+    "dedup_jaccard_prune_audit" ->
+      s"""WITH $sqlSignatures, $sqlBuckets,
+          $sqlCandPairs,
+          sh AS (
+            SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS sh
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+            WHERE length(toks) >= 3),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          pr AS (
+            SELECT CASE WHEN ${sqlJaccardFeasible("za.n", "zb.n")}
+                THEN 'kept' ELSE 'pruned' END AS tag,
+              CAST(least(za.n, zb.n) AS DOUBLE) /
+                CAST(greatest(za.n, zb.n) AS DOUBLE) AS j_bound
+            FROM pairs p
+            JOIN sizes za ON p.doc_a = za.doc_id
+            JOIN sizes zb ON p.doc_b = zb.doc_id),
+          ag AS (
+            SELECT tag, COUNT(*) AS n_pairs, MAX(j_bound) AS max_j_bound
+            FROM pr GROUP BY tag)
+          SELECT tag, n_pairs, max_j_bound,
+            CAST(n_pairs AS DOUBLE) /
+              CAST((SELECT SUM(n_pairs) FROM ag) AS DOUBLE) AS share
+          FROM ag ORDER BY tag""",
     "dedup_lsh_precision" ->
       s"""WITH $sqlSignatures, $sqlBuckets,
           $sqlCandPairs,
