@@ -1,0 +1,84 @@
+#!/usr/bin/env bash
+# Round-15 end-of-round gate: dual-SF correctness (335-query surface —
+# dedup_jaccard_prune_audit is new), probe re-measure (the jaccard
+# verify tier re-planned this round + two prune-audit carries grew the
+# lists, so every cached rep re-measures), then TWO back-to-back v2
+# benches judged by the NEW paired per-query statistic
+# (graft.BenchCompare — zero host-normalized disjoint-interval flags;
+# the 5%-of-totals bar is retired this round) alongside the byte-exact
+# zero-shuffle-drift comparison. The totals delta is printed for
+# continuity only — the round-14 gate proved it fails on host weather
+# (9.5%/11.4% with a 21% mid-session swing), which is exactly what the
+# paired statistic normalizes out.
+# Run on a QUIET machine; logs to round15_gate.log.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+step() { echo; echo "=== [$(date +%H:%M:%S)] $1 ==="; }
+
+step "verify sf0.01 (full surface)"
+SPARK_GRAFT_CPUS=16 scripts/java_bench.sh graft.Verify \
+  /root/testdata/sf0.01 /tmp/gate15_sf001 \
+  >/dev/null 2>&1 && echo "verify sf0.01 OK" || echo "VERIFY sf0.01 FAILED"
+
+step "check sf0.01 (DuckDB oracle, full surface)"
+python3 scripts/check.py /root/testdata/sf0.01 /tmp/gate15_sf001 \
+  2>&1 | tail -4
+
+step "verify sf0.1 (full surface)"
+SPARK_GRAFT_CPUS=32 scripts/java_bench.sh graft.Verify \
+  /root/testdata/sf0.1 /tmp/gate15_sf01 \
+  >/dev/null 2>&1 && echo "verify sf0.1 OK" || echo "VERIFY sf0.1 FAILED"
+
+step "check sf0.1 (DuckDB oracle, full surface — slow)"
+python3 scripts/check.py /root/testdata/sf0.1 /tmp/gate15_sf01 \
+  2>&1 | tail -4
+
+step "probe re-measure (round-15 binary, grown lists)"
+bash scripts/scale_probe.sh 2>&1 | grep -E "^==|done"
+bash scripts/skew_probe.sh 2>&1 | grep -E "^==|done"
+
+step "probe report"
+python3 scripts/probe_report.py 2>&1 | tail -30
+
+step "full v2 bench, run A (3 interleaved passes, per-query medians)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  scripts/java_bench.sh graft.Bench 2>/dev/null | tail -1
+cp bench_result.json benchdata/bench_v2_runA.json
+cp bench_reps.json benchdata/bench_v2_runA_reps.json
+cp bench_shuffle.json benchdata/shuffle_ref.json
+echo "shuffle_ref.json refreshed from run A's sidecar"
+
+step "full v2 bench, run B (same binary, back to back)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  scripts/java_bench.sh graft.Bench 2>/dev/null | tail -1
+cp bench_result.json benchdata/bench_v2_runB.json
+cp bench_reps.json benchdata/bench_v2_runB_reps.json
+
+step "paired same-binary statistic (THE bar: zero flags)"
+scripts/java_bench.sh graft.BenchCompare \
+  benchdata/bench_v2_runA_reps.json benchdata/bench_v2_runB_reps.json \
+  && echo "paired statistic PASS" || echo "paired statistic FAIL"
+
+step "shuffle drift run B vs run A (bar: 0 flags)"
+python3 - <<'EOF'
+import json
+ref = json.load(open('benchdata/shuffle_ref.json'))['queries']
+cur = json.load(open('bench_shuffle.json'))['queries']
+flags = []
+for q in sorted(set(ref) & set(cur)):
+    rb, cb = ref[q]['shuffle_bytes'], cur[q]['shuffle_bytes']
+    if rb == 0 and cb == 0:
+        continue
+    r = cb / rb if rb > 0 else float('inf')
+    if r > 1.2 or r < 1 / 1.2:
+        flags.append((q, rb, cb, round(r, 3)))
+print(f"shuffle drift run B vs run A: {len(flags)} flagged "
+      f"of {len(set(ref) & set(cur))} (bar: 0)")
+for q, rb, cb, r in flags:
+    print(f"  {q}: {rb} -> {cb} bytes ({r}x)")
+pinned = ['q16_distinct_counts', 'q27_profile', 'ann_recall_curve',
+          'dedup_jaccard', 'dedup_jaccard_prune_audit']
+bad = [q for q, *_ in flags if q in pinned]
+print("pinned set drift-free" if not bad else f"PINNED SET FLAGS: {bad}")
+EOF

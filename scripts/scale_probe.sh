@@ -57,6 +57,7 @@ text_boilerplate_ngrams ann_mmr_diversify dedup_weighted_jaccard \
 text_keyterms q32_join_delta stream_hourly_wm q18_large_orders \
 q27_profile q27_profile_audit q16_distinct_counts_audit \
 dedup_minhash_est q26_grouping_sets dedup_jaccard enrich_pipeline \
+dedup_sn_prune_audit dedup_jaccard_prune_audit \
 ann_ivf_pq ann_ivf_pq_recall doc_quality_tiers text_cdc_remove \
 text_contamination tf_hll_by_source tf_ngram_novelty \
 text_langid_ngram doc_quality_gate stream_affinity_gate \
@@ -73,6 +74,9 @@ ev_attribution_linear"
 #    sweep of every previously-unprobed query costing >=1 s at sf0.1
 #    (round-13 verdict item 3), plus the q16/q27 audit tiers so the
 #    round-14 plan promotions carry side-by-side scale numbers.
+#  - dedup_sn_prune_audit, dedup_jaccard_prune_audit: the round-15
+#    post-probe carry (the two prune-sizing audits; the jaccard one
+#    is new this round alongside the dedup_jaccard size-ratio prune).
 
 # minimal warm-up: one scan per table family, no index builds
 export SPARK_GRAFT_WARMUP_NAMES="text_stats,ev_type_stats,q0_scan,mm_meta"

@@ -33,7 +33,10 @@ text_keyterms stream_hourly_wm dedup_minhash_est ann_ivf_pq \
 ann_ivf_pq_recall doc_quality_tiers text_contamination \
 tf_hll_by_source tf_ngram_novelty text_langid_ngram \
 doc_quality_gate stream_affinity_gate stream_static_join \
-stream_cdc_strip ev_attribution_linear"
+stream_cdc_strip ev_attribution_linear \
+dedup_sn_prune_audit dedup_jaccard_prune_audit"
+# dedup_*_prune_audit: round-15 carry — candidate-volume monitors,
+# exactly what the hot-cluster variants stress
 # the last block (stream_session_window ..) is the round-14 sweep of
 # the previously-unprobed >=1 s queries that read a table SkewData
 # actually skews (documents/events/embeddings — it copies
