@@ -251,40 +251,63 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
 
   /** The UNPRUNED exact shingle-Jaccard scorer over every LSH
-    * candidate pair — set-intersection as a token equi-join, never
-    * materializing per-pair set products. This is the nested verifier
-    * the CALIBRATION reports consume ([[dedupLshPrecision]],
-    * [[dedupMinhashEst]], [[dedupBbitMinhash]],
-    * [[dedupComponentProfile]]): each of those is a statement about
-    * the FULL candidate distribution (precision of the LSH geometry,
-    * estimator error across the similarity range, per-cluster edge
-    * extremes), so the size-ratio prune the registered verify tier
-    * runs ([[dedupJaccard]]) would change what they measure, not just
-    * what they cost. */
+    * candidate pair. This is the nested verifier the CALIBRATION
+    * reports consume ([[dedupLshPrecision]], [[dedupMinhashEst]],
+    * [[dedupBbitMinhash]], [[dedupComponentProfile]]): each of those
+    * is a statement about the FULL candidate distribution (precision
+    * of the LSH geometry, estimator error across the similarity
+    * range, per-cluster edge extremes), so the size-ratio prune the
+    * registered verify tier runs ([[dedupJaccard]]) would change
+    * what they measure, not just what they cost. Plumbing is shared
+    * with the registered tier ([[jaccardScored]]) — both are
+    * cost∝candidates, they differ ONLY in the feasibility filter. */
   private[graft] def jaccardScoredAll(s: SparkSession, d: String)
-      : DataFrame = {
+      : DataFrame = jaccardScored(s, d, prune = false)
+
+  /** Shared exact shingle-Jaccard verifier over the LSH candidate
+    * pairs — set-intersection as a token equi-join, never
+    * materializing per-pair set products. Shingles are computed only
+    * for docs that are IN some candidate pair (the [[dedupCharNgram]]
+    * members semi-join — the corpus-wide explode was the verifier
+    * family's real 10×-rows cost) and the shingle relation is
+    * lineage-cut once and reused by the size and intersection
+    * subtrees — one tokenize+shingle pass instead of three. With
+    * `prune` the [[jaccardFeasible]] size-ratio bound elides
+    * provably-sub-[[JaccardFloor]] pairs before the intersection
+    * join. */
+  private def jaccardScored(s: SparkSession, d: String,
+      prune: Boolean): DataFrame = {
     val pairs = lshCandidatePairs(s, d)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sh = docs(s, d)
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("toks")))).as("sh"))
+      .transform(graft.Checkpointing.cut)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
+    val sized = pairs
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("za.n").as("na"), col("zb.n").as("nb"))
+    val scored = if (prune) sized.filter(jaccardFeasible(col("na"), col("nb")))
+      else sized
+    val inter = scored.select(col("doc_a"), col("doc_b"))
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    pairs
+    scored
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("n_inter"))
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        (col("za.n") + col("zb.n") - col("n_inter")).as("n_union"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
         (col("n_inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("n_inter")).cast("double"))
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
           .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -319,53 +342,13 @@ object DedupOps {
     s"2 * least($na, $nb) >= greatest($na, $nb)"
 
   /** LSH candidates verified with exact shingle-set Jaccard
-    * (`dedup_jaccard`) — the REGISTERED verify tier. Pairs failing
-    * the [[jaccardFeasible]] size-ratio bound are elided before the
-    * intersection join: they are provably below [[JaccardFloor]],
-    * the lowest working threshold any consumer sweeps, so scoring
-    * them buys nothing (the calibration reports that do need the
-    * full distribution consume [[jaccardScoredAll]] instead). Two
-    * further cost∝candidates moves (round 15): shingles are computed
-    * only for docs that are IN some candidate pair (the
-    * [[dedupCharNgram]] members semi-join — the corpus-wide explode
-    * was the verifier's real 10×-rows cost, invisible at sf0.1 where
-    * corpus ≈ members), and the shingle relation is lineage-cut once
-    * and reused by the size and intersection subtrees — one
-    * tokenize+shingle pass instead of three. */
-  val dedupJaccard: Q = (s, d) => {
-    val pairs = lshCandidatePairs(s, d)
-    val members = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = docs(s, d)
-      .join(broadcast(members), Seq("doc_id"), "left_semi")
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("toks")))).as("sh"))
-      .transform(graft.Checkpointing.cut)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val feasible = pairs
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        col("za.n").as("na"), col("zb.n").as("nb"))
-      .filter(jaccardFeasible(col("na"), col("nb")))
-    val inter = feasible.select(col("doc_a"), col("doc_b"))
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    feasible
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        (col("na") + col("nb") - col("n_inter")).as("n_union"),
-        (col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")).cast("double"))
-          .as("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+    * (`dedup_jaccard`) — the REGISTERED verify tier:
+    * [[jaccardScored]] with the [[jaccardFeasible]] size-ratio prune
+    * on, eliding pairs provably below [[JaccardFloor]] before the
+    * intersection join (the calibration reports that need the full
+    * candidate distribution consume [[jaccardScoredAll]] instead —
+    * same plumbing, prune off). */
+  val dedupJaccard: Q = (s, d) => jaccardScored(s, d, prune = true)
 
   /** Rarity cap for [[dedupWeightedJaccard]]: a shingle with corpus
     * df ≥ this weighs 0 (boilerplate), df = 1 weighs Cap−1. Fixed
@@ -384,9 +367,16 @@ object DedupOps {
     * both numerators/denominators exact; weighted Jaccard is one
     * guarded division (an all-boilerplate union reads 0.0, mirrored).
     * Same explode-join shape as the plain verifier plus one df
-    * groupBy — cost ∝ candidate pairs, never all-pairs. */
+    * groupBy — cost ∝ candidate pairs, never all-pairs. The df
+    * relation is NECESSARILY corpus-wide (rarity is a corpus
+    * property), but the weighted per-doc rows the pair join consumes
+    * are member-only (round 15: the [[jaccardScored]] semi-join —
+    * the second cut materializes candidates' shingles, not the
+    * corpus). */
   val dedupWeightedJaccard: Q = (s, d) => {
     val pairs = lshCandidatePairs(s, d)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val wsh0 = docs(s, d)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
@@ -394,6 +384,7 @@ object DedupOps {
         explode(array_distinct(shingles(col("toks")))).as("sh"))
       .transform(graft.Checkpointing.cut)
     val wsh = wsh0
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
       .join(wsh0.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
       .select(col("doc_id"), col("sh"),
         greatest(lit(0L), lit(WeightDfCap) - col("df")).as("w"))
