@@ -34,6 +34,18 @@ step "check sf0.1 (DuckDB oracle, full surface — slow)"
 python3 scripts/check.py /root/testdata/sf0.1 /tmp/gate15_sf01 \
   2>&1 | tail -4
 
+step "degenerate corpus: full-surface verify + oracle on EMPTY tables"
+# the round-15 axis: every query must survive the input shape a
+# 100 TB deployment produces routinely (a partition pruned to
+# nothing). The RELATIVE dir is deliberate — it regression-proves the
+# streamSrcDir symlink absolutization this sweep uncovered.
+python3 scripts/make_empty.py /root/testdata/sf0.001 benchdata/sf0 \
+  >/dev/null
+SPARK_GRAFT_CPUS=16 scripts/java_bench.sh graft.Verify \
+  benchdata/sf0 /tmp/gate15_sf0 >/dev/null 2>&1 \
+  && echo "verify sf0 (empty corpus) OK" || echo "VERIFY sf0 FAILED"
+python3 scripts/check.py benchdata/sf0 /tmp/gate15_sf0 2>&1 | tail -2
+
 step "probe re-measure (round-15 binary, grown lists)"
 bash scripts/scale_probe.sh 2>&1 | grep -E "^==|done"
 bash scripts/skew_probe.sh 2>&1 | grep -E "^==|done"

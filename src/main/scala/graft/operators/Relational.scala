@@ -176,7 +176,19 @@ object Relational {
       .orderBy("l_suppkey", "ship_sec", "l_orderkey", "l_linenumber")
   }
 
-  /** ROLLUP with grouping id (multi-level aggregate). */
+  /** ROLLUP with grouping id (multi-level aggregate).
+    *
+    * Empty-input semantics (this and the cube / grouping-sets
+    * siblings): Spark plans every grouping construct through one
+    * Expand over the input rows, so an EMPTY fact produces ZERO
+    * groups — including the () grand total the ANSI standard would
+    * emit as one all-NULL row. That is the engine's contract (the
+    * grouping family stays a single Expand pass at 100 TB; no extra
+    * global-aggregate subtree just to mint a row no consumer of an
+    * empty pruned partition needs), and the oracles pin it with
+    * `HAVING COUNT(*) > 0` — a no-op on any non-empty input, where
+    * every emitted group aggregates >= 1 row. Found by the round-15
+    * empty-corpus sweep; EmptyCorpusSpec pins the 0-row shape. */
   val q9Rollup: Q = (s, d) =>
     li(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1878,6 +1890,7 @@ object Relational {
           CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) AS sum_qty
           FROM lineitem
           GROUP BY CUBE (l_returnflag, l_linestatus)
+          HAVING COUNT(*) > 0
           ORDER BY gid, l_returnflag, l_linestatus""",
     "q21_pivot" ->
       s"""SELECT l_linestatus,
@@ -2209,6 +2222,7 @@ object Relational {
           COUNT(*) AS n
           FROM lineitem
           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          HAVING COUNT(*) > 0
           ORDER BY gid, returnflag, linestatus""",
     "q9_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -2217,6 +2231,7 @@ object Relational {
           CAST(SUM(${sqlQty("l_quantity")}) AS DOUBLE) AS sum_qty,
           COUNT(*) AS n
           FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          HAVING COUNT(*) > 0
           ORDER BY gid, returnflag, linestatus""",
     "q10_big_customers" ->
       s"""SELECT c_custkey, c_name, COUNT(*) AS n_orders,

@@ -835,8 +835,11 @@ object SimilarityOps {
       .crossJoin(broadcast(nPossible))
       .select(col("m"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("n_possible"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") /
-          col("n_possible").cast("double")).as("recall"))
+        // NULL-guarded: recall against an EMPTY truth set (no
+        // candidate vectors at all) is undefined; oracle mirrors
+        when(col("n_possible") === 0L, lit(null))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_possible").cast("double")).as("recall"))
       .orderBy("m")
   }
 
@@ -2742,8 +2745,9 @@ object SimilarityOps {
         SELECT ms.m,
           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
           np.n_possible,
-          CAST(COALESCE(h.n_hits, 0) AS DOUBLE) /
-            CAST(np.n_possible AS DOUBLE) AS recall
+          CASE WHEN np.n_possible = 0 THEN NULL
+            ELSE CAST(COALESCE(h.n_hits, 0) AS DOUBLE) /
+              CAST(np.n_possible AS DOUBLE) END AS recall
         FROM ms CROSS JOIN np LEFT JOIN hits h ON h.m = ms.m
         ORDER BY ms.m"""
   }

@@ -954,6 +954,9 @@ object SketchOps {
       .crossJoin(diff)
       .select(col("n_shards"), col("merged_n_sample"), col("merged_kth"),
         col("merged_est"), col("global_est"),
+        // coalesce: the rank-diff SUM over an EMPTY full-outer join is
+        // NULL, and two empty samples ARE identical (vacuously) — the
+        // oracle mirrors with COALESCE(n_rank_diff, 0)
         (coalesce(col("n_rank_diff"), lit(0L)) === 0L)
           .cast("long").as("sample_identical"))
   }
@@ -1001,11 +1004,16 @@ object SketchOps {
       .select(col("n_a_exact"), col("n_b_exact"), col("est_a"),
         col("est_b"), col("n_union_sample"), col("n_both"),
         kmvEst(col("n_union_sample"), col("kth_u")).as("est_union"),
-        (col("n_both").cast("double") /
-          col("n_union_sample").cast("double")).as("est_jaccard"),
+        // NULL-guarded: the Jaccard of two EMPTY corpora is undefined
+        // (0/0 — the degenerate shape a pruned-to-nothing partition
+        // feeds this monitor at 100 TB); oracle mirrors the CASE
+        when(col("n_union_sample") === 0L, lit(null))
+          .otherwise(col("n_both").cast("double") /
+            col("n_union_sample").cast("double")).as("est_jaccard"),
         col("exact_union"), col("exact_intersection"),
-        (col("exact_intersection").cast("double") /
-          col("exact_union").cast("double")).as("exact_jaccard"))
+        when(col("exact_union") === 0L, lit(null))
+          .otherwise(col("exact_intersection").cast("double") /
+            col("exact_union").cast("double")).as("exact_jaccard"))
       .select(col("n_a_exact"), col("n_b_exact"), col("est_a"),
         col("est_b"), col("n_union_sample"), col("n_both"),
         col("est_union"), col("est_jaccard"),
@@ -1287,8 +1295,8 @@ object SketchOps {
             ${sqlKmvEst("ma.merged_n_sample", "ma.merged_kth")}
               AS merged_est,
             ${sqlKmvEst("ga.gn", "ga.gk")} AS global_est,
-            CAST(CASE WHEN diff.n_rank_diff = 0 THEN 1 ELSE 0 END
-              AS BIGINT) AS sample_identical
+            CAST(CASE WHEN COALESCE(diff.n_rank_diff, 0) = 0 THEN 1
+              ELSE 0 END AS BIGINT) AS sample_identical
           FROM ns, ma, ga, diff""",
     "dedup_kmv_overlap" ->
       s"""WITH ${sqlShingleRows(Hashing.sqlCharHash("source") + " % 2")},
@@ -1321,11 +1329,13 @@ object SketchOps {
                 ${sqlKmvEst("bb.nb", "bb.kb")} AS est_b,
                 fl.n_union_sample, fl.n_both,
                 ${sqlKmvEst("fl.n_union_sample", "fl.kth_u")} AS est_union,
-                CAST(fl.n_both AS DOUBLE)
-                  / CAST(fl.n_union_sample AS DOUBLE) AS est_jaccard,
+                CASE WHEN fl.n_union_sample = 0 THEN NULL
+                  ELSE CAST(fl.n_both AS DOUBLE)
+                    / CAST(fl.n_union_sample AS DOUBLE) END AS est_jaccard,
                 eu.exact_union, ei.exact_intersection,
-                CAST(ei.exact_intersection AS DOUBLE)
-                  / CAST(eu.exact_union AS DOUBLE) AS exact_jaccard
+                CASE WHEN eu.exact_union = 0 THEN NULL
+                  ELSE CAST(ei.exact_intersection AS DOUBLE)
+                    / CAST(eu.exact_union AS DOUBLE) END AS exact_jaccard
               FROM ea, eb, aa, bb, fl, eu, ei)
           SELECT n_a_exact, n_b_exact, est_a, est_b, n_union_sample,
             n_both, est_union, est_jaccard,

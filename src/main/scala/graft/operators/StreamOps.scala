@@ -56,7 +56,11 @@ object StreamOps {
     * that silence into a loud failure. */
   private def streamSrcDir(d: String, table: String): String = {
     import java.nio.file.{Files, Paths}
-    val p = Paths.get(s"$d/$table.parquet")
+    // toAbsolutePath: a RELATIVE target would be resolved against the
+    // SYMLINK's own directory, minting a dangling link and the silent
+    // zero-file listing the drain guard exists to catch (found by the
+    // round-15 empty-corpus sweep, run with a relative sf dir)
+    val p = Paths.get(s"$d/$table.parquet").toAbsolutePath
     if (Files.isDirectory(p)) p.toString
     else srcDirCache.getOrElseUpdate(s"$d#$table", {
       val t = Files.createTempDirectory(s"graft-stream-$table")
@@ -79,18 +83,47 @@ object StreamOps {
       .parquet(streamSrcDir(d, table))
 
   /** Await a finite replay's drain, then REQUIRE that the source
-    * actually delivered rows: a misconfigured file source lists zero
-    * files and "succeeds" instantly, and round 11 shipped sf1 probe
-    * numbers that measured exactly that silence. Every gate corpus
-    * here is non-empty by construction, so zero source rows is always
-    * a harness bug, never data. */
+    * actually delivered rows — UNLESS the source data is genuinely
+    * empty: a misconfigured file source lists zero files and
+    * "succeeds" instantly, and round 11 shipped sf1 probe numbers
+    * that measured exactly that silence. But a 100 TB deployment
+    * produces legitimately empty inputs routinely (a date partition
+    * pruned to nothing, a tenant with no data yet), and the round-15
+    * empty-corpus sweep showed this guard rejecting all 33 streaming
+    * queries on a zero-row-but-schema'd corpus. Discrimination, paid
+    * only on the rows==0 path (never on a normal run): parse each
+    * FileStreamSource's directory out of the progress descriptions
+    * and batch-read it — zero drained rows is legitimate iff every
+    * listed source holds zero data rows. A replay with NO progress
+    * entries at all still fails loudly (that is exactly the
+    * listed-nothing shape the round-11 bug had; an empty corpus
+    * always yields at least one batch, because the 0-row parquet
+    * FILE is still a file-log entry). */
   private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery)
       : Unit = {
     q.awaitTermination()
     val rows = q.recentProgress.map(_.numInputRows).sum
-    require(rows > 0,
+    if (rows > 0) return
+    val qn = Option(q.name).getOrElse(q.id)
+    val SrcDesc = """FileStreamSource\[(.+)\]""".r
+    val srcDirs = q.recentProgress.toSeq
+      .flatMap(_.sources.toSeq).map(_.description)
+      .collect { case SrcDesc(p) => p }.distinct
+    require(srcDirs.nonEmpty,
       s"streaming replay drained ZERO source rows — file source " +
-        s"listed nothing (query=${Option(q.name).getOrElse(q.id)})")
+        s"listed nothing (query=$qn)")
+    // a source dir the batch reader cannot even infer a schema from
+    // (no readable parquet at all — e.g. a dangling symlink) IS the
+    // listed-nothing shape: count it as non-empty so the require
+    // below stays loud instead of surfacing UNABLE_TO_INFER_SCHEMA
+    val srcRows = srcDirs.map(p =>
+      try q.sparkSession.read.option("pathGlobFilter", "*.parquet")
+        .parquet(p).limit(1).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 1L }).sum
+    require(srcRows == 0L,
+      s"streaming replay drained ZERO source rows from a NON-EMPTY " +
+        s"source — file source listed nothing (query=$qn, " +
+        s"dirs=${srcDirs.mkString(", ")})")
   }
 
   /** readStream over the events parquet with the same schema-dispatched

@@ -536,8 +536,11 @@ object TextOps {
         col("n0"))
       .select(col("stage_id"), col("stage"), col("n_surviving"),
         col("n_dropped"),
-        (col("n_surviving").cast("double") / col("n0").cast("double"))
-          .as("survival"))
+        // NULL-guarded: an EMPTY corpus snapshot (a pruned partition,
+        // a new tenant) has no defined survival rate; oracle mirrors
+        when(col("n0") === 0L, lit(null))
+          .otherwise(col("n_surviving").cast("double") /
+            col("n0").cast("double")).as("survival"))
       .orderBy("stage_id")
   }
 
@@ -3173,7 +3176,9 @@ object TextOps {
                 THEN 1 ELSE 0 END) AS BIGINT) AS n3
             FROM scored s JOIN canon c ON s.text = c.text)
           SELECT stage_id, stage, n_surviving, n_dropped,
-            CAST(n_surviving AS DOUBLE) / CAST(n0 AS DOUBLE) AS survival
+            CASE WHEN n0 = 0 THEN NULL
+              ELSE CAST(n_surviving AS DOUBLE) / CAST(n0 AS DOUBLE)
+            END AS survival
           FROM (
             SELECT CAST(0 AS BIGINT) AS stage_id, 'total' AS stage,
               n0 AS n_surviving, CAST(0 AS BIGINT) AS n_dropped, n0 FROM f
