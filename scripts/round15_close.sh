@@ -22,8 +22,10 @@ cp bench_result.json benchdata/bench_v2_runD.json
 cp bench_reps.json benchdata/bench_v2_runD_reps.json
 
 step "paired same-binary statistic C vs D (bar: zero flags)"
+cp bench_shuffle.json benchdata/shuffle_runD.json
 scripts/java_bench.sh graft.BenchCompare \
   benchdata/bench_v2_runC_reps.json benchdata/bench_v2_runD_reps.json \
+  benchdata/shuffle_runC.json benchdata/shuffle_runD.json \
   && echo "paired statistic PASS" || echo "paired statistic FAIL"
 
 step "shuffle drift run D vs run C (bar: 0 flags)"

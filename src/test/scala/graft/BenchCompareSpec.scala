@@ -87,17 +87,72 @@ class BenchCompareSpec extends AnyFunSuite {
   test("round-14 committed pair replay: the runs where the totals " +
       "bar failed pass the paired statistic with zero flags") {
     // the verdict's Done criterion, pinned against the committed
-    // artifacts so the calibration can never silently rot
-    val runD = BenchCompare.parseReps("benchdata/bench_v2_runD_reps.json")
-    val close = BenchCompare.parseReps("benchdata/bench_v2_close_reps.json")
+    // artifacts so the calibration can never silently rot (frozen
+    // under r14_* names — the live bench_v2_* files are overwritten
+    // by every round's gate)
+    val runD = BenchCompare.parseReps("benchdata/r14_runD_reps.json")
+    val close = BenchCompare.parseReps("benchdata/r14_close_reps.json")
     val r = BenchCompare.compare(runD, close)
     assert(math.abs(r.totalsDeltaPct) > 5.0,
       "this pair is only interesting because totals disagree > 5%")
     assert(r.pass, s"same-binary pair must pass: ${r.flags.map(_.query)}")
     // and the known cross-BINARY pair still catches its plan change
-    val runA = BenchCompare.parseReps("benchdata/bench_v2_runA_reps.json")
+    val runA = BenchCompare.parseReps("benchdata/r14_runA_reps.json")
     val x = BenchCompare.compare(runA, runD)
     assert(x.flags.map(_.query) == Seq("dedup_sn_multipass"),
       "the pre- vs post-JW-prune pair must flag exactly the changed query")
+  }
+
+  // ---- the plan-identity demotion (round-15 refinement) ----
+
+  test("sigSame: equal stages + bytes within the drift tolerance; " +
+      "zero/zero equal, zero/nonzero not") {
+    import BenchCompare.{ShuffleSig, sigSame}
+    assert(sigSame(ShuffleSig(82895, 4), ShuffleSig(82834, 4)))
+    assert(!sigSame(ShuffleSig(82895, 4), ShuffleSig(82895, 5)))
+    assert(!sigSame(ShuffleSig(130, 4), ShuffleSig(100, 4)))
+    assert(sigSame(ShuffleSig(0, 3), ShuffleSig(0, 3)))
+    assert(!sigSame(ShuffleSig(0, 3), ShuffleSig(10, 3)))
+  }
+
+  test("an improvement with a drift-equivalent signature demotes to " +
+      "a note; with a changed signature it still flags; a regression " +
+      "gates even with an identical signature") {
+    import BenchCompare.ShuffleSig
+    val sig = (1 to 20).map(q => s"q$q" -> ShuffleSig(1000L * q, 5)).toMap
+    val faster = base.updated("q3", base("q3").map(_ / 2.0))
+    // same plan -> warming note, PASS
+    val r1 = BenchCompare.compare(base, faster, sig, sig)
+    assert(r1.pass &&
+      r1.notes.map(f => (f.query, f.direction)) == Seq(("q3", "improved")))
+    // q3's signature moved -> a genuine plan change, still FAIL
+    val moved = sig.updated("q3", ShuffleSig(99999, 7))
+    val r2 = BenchCompare.compare(base, faster, sig, moved)
+    assert(!r2.pass && r2.flags.map(_.query) == Seq("q3") && r2.notes.isEmpty)
+    // regression is never excused by plan identity
+    val slower = base.updated("q7", base("q7").map(_ * 2.0))
+    val r3 = BenchCompare.compare(base, slower, sig, sig)
+    assert(!r3.pass && r3.flags.map(f => (f.query, f.direction)) ==
+      Seq(("q7", "regressed")))
+    // no signatures supplied -> improved direction gates as before
+    assert(!BenchCompare.compare(base, faster).pass)
+  }
+
+  test("round-15 committed C/D pair replay: the quiet-host " +
+      "same-binary pair passes with tf_zipf's warming demoted by " +
+      "plan identity") {
+    val c = BenchCompare.parseReps("benchdata/bench_v2_runC_reps.json")
+    val d = BenchCompare.parseReps("benchdata/bench_v2_runD_reps.json")
+    val bare = BenchCompare.compare(c, d)
+    assert(bare.flags.map(f => (f.query, f.direction)) ==
+      Seq(("tf_zipf", "improved")),
+      "without the plan-identity proof the warming false positive gates")
+    val r = BenchCompare.compare(c, d,
+      BenchCompare.parseSigs("benchdata/shuffle_runC.json"),
+      BenchCompare.parseSigs("benchdata/shuffle_runD.json"))
+    assert(r.pass, s"C/D must pass with signatures: ${r.flags.map(_.query)}")
+    assert(r.notes.map(f => (f.query, f.direction)) ==
+      Seq(("tf_zipf", "improved")))
+    assert(math.abs(r.totalsDeltaPct) < 10.0)
   }
 }
