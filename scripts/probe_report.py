@@ -118,9 +118,22 @@ def shuffle_drift():
     if not os.path.exists(cur_p) or not os.path.exists(ref_p):
         return None
     with open(cur_p) as f:
-        cur = json.load(f)["queries"]
+        cur_doc = json.load(f)
     with open(ref_p) as f:
-        ref = json.load(f)["queries"]
+        ref_doc = json.load(f)
+    # bytes are only comparable at the SAME scale factor: when the
+    # last bench run before this report was a probe at another SF
+    # (e.g. the gate's sf1 skew rep), a byte-ratio against the sf0.1
+    # reference reads ~10x on every linearly-scaling query and prints
+    # a wall of spurious "plan drift?" lines (round-15 gate log).
+    if cur_doc.get("sf") != ref_doc.get("sf"):
+        print(f"\n== shuffle drift: SKIPPED — sidecar sf "
+              f"{cur_doc.get('sf')!r} != reference sf "
+              f"{ref_doc.get('sf')!r} (re-run after a bench at the "
+              f"reference SF) ==")
+        return None
+    cur = cur_doc["queries"]
+    ref = ref_doc["queries"]
     flags = []
     for q in sorted(set(cur) & set(ref)):
         rb, cb = ref[q]["shuffle_bytes"], cur[q]["shuffle_bytes"]
