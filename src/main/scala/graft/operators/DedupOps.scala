@@ -873,7 +873,13 @@ object DedupOps {
     * and an O(2) rollup — no JW kernel anywhere; the share
     * denominator is a window sum OVER the 2-row aggregate (round-15
     * ADVICE: the earlier self-referencing total planned the pair
-    * stream twice). */
+    * stream twice). Writing `octet_length` after the joins is NOT a
+    * byte hazard: an explicit pre-join length projection was built
+    * and measured byte-identical (156947 shuffle bytes, 9 stages,
+    * sf0.1) — Catalyst's project pushdown already ships only the
+    * 8-byte lengths below the pair joins, so the query's 10x-rows
+    * ratio is the SN generator family's documented pair growth, not
+    * shipped text. */
   val dedupSnPruneAudit: Q = (s, d) => {
     val txt = docs(s, d).select(col("doc_id"), col("text"))
     val la = octet_length(col("sa.text")).cast("long")
