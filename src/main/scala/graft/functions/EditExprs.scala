@@ -113,9 +113,22 @@ object EditExprs {
     * match window floor(max/2)-1, first-fit matching left-to-right,
     * half-transpositions, empty input scores 0.0, and the final
     * double tree is exactly `(m/la + m/lb + (m-t)/m) / 3.0`. */
-  def jaro(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.getBytes
-    val b = ub.getBytes
+  def jaro(ua: UTF8String, ub: UTF8String): Double =
+    jaroBytes(ua.getBytes, ub.getBytes)
+
+  /** Match-phase strategy cutoff: below this many scanned cells the
+    * textbook O(la·window) scan beats building the byte-position
+    * index (short record-linkage strings — names, titles); above it
+    * the indexed first-fit match is O(la + lb + 256) and wins by the
+    * cell/byte ratio (~60x on the 300-byte gate documents). BOTH
+    * paths produce the identical match set — the cutoff is purely a
+    * constant-factor choice, fuzzed either side in JaroIndexSpec. */
+  private val JaroIndexCutoff = 4096L
+
+  /** [[jaro]] over the raw UTF-8 byte arrays — extracted once per
+    * pair and shared with [[jaroWinkler]]'s prefix walk (getBytes may
+    * copy). */
+  private def jaroBytes(a: Array[Byte], b: Array[Byte]): Double = {
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -125,23 +138,63 @@ object EditExprs {
     val ma = new Array[Boolean](la)
     val mb = new Array[Boolean](lb)
     var m = 0
-    var i = 0
-    while (i < la) {
-      var j = if (i > window) i - window else 0
-      val hi = if (i + window < lb - 1) i + window else lb - 1
-      var found = false
-      while (!found && j <= hi) {
-        if (!mb(j) && a(i) == b(j)) {
-          ma(i) = true; mb(j) = true; m += 1; found = true
+    if (la.toLong * (2L * window + 1L) <= JaroIndexCutoff) {
+      // textbook first-fit scan (the original kernel, kept verbatim
+      // for the short-string regime where it is cheapest)
+      var i = 0
+      while (i < la) {
+        var j = if (i > window) i - window else 0
+        val hi = if (i + window < lb - 1) i + window else lb - 1
+        var found = false
+        while (!found && j <= hi) {
+          if (!mb(j) && a(i) == b(j)) {
+            ma(i) = true; mb(j) = true; m += 1; found = true
+          }
+          j += 1
         }
-        j += 1
+        i += 1
       }
-      i += 1
+    } else {
+      // Indexed first-fit: counting-sort b's positions by byte value,
+      // then serve each a(i) from a per-value monotone pointer.
+      // Identical to the scan by construction: the scan picks the
+      // SMALLEST unmatched j in [lo, hi] with b(j) == a(i); only
+      // same-value rows consume a value's positions, and they consume
+      // them in ascending order, while positions that fall below lo
+      // are dead for every later i too (lo = i - window is
+      // nondecreasing in i) — so "smallest unmatched >= lo" is always
+      // exactly where the pointer stopped. O(la + lb + 256) instead
+      // of O(la·window) scanned cells.
+      val starts = new Array[Int](257)
+      var j = 0
+      while (j < lb) { starts((b(j) & 0xff) + 1) += 1; j += 1 }
+      var v = 0
+      while (v < 256) { starts(v + 1) += starts(v); v += 1 }
+      val pos = new Array[Int](lb)
+      val ptr = new Array[Int](256)
+      System.arraycopy(starts, 0, ptr, 0, 256)
+      j = 0
+      while (j < lb) { val w = b(j) & 0xff; pos(ptr(w)) = j; ptr(w) += 1; j += 1 }
+      System.arraycopy(starts, 0, ptr, 0, 256)
+      var i = 0
+      while (i < la) {
+        val lo = if (i > window) i - window else 0
+        val hi = if (i + window < lb - 1) i + window else lb - 1
+        val w = a(i) & 0xff
+        var p = ptr(w)
+        val end = starts(w + 1)
+        while (p < end && pos(p) < lo) p += 1
+        if (p < end && pos(p) <= hi) {
+          ma(i) = true; mb(pos(p)) = true; m += 1
+          ptr(w) = p + 1
+        } else ptr(w) = p
+        i += 1
+      }
     }
     if (m == 0) return 0.0
     var t = 0
     var k = 0
-    i = 0
+    var i = 0
     while (i < la) {
       if (ma(i)) {
         while (!mb(k)) k += 1
@@ -160,10 +213,10 @@ object EditExprs {
     * `jaro_winkler_similarity` (a 4-byte shared prefix at jaro 2/3
     * gets NO boost; a 9-byte prefix boosts as 4). */
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
-    val j = jaro(ua, ub)
-    if (j <= 0.7) return j
     val a = ua.getBytes
     val b = ub.getBytes
+    val j = jaroBytes(a, b)
+    if (j <= 0.7) return j
     val max = {
       val mn = if (a.length < b.length) a.length else b.length
       if (mn < 4) mn else 4
