@@ -311,35 +311,104 @@ object Relational {
       .filter(col("n_orders") >= 12)
       .orderBy("c_custkey")
 
-  /** Exact interpolated percentiles per return flag, computed the
-    * DISTRIBUTED way: shuffle on the group key, external-sort window
-    * (`row_number`), then classical (n-1)·p rank interpolation of the
-    * two straddling rows. Spark's built-in `percentile` buffers every
-    * group value in an in-memory aggregation buffer — correct here,
-    * dead at 100 TB group sizes; the window form spills. The lerp is
-    * written as `lo·(1-frac) + hi·frac` — DuckDB's exact
-    * `quantile_cont` operation order (NOT the algebraically-equal
-    * `lo + (hi-lo)·frac`, which rounds differently in the last ulp) —
-    * so results are bit-identical. (The sketch form for unbounded
-    * scale is `ev_approx_stats`.) */
+  /** Exact interpolated percentiles per return flag, computed by
+    * DISTRIBUTED RANK SELECTION (round 15; the round-14 form was a
+    * per-flag external-sort window — with 3 return flags that is a
+    * 3-task sort of the whole fact, 11.7 s and 6.6× at 10× rows).
+    * Histogram-cut, two passes, no corpus-sized sort:
+    *
+    *   1. count rows per (flag, 64-wide price bucket) — map-side
+    *      combinable, shuffle ∝ distinct buckets (~1.6k), never rows;
+    *      a running sum over the tiny bucket relation gives each
+    *      bucket its global rank interval (cum_prev, cum];
+    *   2. the 18 target ranks (3 flags × 3 percentiles × lo/hi) are
+    *      derived in-flow from the per-flag counts (no collect),
+    *      located in their buckets by a broadcast interval probe, and
+    *      only the ≤18 HIT buckets' rows are re-scanned and ranked by
+    *      a per-bucket window (thousands of rows, full parallelism).
+    *
+    * Value-identical to the sorted form: the bucket key
+    * floor(price/64) is monotone in price, so in-bucket rank
+    * rk = r − cum_prev selects exactly the row the global row_number
+    * would (ties share a price value, so either tie-ordering yields
+    * the same VALUE at a given rank). Spark's built-in `percentile`
+    * stays rejected — it buffers every group value in one aggregation
+    * buffer, dead at 100 TB group sizes. The lerp stays
+    * `lo·(1-frac) + hi·frac` — DuckDB's exact `quantile_cont`
+    * operation order (NOT the algebraically-equal `lo + (hi-lo)·frac`,
+    * which rounds differently in the last ulp) — so results remain
+    * bit-identical; the unchanged oracle gates the restructure at
+    * both SFs. (The sketch form for unbounded scale is
+    * `ev_approx_stats`.) */
   val q23Percentiles: Q = (s, d) => {
     val price = col("l_extendedprice")
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    val wSort = wAll.orderBy(price)
-    def pos(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
-    def pick(p: Double): Column = {
-      val lo = max(when(col("rn") === floor(pos(p)).cast("long") + 1, price))
-      val hi = max(when(col("rn") === ceil(pos(p)).cast("long") + 1, price))
-      val frac = max(pos(p) - floor(pos(p)))
-      lo * (lit(1.0) - frac) + hi * frac
-    }
-    li(s, d)
-      .select(col("l_returnflag"), price)
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("rn", row_number().over(wSort))
-      .groupBy(col("l_returnflag"))
-      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"),
-        count(lit(1)).as("n"))
+    val bucket = floor(price / lit(64.0)).cast("long")
+    val base = li(s, d).select(col("l_returnflag"), price)
+    // cut: the ~1.6k-row bucket relation is consumed by BOTH the
+    // cumulative-interval and the per-flag-total subtrees — without
+    // the cut each consumer re-plans its own fact scan (measured: 10
+    // scans across the uncut query). Materializing a few thousand
+    // rows is the cheap side of the q16 scan-vs-cut trade.
+    val bcnt = graft.Checkpointing.cut(base
+      .groupBy(col("l_returnflag").as("flag"), bucket.as("bkt"))
+      .agg(count(lit(1)).as("cnt")))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bcnt
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val nPer = bcnt.groupBy(col("flag")).agg(sum(col("cnt")).as("n"))
+    val targets = nPer
+      .select(col("flag"), col("n"),
+        explode(array(Seq(0.25, 0.5, 0.75).map(p =>
+          struct(lit(p).as("p"),
+            ((col("n") - 1).cast("double") * lit(p)).as("pos"))): _*))
+          .as("t"))
+      .select(col("flag"), col("n"), col("t.p").as("p"),
+        (col("t.pos") - floor(col("t.pos"))).as("frac"),
+        explode(array(
+          struct(lit("lo").as("which"),
+            (floor(col("t.pos")).cast("long") + 1L).as("r")),
+          struct(lit("hi").as("which"),
+            (ceil(col("t.pos")).cast("long") + 1L).as("r")))).as("w"))
+      .select(col("flag"), col("n"), col("p"), col("frac"),
+        col("w.which").as("which"), col("w.r").as("r"))
+    // cut: 18 rows, consumed twice (hit-bucket set + the rank join)
+    val located = graft.Checkpointing.cut(cum.as("c")
+      .join(broadcast(targets.as("t")),
+        col("c.flag") === col("t.flag") &&
+          col("c.cum_prev") < col("t.r") && col("t.r") <= col("c.cum"))
+      .select(col("c.flag").as("flag"), col("c.bkt").as("bkt"),
+        col("t.n").as("n"), col("t.p").as("p"), col("t.frac").as("frac"),
+        col("t.which").as("which"),
+        (col("t.r") - col("c.cum_prev")).as("rk")))
+    val hit = located.select(col("flag"), col("bkt")).distinct()
+    val ranked = base
+      .join(broadcast(hit),
+        col("l_returnflag") === col("flag") && bucket === col("bkt"))
+      .select(col("flag"), col("bkt"), price)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("flag"), col("bkt")).orderBy(price)))
+    val picked = ranked
+      .join(broadcast(located), Seq("flag", "bkt"))
+      .filter(col("rn") === col("rk"))
+      .groupBy(col("flag"), col("p"))
+      .agg(
+        max(when(col("which") === "lo", price)).as("lo"),
+        max(when(col("which") === "hi", price)).as("hi"),
+        max(col("frac")).as("frac"), max(col("n")).as("n"))
+      .select(col("flag"), col("p"), col("n"),
+        (col("lo") * (lit(1.0) - col("frac")) + col("hi") * col("frac"))
+          .as("v"))
+    picked
+      .groupBy(col("flag"))
+      .agg(
+        max(when(col("p") === 0.25, col("v"))).as("p25"),
+        max(when(col("p") === 0.5, col("v"))).as("p50"),
+        max(when(col("p") === 0.75, col("v"))).as("p75"),
+        max(col("n")).as("n"))
+      .select(col("flag").as("l_returnflag"),
+        col("p25"), col("p50"), col("p75"), col("n"))
       .orderBy("l_returnflag")
   }
 
