@@ -2097,6 +2097,15 @@ object DedupOps {
     val lsh = lshCandidatePairs(s, d).select(col("doc_a"), col("doc_b"))
     val cdc = cdcSharedPairs(s, d).select(col("doc_a"), col("doc_b"))
     val cand = lsh.unionByName(cdc).distinct().transform(graft.Checkpointing.cut)
+    // The [[jaccardScored]] members-semi-join + shingle cut was
+    // MEASURED here and rejected (round 15, probe protocol at 10×
+    // rows: 6.8 s → 8.2–10.6 s): unlike the LSH-only verifier, this
+    // tier's candidate union includes the CDC shared-chunk pairs,
+    // whose endpoints blanket most of the corpus — the semi-join
+    // filters almost nothing while the cut materializes a
+    // corpus-sized exploded-shingle relation, costing more than the
+    // four column-pruned re-scans it saves (the q16 scan-vs-cut
+    // trade, on the scan side this time).
     val sh = docs(s, d)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
