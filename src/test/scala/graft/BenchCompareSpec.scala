@@ -141,15 +141,18 @@ class BenchCompareSpec extends AnyFunSuite {
   test("round-15 committed C/D pair replay: the quiet-host " +
       "same-binary pair passes with tf_zipf's warming demoted by " +
       "plan identity") {
-    val c = BenchCompare.parseReps("benchdata/bench_v2_runC_reps.json")
-    val d = BenchCompare.parseReps("benchdata/bench_v2_runD_reps.json")
+    // frozen under r15_* names (the r14 lesson, re-learned live this
+    // round: every gate overwrites the bench_v2_* / shuffle_run*
+    // files, which would rot this replay on the NEXT pair)
+    val c = BenchCompare.parseReps("benchdata/r15_runC_reps.json")
+    val d = BenchCompare.parseReps("benchdata/r15_runD_reps.json")
     val bare = BenchCompare.compare(c, d)
     assert(bare.flags.map(f => (f.query, f.direction)) ==
       Seq(("tf_zipf", "improved")),
       "without the plan-identity proof the warming false positive gates")
     val r = BenchCompare.compare(c, d,
-      BenchCompare.parseSigs("benchdata/shuffle_runC.json"),
-      BenchCompare.parseSigs("benchdata/shuffle_runD.json"))
+      BenchCompare.parseSigs("benchdata/r15_shuffle_runC.json"),
+      BenchCompare.parseSigs("benchdata/r15_shuffle_runD.json"))
     assert(r.pass, s"C/D must pass with signatures: ${r.flags.map(_.query)}")
     assert(r.notes.map(f => (f.query, f.direction)) ==
       Seq(("tf_zipf", "improved")))
