@@ -102,6 +102,144 @@ object EditExprs {
   def damerauLevenshtein(a: Column, b: Column): Column =
     GraftColumn(DamerauLevenshtein(GraftColumn.expr(a), GraftColumn.expr(b)))
 
+  /** Codepoint array of a string — the walk unit of BOTH reference
+    * implementations (Spark's `UTF8String.levenshteinDistance` and
+    * DuckDB's `levenshtein` count codepoints, not UTF-16 units), so
+    * the trimmed kernels below are exact on ALL text including
+    * supplementary planes, not just BMP. */
+  private def codepoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Plain Levenshtein with the round-14 affix TRIM ported from
+    * [[damerau]] (round-16): `lev(p·x·s, p·y·s) = lev(x, y)` — the
+    * longest common prefix and suffix contribute zero edits under any
+    * optimal alignment, so the O(n·m) DP runs only over the differing
+    * core. LSH near-dup candidates share long affixes, so on
+    * `dedup_edit_distance`'s pairs this removes most of the quadratic
+    * work while leaving every distance BIT-IDENTICAL to Spark's
+    * builtin `levenshtein` (LevTrimSpec fuzzes equality against
+    * `UTF8String.levenshteinDistance` itself, including forced-affix
+    * and supplementary-plane shapes; the unchanged DuckDB oracle
+    * gates the query at both SFs). Two-row DP, codepoint walk. */
+  def levenshtein(ua: UTF8String, ub: UTF8String): Long = {
+    val a = codepoints(ua.toString)
+    val b = codepoints(ub.toString)
+    var lo = 0
+    val maxLo = if (a.length < b.length) a.length else b.length
+    while (lo < maxLo && a(lo) == b(lo)) lo += 1
+    var hiA = a.length
+    var hiB = b.length
+    while (hiA > lo && hiB > lo && a(hiA - 1) == b(hiB - 1)) {
+      hiA -= 1; hiB -= 1
+    }
+    val n = hiA - lo
+    val m = hiB - lo
+    if (n == 0) return m.toLong
+    if (m == 0) return n.toLong
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      val ai = a(lo + i - 1)
+      j = 1
+      while (j <= m) {
+        var best = prev(j - 1) + (if (ai == b(lo + j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        if (del < best) best = del
+        val ins = cur(j - 1) + 1
+        if (ins < best) best = ins
+        cur(j) = best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m).toLong
+  }
+
+  /** Thresholded Levenshtein with the affix trim: the exact value of
+    * Spark's builtin `levenshtein(a, b, k)` — the distance when it is
+    * <= k, −1 otherwise. After the trim, the banded DP touches only
+    * the 2k+1 cells around the diagonal per row (cost O(core·k), like
+    * the builtin) and exits early when a whole band row exceeds k;
+    * cells outside the band are unreachable under distance <= k
+    * because every path to them already costs > k. The RESULT
+    * (capped distance or −1) is uniquely defined, so builtin parity
+    * is testable by value (LevTrimSpec fuzzes both regimes). */
+  def levenshteinCapped(ua: UTF8String, ub: UTF8String, k: Int): Long = {
+    val a0 = codepoints(ua.toString)
+    val b0 = codepoints(ub.toString)
+    var lo = 0
+    val maxLo = if (a0.length < b0.length) a0.length else b0.length
+    while (lo < maxLo && a0(lo) == b0(lo)) lo += 1
+    var hiA = a0.length
+    var hiB = b0.length
+    while (hiA > lo && hiB > lo && a0(hiA - 1) == b0(hiB - 1)) {
+      hiA -= 1; hiB -= 1
+    }
+    val n = hiA - lo
+    val m = hiB - lo
+    if (n - m > k || m - n > k) return -1L
+    if (n == 0) return m.toLong // m <= k by the gap check above
+    if (m == 0) return n.toLong
+    val inf = k + 1 // any cell >= inf can never recover to <= k
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val jLo = if (i - k > 1) i - k else 1
+      val jHi = if (i + k < m) i + k else m
+      cur(0) = if (i <= k) i else inf
+      if (jLo > 1) cur(jLo - 1) = inf
+      val ai = a0(lo + i - 1)
+      var rowMin = cur(0)
+      j = jLo
+      while (j <= jHi) {
+        var best = prev(j - 1) + (if (ai == b0(lo + j - 1)) 0 else 1)
+        val del = prev(j) + 1
+        if (del < best) best = del
+        val ins = cur(j - 1) + 1
+        if (ins < best) best = ins
+        val c = if (best > inf) inf else best
+        cur(j) = c
+        if (c < rowMin) rowMin = c
+        j += 1
+      }
+      if (jHi < m) cur(jHi + 1) = inf
+      if (rowMin >= inf) return -1L
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) <= k) prev(m).toLong else -1L
+  }
+
+  /** `levenshteinDistance(a, b) -> long` as a Column — the trimmed
+    * exact kernel (bit-identical to Spark's builtin). */
+  def levenshteinDistance(a: Column, b: Column): Column =
+    GraftColumn(GraftLevenshtein(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** `levenshteinCapped(a, b, k) -> long` as a Column — the trimmed
+    * thresholded kernel (builtin `levenshtein(a, b, k)` parity:
+    * distance when <= k, −1 otherwise). */
+  def levenshteinCapped(a: Column, b: Column, k: Int): Column =
+    GraftColumn(GraftLevenshteinCapped(
+      GraftColumn.expr(a), GraftColumn.expr(b), k))
+
   /** Jaro similarity over UTF-8 BYTES — the record-linkage verifier
     * for SHORT near-identical strings (names, titles, URLs) where
     * edit distance over-prices out-of-order matches. Byte walk, not
@@ -253,6 +391,60 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.EditExprs.damerau($a, $b)")
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_levenshtein(a, b) -> bigint`: plain Levenshtein distance,
+  * affix-trimmed — bit-identical to Spark's builtin `levenshtein`
+  * (see [[EditExprs.levenshtein]]). */
+case class GraftLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_levenshtein"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (left, HashExprs.isString, "STRING"),
+      (right, HashExprs.isString, "STRING"))
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    EditExprs.levenshtein(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.EditExprs.levenshtein($a, $b)")
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_levenshtein_capped(a, b, k) -> bigint`: thresholded
+  * Levenshtein, affix-trimmed — bit-identical to Spark's builtin
+  * `levenshtein(a, b, k)` (distance when <= k, −1 otherwise; see
+  * [[EditExprs.levenshteinCapped]]). The threshold is a plan-time
+  * constant of the verifier tier, not a data column. */
+case class GraftLevenshteinCapped(left: Expression, right: Expression,
+    threshold: Int) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_levenshtein_capped"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprs.requireTypes(prettyName,
+      (left, HashExprs.isString, "STRING"),
+      (right, HashExprs.isString, "STRING"))
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    EditExprs.levenshteinCapped(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], threshold)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.EditExprs.levenshteinCapped($a, $b, $threshold)")
 
   protected override def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

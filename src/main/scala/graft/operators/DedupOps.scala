@@ -584,7 +584,8 @@ object DedupOps {
       .join(txt.as("da"), col("doc_a") === col("da.doc_id"))
       .join(txt.as("db"), col("doc_b") === col("db.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("da.text"), col("db.text")).cast("long")
+        graft.functions.EditExprs
+          .levenshteinDistance(col("da.text"), col("db.text"))
           .as("edit_dist"),
         greatest(length(col("da.text")), length(col("db.text")))
           .cast("long").as("max_len"))
@@ -618,7 +619,8 @@ object DedupOps {
         graft.functions.EditExprs
           .damerauLevenshtein(col("da.text"), col("db.text"))
           .as("dl_dist"),
-        levenshtein(col("da.text"), col("db.text")).cast("long")
+        graft.functions.EditExprs
+          .levenshteinDistance(col("da.text"), col("db.text"))
           .as("lev_dist"),
         greatest(length(col("da.text")), length(col("db.text")))
           .cast("long").as("max_len"))
@@ -1094,8 +1096,9 @@ object DedupOps {
       .join(txt.as("da"), col("doc_a") === col("da.doc_id"))
       .join(txt.as("db"), col("doc_b") === col("db.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("da.text"), col("db.text"), EditThreshold)
-          .cast("long").as("edit_dist_capped"))
+        graft.functions.EditExprs
+          .levenshteinCapped(col("da.text"), col("db.text"), EditThreshold)
+          .as("edit_dist_capped"))
       .withColumn("verdict",
         when(col("edit_dist_capped") >= 0L, "near").otherwise("far"))
       .orderBy("doc_a", "doc_b")
@@ -1199,25 +1202,43 @@ object DedupOps {
         .select(col("a.doc_id").as("doc_id"), col("b.comp").as("comp"))
     var labels = bk.select(col("doc_id")).distinct()
       .withColumn("comp", col("doc_id")).transform(graft.Checkpointing.cut)
-    var changed = 1L
+    // convergence via the MONOTONE LABEL SUM (round 16): every
+    // composed map is non-increasing per doc and the doc set is
+    // fixed, so Σcomp strictly decreases until the fixpoint and is
+    // equal exactly there — one map-side-combinable scan of the
+    // just-cut leaf replaces the label⨝label shuffle join + count
+    // the check used to run per round. DECIMAL(38,0) keeps the sum
+    // exact at any id range / corpus size (no silent long overflow
+    // deciding convergence).
+    def labelSum(l: DataFrame): java.math.BigDecimal = l
+      .agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("s"))
+      .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var checks = 0
-    while (changed > 0) {
+    while (changed) {
       // eager cut: materializes `next` AND truncates its lineage to a
       // LogicalRDD leaf before the next round builds on it
       val next = jump(step(step(labels))).transform(graft.Checkpointing.cut)
-      changed = next
-        .join(labels.withColumnRenamed("comp", "old"), "doc_id")
-        .filter(col("comp") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       // Dataset.unpersist() is a CacheManager no-op on checkpointed
       // plans — free the superseded checkpoint's blocks directly,
       // safe because `next` is already materialized and independent
       IndexCache.release(labels)
       labels = next
       checks += 1
-      if (changed > 0 && checks % 25 == 0)
+      if (changed && checks % 25 == 0)
         System.err.println(s"[graft] components: still propagating after " +
           s"$checks rounds; continuing")
     }
+    // round-count telemetry (round-15 verdict): convergence depth is
+    // the scale driver of every CC consumer — make it observable in
+    // any run's stderr, not only through the spec seam
+    System.err.println(s"[graft] components: converged after $checks " +
+      "checked rounds")
     (labels, checks)
   }
 
@@ -1886,44 +1907,76 @@ object DedupOps {
     * the only double is the cumulative share. Distances < 4 bits are
     * complete by the [[SimhashBandBits]] pigeonhole; 4..8 count only
     * band-sharing pairs (documented — the decision range is what
-    * must be exact). Perf shape — the multiplicity trick: a pair
-    * whose XOR leaves m of the 4 bands untouched is emitted by the
-    * band join exactly m times, and m is computable from the XOR in
-    * the join projection; so instead of a pair-level DISTINCT (the
-    * first cut shuffled 9M candidate pairs and was the bench's
-    * slowest query), the histogram groups the raw join stream by
-    * (hamming, m) — a map-side-combinable aggregate with ≤ 33·4
-    * cells — and recovers exact pair counts as Σ_m cnt(h, m) div m
-    * (each cell's count is divisible by its m by construction).
-    * Nothing pair-shaped is ever exchanged. */
+    * must be exact). Perf shape — two exact collapses compose so
+    * nothing pair-shaped is ever exchanged:
+    * 1. DISTINCT-FINGERPRINT collapse (round 16): the band self-join
+    *    runs over distinct `sh` VALUES with multiplicities, not docs
+    *    — Σ bucket² counts distinct values per bucket, so the
+    *    exact-duplicate head (identical fingerprints, the dominant
+    *    mass of any dedup corpus, and the whole hot bucket under the
+    *    skew probe) costs ONE row. Same-value doc pairs are all
+    *    hamming 0 and all band-complete, so they re-enter as
+    *    Σ c·(c−1) div 2 without touching any join; a cross-value
+    *    pair {a,b} contributes c(a)·c(b) doc pairs with one shared
+    *    XOR. Exact by construction — the unchanged oracle gates it.
+    * 2. The round-13 multiplicity trick: a value pair whose XOR
+    *    leaves m of the 4 bands untouched is emitted by the band
+    *    join exactly m times, and m is computable from the XOR in
+    *    the join projection; so instead of a pair-level DISTINCT
+    *    (the first cut shuffled 9M candidate pairs and was the
+    *    bench's slowest query), the histogram groups the raw join
+    *    stream by (hamming, m) — a map-side-combinable aggregate
+    *    with ≤ 33·4 cells — and recovers exact pair counts as
+    *    Σ_m w(h, m) div m (each cell's weight sum is m·Σ pair
+    *    weights by construction). */
   val dedupHammingHistogram: Q = (s, d) => {
     val nBands = 32 / SimhashBandBits
-    val sh = docs(s, d)
+    // round-robin spread BEFORE the cut: the distinct-value rollup is
+    // tiny in BYTES (AQE coalesces its exchange to ~1 partition), but
+    // the band self-join's OUTPUT over it is quadratic per bucket —
+    // left on the coalesced layout the pair enumeration runs in one
+    // task (measured: 10.3 -> 56.7 s at sf1). An explicit
+    // repartition(defaultParallelism) pins the leaf's task count to
+    // the cluster's slots (scale-adaptive, not a local constant) and,
+    // being ROUND-ROBIN rather than bucket-keyed, splits even a hot
+    // bucket's probe rows across all tasks.
+    val vals = docs(s, d)
       .withColumn("thashes", hashAll(tokens(col("text"))))
-      .select(col("doc_id"), simhash32(col("thashes")).as("sh"))
+      .select(simhash32(col("thashes")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .repartition(s.sparkContext.defaultParallelism)
       .transform(graft.Checkpointing.cut)
-    val bands = sh.select(col("doc_id"), col("sh"),
+    val bands = vals.select(col("sh"), col("c"),
         explode(array((0 until nBands).map(j =>
           struct(lit(j).as("band"),
             shiftrightunsigned(col("sh"), j * SimhashBandBits)
               .bitwiseAND(lit((1L << SimhashBandBits) - 1))
               .as("bv"))): _*)).as("b"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("sh"), col("c"),
         col("b.band").as("band"), col("b.bv").as("bv"))
     val mExpr = (0 until nBands).map(j =>
         s"(CASE WHEN ((x.sh ^ y.sh) >> ${j * SimhashBandBits}) " +
           s"& ${(1L << SimhashBandBits) - 1} = 0 THEN 1 ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
-    val hist = bands.as("x").join(bands.as("y"),
+    // identical-fingerprint doc pairs: hamming 0, shared by all 4
+    // bands — counted in closed form, never joined
+    val same = vals.agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+        .as("n_pairs"))
+      .select(lit(0L).as("hamming"), col("n_pairs"))
+      .filter(col("n_pairs") > 0L)
+    val cross = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.sh") < col("y.sh"))
       .selectExpr("CAST(bit_count(x.sh ^ y.sh) AS BIGINT) AS hamming",
-        s"$mExpr AS m")
+        s"$mExpr AS m", "x.c * y.c AS w")
       .filter(col("hamming") <= HammingHistMax)
       .groupBy(col("hamming"), col("m"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("w")).as("wsum"))
       .groupBy(col("hamming"))
-      .agg(sum(expr("cnt div m")).as("n_pairs"))
+      .agg(sum(expr("wsum div m")).as("n_pairs"))
+    val hist = cross.unionByName(same)
+      .groupBy(col("hamming"))
+      .agg(sum(col("n_pairs")).as("n_pairs"))
     val w = Window.orderBy(col("hamming"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = hist.agg(sum(col("n_pairs")).as("total"))

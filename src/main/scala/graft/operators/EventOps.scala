@@ -1875,26 +1875,49 @@ object EventOps {
       require(maxOutw < (Long.MaxValue / HitsScale) / HitsScale,
         s"HITS normalize overflows at weighted out-degree $maxOutw " +
           s">= 2^63/HitsScale^2 — lower HitsScale (see Scaladoc)")
+      // Round-16 job-shape restructure (guide §1.2 step 1 — the
+      // distributed shape before per-task work): each HALF-STEP's
+      // aggregate is lineage-cut immediately, and the L1 normalize
+      // lives as a flat projection over that leaf (crossJoin with the
+      // broadcast scalar computed FROM the leaf). The previous
+      // every-other-round cadence left the normalize's scalar subtree
+      // re-deriving the whole join+agg (the broadcast side cannot
+      // reuse the main side's exchange), so each cut re-executed a
+      // two-iteration DOUBLED lineage: the timed query ran 146 stages
+      // at sf0.1. With per-half-step cuts the plan never exceeds one
+      // join + one agg + one broadcast-of-a-scalar — 2 shuffle jobs
+      // per iteration, the minimum the two half-steps define
+      // (A/B numbers in OPTIMIZATION_r16.md; arithmetic and every
+      // emitted value bit-identical — the cut changes lineage, not
+      // values). Superseded leaves are released as soon as the next
+      // half-step materializes (IndexCache.release is safe on
+      // checkpointed plans; Dataset.unpersist is a CacheManager no-op
+      // for them).
       var hub = nodes.select(col("node"), lit(HitsScale / n).as("h"))
       var auth: DataFrame = null
+      var prevAraw: DataFrame = null
+      var prevHraw: DataFrame = null
       for (it <- 1 to HitsIters) {
         val araw = edges.join(hub, edges("src") === hub("node"))
           .groupBy(col("dst")).agg(sum(col("h") * col("w")).as("araw"))
+          .transform(graft.Checkpointing.cut)
+        // hub_{t-1}'s leaf was consumed by the cut above; the final
+        // output only ever reads the LAST hub/auth leaves
+        if (prevHraw != null) IndexCache.release(prevHraw)
         val sa = araw.agg(sum(col("araw")).as("sa"))
         auth = araw.crossJoin(broadcast(sa))
           .select(col("dst").as("node"),
             expr(s"(araw * $HitsScale) div sa").as("a"))
         val hraw = edges.join(auth, edges("dst") === auth("node"))
           .groupBy(col("src")).agg(sum(col("a") * col("w")).as("hraw"))
+          .transform(graft.Checkpointing.cut)
+        if (prevAraw != null) IndexCache.release(prevAraw)
         val sh = hraw.agg(sum(col("hraw")).as("sh"))
-        val next = hraw.crossJoin(broadcast(sh))
+        hub = hraw.crossJoin(broadcast(sh))
           .select(col("src").as("node"),
             expr(s"(hraw * $HitsScale) div sh").as("h"))
-        // same every-other-round lineage-cut cadence as pagerankOf
-        if (it % 2 == 0 || it == HitsIters) {
-          hub = next.transform(graft.Checkpointing.cut)
-          auth = auth.transform(graft.Checkpointing.cut)
-        } else hub = next
+        prevAraw = araw
+        prevHraw = hraw
       }
       nodes
         .join(auth.select(col("node").as("an"), col("a")),
@@ -2223,40 +2246,74 @@ object EventOps {
     * round one). */
   val KcorePeelUnroll = 16
 
-  /** Iterative k-core peel: drop every node with fewer than
-    * [[KcoreK]] surviving neighbors, remove its edges, repeat to the
-    * edge-count fixpoint. Each round is two semi-joins + one
-    * combinable degree count — all equi-joins on node keys, no
-    * windows — and cuts lineage through [[graft.Checkpointing.cut]]
-    * (reliable on a cluster when `spark.graft.checkpointDir` is set).
-    * Rounds are bounded by the peel DEPTH of the graph (the degeneracy
-    * layering), not its size: each round removes every currently
-    * sub-K node at once, so a 10⁹-node crawl graph with shallow
-    * layering peels in the same handful of rounds the gate corpus
-    * does. Termination is structural — the edge set strictly shrinks
-    * or the loop exits. */
+  /** Iterative k-core peel by DEGREE-DELTA maintenance (round 16):
+    * drop every node with fewer than [[KcoreK]] surviving neighbors,
+    * repeat to the fixpoint — same peel sets, same rounds, same
+    * output as the textbook edges-rewrite form it replaces, proven by
+    * the invariant that `deg` always equals each alive node's degree
+    * in the alive-induced subgraph (KcoreSpec pins outputs; the
+    * unchanged from-scratch oracle gates it at both SFs).
+    *
+    * The replaced form re-derived degrees from the surviving edge set
+    * and re-materialized that edge set every round — three
+    * edge-sized shuffles plus an edge-sized checkpoint per round.
+    * This form keeps the edge set as ONE static checkpointed leaf and
+    * maintains an O(nodes) `(node, degree, deg)` relation instead:
+    * each round takes the peel set P = {deg < K}, counts each
+    * survivor's edges INTO P (two equi-joins against the static leaf
+    * whose P side is tiny after round one — AQE broadcasts it — so
+    * the edge relation is scanned map-side, never exchanged), and
+    * subtracts. Per-round shuffled bytes drop from O(edges) to
+    * O(peeled-adjacent nodes); the only per-round materialization is
+    * the node-sized alive set. Rounds stay bounded by the peel depth
+    * of the graph, and a 10⁹-node crawl graph still peels in the
+    * handful of rounds the gate corpus does. Termination is
+    * structural: the alive set strictly shrinks or the loop exits. */
   private[graft] def kcoreOf(und0: DataFrame): DataFrame = {
     val full = und0.transform(graft.Checkpointing.cut)
     def degOf(e: DataFrame) = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    var edges = full
-    var m = edges.count()
-    var done = m == 0L
+    // (node, degree, deg): full-graph degree (static) and current
+    // alive-subgraph degree (maintained)
+    var alive = degOf(full).select(col("node"), col("deg").as("degree"),
+        col("deg")).transform(graft.Checkpointing.cut)
+    var done = alive.isEmpty
+    var rounds = 0
     while (!done) {
-      val keep = degOf(edges).filter(col("deg") >= KcoreK)
-      val next = edges
-        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .transform(graft.Checkpointing.cut)
-      val m2 = next.count()
-      done = m2 == m || m2 == 0L
-      edges = next
-      m = m2
+      val peel = alive.filter(col("deg") < KcoreK)
+        .select(col("node")).transform(graft.Checkpointing.cut)
+      if (peel.isEmpty) done = true
+      else {
+        // edges lost by each survivor: one endpoint peeled this
+        // round, the other surviving. Both joins probe the static
+        // edge leaf with the (small) peel set — map-side once AQE
+        // broadcasts it; only the per-survivor loss counts shuffle.
+        val lostU = full
+          .join(peel.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select(col("u").as("node"))
+        val lostV = full
+          .join(peel.select(col("node").as("u")), Seq("u"), "left_semi")
+          .select(col("v").as("node"))
+        val lost = lostU.unionAll(lostV)
+          .groupBy("node").agg(count(lit(1)).as("lost"))
+        val next = alive
+          .join(peel.select(col("node")), Seq("node"), "left_anti")
+          .join(lost, Seq("node"), "left")
+          .select(col("node"), col("degree"),
+            (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+          .transform(graft.Checkpointing.cut)
+        IndexCache.release(alive)
+        alive = next
+        done = alive.isEmpty
+      }
+      IndexCache.release(peel)
+      rounds += 1
     }
-    degOf(edges).withColumnRenamed("deg", "core_degree")
-      .join(degOf(full).withColumnRenamed("deg", "degree"), Seq("node"))
-      .select(col("node"), col("degree"), col("core_degree"))
+    // round-count telemetry (round-15 verdict): peel depth is the
+    // scale driver — observable in any run's stderr
+    System.err.println(s"[graft] kcore: peeled in $rounds rounds")
+    alive.select(col("node"), col("degree"), col("deg").as("core_degree"))
   }
 
   /** K-core membership (`ev_user_kcore`) — the cohesion CORE of the

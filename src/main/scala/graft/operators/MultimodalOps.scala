@@ -377,22 +377,32 @@ object MultimodalOps {
     * physical reclaim list: per digest, the owner count before the
     * takedown, and the stored byte size being freed.
     *
-    * Shape at 100 TB: one map-side-combinable groupBy on the digest
-    * over the persisted store — owner counts partially aggregate
-    * before the shuffle, document bytes are never touched (the store
-    * carries digests + lengths only), and the emitted reclaim list is
-    * the small tail of digests with zero survivors. The oracle
-    * recomputes the rollup from scratch over the raw corpus with the
-    * same CDC machinery — bit-equality proves both the chunking reuse
-    * and the survivor accounting. */
+    * Shape at 100 TB: two STACKED map-side-combinable groupBys on
+    * the digest over the persisted store — (digest, owner) occurrence
+    * rows collapse to distinct ownerships first, then plain counts
+    * roll those up (round 16; the previous single groupBy used two
+    * `countDistinct`s, which Spark plans as an Expand that doubles
+    * every store row into the exchange — the A/B and plan diff are in
+    * OPTIMIZATION_r16.md). Exact by construction: COUNT(DISTINCT
+    * doc_id) ≡ COUNT(*) over the distinct-pair rollup, the
+    * tombstone predicate is a function of doc_id alone, and owner ids
+    * are never null in a content-addressed store (each row IS an
+    * ownership). Document bytes are never touched (the store carries
+    * digests + lengths only), and the emitted reclaim list is the
+    * small tail of digests with zero survivors. The oracle recomputes
+    * the rollup from scratch over the raw corpus with the same CDC
+    * machinery — bit-equality proves both the chunking reuse and the
+    * survivor accounting. */
   val mmStoreGc: Q = (s, d) =>
     chunkStore(s, d)
+      .groupBy(col("chunk_md5"), col("doc_id"))
+      .agg(max(col("chunk_len")).as("len"))
       .groupBy(col("chunk_md5"))
       .agg(
-        countDistinct(col("doc_id")).as("n_owners_before"),
-        countDistinct(when(!DedupOps.tombstoned(col("doc_id")),
-          col("doc_id"))).as("n_owners_after"),
-        max(col("chunk_len")).as("stored_len"))
+        count(lit(1)).as("n_owners_before"),
+        sum(when(!DedupOps.tombstoned(col("doc_id")), 1L).otherwise(0L))
+          .as("n_owners_after"),
+        max(col("len")).as("stored_len"))
       .filter(col("n_owners_after") === 0L)
       .select(col("chunk_md5"), col("n_owners_before"), col("stored_len"))
       .orderBy("chunk_md5")

@@ -339,7 +339,18 @@ object Relational {
     * which rounds differently in the last ulp) — so results remain
     * bit-identical; the unchanged oracle gates the restructure at
     * both SFs. (The sketch form for unbounded scale is
-    * `ev_approx_stats`.) */
+    * `ev_approx_stats`.)
+    *
+    * NON-NULL PRICE ASSUMPTION (round-15 ADVICE): the hit-bucket
+    * re-scan joins on `bucket === bkt`, a null-UNSAFE equality, so a
+    * NULL l_extendedprice row would be counted in n (its bucket
+    * groups under bkt = NULL) yet be unreachable in the ranked
+    * re-scan — where the retired window form ranked nulls first.
+    * TPC-H `lineitem.l_extendedprice` is NOT NULL by spec and by
+    * every generated corpus (the oracle's own `quantile_cont` would
+    * likewise diverge on nulls); a nullable-fact deployment must
+    * filter `price.isNotNull` before bucketing so n matches the
+    * rankable rows. */
   val q23Percentiles: Q = (s, d) => {
     val price = col("l_extendedprice")
     val bucket = floor(price / lit(64.0)).cast("long")

@@ -60,7 +60,7 @@ class Q23SelectSpec extends SparkSpec {
     // several prices exactly k*64.0 (bucket boundary)
     val a = Seq(64.0, 128.0, 128.0, 128.0, 192.0, 256.0, 256.0, 320.0)
       .map(("A", _))
-    // 4 rows: integral positions at p25/p50/p75 when n = 5 → frac = 0
+    // 5 rows: integral positions at p25/p50/p75 when n = 5 → frac = 0
     val b = Seq(10.0, 20.0, 30.0, 40.0, 50.0).map(("B", _))
     check(a ++ b, "ties-boundaries")
   }
